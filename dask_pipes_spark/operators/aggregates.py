@@ -1,0 +1,367 @@
+"""Group D — aggregations (SURVEY.md §2-D).
+
+Reference surface: Dask ``df.groupby(keys).agg/...``, apply-concat-apply
+partial+final aggregation. Spark expresses the same thing natively:
+``HashAggregate(partial) → Exchange → HashAggregate(final)`` with map-side
+combine, and AQE coalesces output partitions — nothing to hand-schedule.
+
+Scale notes (100 TB): every groupBy here shuffles only the *aggregated*
+(map-side-combined) rows; group-key cardinality, not input size, dictates
+exchange volume. Skewed keys are covered by AQE skew handling; no collect().
+
+Hash-stability: all float aggregates use the decimal-sum pattern from
+:mod:`dask_pipes_spark.registry` (exact, order-insensitive); var/corr/cov are
+derived from decimal sums with deterministic double arithmetic rather than
+engine-native streaming algorithms, so Spark and DuckDB match bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.registry import davg, dsum, query, sql_davg, sql_dsum
+from dask_pipes_spark.session import load
+
+
+@query(
+    "d1_agg_global",
+    oracle=f"""
+    SELECT {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS cnt,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber
+    FROM lineitem
+    """,
+)
+def d1_agg_global(spark, sf_dir):
+    """Whole-table sum/avg/min/max/count (Dask ``df.x.sum()`` etc.)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_linenumber").cast("long").alias("sum_linenumber"),
+    )
+
+
+@query(
+    "d2_groupby_sum",
+    oracle=f"""
+    SELECT l_returnflag, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d2_groupby_sum(spark, sf_dir):
+    """Single-key grouped sum (Dask ``groupby(k).x.sum()``)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(dsum("l_quantity").alias("sum_qty"))
+
+
+@query(
+    "d3_groupby_multi",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def d3_groupby_multi(spark, sf_dir):
+    """TPC-H Q1-shaped multi-key multi-agg — the engine's flagship query.
+
+    Catalyst plans partial aggregation before the exchange (the ACA pattern
+    Dask spells ``split_every``), so the shuffle carries 6 groups, not 60k
+    rows — the plan that survives 100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "d4_group_count_distinct",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d4_group_count_distinct(spark, sf_dir):
+    """Per-group nunique (Dask ``groupby.nunique``) — expand+two-phase agg in Spark."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+@query("d5_approx_count_distinct")  # weak: sketch-dependent value
+def d5_approx_count_distinct(spark, sf_dir):
+    """HLL approx nunique (Dask ``nunique_approx``). Weak-checked: HLL registers
+    are engine-specific; the value is asserted to be within rsd locally."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# var/std via exact decimal sums: var_samp = (sxx - sx^2/n) / (n-1), computed
+# with one deterministic double expression per group on both engines.
+_VAR_SQL = (
+    "(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE)"
+    " - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)"
+    " * CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))"
+    " / (COUNT(*) - 1)"
+)
+
+
+@query(
+    "d6_group_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_VAR_SQL} AS var_qty,
+           SQRT({_VAR_SQL}) AS std_qty,
+           MIN_BY(l_extendedprice, l_orderkey * 10 + l_linenumber) AS first_price,
+           MAX_BY(l_extendedprice, l_orderkey * 10 + l_linenumber) AS last_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d6_group_stats(spark, sf_dir):
+    """Per-group var/std/first/last (Dask ``groupby.var/std/first/last``).
+
+    first/last need a deterministic order → min_by/max_by over the natural
+    row key (orderkey, linenumber), exactly as the oracle defines them.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(28,6)")
+    qq = (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,6)")
+    n = F.count(F.lit(1))
+    sx = F.sum(q).cast("double")
+    sxx = F.sum(qq).cast("double")
+    var = (sxx - sx * sx / n) / (n - 1)
+    rowkey = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    return li.groupBy("l_returnflag").agg(
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+        F.min_by("l_extendedprice", rowkey).alias("first_price"),
+        F.max_by("l_extendedprice", rowkey).alias("last_price"),
+    )
+
+
+@query(
+    "d7_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS p50,
+           ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90,
+           ROUND(QUANTILE_CONT(l_quantity, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d7_quantile(spark, sf_dir):
+    """Exact interpolated percentiles (Dask ``quantile``; Spark ``percentile``).
+
+    Both engines use the linear-interpolation (type-7) definition; results are
+    rounded(4) on both sides because the interpolation arithmetic is float.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_quantity", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "d8_having",
+    oracle=f"""
+    SELECT l_partkey, {sql_dsum('l_quantity')} AS total_qty, COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_partkey
+    HAVING COUNT(*) >= 3 AND {sql_dsum('l_quantity')} > 50
+    """,
+)
+def d8_having(spark, sf_dir):
+    """Post-aggregation filter (HAVING) — plain ``.agg().filter()`` in Spark."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(dsum("l_quantity").alias("total_qty"), F.count(F.lit(1)).alias("cnt"))
+        .filter((F.col("cnt") >= 3) & (F.col("total_qty") > 50))
+    )
+
+
+@query(
+    "d9_value_counts",
+    oracle="""
+    SELECT o_orderpriority AS value, COUNT(*) AS count
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d9_value_counts(spark, sf_dir):
+    """Frequency table (Dask/pandas ``value_counts``)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("value")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+@query(
+    "d10_collect_list",
+    oracle="""
+    SELECT o_custkey,
+           ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey)), ',') AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def d10_collect_list(spark, sf_dir):
+    """Per-group list aggregation (Dask ``groupby.agg(list)``).
+
+    ``sort_array`` makes the list deterministic; the list is emitted as a
+    comma-joined string so both engines hash the same scalar representation.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"), ","
+        ).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# corr/cov from exact decimal sums (same determinism rationale as d6).
+_SX = "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)"
+_SY = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)"
+_SXY = "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)"
+_SXX = "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE)"
+_SYY = "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+@query(
+    "d11_corr_cov",
+    oracle=f"""
+    SELECT l_returnflag,
+           ({_SXY} - {_SX} * {_SY} / COUNT(*)) / (COUNT(*) - 1) AS cov_qty_price,
+           ROUND(({_SXY} - {_SX} * {_SY} / COUNT(*))
+             / SQRT(({_SXX} - {_SX} * {_SX} / COUNT(*))
+                  * ({_SYY} - {_SY} * {_SY} / COUNT(*))), 8) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d11_corr_cov(spark, sf_dir):
+    """Sample covariance / Pearson correlation (Dask ``df.corr/cov``)."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(28,6)"
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    sx = F.sum(x.cast(dec)).cast("double")
+    sy = F.sum(y.cast(dec)).cast("double")
+    sxy = F.sum((x * y).cast(dec)).cast("double")
+    sxx = F.sum((x * x).cast(dec)).cast("double")
+    syy = F.sum((y * y).cast(dec)).cast("double")
+    cov = (sxy - sx * sy / n) / (n - 1)
+    # rounded(8): the final divide/sqrt chain differs by ~2 ulp across engines
+    corr = F.round(
+        (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 8
+    )
+    return li.groupBy("l_returnflag").agg(
+        cov.alias("cov_qty_price"), corr.alias("corr_qty_price")
+    )
+
+
+@query(
+    "d12_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def d12_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals — Spark-native extension (Dask has none)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "d13_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def d13_cube(spark, sf_dir):
+    """CUBE with grouping_id — Spark-native extension (Dask has none)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "d14_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d14_pivot(spark, sf_dir):
+    """pivot_table (Dask/pandas) → ``groupBy().pivot(col, values).agg()``.
+
+    Pivot values are enumerated explicitly ('O','F') so Spark skips the extra
+    distinct-values job — the 100 TB-safe form.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+@query(
+    "d15_melt",
+    oracle="""
+    SELECT p_partkey, var, val FROM (
+      SELECT p_partkey, 'p_size' AS var, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice' AS var, p_retailprice AS val FROM part
+    )
+    """,
+)
+def d15_melt(spark, sf_dir):
+    """melt / wide→long (Dask ``dd.melt``) → Spark ``unpivot`` (≥3.4)."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "var", "val")

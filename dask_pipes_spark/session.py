@@ -1,0 +1,117 @@
+"""SparkSession construction and fixture loading.
+
+Mandatory session configs (SURVEY.md §7.1, verified against the fixtures):
+
+- ``spark.sql.session.timeZone=UTC`` — all fixture timestamps are naive /
+  TIMESTAMP_NTZ; never compare through local time.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.parquet`` stores
+  TIMESTAMP(NANOS) which Spark 4 otherwise rejects (PARQUET_TYPE_ILLEGAL).
+  With the flag, ``ts`` arrives as bigint nanoseconds; :func:`load_tables`
+  converts it with ``timestamp_micros(ts div 1000)`` which matches DuckDB's
+  microsecond truncation exactly.
+- AQE on (skew-join + partition coalescing) — the 100 TB posture: runtime
+  re-planning replaces hand-tuned partition counts.
+
+All configs are set at *runtime* (``spark.conf.set``) so they also apply to
+externally-created sessions (the driver builds its own SparkSession and hands
+it to ``__spark_entry__.entry``); verified runtime-settable on PySpark 4.1.2.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Fixture tables (TESTDATA.md / FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Runtime-settable SQL confs every query in this engine relies on.
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas-UDF / mapInPandas boundary (groups J/L).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the mandatory runtime confs to an existing session (idempotent)."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf locked by the host
+            pass
+    return spark
+
+
+def get_session(app_name: str = "dask-pipes-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle
+    partitions are pinned to the core count — at local scale one shuffle
+    partition per core; on a real cluster AQE coalescing handles the rest.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    return configure_session(spark)
+
+
+def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
+    """events.ts arrives as bigint nanos (see module docstring); convert to a
+    microsecond TIMESTAMP_NTZ identical to DuckDB's truncating read."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the fixture parquet tables as DataFrames.
+
+    Plain ``spark.read.parquet`` — projection/predicate pushdown then happen at
+    the scan via Catalyst (verified by ``a1``/``a2``). The only eager-ish fix
+    applied is the events nanos→timestamp conversion, a per-row projection
+    that stays inside WholeStageCodegen.
+    """
+    configure_session(spark)
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = _events_ts_to_timestamp(df)
+        out[name] = df
+    return out
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a single fixture table (same conversions as :func:`load_tables`)."""
+    return load_tables(spark, sf_dir, (name,))[name]
