@@ -1,6 +1,22 @@
 """Operator groups (SURVEY.md §2). Importing this package registers every
 operator into :mod:`dask_pipes_spark.registry`."""
 
-from dask_pipes_spark.operators import aggregates  # noqa: F401
+from dask_pipes_spark.operators import (  # noqa: F401
+    aggregates,
+    functions_ops,
+    joins,
+    projection,
+    setops,
+    sorts,
+    windows,
+)
 
-__all__ = ["aggregates"]
+__all__ = [
+    "aggregates",
+    "functions_ops",
+    "joins",
+    "projection",
+    "setops",
+    "sorts",
+    "windows",
+]

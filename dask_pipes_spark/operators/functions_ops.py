@@ -1,0 +1,372 @@
+"""Group H — scalar functions: string / date / math / array / map / json
+(SURVEY.md §2-H).
+
+Reference surface: pandas ``Series.str.*`` / ``Series.dt.*`` / numpy ufuncs /
+``explode`` / json-in-object-columns, executed interpreted per partition.
+Spark runs every one of these as a built-in JVM expression inside
+WholeStageCodegen — no Python in the hot path, which is the entire 100 TB
+story for this group.
+
+Cross-engine traps handled here (SURVEY §7.6):
+- ``dayofweek`` numbering: Spark 1=Sunday…7 vs DuckDB 0=Sunday…6 → oracle
+  adds +1 explicitly.
+- libm functions (ln/exp/sqrt/pow) may differ in the last ulp between JVM and
+  C runtimes → rounded(6) on both sides.
+- float arrays: per-element sums are folded in engine-specific order →
+  rounded(4) after casting elements to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dask_pipes_spark.registry import query
+from dask_pipes_spark.session import load
+
+
+@query(
+    "h1_string_basic",
+    oracle="""
+    SELECT c_custkey,
+           LOWER(c_name) AS name_lower,
+           UPPER(c_mktsegment) AS seg_upper,
+           CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+           TRIM(CONCAT(c_name, ' ')) AS name_trim,
+           CONCAT_WS('|', c_name, c_mktsegment) AS name_seg,
+           SUBSTRING(c_name, 1, 8) AS name_prefix
+    FROM customer
+    """,
+)
+def h1_string_basic(spark, sf_dir):
+    """lower/upper/length/trim/concat/substring (pandas ``Series.str.*``)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.concat(F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("name_seg"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+    )
+
+
+@query(
+    "h2_string_match",
+    oracle="""
+    SELECT p_partkey, p_name, p_type,
+           CONTAINS(p_name, 'red') AS has_red,
+           STARTS_WITH(p_type, 'ECO') AS is_eco,
+           p_name LIKE '%bolt%' AS like_bolt,
+           REGEXP_MATCHES(p_name, '^(red|blue) ') AS color_start
+    FROM part
+    """,
+)
+def h2_string_match(spark, sf_dir):
+    """contains/startswith/like/rlike predicates as columns."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        F.col("p_name").contains("red").alias("has_red"),
+        F.col("p_type").startswith("ECO").alias("is_eco"),
+        F.col("p_name").like("%bolt%").alias("like_bolt"),
+        F.col("p_name").rlike("^(red|blue) ").alias("color_start"),
+    )
+
+
+@query(
+    "h3_regex",
+    oracle="""
+    SELECT c_custkey,
+           REGEXP_REPLACE(c_name, '0+', '0', 'g') AS name_squeezed,
+           REGEXP_EXTRACT(c_name, '#(\\d+)', 1) AS id_digits,
+           CAST(REGEXP_EXTRACT(c_name, '#(\\d+)', 1) AS BIGINT) AS id_num
+    FROM customer
+    """,
+)
+def h3_regex(spark, sf_dir):
+    """regex replace + capture-group extract (pandas ``str.replace/extract``)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "0+", "0").alias("name_squeezed"),
+        F.regexp_extract("c_name", r"#(\d+)", 1).alias("id_digits"),
+        F.regexp_extract("c_name", r"#(\d+)", 1).cast("long").alias("id_num"),
+    )
+
+
+@query(
+    "h4_split_explode",
+    oracle="""
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    """,
+)
+def h4_split_explode(spark, sf_dir):
+    """tokenize: split + explode (pandas ``str.split`` + ``explode``) — the
+    text-pipeline workhorse; stays entirely in codegen."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@query(
+    "h5_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+           CAST(DAY(o_orderdate) AS INTEGER) AS d,
+           CAST(HOUR(o_orderdate) AS INTEGER) AS h,
+           CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS dow,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate
+    FROM orders
+    """,
+)
+def h5_date_parts(spark, sf_dir):
+    """Datetime component extraction (pandas ``Series.dt.*``). DuckDB numbers
+    dayofweek 0=Sunday, Spark 1=Sunday — the oracle pins the offset. The DATE
+    value is emitted as an ISO string: raw DATE surfaces as engine-specific
+    logical types under a value-hash."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.hour("o_orderdate").alias("h"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("odate"),
+    )
+
+
+@query(
+    "h6_date_trunc",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           DATE_TRUNC('month', l_shipdate) AS ship_month,
+           DATE_TRUNC('day', l_shipdate) AS ship_day
+    FROM lineitem
+    """,
+)
+def h6_date_trunc(spark, sf_dir):
+    """Timestamp floor to month/day (pandas ``dt.floor`` / ``to_period``)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_trunc("month", "l_shipdate").cast("timestamp_ntz").alias("ship_month"),
+        F.date_trunc("day", "l_shipdate").cast("timestamp_ntz").alias("ship_day"),
+    )
+
+
+@query(
+    "h7_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+             AS days_since_epoch_start,
+           o_orderdate + INTERVAL 7 DAY AS due_date,
+           o_orderdate - INTERVAL 90 DAY AS quarter_back
+    FROM orders
+    """,
+)
+def h7_date_arith(spark, sf_dir):
+    """datediff and timestamp ± interval (pandas ``-`` / ``Timedelta``)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")
+        ).alias("days_since_epoch_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("quarter_back"),
+    )
+
+
+@query(
+    "h8_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_round,
+           ABS(l_discount - 0.05) AS disc_dev,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(EXP(l_discount), 6) AS disc_exp,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+           ROUND(POW(l_quantity, 2), 6) AS qty_sq,
+           FLOOR(l_extendedprice) AS price_floor,
+           CEIL(l_extendedprice) AS price_ceil,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+    FROM lineitem
+    """,
+)
+def h8_math(spark, sf_dir):
+    """numpy-ufunc equivalents. Transcendentals (ln/exp/sqrt/pow) are
+    rounded(6): JVM StrictMath and C libm can differ in the final ulp."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_round"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "h9_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                WHEN o_orderstatus = 'O' AND o_totalprice > 200000 THEN 'open_big'
+                WHEN o_orderstatus = 'O' THEN 'open_small'
+                ELSE 'pending' END AS status_band
+    FROM orders
+    """,
+)
+def h9_case_when(spark, sf_dir):
+    """Nested conditionals (np.select / chained np.where)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000), "open_big")
+        .when(F.col("o_orderstatus") == "O", "open_small")
+        .otherwise("pending")
+        .alias("status_band"),
+    )
+
+
+@query(
+    "h10_null_fns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0), 0.5) AS disc_coal,
+           NULLIF(l_returnflag, 'N') AS flag_or_null,
+           (NULLIF(l_discount, 0) IS NULL) AS was_zero
+    FROM lineitem
+    """,
+)
+def h10_null_fns(spark, sf_dir):
+    """coalesce / nullif / isnull (pandas ``fillna``/``mask``/``isna``)."""
+    li = load(spark, sf_dir, "lineitem")
+    zero_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(zero_null, F.lit(0.5)).alias("disc_coal"),
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"),
+        zero_null.isNull().alias("was_zero"),
+    )
+
+
+@query(
+    "h11_json_extract",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def h11_json_extract(spark, sf_dir):
+    """JSON path extraction from a string column (pandas: object-apply; Spark:
+    ``get_json_object`` — codegen'd, no Python)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@query(
+    "h12_array_basic",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INTEGER) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[64] AS DOUBLE) AS last_val,
+           LIST_CONTAINS([label, label + 1], 5) AS near_five
+    FROM embeddings
+    """,
+)
+def h12_array_basic(spark, sf_dir):
+    """Array length / element access / membership (object-dtype lists in the
+    reference; first-class ArrayType here)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", 64).cast("double").alias("last_val"),
+        F.array_contains(
+            F.array(F.col("label"), F.col("label") + 1), F.lit(5)
+        ).alias("near_five"),
+    )
+
+
+@query(
+    "h13_array_hof",
+    oracle="""
+    SELECT vec_id,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 4)
+             AS vec_sum,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS vec_norm2
+    FROM embeddings
+    """,
+)
+def h13_array_hof(spark, sf_dir):
+    """Higher-order array functions: transform + aggregate (fold). This is the
+    dot-product primitive l3 builds on. Rounded(4): fold order is
+    engine-specific for float addition."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("vec_norm2"),
+    )
+
+
+@query(
+    "h14_map_ops",
+    oracle="""
+    SELECT event_id,
+           ARRAY_TO_STRING(json_keys(props), ',') AS prop_keys,
+           CAST(props->>'$.k' AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def h14_map_ops(spark, sf_dir):
+    """JSON → MapType with key/value extraction (``from_json`` + map ops)."""
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+@query(
+    "h15_hash",
+    oracle="""
+    SELECT doc_id, SHA256(text) AS text_sha FROM documents
+    """,
+)
+def h15_hash(spark, sf_dir):
+    """Content hashing — the exact-dedup primitive (l1). ``sha2`` matches
+    DuckDB's sha256 hex; Spark's faster ``xxhash64`` is used in l2's MinHash
+    where no cross-engine oracle is needed."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.sha2("text", 256).alias("text_sha"))

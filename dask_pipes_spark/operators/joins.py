@@ -1,0 +1,270 @@
+"""Group C — joins (SURVEY.md §2-C).
+
+Reference surface: ``dd.merge`` (hash-shuffle equi-join, broadcast for small
+sides, sorted-divisions merge), semi/anti via indicator idioms, ``merge_asof``.
+Spark covers all of it natively and picks the physical strategy per-plan:
+BroadcastHashJoin under the threshold, SortMergeJoin/ShuffledHashJoin above,
+with AQE converting to broadcast at runtime and splitting skewed partitions.
+
+Scale notes (100 TB):
+- Dimension tables (region/nation/supplier) are explicitly ``F.broadcast`` —
+  no shuffle of the fact side.
+- Fact-fact joins (orders⋈lineitem) shuffle both sides on the key; that is
+  the correct plan — at 100 TB you'd additionally bucket both tables on the
+  join key at write time to eliminate the exchange (see a3's partitioned
+  write for the mechanism).
+- The range join (c10) uses bucket-equi-join + residual filter instead of a
+  BroadcastNestedLoopJoin — the BNLJ is O(n·m) and dies at scale; bucketing
+  makes it O(n+m) shuffle plus a bounded candidate set.
+- The as-of join (c11) is a union + running-last window — one shuffle, no
+  per-key loops; Dask's merge_asof requires sorted divisions for the same
+  reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.registry import dsum, query, sql_dsum
+from dask_pipes_spark.session import load_tables
+
+
+@query(
+    "c1_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def c1_join_inner(spark, sf_dir):
+    """Equi inner join (Dask ``merge(how='inner')``); Catalyst picks the
+    physical strategy (broadcast here — customer is small relative to the
+    threshold; SMJ on a real cluster once both sides are large)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    return (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey, "inner")
+        .select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "c2_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def c2_join_left(spark, sf_dir):
+    """Left outer join — customers with no orders survive with NULLs."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "c3_join_right",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def c3_join_right(spark, sf_dir):
+    """Right outer join (mirror of c2, exercising the plan path)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    return (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey, "right")
+        .select("o_orderkey", "o_totalprice", "c_custkey", "c_name")
+    )
+
+
+@query(
+    "c4_join_full",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer FULL JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def c4_join_full(spark, sf_dir):
+    """Full outer join (Dask ``how='outer'``)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "full")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "c5_join_broadcast",
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS n_customers, {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def c5_join_broadcast(spark, sf_dir):
+    """Explicit broadcast of a dimension table — the 100 TB enrich pattern:
+    the fact side never shuffles for the join (only for the tiny group-agg)."""
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "c6_join_multikey",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, COUNT(*) AS pair_cnt,
+             {sql_dsum('l_quantity')} AS pair_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+           ps.pair_cnt, ps.pair_qty
+    FROM lineitem l JOIN ps ON l.l_partkey = ps.l_partkey
+                           AND l.l_suppkey = ps.l_suppkey
+    """,
+)
+def c6_join_multikey(spark, sf_dir):
+    """Composite-key equi join (Dask ``on=[k1,k2]``): lineitem enriched with
+    per-(part,supp) aggregates. Both sides hash-partition on the same
+    composite key, so the agg's shuffle is reused by the join."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("pair_cnt"), dsum("l_quantity").alias("pair_qty")
+    )
+    return li.join(ps, ["l_partkey", "l_suppkey"]).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "pair_cnt", "pair_qty"
+    )
+
+
+@query(
+    "c7_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def c7_join_semi(spark, sf_dir):
+    """Left semi join (Dask spells this ``isin``/indicator): customers with at
+    least one big order. Semi joins never duplicate the left side and the
+    right side reduces to distinct keys — the scalable form of ``isin``."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "c8_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def c8_join_anti(spark, sf_dir):
+    """Left anti join (Dask indicator ``left_only``): customers with no big
+    order (the unfiltered variant is empty on the fixtures)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "c9_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def c9_join_cross(spark, sf_dir):
+    """Cartesian product — bounded inputs only (5×25 here); anything larger
+    must go through blocking/bucketing (see c10, l3)."""
+    t = load_tables(spark, sf_dir, ("region", "nation"))
+    return t["region"].crossJoin(t["nation"]).select("r_name", "n_name")
+
+
+@query(
+    "c10_join_range",
+    oracle="""
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+    """,
+)
+def c10_join_range(spark, sf_dir):
+    """Interval/theta join (Dask: cross+filter idiom) via *bucketed* equi-join.
+
+    OSS Spark would plan the raw theta condition as BroadcastNestedLoopJoin —
+    O(n·m), a non-starter at scale. Instead each supplier row is exploded to
+    the (at most 3) width-20 buckets its ±10 window can touch, the join is an
+    equi-join on the bucket id, and the exact BETWEEN is a residual filter.
+    Identical results, shuffle-sized like an equi-join.
+    """
+    t = load_tables(spark, sf_dir, ("supplier", "customer"))
+    width = 20  # bucket width ≥ window span so ±1 bucket covers the window
+    sup = t["supplier"].withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("s_acctbal") - 10) / width),
+                    F.floor(F.col("s_acctbal") / width),
+                    F.floor((F.col("s_acctbal") + 10) / width),
+                )
+            )
+        ),
+    )
+    cust = t["customer"].withColumn("bucket", F.floor(F.col("c_acctbal") / width))
+    return (
+        sup.join(cust, "bucket")
+        .filter(
+            F.col("c_acctbal").between(F.col("s_acctbal") - 10, F.col("s_acctbal") + 10)
+        )
+        .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+    )
+
+
+@query(
+    "c12_self_join",
+    oracle="""
+    SELECT a.o_custkey AS o_custkey, COUNT(*) AS n_pairs
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderdate < b.o_orderdate
+    GROUP BY a.o_custkey
+    """,
+)
+def c12_self_join(spark, sf_dir):
+    """Self equi+range join: ordered order-pairs per customer. Aliased sides,
+    equi key carries the shuffle, the date predicate is a residual filter."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    a = orders.alias("a")
+    b = orders.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderdate") < F.col("b.o_orderdate")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1,0 +1,226 @@
+"""Group B — projection / filter / predicates (SURVEY.md §2-B).
+
+Reference surface: Dask ``df[cols]``, ``assign``, ``rename``, ``drop``,
+``astype``, boolean masks, ``isin``, ``between``, ``dropna``, ``fillna``,
+``where/mask``. All map to narrow (no-shuffle) Spark transformations that
+Catalyst folds into the parquet scan: projection pushdown prunes columns,
+predicate pushdown skips row groups — verified by group A's explain checks.
+
+Scale note: everything here is embarrassingly parallel (per-row, no
+exchange); the only 100 TB concern is that filters/projections actually reach
+the scan, which the declarative form guarantees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.registry import query
+from dask_pipes_spark.session import load
+
+
+@query(
+    "b1_project",
+    oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
+def b1_project(spark, sf_dir):
+    """Column selection (Dask ``df[cols]``) — pruned at the parquet scan."""
+    return load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "b2_derive",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross_price
+    FROM lineitem
+    """,
+)
+def b2_derive(spark, sf_dir):
+    """Computed columns (Dask ``assign``) — per-row IEEE arithmetic, exact on
+    both engines, no rounding needed."""
+    li = load(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("gross_price"),
+    )
+
+
+@query(
+    "b3_rename_drop",
+    oracle="""
+    SELECT p_partkey AS part_id, p_name AS part_name, p_retailprice AS price
+    FROM part
+    """,
+)
+def b3_rename_drop(spark, sf_dir):
+    """rename + drop (Dask ``rename``/``drop``) — pure projection rewrite."""
+    return (
+        load(spark, sf_dir, "part")
+        .withColumnRenamed("p_partkey", "part_id")
+        .withColumnRenamed("p_name", "part_name")
+        .withColumnRenamed("p_retailprice", "price")
+        .drop("p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "b4_cast",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_custkey AS DOUBLE) AS custkey_dbl,
+           CAST(c_nationkey AS VARCHAR) AS nationkey_str,
+           CAST(FLOOR(c_acctbal) AS BIGINT) AS acctbal_floor,
+           CAST(c_nationkey AS BIGINT) AS nationkey_long
+    FROM customer
+    """,
+)
+def b4_cast(spark, sf_dir):
+    """dtype casts (Dask ``astype``).
+
+    double→integer goes through explicit FLOOR: Spark's cast truncates toward
+    zero while DuckDB's rounds, so a bare cast is a cross-engine trap.
+    """
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_custkey").cast("double").alias("custkey_dbl"),
+        F.col("c_nationkey").cast("string").alias("nationkey_str"),
+        F.floor("c_acctbal").cast("long").alias("acctbal_floor"),
+        F.col("c_nationkey").cast("long").alias("nationkey_long"),
+    )
+
+
+@query(
+    "b5_filter_simple",
+    oracle="SELECT * FROM lineitem WHERE l_quantity > 45",
+)
+def b5_filter_simple(spark, sf_dir):
+    """Single predicate (Dask boolean mask) — pushed to parquet row groups."""
+    return load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+
+
+@query(
+    "b6_filter_compound",
+    oracle="""
+    SELECT * FROM lineitem
+    WHERE (l_returnflag = 'A' AND l_quantity > 30)
+       OR (NOT l_linestatus = 'F' AND l_discount < 0.02)
+    """,
+)
+def b6_filter_compound(spark, sf_dir):
+    """Compound ``& | ~`` predicate tree."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        ((F.col("l_returnflag") == "A") & (F.col("l_quantity") > 30))
+        | (~(F.col("l_linestatus") == "F") & (F.col("l_discount") < 0.02))
+    )
+
+
+@query(
+    "b7_isin",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def b7_isin(spark, sf_dir):
+    """Membership test (Dask ``isin``). Short literal lists stay as an IN
+    expression; at 100 TB a large membership set becomes a broadcast
+    ``left_semi`` join instead (see c7)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@query(
+    "b8_between",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+      AND l_quantity BETWEEN 10 AND 20
+    """,
+)
+def b8_between(spark, sf_dir):
+    """Range predicates (Dask ``between``) incl. timestamp bounds."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between(
+            F.lit("1997-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+        & F.col("l_quantity").between(10, 20)
+    ).select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+@query(
+    "b9_null_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0) AS disc_or_null
+    FROM lineitem WHERE NULLIF(l_discount, 0) IS NOT NULL
+    """,
+)
+def b9_null_filter(spark, sf_dir):
+    """dropna over a derived nullable column (fixtures ship NULL-free, so the
+    NULLs are manufactured with NULLIF — same on both engines)."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "disc_or_null", F.nullif(F.col("l_discount"), F.lit(0.0))
+    )
+    return li.na.drop(subset=["disc_or_null"]).select(
+        "l_orderkey", "l_linenumber", "disc_or_null"
+    )
+
+
+@query(
+    "b10_fillna",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0), -1.0) AS disc_filled
+    FROM lineitem
+    """,
+)
+def b10_fillna(spark, sf_dir):
+    """fillna with per-column defaults (Dask ``fillna``) via ``na.fill``."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_filled"),
+    )
+    return li.na.fill({"disc_filled": -1.0})
+
+
+@query(
+    "b11_conditional_replace",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 40 THEN 'bulk'
+                WHEN l_quantity > 10 THEN 'mid'
+                ELSE 'small' END AS qty_band,
+           CASE WHEN l_discount > 0.05 THEN l_extendedprice * (1 - l_discount)
+                ELSE l_extendedprice END AS effective_price
+    FROM lineitem
+    """,
+)
+def b11_conditional_replace(spark, sf_dir):
+    """where/mask / np.where (Dask) → ``F.when().otherwise()``."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") > 40, "bulk")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.when(
+            F.col("l_discount") > 0.05,
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        )
+        .otherwise(F.col("l_extendedprice"))
+        .alias("effective_price"),
+    )

@@ -1,0 +1,124 @@
+"""Group G — set operations / dedup (SURVEY.md §2-G).
+
+Reference surface: ``dd.concat`` (union-all), ``drop_duplicates(subset)``;
+intersect/except via merge idioms. Spark has all four natively
+(``unionByName/distinct/intersect/exceptAll``) — each *ALL→DISTINCT* variant
+is a hash aggregate on the full row, i.e. one shuffle keyed by every column.
+
+Scale note: ``dropDuplicates(subset)`` with an arbitrary survivor is
+nondeterministic in any distributed engine; g4 implements the deterministic
+keep-one form (row_number over an explicit tiebreaker) that a 100 TB dedup
+pipeline needs for reproducibility (same pattern as l1_exact_dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.registry import query
+from dask_pipes_spark.session import load, load_tables
+
+
+@query(
+    "g1_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def g1_union_all(spark, sf_dir):
+    """concat / UNION ALL (duplicates preserved) via ``unionByName``."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b)
+
+
+@query(
+    "g2_union_distinct",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def g2_union_distinct(spark, sf_dir):
+    """concat + dedup / UNION DISTINCT."""
+    return g1_union_all(spark, sf_dir).distinct()
+
+
+@query(
+    "g3_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem",
+)
+def g3_distinct(spark, sf_dir):
+    """Whole-row distinct (Dask ``drop_duplicates()``)."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_shipdate"
+    ).distinct()
+
+
+@query(
+    "g4_dedup_subset",
+    oracle="""
+    SELECT l_partkey, l_orderkey, l_linenumber, l_quantity FROM (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def g4_dedup_subset(spark, sf_dir):
+    """drop_duplicates(subset=...) with a *deterministic* survivor: first row
+    by (orderkey, linenumber) per partkey. Plain ``dropDuplicates`` keeps an
+    arbitrary row — unusable under a value-hash check or in a reproducible
+    pipeline."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "g5_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def g5_intersect(spark, sf_dir):
+    """Row intersection (distinct semantics)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    a = t["customer"].select(F.col("c_custkey").alias("custkey"))
+    b = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.intersect(b)
+
+
+@query(
+    "g6_except",
+    oracle="""
+    SELECT l_partkey FROM lineitem
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def g6_except(spark, sf_dir):
+    """Multiset difference (EXCEPT ALL) — per-row multiplicity arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_partkey").exceptAll(
+        li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    )

@@ -1,0 +1,106 @@
+"""Group F — sorts / limits / top-k / sampling (SURVEY.md §2-F).
+
+Reference surface: Dask ``sort_values`` (full shuffle sort), ``set_index``
+(range repartition + per-partition sort = the divisions builder),
+``nlargest`` (per-partition top-k + tree reduce), ``head``, ``sample``.
+
+Spark equivalents are strictly stronger:
+- ``orderBy`` plans a range-partitioned sample-based sort (Exchange
+  rangepartitioning) — the same algorithm Dask's ``set_index`` uses, but
+  sampled and AQE-balanced automatically.
+- ``orderBy().limit(k)`` collapses to ``TakeOrderedAndProject`` — per
+  -partition heap + driver merge, no global sort, O(k) memory: the plan that
+  survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.registry import query
+from dask_pipes_spark.session import load
+
+
+@query(
+    "f1_sort_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    """,
+)
+def f1_sort_global(spark, sf_dir):
+    """Global total-order sort (Dask ``sort_values``) — range exchange then
+    per-partition sort. Sortedness itself is asserted in tests/ (the driver
+    hash is order-insensitive)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+    )
+
+
+@query(
+    "f2_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def f2_topk(spark, sf_dir):
+    """nlargest(k) → TakeOrderedAndProject. Unique (orderkey, linenumber)
+    tiebreakers make the k-th row deterministic."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "f3_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def f3_limit(spark, sf_dir):
+    """head(n) after a deterministic sort (bare limit is nondeterministic in
+    any distributed engine — banned by §7.6)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
+@query("f4_range_partition_sort")  # weak: exposes engine partition ids
+def f4_range_partition_sort(spark, sf_dir):
+    """set_index analog: ``repartitionByRange + sortWithinPartitions``.
+
+    This is exactly how Dask builds ``divisions``: range-partition on the key
+    (sampled boundaries) then sort each partition, yielding a globally sorted
+    dataset without a total-order merge. Partition ids are engine-specific →
+    weak check; global sortedness is asserted in tests/test_operators.py.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .repartitionByRange(8, "l_extendedprice")
+        .sortWithinPartitions("l_extendedprice")
+        .withColumn("part_id", F.spark_partition_id())
+    )
+
+
+@query("f5_sample")  # weak: RNG is engine-specific
+def f5_sample(spark, sf_dir):
+    """Seeded Bernoulli sample (Dask ``sample``). The row *set* is
+    engine-specific RNG → weak check; tests assert the fraction is within
+    binomial bounds and that the same seed reproduces the same rows."""
+    return load(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)

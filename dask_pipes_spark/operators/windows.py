@@ -1,0 +1,278 @@
+"""Group E — window functions (SURVEY.md §2-E).
+
+Reference surface: Dask ``rolling(n)`` / ``rolling('1H')`` (overlap-partition
+implementation), ``cumsum/cummax``, ``shift/diff``, grouped versions via
+``groupby.apply``. Spark's ``Window.partitionBy().orderBy()`` with
+row/range frames is strictly more general and runs as a single
+Window physical operator after one exchange on the partition key.
+
+Scale notes (100 TB):
+- Every window here is keyed (``partitionBy``) — state per key is bounded and
+  partitions parallelize. An *unpartitioned* ordered window would serialize
+  the whole table through one task; none is used (f1 asserts global sort in
+  tests instead).
+- Dask's rolling implementation materializes overlapping partition edges
+  (``map_overlap``); Spark's Window does the same internally per partition —
+  no custom code needed.
+- Window float sums use the decimal-cast pattern (exact, order-insensitive)
+  — same hash-stability rationale as group D.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.registry import query
+from dask_pipes_spark.session import load
+
+_DEC = "decimal(28,6)"
+
+
+@query(
+    "e1_row_number",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+    FROM orders
+    """,
+)
+def e1_row_number(spark, sf_dir):
+    """Per-group sequence (Dask ``groupby.cumcount``) — unique o_orderkey
+    tiebreak makes row numbers deterministic."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+    )
+
+
+@query(
+    "e2_rank_dense",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS INTEGER) AS drnk
+    FROM lineitem
+    """,
+)
+def e2_rank_dense(spark, sf_dir):
+    """rank / dense_rank — tie-stable by definition (equal keys, equal rank)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "e3_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def e3_lag_lead(spark, sf_dir):
+    """shift(±1) per key (Dask ``groupby.shift``)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+    )
+
+
+@query(
+    "e4_diff",
+    oracle="""
+    SELECT event_id, user_id,
+           value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS value_diff
+    FROM events
+    """,
+)
+def e4_diff(spark, sf_dir):
+    """diff() = x - shift(x): one subtraction on top of e3's lag."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value", 1).over(w)).alias("value_diff"),
+    )
+
+
+@query(
+    "e5_cumsum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders
+    """,
+)
+def e5_cumsum(spark, sf_dir):
+    """Running total (Dask ``groupby.cumsum``) — decimal-cast for exactness."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "e6_cummax",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           MAX(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max,
+           MIN(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_min
+    FROM orders
+    """,
+)
+def e6_cummax(spark, sf_dir):
+    """Running max/min (Dask ``cummax/cummin``) — exact, no float concerns."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.max("o_totalprice").over(w).alias("running_max"),
+        F.min("o_totalprice").over(w).alias("running_min"),
+    )
+
+
+@query(
+    "e7_rolling_rows",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS rolling_avg_5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def e7_rolling_rows(spark, sf_dir):
+    """Fixed-size rolling mean (Dask ``rolling(5).mean()``) — decimal sum over
+    the frame divided by the frame count, hash-stable."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(F.col("value").cast(_DEC)).over(w).cast("double") / F.count("value").over(w)).alias(
+            "rolling_avg_5"
+        ),
+    )
+
+
+@query(
+    "e8_rolling_time",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS value_1h
+    FROM events
+    """,
+)
+def e8_rolling_time(spark, sf_dir):
+    """Time-based rolling window (Dask ``rolling('1H')``) as a RANGE frame
+    over whole epoch-seconds. Both engines order by the *truncated* epoch —
+    DuckDB's EPOCH() is fractional, Spark's unix_timestamp is integral, so
+    the truncation is pinned explicitly on the oracle side."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("value_1h"),
+    )
+
+
+@query(
+    "e9_ntile_share",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS quartile,
+           o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER (PARTITION BY o_custkey) AS DOUBLE) AS share_of_customer
+    FROM orders
+    """,
+)
+def e9_ntile_share(spark, sf_dir):
+    """ntile + percent-of-partition (Dask: rank-apply idiom)."""
+    o = load(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    wp = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(wo).alias("quartile"),
+        (
+            F.col("o_totalprice")
+            / F.sum(F.col("o_totalprice").cast(_DEC)).over(wp).cast("double")
+        ).alias("share_of_customer"),
+    )
+
+
+@query(
+    "e10_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def e10_topk_per_group(spark, sf_dir):
+    """Per-group top-k (Dask ``groupby.apply(head)``) — the row_number≤k
+    pattern; Spark pushes the rank filter into the Window operator
+    (WindowGroupLimit) so only k rows per key survive the sort buffer."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

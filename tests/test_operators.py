@@ -1,0 +1,75 @@
+"""Behavioral assertions the DuckDB oracle can't express — sortedness of
+declared-weak keys, sample bounds, sketch tolerance (SURVEY §5.4)."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _vals(df, col):
+    return [r[col] for r in df.collect()]
+
+
+def test_f1_globally_sorted(spark, registry):
+    queries, _ = registry
+    out = queries["f1_sort_global"](spark, SF_SMOKE).collect()
+    keys = [(-r.l_extendedprice, r.l_orderkey, r.l_linenumber) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_f4_range_partitions_are_globally_ordered(spark, registry):
+    """set_index analog: partition i's max ≤ partition i+1's min, and each
+    partition is internally sorted — i.e. valid Dask 'divisions'."""
+    queries, _ = registry
+    out = queries["f4_range_partition_sort"](spark, SF_SMOKE)
+    stats = (
+        out.groupBy("part_id")
+        .agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+        .orderBy("part_id")
+        .collect()
+    )
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev.hi <= cur.lo
+    # per-partition sortedness
+    rows = out.select("part_id", "l_extendedprice").collect()
+    by_part: dict[int, list[float]] = {}
+    for r in rows:
+        by_part.setdefault(r.part_id, []).append(r.l_extendedprice)
+    for vals in by_part.values():
+        assert vals == sorted(vals)
+
+
+def test_f5_sample_bounds_and_reproducible(spark, registry):
+    queries, _ = registry
+    a = queries["f5_sample"](spark, SF_SMOKE)
+    b = queries["f5_sample"](spark, SF_SMOKE)
+    total = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").count()
+    n = a.count()
+    assert 0.05 * total < n < 0.15 * total  # fraction=0.1, generous binomial bound
+    ka = sorted((r.l_orderkey, r.l_linenumber) for r in a.collect())
+    kb = sorted((r.l_orderkey, r.l_linenumber) for r in b.collect())
+    assert ka == kb  # same seed → same rows
+
+
+def test_d5_approx_within_rsd(spark, registry):
+    queries, _ = registry
+    row = queries["d5_approx_count_distinct"](spark, SF_SMOKE).collect()[0]
+    assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.1
+
+
+def test_c10_range_join_matches_bnlj(spark, registry):
+    """Bucketed range join must equal the naive theta-join it replaces."""
+    queries, _ = registry
+    from dask_pipes_spark.session import load_tables
+
+    t = load_tables(spark, SF_SMOKE, ("supplier", "customer"))
+    naive = (
+        t["supplier"]
+        .join(
+            t["customer"],
+            F.col("c_acctbal").between(F.col("s_acctbal") - 10, F.col("s_acctbal") + 10),
+        )
+        .select("s_suppkey", "c_custkey")
+    )
+    bucketed = queries["c10_join_range"](spark, SF_SMOKE).select("s_suppkey", "c_custkey")
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, naive.collect()))
