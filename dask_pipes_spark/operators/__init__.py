@@ -5,9 +5,14 @@ from dask_pipes_spark.operators import (  # noqa: F401
     aggregates,
     functions_ops,
     joins,
+    llm_ops,
     projection,
+    scans,
+    pipeline_ops,
     setops,
     sorts,
+    streaming_ops,
+    udfs,
     windows,
 )
 
@@ -15,8 +20,13 @@ __all__ = [
     "aggregates",
     "functions_ops",
     "joins",
+    "llm_ops",
     "projection",
+    "scans",
+    "pipeline_ops",
     "setops",
     "sorts",
+    "streaming_ops",
+    "udfs",
     "windows",
 ]

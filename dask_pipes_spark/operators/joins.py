@@ -23,6 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import dsum, query, sql_dsum
@@ -241,6 +242,74 @@ def c10_join_range(spark, sf_dir):
             F.col("c_acctbal").between(F.col("s_acctbal") - 10, F.col("s_acctbal") + 10)
         )
         .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+    )
+
+
+@query(
+    "c11_join_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX_BY(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value, c.click_value AS last_click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def c11_join_asof(spark, sf_dir):
+    """As-of join (Dask ``merge_asof`` backward, per-key, exact matches
+    allowed): each purchase event picks the most recent click value of the
+    same user at-or-before its timestamp.
+
+    No native OSS-Spark operator. Algorithm (one shuffle, no per-key loops):
+    union build+probe tagged by side, then a running
+    ``last(value, ignorenulls)`` over (partition by key, order by (t, side))
+    — build rows sort before probe rows at equal t, so exact matches are
+    visible; filtering back to probe rows yields the asof match. Ties inside
+    the build side are pre-collapsed with max_by(event_id) because ASOF
+    semantics are undefined for duplicate build timestamps.
+
+    Scale: the window is keyed (bounded state per user) and Spark's Window
+    operator streams each partition once — the same cost profile as Dask's
+    divisions-aligned merge_asof, but without requiring pre-sorted input.
+    """
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(0).alias("side"),
+            "click_value",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("click_value"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", F.col("t").alias("ts"), "value", "last_click_value")
     )
 
 

@@ -1,0 +1,363 @@
+"""Group L — LLM-data-pipeline operators (SURVEY.md §2-L, the north-star
+extension: dedup, similarity search, text analysis over the ``documents`` /
+``embeddings`` corpora).
+
+Published grounding: MinHash (Broder 1997, "On the resemblance and
+containment of documents"); near-dedup of LLM training data (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better"); LSH banding
+(Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch.3).
+
+Scale notes (100 TB):
+- l1 exact dedup is one hash + one groupBy — shuffle keyed by digest, skew
+  bounded by the largest duplicate cluster.
+- l2 MinHash-LSH avoids *all* pairwise comparison: signatures are 32 mins
+  computed in one aggregation pass, candidates come from equi-joins on band
+  hashes. Cluster skew (a viral duplicate) concentrates in one band bucket —
+  AQE skew-join splits it; a cap on bucket size (documented) is the
+  production guard.
+- l3 brute-force cosine is the *correctness baseline*; its crossJoin is
+  explicitly blocked on a bounded query set. The scale path is LSH/IVF
+  partitioning (bucket vectors by coarse quantizer, search only matching
+  buckets — REPOSE, ICDE 2021 pattern), which reuses l2's machinery.
+- Everything stays in JVM expressions (xxhash64, HOF lambdas); zero Python
+  in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.registry import davg, dsum, query, sql_davg, sql_dsum
+from dask_pipes_spark.session import load
+
+NUM_PERM = 32  # minhash permutations
+BANDS = 8  # LSH bands → rows-per-band r = 4; s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59
+
+
+@query(
+    "l1_exact_dedup",
+    oracle="""
+    SELECT SHA256(text) AS text_sha,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY SHA256(text)
+    """,
+)
+def l1_exact_dedup(spark, sf_dir):
+    """Exact content dedup: hash text, keep the min doc_id per digest — the
+    deterministic survivor rule (Lee et al. 2022 exact-substring baseline).
+    One shuffle keyed by digest."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_sha", F.sha2("text", 256))
+        .groupBy("text_sha")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MinHash signatures over 3-word shingles.
+
+    The i-th permutation is simulated by ``xxhash64(i, shingle)`` (Broder's
+    min-wise hashing with independent seeds); the signature is the
+    element-wise min per document, computed as ``num_perm`` MIN aggregates in
+    a single groupBy pass — no per-permutation shuffle.
+    """
+    shingled = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sigs = shingled.groupBy("doc_id").agg(*mins)
+    return sigs.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidates(
+    sigs: DataFrame, num_perm: int = NUM_PERM, bands: int = BANDS
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) — pairs sharing ≥1 LSH band bucket.
+
+    Each signature is cut into ``bands`` slices of r = num_perm/bands rows;
+    a pair becomes a candidate iff some slice hashes identically (probability
+    1-(1-s^r)^b for true Jaccard s — the LSH s-curve). est_jaccard is the
+    fraction of matching signature components.
+    """
+    r = num_perm // bands
+    stack_expr = "stack({}, {}) as (band_id, band_hash)".format(
+        bands,
+        ", ".join(f"{j}, xxhash64(slice(sig, {j * r + 1}, {r}))" for j in range(bands)),
+    )
+    banded = sigs.select("doc_id", "sig").selectExpr("doc_id", "sig", stack_expr)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])  # same full pair from multiple bands
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_perm)
+    ).cast("double")
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+@query("l2_minhash_lsh")  # weak: candidate set is hash-family-specific
+def l2_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH near-duplicate candidates (Broder 1997 / Lee et al. 2022).
+    Weak-checked (the candidate set depends on the hash family); recall on
+    planted near-duplicates is asserted in tests/test_llm.py."""
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    return lsh_candidates(sigs).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "l3_cosine_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))) AS nrm
+      FROM v
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.e, c.e),
+                            p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 20 = 0
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def l3_cosine_topk(spark, sf_dir):
+    """Brute-force top-5 cosine neighbors for a bounded query set (every 20th
+    vector). Dot products ride ``zip_with``+``aggregate`` HOFs in codegen;
+    similarities are rounded(6) *before* ranking so the top-k boundary is
+    tie-broken identically (by neighbor_id) on both engines.
+
+    100 TB path: replace the broadcast crossJoin with LSH/IVF bucketing —
+    assign each vector to coarse buckets, equi-join query buckets only
+    (REPOSE-style partitioning); same scoring expressions apply unchanged.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    dbl = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    n = dbl.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    q = (
+        n.filter(F.col("vec_id") % 20 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "e", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    pairs = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
+    "l4_text_stats",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           {sql_davg('n_chars')} AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           {sql_davg("LEN(STRING_SPLIT(text, ' '))")} AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def l4_text_stats(spark, sf_dir):
+    """Corpus statistics per language — doc counts, char/token lengths (the
+    quality-scoring substrate)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        davg(F.size(F.split("text", " "))).alias("avg_tokens"),
+    )
+
+
+@query(
+    "l5_word_freq",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt FROM (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    )
+    WHERE token NOT IN ('a', 'the')
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+)
+def l5_word_freq(spark, sf_dir):
+    """Top-20 token frequencies, stopword-filtered — explode → filter →
+    count → TakeOrderedAndProject (O(k) driver memory)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(~F.col("token").isin("a", "the"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "l6_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tf)
+           GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tfidf FROM (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                ORDER BY ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) DESC,
+                         tf.token) AS rn
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def l6_tfidf(spark, sf_dir):
+    """TF-IDF top-3 terms per document. df (document frequency) is a
+    broadcast-sized side table; scores are rounded(6) before ranking so the
+    per-doc top-3 boundary tie-breaks identically (by token) on both engines."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = d.count()  # fit-style bounded collect (one scalar)
+    score = F.round(
+        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+    )
+    scored = tf.join(F.broadcast(df_tbl), "token").select(
+        "doc_id", "token", score.alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query("l7_dup_cluster_stats")  # weak: derived from l2's hash-specific candidates
+def l7_dup_cluster_stats(spark, sf_dir):
+    """Near-dup candidate analytics: join l2's pairs back to documents and
+    break down by language/source agreement — the triage view a dedup
+    pipeline ships to operators."""
+    d = load(spark, sf_dir, "documents")
+    pairs = l2_minhash_lsh(spark, sf_dir)
+    da = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy("lang_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("source_a") == F.col("source_b")).cast("long")).alias(
+                "same_source_pairs"
+            ),
+            F.round(F.avg("est_jaccard"), 4).alias("avg_est_jaccard"),
+        )
+        .orderBy("lang_a")
+    )
+
+
+@query(
+    "l8_embedding_agg",
+    oracle="""
+    SELECT label, pos - 1 AS pos,
+           CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*) AS centroid
+    FROM (
+      SELECT label, UNNEST(embedding) AS val,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def l8_embedding_agg(spark, sf_dir):
+    """Per-label centroids (element-wise mean) in long form (label, pos,
+    centroid): posexplode → decimal-exact mean per (label, dimension). Long
+    form keeps the oracle scalar; re-assembly to array is one
+    ``array_agg(... ORDER BY pos)`` away when a vector is needed."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return exploded.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid")
+    )

@@ -1,0 +1,100 @@
+"""Group P — pipeline-layer operators (SURVEY.md §2-P).
+
+p1 exercises the full Pipeline DAG (fit → params → lazy transform → persist);
+p2 is the concrete fitted-preprocess chain with a *full SQL oracle*: because
+fit params are computed with exact decimal sums, the oracle can recompute
+them in SQL subqueries and the fitted transform matches bitwise — the
+fit/transform contract is verified end-to-end, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.pipeline import (
+    CategoryEncoder,
+    DateExpander,
+    FnNode,
+    NumericImputer,
+    Pipeline,
+    StandardScaler,
+)
+from dask_pipes_spark.registry import query
+from dask_pipes_spark.session import load
+
+
+@query("p1_pipeline_fit_transform")  # weak: end-state checked in tests
+def p1_pipeline_fit_transform(spark, sf_dir):
+    """Full pipeline run (reference: ``Pipeline.fit`` over a node DAG):
+    inject NAs → impute with fitted means → standardize → encode categories
+    → expand dates. Persistence round-trip is asserted in
+    tests/test_pipeline.py."""
+    orders = load(spark, sf_dir, "orders")
+    pipe = Pipeline(
+        [
+            # manufacture NAs so imputation is observable (fixtures are NULL-free)
+            FnNode(
+                lambda df: df.withColumn(
+                    "o_totalprice",
+                    F.when(F.col("o_orderkey") % 10 == 0, None).otherwise(
+                        F.col("o_totalprice")
+                    ),
+                ),
+                name="inject_nulls",
+            ),
+            NumericImputer(["o_totalprice"], name="impute"),
+            StandardScaler(["o_totalprice"], name="scale"),
+            CategoryEncoder("o_orderpriority", name="encode"),
+            DateExpander("o_orderdate", name="dates"),
+        ]
+    )
+    out = pipe.fit_transform(orders)
+    return out.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_totalprice_z",
+        "o_orderpriority_code",
+        "o_orderdate_year",
+        "o_orderdate_month",
+        "o_orderdate_dow",
+    )
+
+
+@query(
+    "p2_fitted_preprocess",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             COUNT(*) AS n
+      FROM customer
+    ),
+    vocab AS (
+      SELECT c_mktsegment AS seg,
+             CAST(ROW_NUMBER() OVER (ORDER BY c_mktsegment) - 1 AS INTEGER) AS code
+      FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    )
+    SELECT c_custkey,
+           ROUND((c_acctbal - sx / n)
+                 / SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS c_acctbal_z,
+           code AS c_mktsegment_code
+    FROM customer CROSS JOIN stats JOIN vocab ON c_mktsegment = seg
+    """,
+)
+def p2_fitted_preprocess(spark, sf_dir):
+    """Fitted preprocess chain under a full SQL oracle: the oracle recomputes
+    the fit params (mean/std via exact decimal sums, vocabulary by sorted
+    rank) in SQL — proving fit+transform together, bit-exact."""
+    cust = load(spark, sf_dir, "customer")
+    pipe = Pipeline(
+        [
+            StandardScaler(["c_acctbal"], name="scale"),
+            CategoryEncoder("c_mktsegment", name="encode"),
+        ]
+    )
+    out = pipe.fit_transform(cust)
+    return out.select(
+        "c_custkey",
+        F.col("c_acctbal_z"),
+        F.col("c_mktsegment_code"),
+    )

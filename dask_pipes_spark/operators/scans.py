@@ -1,0 +1,139 @@
+"""Group A — scans / sources / sinks (SURVEY.md §2-A).
+
+Reference surface: ``dd.read_parquet/read_csv/from_pandas/to_parquet/to_csv``.
+Spark: ``spark.read.*`` / ``df.write.*`` with Catalyst pushing projection and
+predicates into the parquet scan (verified by tests/test_scans.py, which
+asserts ``PushedFilters`` / pruned ``ReadSchema`` in the physical plan —
+the §2 requirement that a 2-column projection never reads all columns).
+
+Scale notes (100 TB):
+- a3's ``partitionBy`` write is the layout primitive: downstream filters on
+  the partition column become directory pruning (no file even opened).
+- Writes go to ``$TMPDIR`` scratch; on a cluster the same code points at
+  object storage — the API is path-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dask_pipes_spark.registry import dsum, query, sql_dsum
+from dask_pipes_spark.session import load, load_tables
+
+
+@query(
+    "a1_scan_parquet",
+    oracle="SELECT l_orderkey, l_extendedprice FROM lineitem",
+)
+def a1_scan_parquet(spark, sf_dir):
+    """Projection-pruned parquet scan (Dask ``read_parquet(columns=...)``).
+    The plan's ReadSchema contains exactly these two columns."""
+    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "a2_scan_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_quantity > 49.0
+    """,
+)
+def a2_scan_filter_pushdown(spark, sf_dir):
+    """Predicate pushed to parquet row-group stats (Dask
+    ``read_parquet(filters=...)``); PushedFilters: [GreaterThan(l_quantity,49.0)]."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 49.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query("a3_sink_parquet_roundtrip")  # weak: writes scratch files
+def a3_sink_parquet_roundtrip(spark, sf_dir):
+    """Partitioned parquet write + re-read (Dask ``to_parquet(partition_on)``).
+
+    ``partitionBy("l_returnflag")`` produces hive-style directories; the
+    re-read aggregation filters on the partition column, which Spark resolves
+    by directory pruning — scans touch 1/3 of the files. tests/test_scans.py
+    asserts the round trip preserves counts per partition value.
+    """
+    out = os.path.join(tempfile.gettempdir(), "dps_a3_roundtrip")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("l_returnflag") == "A")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "a4_from_local",
+    oracle=f"""
+    WITH seg_targets(segment, target) AS (
+      VALUES ('AUTOMOBILE', 1000.0), ('BUILDING', 2000.0), ('MACHINERY', 3000.0)
+    )
+    SELECT segment, target, COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer JOIN seg_targets ON c_mktsegment = segment
+    GROUP BY segment, target
+    """,
+)
+def a4_from_local(spark, sf_dir):
+    """In-memory rows → DataFrame (Dask ``from_pandas``) joined to a fixture
+    table — the driver-side-literal join pattern (broadcast by construction)."""
+    schema = T.StructType(
+        [
+            T.StructField("segment", T.StringType()),
+            T.StructField("target", T.DoubleType()),
+        ]
+    )
+    local = spark.createDataFrame(
+        [("AUTOMOBILE", 1000.0), ("BUILDING", 2000.0), ("MACHINERY", 3000.0)], schema
+    )
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(local), cust.c_mktsegment == local.segment)
+        .groupBy("segment", "target")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query("a5_scan_csv")  # weak: writes scratch files
+def a5_scan_csv(spark, sf_dir):
+    """CSV round-trip with an explicit schema (Dask ``read_csv(dtype=...)``) —
+    schema-on-read, no inference pass (inference = a full extra scan at 100 TB).
+    Timestamps ride ISO-8601 strings. Equality with the source is asserted in
+    tests/test_scans.py."""
+    out = os.path.join(tempfile.gettempdir(), "dps_a5_csv")
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+    ).write.mode("overwrite").option("header", "true").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", "true").csv(out)
+    return back.withColumn(
+        "o_orderdate", F.to_timestamp("o_orderdate").cast("timestamp_ntz")
+    )

@@ -1,0 +1,207 @@
+"""Group K — streaming (SURVEY.md §2-K), a Spark-native capability extension
+(Dask has no streaming; the reference computes on static frames only).
+
+k1-k3 are the *batch-checkable* window semantics: ``F.window`` /
+``F.session_window`` evaluate identically on batch DataFrames, so they carry
+full DuckDB oracles. k4-k7 exercise the actual Structured Streaming runtime
+(file source → micro-batches → memory sink, drained with availableNow) and
+are weak-checked; tests/test_streaming.py asserts stream-vs-batch
+equivalence and watermark/append/late-row behavior.
+
+Scale notes (100 TB / continuous ingest):
+- watermarks bound all state: window state is evicted once the watermark
+  passes the window end; the dedup buffer (k5) and the per-key state (k6)
+  are likewise watermark/timeout-bounded.
+- every aggregation is keyed → state is hash-partitioned across executors
+  exactly like a batch shuffle; RocksDB state store is the production knob.
+- stream-static joins (k7) re-broadcast the static side per micro-batch —
+  correct for slowly-changing dims; big dims become stream-stream joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.registry import dsum, query, sql_dsum
+from dask_pipes_spark.session import load, load_tables
+from dask_pipes_spark.streaming import read_events_stream, run_to_memory
+
+_WINDOW_ORACLE = f"""
+    SELECT CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
+           event_type, COUNT(*) AS cnt, {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query("k1_tumbling_window", oracle=_WINDOW_ORACLE)
+def k1_tumbling_window(spark, sf_dir):
+    """10-minute tumbling window count/sum per event type. Window starts are
+    emitted as epoch seconds: the struct-typed window column is engine-
+    specific under a value hash, a bigint is not."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "k2_sliding_window",
+    oracle=f"""
+    SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 - off AS BIGINT) AS window_start_epoch,
+           COUNT(*) AS cnt, {sql_dsum('value')} AS sum_value
+    FROM events CROSS JOIN (VALUES (0), (300)) AS offs(off)
+    WHERE FLOOR(EPOCH(ts) / 300) * 300 - off >= 0
+    GROUP BY 1
+    """,
+)
+def k2_sliding_window(spark, sf_dir):
+    """10-minute window sliding every 5 — each event lands in exactly two
+    windows; the oracle reconstructs them as the two 5-minute-aligned starts
+    covering each event."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "k3_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts)) >= 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+           COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+    FROM sessioned GROUP BY user_id, session_id
+    """,
+)
+def k3_session_window(spark, sf_dir):
+    """30-minute-gap sessions per user (``F.session_window``). The oracle is
+    the classic gaps-and-islands rewrite: a session breaks when the gap from
+    the previous event reaches the 30-minute threshold (session windows are
+    half-open — an event exactly at last+gap starts a new session)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events", "sum_value")
+    )
+
+
+@query("k4_stream_tumbling")  # weak: streaming runtime output
+def k4_stream_tumbling(spark, sf_dir):
+    """k1 executed through the actual streaming runtime: file source →
+    watermark → windowed agg → memory sink, drained with availableNow.
+
+    Complete mode keeps the result equal to the batch answer (asserted in
+    tests); append-mode + multi-batch watermark eviction — where only closed
+    windows emit and late rows are dropped — is exercised in
+    tests/test_streaming.py::test_append_mode_emits_only_closed_windows.
+    """
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # watermarks require LTZ; session tz is UTC
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "k4_tumbling", "complete")
+
+
+@query("k5_stream_dedup")  # weak: streaming runtime output
+def k5_stream_dedup(spark, sf_dir):
+    """Streaming dedup within the watermark: the stream is doubled (every
+    event twice) and ``dropDuplicatesWithinWatermark`` restores exactly one
+    row per event_id; the dedup buffer is evicted as the watermark advances."""
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # watermarks require LTZ; session tz is UTC
+    )
+    doubled = stream.withColumn("copy", F.explode(F.array(F.lit(1), F.lit(2)))).drop(
+        "copy"
+    )
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return run_to_memory(deduped, "k5_dedup", "append")
+
+
+@query("k6_stream_stateful")  # weak: streaming runtime output
+def k6_stream_stateful(spark, sf_dir):
+    """Custom per-key streaming state (Dask has nothing comparable): a
+    running count+sum per user via ``applyInPandasWithState`` — arbitrary
+    Python state, watermark/timeout-bounded, emitted per micro-batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running(key, pdfs, state: GroupState):
+        cnt, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total_value": [round(total, 4)]}
+        )
+
+    stream = read_events_stream(spark, sf_dir)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        running,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="cnt bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(counted, "k6_stateful", "update")
+
+
+@query("k7_stream_static_join")  # weak: streaming runtime output
+def k7_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment: events stream joined to the static customer
+    dimension (re-broadcast per micro-batch), then aggregated per segment."""
+    stream = read_events_stream(spark, sf_dir)
+    customer = load_tables(spark, sf_dir, ("customer",))["customer"]
+    joined = stream.join(
+        F.broadcast(customer), stream.user_id == customer.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
+    )
+    return run_to_memory(agg, "k7_enrich", "complete")

@@ -1,0 +1,163 @@
+"""Group J — UDF / UDAF / UDTF surface (SURVEY.md §2-J).
+
+Reference surface: ``map_partitions`` (THE Dask primitive — a pandas function
+per partition), row-wise ``apply``, ``groupby.apply``, custom ``Aggregation``
+(partial+final UDAF). This group is where dask-pipes' own nodes live, so the
+mapping is load-bearing:
+
+- ``map_partitions(fn)``       → ``df.mapInPandas(fn, schema)``
+- ``apply`` (row-wise)         → ``@pandas_udf`` (Arrow-vectorized series→series)
+- ``groupby.apply``            → ``df.groupBy(k).applyInPandas(fn, schema)``
+- ``dd.Aggregation``           → ``@pandas_udf`` GROUPED_AGG
+- 1→many expansion             → Spark 4 Python UDTF
+
+Scale notes (100 TB): every entry crosses the JVM↔Python boundary in Arrow
+batches (10-100× over row-at-a-time pickling); grouped variants shuffle once
+on the key exactly like a native aggregation. These are the *slow path* by
+design — groups A-H stay entirely in codegen; J exists for logic SQL cannot
+express.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from dask_pipes_spark.registry import query
+from dask_pipes_spark.session import load
+
+
+@query(
+    "j1_scalar_pandas_udf",
+    oracle="""
+    SELECT event_id, ROUND(1.0 / (1.0 + EXP(-(value - 100.0) / 50.0)), 6) AS score
+    FROM events
+    """,
+)
+def j1_scalar_pandas_udf(spark, sf_dir):
+    """Vectorized row-wise function (Dask ``apply``): logistic score.
+    Arrow-batched series→series; rounded(6) since exp() is libm-dependent."""
+
+    @pandas_udf(T.DoubleType())
+    def logistic(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return (1.0 / (1.0 + np.exp(-(v - 100.0) / 50.0))).round(6)
+
+    e = load(spark, sf_dir, "events")
+    return e.select("event_id", logistic("value").alias("score"))
+
+
+@query(
+    "j2_map_partitions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net,
+           CAST(LENGTH(l_returnflag || l_linestatus) AS BIGINT) AS tag_len
+    FROM lineitem WHERE l_quantity >= 25
+    """,
+)
+def j2_map_partitions(spark, sf_dir):
+    """Partition-wise pandas function (Dask ``map_partitions`` — its core
+    primitive). Each Spark partition arrives as an iterator of Arrow-backed
+    pandas frames; the function filters and derives exactly like a Dask node."""
+
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("net", T.DoubleType()),
+            T.StructField("tag_len", T.LongType()),
+        ]
+    )
+
+    def per_partition(batches):
+        for pdf in batches:
+            out = pdf[pdf["l_quantity"] >= 25].copy()
+            out["net"] = out["l_extendedprice"] * (1 - out["l_discount"])
+            out["tag_len"] = (out["l_returnflag"] + out["l_linestatus"]).str.len()
+            yield out[["l_orderkey", "l_linenumber", "net", "tag_len"]]
+
+    return load(spark, sf_dir, "lineitem").mapInPandas(per_partition, schema)
+
+
+@query(
+    "j3_grouped_map",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 4) AS zscore
+    FROM events
+    """,
+)
+def j3_grouped_map(spark, sf_dir):
+    """Grouped-map pandas function (Dask ``groupby.apply``): per-user z-score.
+    One shuffle on the key, then each group is a single pandas frame.
+    Rounded(4): pandas/engine float summation orders differ ~1e-12."""
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("zscore", T.DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        out = pdf[["event_id", "user_id"]].copy()
+        out["zscore"] = ((v - v.mean()) / v.std(ddof=1)).round(4)
+        return out
+
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(zscore, schema)
+
+
+@query(
+    "j4_grouped_agg_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def j4_grouped_agg_udaf(spark, sf_dir):
+    """Custom UDAF (Dask ``dd.Aggregation`` partial+final): quantity-weighted
+    mean price as a GROUPED_AGG pandas UDF. Rounded(4): numpy's pairwise
+    summation vs DuckDB's sequential differ in the last bits."""
+
+    @pandas_udf(T.DoubleType())
+    def wmean(price: pd.Series, qty: pd.Series) -> float:
+        return float(((price * qty).sum() / qty.sum()).round(4))
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wmean("l_extendedprice", "l_quantity").alias("weighted_avg_price")
+    )
+
+
+@query("j5_python_udtf")  # weak: UDTF output, no scalar SQL twin registered
+def j5_python_udtf(spark, sf_dir):
+    """One-row→many-rows function (Spark 4 Python UDTF): explode a document
+    into (doc_id, position, token) triples. Declared weak per §2, but fully
+    deterministic — tests/test_udfs.py cross-checks it against h4's
+    split+explode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, pos: int, token: string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for pos, token in enumerate(text.split(" ")):
+                yield doc_id, pos, token
+
+    spark.udtf.register("dps_tokenize", Tokenize)
+    d = load(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("dps_docs_for_udtf")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token "
+        "FROM dps_docs_for_udtf d, LATERAL dps_tokenize(d.doc_id, d.text) t"
+    )

@@ -1,0 +1,203 @@
+"""Group P — the pipeline layer: dask-pipes' own abstraction re-expressed
+Spark-first (SURVEY.md §2-P, §3.2).
+
+The reference is a pipeline-construction framework over dask.dataframe in the
+sklearn style: nodes with ``fit(X) → params`` / ``transform(X) → X'``, wired
+into a DAG by named slots, executed in topological order with fitted
+parameters persisted between runs.
+
+Spark-first re-expression:
+- ``fit`` runs *bounded* aggregations and collects a small param dict to the
+  driver (column means, category vocabularies — KBs, never data).
+- ``transform`` is 100% lazy DataFrame→DataFrame: params are inlined as
+  literals, so the whole fitted pipeline stays one Catalyst plan — codegen'd,
+  pushdown-friendly, no Python in the row path (unlike the reference, where
+  every node runs interpreted pandas).
+- Params persist as JSON (the reference used yaml+parquet) → a fitted
+  pipeline can be re-instantiated without refitting.
+- ``to_spark_ml()`` bridges to ``pyspark.ml.Pipeline`` for interop.
+
+Determinism: fit params are computed with the decimal-sum formulas from
+:mod:`dask_pipes_spark.registry`, so a fitted transform is bit-reproducible
+across partitionings — the property p2's SQL oracle checks end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Params = dict[str, object]
+
+
+class Node:
+    """A fit/transform pipeline node (reference: ``NodeBase``).
+
+    Subclasses implement ``fit(df) → params`` (bounded driver-side result)
+    and ``transform(df, params) → df`` (lazy). A fitted node must behave
+    identically when re-created from persisted params.
+    """
+
+    name: str = "node"
+
+    def fit(self, df: DataFrame) -> Params:  # pragma: no cover - interface
+        return {}
+
+    def transform(self, df: DataFrame, params: Params) -> DataFrame:
+        raise NotImplementedError
+
+
+class Pipeline:
+    """Ordered DAG of named nodes (a chain — each node consumes its
+    predecessor's output, the common dask-pipes topology).
+
+    ``fit_transform`` runs fit-then-transform per node in order, exactly like
+    the reference's topological fit pass; ``transform`` replays with stored
+    params only. ``save``/``load`` persist the fitted state as JSON.
+    """
+
+    def __init__(self, nodes: list[Node]):
+        names = [n.name for n in nodes]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate node names: {names}")
+        self.nodes = nodes
+        self.params_: dict[str, Params] = {}
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        self.params_ = {}
+        for node in self.nodes:
+            p = node.fit(df)
+            self.params_[node.name] = p
+            df = node.transform(df, p)
+        return df
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if not self.params_:
+            raise RuntimeError("pipeline is not fitted")
+        for node in self.nodes:
+            df = node.transform(df, self.params_[node.name])
+        return df
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as fh:
+            json.dump(self.params_, fh, indent=2, sort_keys=True)
+
+    def load(self, path: str) -> "Pipeline":
+        with open(path) as fh:
+            self.params_ = json.load(fh)
+        return self
+
+    def to_spark_ml(self):
+        """Interop: wrap the *fitted* pipeline as a pyspark.ml Transformer."""
+        from pyspark.ml import Transformer
+
+        outer = self
+
+        class _Wrapped(Transformer):
+            def _transform(self, dataset):
+                return outer.transform(dataset)
+
+        return _Wrapped()
+
+
+# --- exact-aggregate helpers (decimal-sum, see registry docstring) -----------
+
+_DEC = "decimal(28,6)"
+
+
+def _exact_mean_std(df: DataFrame, col: str) -> tuple[float, float]:
+    x = F.col(col)
+    row = df.agg(
+        F.sum(x.cast(_DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast(_DEC)).cast("double").alias("sxx"),
+        F.count(x).alias("n"),
+    ).collect()[0]
+    mean = row.sx / row.n
+    var = (row.sxx - row.sx * row.sx / row.n) / (row.n - 1)
+    return mean, math.sqrt(var)
+
+
+# --- concrete nodes (the reference's tabular-preprocessing utility set) ------
+
+
+class NumericImputer(Node):
+    """Fill numeric NAs with fitted column means (reference: NA-filling node)."""
+
+    def __init__(self, cols: list[str], name: str = "impute"):
+        self.cols, self.name = cols, name
+
+    def fit(self, df: DataFrame) -> Params:
+        return {c: _exact_mean_std(df.filter(F.col(c).isNotNull()), c)[0] for c in self.cols}
+
+    def transform(self, df: DataFrame, params: Params) -> DataFrame:
+        return df.na.fill({c: params[c] for c in self.cols})
+
+
+class StandardScaler(Node):
+    """z-score numeric columns with fitted mean/std (reference: scaling node)."""
+
+    def __init__(self, cols: list[str], name: str = "scale", round_to: int = 6):
+        self.cols, self.name, self.round_to = cols, name, round_to
+
+    def fit(self, df: DataFrame) -> Params:
+        return {c: list(_exact_mean_std(df, c)) for c in self.cols}
+
+    def transform(self, df: DataFrame, params: Params) -> DataFrame:
+        for c in self.cols:
+            mean, std = params[c]
+            df = df.withColumn(
+                f"{c}_z", F.round((F.col(c) - F.lit(mean)) / F.lit(std), self.round_to)
+            )
+        return df
+
+
+class CategoryEncoder(Node):
+    """Encode a string column as its index in the sorted fitted vocabulary
+    (reference: category-encoding node). Unseen values → -1."""
+
+    def __init__(self, col: str, name: str = "encode"):
+        self.col, self.name = col, name
+
+    def fit(self, df: DataFrame) -> Params:
+        vals = [r[0] for r in df.select(self.col).distinct().orderBy(self.col).collect()]
+        return {"vocab": vals}
+
+    def transform(self, df: DataFrame, params: Params) -> DataFrame:
+        vocab: list[str] = params["vocab"]  # type: ignore[assignment]
+        mapping = F.create_map(
+            *[x for i, v in enumerate(vocab) for x in (F.lit(v), F.lit(i))]
+        )
+        return df.withColumn(
+            f"{self.col}_code",
+            F.coalesce(mapping[F.col(self.col)], F.lit(-1)).cast("int"),
+        )
+
+
+class DateExpander(Node):
+    """Expand a timestamp column into calendar parts (reference: datetime
+    handling node). Stateless — fit is a no-op."""
+
+    def __init__(self, col: str, name: str = "dates"):
+        self.col, self.name = col, name
+
+    def transform(self, df: DataFrame, params: Params) -> DataFrame:
+        c = F.col(self.col)
+        return (
+            df.withColumn(f"{self.col}_year", F.year(c))
+            .withColumn(f"{self.col}_month", F.month(c))
+            .withColumn(f"{self.col}_dow", F.dayofweek(c))
+        )
+
+
+class FnNode(Node):
+    """Ad-hoc stateless node from a plain function (reference: custom nodes)."""
+
+    def __init__(self, fn: Callable[[DataFrame], DataFrame], name: str = "fn"):
+        self.fn, self.name = fn, name
+
+    def transform(self, df: DataFrame, params: Params) -> DataFrame:
+        return self.fn(df)

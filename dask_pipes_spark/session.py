@@ -84,10 +84,14 @@ def get_session(app_name: str = "dask-pipes-spark", cpus: int | None = None) -> 
 
 def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
     """events.ts arrives as bigint nanos (see module docstring); convert to a
-    microsecond TIMESTAMP_NTZ identical to DuckDB's truncating read."""
+    microsecond TIMESTAMP_NTZ identical to DuckDB's truncating read.
+
+    ``ts div 1000`` (integer division) is load-bearing: ``ts / 1000`` would go
+    through double, which cannot represent 19-digit nanos and *rounds* the
+    microsecond — off by 1µs vs DuckDB on ~12% of rows."""
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz")
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return df
 

@@ -1,0 +1,77 @@
+"""Structured Streaming runtime helpers (SURVEY.md §2-K).
+
+The fixtures ship ``events`` as a single nanos-timestamp parquet *file*;
+Spark's file stream source needs a *directory* of microsecond-timestamp
+files. :func:`stage_events_dir` bridges both: one batch read (nanos handled
+by the session config), ts converted, rewritten into N files in scratch —
+N > 1 gives a multi-micro-batch replay when combined with
+``maxFilesPerTrigger=1``, which is what makes watermark semantics observable
+(watermarks only advance *between* micro-batches).
+
+Late-data semantics implemented by these helpers and asserted in
+tests/test_streaming.py:
+- a watermark of ``delay`` holds window state until watermark = max(event
+  time seen) - delay passes the window end;
+- ``append`` mode emits a window exactly once, after that point;
+- rows older than the watermark are dropped (counted, not joined/aggregated).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dask_pipes_spark.session import load
+
+
+def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str:
+    """Rewrite the events fixture as ``n_files`` parquet files in scratch,
+    ts already converted to TIMESTAMP_NTZ(µs), range-partitioned by ts so
+    file k holds the k-th time slice (deterministic multi-batch replay)."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = os.path.join(tempfile.gettempdir(), f"dps_events_stream_{tag}_{n_files}")
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        events = load(spark, sf_dir, "events")
+        if n_files > 1:
+            events = events.repartitionByRange(n_files, "ts")
+        else:
+            events = events.coalesce(1)
+        events.write.mode("overwrite").parquet(out)
+        # file order == time order for maxFilesPerTrigger replay (the source
+        # lists by modification time): stamp files in lexicographic order.
+        parts = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+        base = 1_700_000_000
+        for i, name in enumerate(parts):
+            os.utime(os.path.join(out, name), (base + i, base + i))
+    return out
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 1, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over the staged events directory with an explicit
+    schema (no inference scan — the 100 TB posture)."""
+    path = stage_events_dir(spark, sf_dir, n_files)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str, timeout: int = 300) -> DataFrame:
+    """Drain a streaming DataFrame into an in-memory table via
+    ``trigger(availableNow=True)`` and return the result as a batch frame."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    spark = df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,100 @@
+"""c11 as-of join edge semantics (SURVEY §7.4): exact matches, no-prior-row
+NULLs, and build-side ties — differentially tested against DuckDB ASOF JOIN
+on a handcrafted frame where every edge case is present."""
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+
+EVENTS = pd.DataFrame(
+    {
+        "event_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "user_id": [1, 1, 1, 1, 2, 2, 3, 1],
+        "event_type": [
+            "click", "purchase", "click", "purchase",
+            "purchase", "click", "purchase", "click",
+        ],
+        # u1: click@10 < purchase@20 (prior), click@20... see exact/tie cases
+        "ts": [
+            dt.datetime(2024, 1, 1, 0, 0, 10),
+            dt.datetime(2024, 1, 1, 0, 0, 20),
+            dt.datetime(2024, 1, 1, 0, 0, 20),  # click exactly at purchase ts
+            dt.datetime(2024, 1, 1, 0, 0, 30),
+            dt.datetime(2024, 1, 1, 0, 0, 5),   # u2 purchase with NO prior click
+            dt.datetime(2024, 1, 1, 0, 0, 50),  # u2 click after the purchase
+            dt.datetime(2024, 1, 1, 0, 0, 9),   # u3 purchase, user has no clicks
+            dt.datetime(2024, 1, 1, 0, 0, 20),  # duplicate-ts click (tie in build)
+        ],
+        "value": [10.0, 99.0, 20.0, 98.0, 97.0, 30.0, 96.0, 25.0],
+    }
+)
+
+
+def _spark_asof(spark, pdf):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = spark.createDataFrame(pdf)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(0).alias("side"),
+            "click_value",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("click_value"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("lcv", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "lcv")
+        .toPandas()
+    )
+
+
+def test_asof_edges_match_duckdb(spark):
+    got = _spark_asof(spark, EVENTS).set_index("event_id")["lcv"].to_dict()
+
+    con = duckdb.connect()
+    con.register("ev", EVENTS)
+    want = dict(
+        con.execute(
+            """
+            WITH clicks AS (
+              SELECT user_id, ts, MAX_BY(value, event_id) AS cv
+              FROM ev WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, c.cv FROM (SELECT * FROM ev WHERE event_type='purchase') p
+            ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+            """
+        ).fetchall()
+    )
+
+    def norm(v):
+        return None if v is None or v != v else v
+
+    assert {k: norm(v) for k, v in got.items()} == {k: norm(v) for k, v in want.items()}
+    # spot-check the semantics directly:
+    assert got[2] == 25.0  # exact-match click at same ts wins (tie → max event_id)
+    assert got[4] == 25.0  # latest prior click
+    assert norm(got[5]) is None  # no prior click → NULL
+    assert norm(got[7]) is None  # user with no clicks at all → NULL

@@ -1,0 +1,53 @@
+"""Group L behavioral tests: MinHash-LSH recall on planted near-duplicates,
+exact-dedup correctness, brute-force cosine sanity (SURVEY §7.4)."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    """Plant near-duplicates (one token appended) for 20 docs; LSH candidates
+    must recover ≥90% of the planted pairs (s≈0.9 ≫ the 0.59 s-curve knee)."""
+    from dask_pipes_spark.operators.llm_ops import lsh_candidates, minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        F.size(F.split("text", " ")) >= 20  # long docs: one extra token ⇒ J≈0.9+
+    ).limit(20)
+    planted = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    cands = lsh_candidates(minhash_signatures(corpus)).collect()
+    found = {(r.doc_a, r.doc_b) for r in cands}
+    expected = {(r.doc_id, r.doc_id + 1_000_000) for r in docs.collect()}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.9, f"recall={recall}, found={len(found & expected)}/{len(expected)}"
+    # est_jaccard should be high for planted pairs
+    est = {(r.doc_a, r.doc_b): r.est_jaccard for r in cands}
+    planted_ests = [est[p] for p in (found & expected)]
+    assert min(planted_ests) > 0.5
+
+
+def test_exact_dedup_keeps_min_docid(spark, registry):
+    queries, _ = registry
+    out = queries["l1_exact_dedup"](spark, SF_SMOKE)
+    # re-derive independently
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_distinct = docs.select("text").distinct().count()
+    assert out.count() == n_distinct
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_cosine_topk_self_similarity_excluded_and_sorted(spark, registry):
+    queries, _ = registry
+    out = queries["l3_cosine_topk"](spark, SF_SMOKE).collect()
+    per_q: dict[int, list[float]] = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        assert -1.0001 <= r.cos_sim <= 1.0001
+        per_q.setdefault(r.query_id, []).append(r.cos_sim)
+    for sims in per_q.values():
+        assert len(sims) == 5
+        assert sims == sorted(sims, reverse=True)

@@ -1,0 +1,80 @@
+"""Group P: pipeline fit/transform contract — persistence round-trip,
+unfitted-transform error, pyspark.ml interop (SURVEY §3.2)."""
+
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.pipeline import (
+    CategoryEncoder,
+    NumericImputer,
+    Pipeline,
+    StandardScaler,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _pipe():
+    return Pipeline(
+        [
+            NumericImputer(["c_acctbal"], name="impute"),
+            StandardScaler(["c_acctbal"], name="scale"),
+            CategoryEncoder("c_mktsegment", name="encode"),
+        ]
+    )
+
+
+def test_fit_transform_and_persist_roundtrip(spark):
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    pipe = _pipe()
+    out1 = pipe.fit_transform(cust).select("c_custkey", "c_acctbal_z", "c_mktsegment_code")
+
+    path = os.path.join(tempfile.gettempdir(), "dps_pipe_params.json")
+    pipe.save(path)
+    pipe2 = _pipe().load(path)
+    out2 = pipe2.transform(cust).select("c_custkey", "c_acctbal_z", "c_mktsegment_code")
+
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+    assert pipe2.params_["scale"]["c_acctbal"] == pipe.params_["scale"]["c_acctbal"]
+
+
+def test_transform_before_fit_raises(spark):
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    with pytest.raises(RuntimeError, match="not fitted"):
+        _pipe().transform(cust)
+
+
+def test_duplicate_node_names_rejected():
+    with pytest.raises(ValueError, match="duplicate"):
+        Pipeline([StandardScaler(["x"], name="a"), CategoryEncoder("y", name="a")])
+
+
+def test_spark_ml_interop(spark):
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    pipe = _pipe()
+    pipe.fit_transform(cust)
+    wrapped = pipe.to_spark_ml()
+    out = wrapped.transform(cust)
+    assert "c_acctbal_z" in out.columns
+    assert out.count() == cust.count()
+
+
+def test_encoder_unseen_value_maps_to_minus_one(spark):
+    enc = CategoryEncoder("seg", name="e")
+    train = spark.createDataFrame([("A",), ("B",)], ["seg"])
+    test = spark.createDataFrame([("A",), ("ZZZ",)], ["seg"])
+    params = enc.fit(train)
+    got = {r.seg: r.seg_code for r in enc.transform(test, params).collect()}
+    assert got == {"A": 0, "ZZZ": -1}
+
+
+def test_imputer_fills_with_training_mean(spark):
+    imp = NumericImputer(["x"], name="i")
+    train = spark.createDataFrame([(2.0,), (4.0,), (None,)], "x double")
+    params = imp.fit(train)
+    assert params["x"] == 3.0
+    out = imp.transform(train, params).agg(F.sum("x")).collect()[0][0]
+    assert out == 9.0

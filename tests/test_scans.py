@@ -1,0 +1,50 @@
+"""Plan-level assertions for group A: pushdown must reach the parquet scan
+(SURVEY §2-A / §4.1), plus sink round-trip equality the oracle can't see."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_a1_projection_pruned_to_two_columns(spark, registry):
+    queries, _ = registry
+    df = queries["a1_scan_parquet"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_a2_filter_pushed_to_scan(spark, registry):
+    queries, _ = registry
+    df = queries["a2_scan_filter_pushdown"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThan(l_quantity" in pushed
+
+
+def test_a3_roundtrip_counts_match_source(spark, registry):
+    queries, _ = registry
+    out = queries["a3_sink_parquet_roundtrip"](spark, SF_SMOKE).collect()
+    src = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == "A")
+        .count()
+    )
+    assert len(out) == 1 and out[0].cnt == src
+
+
+def test_a5_csv_roundtrip_equals_source(spark, registry):
+    queries, _ = registry
+    back = queries["a5_scan_csv"](spark, SF_SMOKE)
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0

@@ -1,0 +1,77 @@
+"""Group K streaming-runtime semantics: stream==batch equivalence for the
+drained complete-mode queries, watermark/append-mode window eviction, and
+late-row dropping (SURVEY §2-K late-data notes)."""
+
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.registry import dsum
+from dask_pipes_spark.session import load
+from dask_pipes_spark.streaming import read_events_stream, run_to_memory
+from tests.conftest import SF_SMOKE
+
+
+def _norm(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_k4_stream_equals_batch(spark, registry):
+    queries, _ = registry
+    stream_out = queries["k4_stream_tumbling"](spark, SF_SMOKE).collect()
+    batch_out = queries["k1_tumbling_window"](spark, SF_SMOKE).collect()
+    assert _norm(stream_out) == _norm(batch_out)
+
+
+def test_k5_dedup_restores_unique_events(spark, registry):
+    queries, _ = registry
+    out = queries["k5_stream_dedup"](spark, SF_SMOKE)
+    n_events = load(spark, SF_SMOKE, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+
+
+def test_k6_stateful_counts_equal_batch_groupby(spark, registry):
+    queries, _ = registry
+    out = queries["k6_stream_stateful"](spark, SF_SMOKE)
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {r.user_id: r.n_events for r in out.collect()}
+    want = {r.user_id: r.n_events for r in batch.collect()}
+    assert got == want
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark):
+    """The late-data contract: with a multi-batch replay and a short
+    watermark, append mode emits exactly the windows whose end < final
+    watermark (max event time - delay), and never a window twice."""
+    stream = read_events_stream(spark, SF_SMOKE, n_files=4, max_files_per_trigger=1)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("start"), "cnt")
+    )
+    out = run_to_memory(agg, "k_append_test", "append").collect()
+
+    events = load(spark, SF_SMOKE, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        events.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("start"), "cnt")
+        .collect()
+    )
+    got = {r.start: r.cnt for r in out}
+    assert len(got) == len(out), "a window was emitted twice"
+    # every emitted window is closed (end + 30min ≤ max event time) and its
+    # count matches the batch answer exactly (no partial emission)
+    import datetime as dt
+
+    for start, cnt in got.items():
+        assert start + dt.timedelta(days=1, minutes=30) <= max_ts
+        assert cnt == next(b.cnt for b in batch if b.start == start)
+    # and at least one window did close (the replay spans ~30 days)
+    assert len(got) >= 1
