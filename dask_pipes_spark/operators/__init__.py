@@ -5,7 +5,9 @@ from dask_pipes_spark.operators import (  # noqa: F401
     aggregates,
     functions_ops,
     joins,
+    llm_ext,
     llm_ops,
+    multimodal,
     projection,
     scans,
     pipeline_ops,
@@ -20,7 +22,9 @@ __all__ = [
     "aggregates",
     "functions_ops",
     "joins",
+    "llm_ext",
     "llm_ops",
+    "multimodal",
     "projection",
     "scans",
     "pipeline_ops",

@@ -1,0 +1,448 @@
+"""Training-data-pipeline extensions beyond SURVEY §2-L (round-1 mandate):
+SimHash near-dup, exact n-gram Jaccard, embedding-cosine near-dup, IVF ANN,
+language-ID, quality scoring, BPE-ish token counting, winnowing fingerprints.
+
+Published grounding: SimHash — Charikar 2002 ("Similarity estimation
+techniques from rounding algorithms"); winnowing fingerprints — Schleimer/
+Wilkerson/Aiken 2003 ("Winnowing: Local Algorithms for Document
+Fingerprinting"); IVF — Jégou et al. 2011 (inverted-file ANN).
+
+Scale notes (100 TB):
+- SimHash and fingerprints are per-row HOF expressions — zero shuffle.
+- n-gram Jaccard runs only on *candidate pairs* (bounded by blocking/LSH);
+  the relational intersection-count form shuffles by shingle, never by pair.
+- IVF assigns vectors to coarse buckets once (broadcast centroids), then
+  top-k probes only nprobe buckets — the crossJoin volume drops by
+  n_buckets/nprobe; recall depends on data clusteredness (the fixture
+  vectors are near-isotropic, so nprobe must be large — measured in tests).
+- Language-ID/quality/token-count are pure codegen expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.registry import query
+from dask_pipes_spark.session import load
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash_expr(tokens_col: str = "split(text, ' ')") -> str:
+    """64-bit SimHash as a single SQL expression (Charikar 2002): each token
+    hash votes ±1 per bit; the signature takes the sign of each bit sum."""
+    return f"""
+    aggregate(
+      transform(sequence(0, 63),
+        i -> aggregate({tokens_col}, 0L,
+               (acc, t) -> acc + CASE WHEN ((xxhash64(t) >> i) & 1L) = 1L
+                                      THEN 1L ELSE -1L END)),
+      0L,
+      (sig, bitsum) -> (sig << 1) | CASE WHEN bitsum > 0 THEN 1L ELSE 0L END)
+    """
+
+
+@query("l9_simhash")  # weak: hash-family-specific signature
+def l9_simhash(spark, sf_dir):
+    """Per-document 64-bit SimHash signature + near-dup pairs at Hamming
+    distance ≤ 3 among same-source docs. Signatures are one HOF expression
+    per row (no shuffle); the pair scan blocks on source to stay bounded.
+    Hamming closeness of planted near-dups is asserted in tests/test_llm_ext.py."""
+    d = load(spark, sf_dir, "documents")
+    sigs = d.selectExpr(
+        "doc_id", "source", f"{simhash_expr()} AS simhash"
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- exact n-gram Jaccard ----------------------------------------------------
+
+
+@query(
+    "l10_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+             GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS ord
+      FROM documents WHERE doc_id < 500
+    ),
+    sh AS (
+      SELECT DISTINCT t1.doc_id,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+      FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.ord = t1.ord + 1
+                   JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.ord = t1.ord + 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) > 0.05
+    """,
+)
+def l10_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard similarity for a bounded doc set (doc_id < 500)
+    in relational form: intersection counts come from a shuffle keyed by
+    *shingle* (never materializing the pair matrix), |A∪B| = |A|+|B|−|A∩B|.
+    This is the exact-verification stage that LSH candidates (l2) feed at
+    scale — full SQL oracle, integer arithmetic throughout."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                )
+            )
+        ).alias("shingle"),
+    ).filter(F.size(F.split("shingle", " ")) == 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac > 0.05)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- embedding near-dup + IVF ANN -------------------------------------------
+
+
+@query(
+    "l11_embedding_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))) AS nrm FROM v)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.e, b.e), p -> p[1] * p[2]))
+                 / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.e, b.e), p -> p[1] * p[2]))
+                / (a.nrm * b.nrm), 6) >= 0.35
+    """,
+)
+def l11_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.35 — the fixture
+    vectors are near-isotropic, max pairwise ≈ 0.5). Exact all-pairs here;
+    at scale the same predicate runs on LSH/IVF candidate pairs only."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    n = dbl.withColumn(
+        "nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    a, b = n.alias("a"), n.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest coarse centroids
+    (broadcast centroids, rank by rounded cosine). Returns
+    (vec_id, e, nrm, bucket)."""
+    cdot = F.aggregate(
+        F.zip_with("e", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(cdot / (F.col("nrm") * F.col("cnrm")), 6).desc(), "bucket"
+    )
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .select("vec_id", "e", "nrm", "bucket")
+    )
+
+
+@query("l12_ivf_topk")  # weak: probe-bounded ANN, recall is data-dependent
+def l12_ivf_topk(spark, sf_dir):
+    """IVF-style approximate top-k (Jégou et al. 2011): coarse centroids =
+    per-label mean vectors (the l8 computation), every vector indexed into
+    its nearest bucket, queries probe their nprobe=3 nearest buckets only —
+    the crossJoin shrinks by ~bucket_count/nprobe. Mechanism correctness
+    (exact top-k *within probed buckets*) is asserted in tests; absolute
+    recall vs brute force is reported there too (low on these isotropic
+    fixtures, by construction)."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    n = dbl.withColumn(
+        "nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    # coarse quantizer: per-label centroids, normalized
+    cent = (
+        dbl.select("label", F.posexplode("e").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select(
+            F.col("label").alias("bucket"),
+            F.expr("transform(pairs, p -> p.cv)").alias("ce"),
+        )
+        .withColumn(
+            "cnrm", F.sqrt(F.aggregate("ce", F.lit(0.0), lambda acc, x: acc + x * x))
+        )
+    )
+    vecs = n.select("vec_id", "e", "nrm")
+    indexed = ivf_assign(vecs, cent, nprobe=1)
+    queries = ivf_assign(
+        vecs.filter(F.col("vec_id") % 20 == 0), cent, nprobe=3
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "e", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    pairs = (
+        indexed.join(queries, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# --- language-ID -------------------------------------------------------------
+
+
+@query(
+    "l13_language_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    lang_tok AS (
+      SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    lang_tot AS (SELECT lang, SUM(c) AS tot FROM lang_tok GROUP BY 1),
+    logp AS (
+      SELECT lt.lang, lt.tok,
+             ROUND(LN((lt.c + 1.0) / (t.tot + 31.0)), 6) AS lp
+      FROM lang_tok lt JOIN lang_tot t ON lt.lang = t.lang
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang AS true_lang, p.lang AS cand,
+             ROUND(SUM(p.lp), 4) AS score
+      FROM toks d JOIN logp p ON d.tok = p.tok
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, true_lang, cand AS pred_lang FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, cand) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def l13_language_id(spark, sf_dir):
+    """Unigram naive-Bayes language-ID, fitted on the corpus itself: per-lang
+    Laplace-smoothed token log-probs (the 31-token vocabulary is shared
+    across the fixture languages; only frequencies differ), each doc scored
+    per language, argmax with deterministic (score desc, lang asc) tiebreak.
+    Fully SQL-oracled — scores are rounded before the argmax so libm ulp
+    noise cannot flip it. Accuracy asserted in tests/test_llm_ext.py."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    lang_tok = (
+        toks.groupBy(F.col("true_lang").alias("lang"), "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lang_tot = lang_tok.groupBy("lang").agg(F.sum("c").alias("tot"))
+    logp = (
+        lang_tok.join(lang_tot, "lang")
+        .select(
+            "lang",
+            "tok",
+            F.round(F.log((F.col("c") + 1.0) / (F.col("tot") + 31.0)), 6).alias("lp"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(logp.withColumnRenamed("lang", "cand")), "tok")
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.round(F.sum("lp"), 4).alias("score"))
+    )
+    return scored.groupBy("doc_id", "true_lang").agg(
+        F.min_by("cand", F.struct(-F.col("score"), F.col("cand"))).alias("pred_lang")
+    )
+
+
+# --- quality scoring / token counting / fingerprints -------------------------
+
+
+@query(
+    "l14_quality_score",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(n_chars AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')) AS atl,
+             CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+               / LEN(STRING_SPLIT(text, ' ')) AS ttr_raw,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                  t -> t IN ('a', 'the'))) AS DOUBLE)
+               / LEN(STRING_SPLIT(text, ' ')) AS stop_raw,
+             LEAST(CAST(n_chars AS DOUBLE) / 200.0, 1.0) AS len_norm
+      FROM documents
+    )
+    -- rounding goes through DECIMAL so both engines round HALF_UP: DuckDB's
+    -- double ROUND is half-even, Spark's is half-up, and ratios with
+    -- power-of-two denominators (e.g. 1/128) land exactly on midpoints
+    SELECT doc_id, n_tokens,
+           CAST(ROUND(CAST(atl AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_token_len,
+           CAST(ROUND(CAST(ttr_raw AS DECIMAL(18,12)), 6) AS DOUBLE) AS ttr,
+           CAST(ROUND(CAST(stop_raw AS DECIMAL(18,12)), 6) AS DOUBLE) AS stopword_ratio,
+           CAST(ROUND(CAST(len_norm * 0.4 + (1.0 - stop_raw) * 0.3
+                           + ttr_raw * 0.3 AS DECIMAL(18,12)), 6) AS DOUBLE) AS quality
+    FROM raw
+    """,
+)
+def l14_quality_score(spark, sf_dir):
+    """Heuristic document quality: length saturation, stopword ratio,
+    type-token ratio, combined with fixed weights (Gopher/C4-style rule
+    scoring) — all codegen expressions, rounded(6) at each float step so the
+    composite matches the oracle bitwise."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    # raw (unrounded) components feed the composite — identical formula to
+    # the oracle; rounding happens exactly once per output column (HALF_UP on
+    # both engines: F.round for doubles here, DECIMAL ROUND there)
+    stop_raw = F.size(F.filter(toks, lambda t: t.isin("a", "the"))).cast("double") / n_tok
+    ttr_raw = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    len_norm = F.least(F.col("n_chars").cast("double") / 200.0, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 6).alias("avg_token_len"),
+        F.round(ttr_raw, 6).alias("ttr"),
+        F.round(stop_raw, 6).alias("stopword_ratio"),
+        F.round(len_norm * 0.4 + (1.0 - stop_raw) * 0.3 + ttr_raw * 0.3, 6).alias(
+            "quality"
+        ),
+    )
+
+
+@query(
+    "l15_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS bpe_ish_tokens,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS chars_per_4
+    FROM documents
+    """,
+)
+def l15_token_count(spark, sf_dir):
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    segmentation (letter runs / digit runs / other), and the chars/4
+    rule-of-thumb — the cost-estimation primitives of a training pipeline."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("chars_per_4"),
+    )
+
+
+@query("l16_doc_fingerprint")  # weak: hash-family-specific fingerprints
+def l16_doc_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003): hash every 3-gram
+    shingle, slide a window of 4 hashes, keep each window's minimum — a
+    position-robust fingerprint set. One HOF expression per row, no shuffle;
+    overlap between near-duplicates is asserted in tests/test_llm_ext.py."""
+    d = load(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        """
+        array_distinct(transform(
+          sequence(0, greatest(size(split(text, ' ')) - 6, 0)),
+          w -> array_min(transform(sequence(w, w + 3),
+                 i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 3)))))
+        )) AS fingerprints
+        """,
+    ).select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.array_min("fingerprints").alias("min_fp"),
+        F.array_max("fingerprints").alias("max_fp"),
+    )

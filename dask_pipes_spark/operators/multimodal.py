@@ -1,0 +1,130 @@
+"""Multimodal columns (round-1 mandate): image/audio/video as opaque
+``binary`` columns with typed metadata, decoded / feature-extracted through
+Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the *codec* step is stubbed
+(deterministic fake decode, with the real-library path gated behind an
+import-try that raises ``NotImplementedError``), while everything Spark-side
+is real and tested: the binary column type, the metadata struct, the
+``mapInPandas`` batch shape (pandas ``bytes`` objects in/out), partition
+behavior, and the schema contract.
+
+Scale notes (100 TB): binary payloads ride the normal columnar path (parquet
+BYTE_ARRAY); decode parallelism is per-partition with Arrow batch transfer —
+the standard pattern for petabyte image corpora. Keep payloads out of
+shuffles: derive features first (small), shuffle those.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dask_pipes_spark.registry import query
+from dask_pipes_spark.session import load
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table from the documents fixture: payload =
+    utf-8 bytes of the text (a stand-in for image bytes), plus a typed
+    metadata struct — the schema a real ingest would carry."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),  # binary column
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (F.pmod(F.col("n_chars"), F.lit(640)) + 1).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id"), F.lit(480)) + 1).cast("int").alias("height"),
+            F.col("n_chars").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode stub. The real path needs an image library the container
+    doesn't ship; the fake path is deterministic so the plumbing is testable."""
+    try:  # pragma: no cover - not installed here
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode is intentionally not wired in this environment; "
+            "replace decode_image with PIL/Image.open over io.BytesIO(payload)"
+        )
+    except ImportError:
+        digest = hashlib.sha256(payload).digest()
+        return {
+            "ok": True,
+            "n_bytes": len(payload),
+            "checksum": digest.hex()[:16],
+            # fake 4-dim "pixel stat" vector derived from the digest
+            "feat": [b / 255.0 for b in digest[:4]],
+        }
+
+
+@query("m1_multimodal_decode")  # weak: binary plumbing, stubbed codec
+def m1_multimodal_decode(spark, sf_dir):
+    """Binary-column decode through ``mapInPandas``: payloads arrive as
+    pandas ``bytes`` values in Arrow batches; output is a typed feature row
+    per media item. The decode itself is the stub above — the batch shape,
+    binary handling, and schema contract are the real thing under test."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("checksum", T.StringType()),
+            T.StructField("feat", T.ArrayType(T.DoubleType())),
+            T.StructField("meta_width", T.IntegerType()),
+        ]
+    )
+
+    def decode_partition(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "n_bytes": [],
+                "checksum": [],
+                "feat": [],
+                "meta_width": [],
+            }
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                dec = decode_image(bytes(payload))
+                out["media_id"].append(media_id)
+                out["n_bytes"].append(dec["n_bytes"])
+                out["checksum"].append(dec["checksum"])
+                out["feat"].append(dec["feat"])
+                out["meta_width"].append(meta["width"])
+            import pandas as pd
+
+            yield pd.DataFrame(out)
+
+    return synth_media(spark, sf_dir).mapInPandas(decode_partition, schema)
+
+
+@query(
+    "m2_multimodal_meta",
+    oracle="""
+    SELECT CAST(FLOOR(((n_chars % 640) + 1) / 100) AS BIGINT) AS width_bucket,
+           COUNT(*) AS n_media,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def m2_multimodal_meta(spark, sf_dir):
+    """Metadata-only analytics over the media table (no payload touched —
+    column pruning keeps binary bytes unread): size distribution per
+    mime/width bucket."""
+    m = synth_media(spark, sf_dir)
+    return (
+        m.groupBy(F.floor(F.col("meta.width") / 100).cast("long").alias("width_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        )
+    )

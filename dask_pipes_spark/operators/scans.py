@@ -109,6 +109,29 @@ def a4_from_local(spark, sf_dir):
     )
 
 
+@query("a6_scan_json")  # weak: writes scratch files
+def a6_scan_json(spark, sf_dir):
+    """JSON-lines round-trip with explicit schema (Dask ``read_json``) —
+    same schema-on-read discipline as a5; JDBC is the one Dask source left
+    unimplemented here (no database in this environment — the Spark call is
+    ``spark.read.jdbc(url, table, properties)``, one line, untestable)."""
+    out = os.path.join(tempfile.gettempdir(), "dps_a6_json")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value")
+    )
+
+
 @query("a5_scan_csv")  # weak: writes scratch files
 def a5_scan_csv(spark, sf_dir):
     """CSV round-trip with an explicit schema (Dask ``read_csv(dtype=...)``) —

@@ -1,0 +1,135 @@
+"""Extension-operator behavior: SimHash near-dup sensitivity, winnowing
+fingerprint overlap, IVF top-k consistency with brute force, language-ID
+better-than-chance, multimodal decode plumbing."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_simhash_near_dups_are_hamming_close(spark):
+    """A one-token edit must move the 64-bit SimHash only a few bits, while
+    unrelated docs sit near 32 bits apart."""
+    from dask_pipes_spark.operators.llm_ext import simhash_expr
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.size(F.split("text", " ")) >= 40)
+        .limit(10)
+    )
+    orig = docs.selectExpr("doc_id", f"{simhash_expr()} AS h")
+    edited = docs.select(
+        "doc_id", F.concat("text", F.lit(" planted")).alias("text")
+    ).selectExpr("doc_id", f"{simhash_expr()} AS h2")
+    both = orig.join(edited, "doc_id").withColumn(
+        "ham", F.bit_count(F.col("h").bitwiseXOR(F.col("h2")))
+    )
+    hams = [r.ham for r in both.collect()]
+    assert max(hams) <= 12, hams  # near-dup: small bit flip
+    # unrelated pairs: clearly farther than the one-token edit. (The shared
+    # 31-token fixture vocabulary correlates signatures, so the unrelated
+    # mean lands ~16 bits, not the 32 of independent docs.)
+    a = orig.alias("a")
+    b = orig.alias("b")
+    cross = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("ham", F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))))
+        .agg(F.avg("ham"))
+        .collect()[0][0]
+    )
+    near_avg = sum(hams) / len(hams)
+    assert cross > 2 * near_avg and cross > 10, (cross, near_avg)
+
+
+def test_fingerprints_shift_robust(spark):
+    """Winnowing property: a prefix edit changes only fingerprints near the
+    edit — the overlap with the original stays high."""
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.size(F.split("text", " ")) >= 40)
+        .limit(10)
+        .select("doc_id", "text")
+    )
+    fp_expr = """
+        array_distinct(transform(
+          sequence(0, greatest(size(split(text, ' ')) - 6, 0)),
+          w -> array_min(transform(sequence(w, w + 3),
+                 i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 3)))))
+        )) AS fps
+    """
+    orig = docs.selectExpr("doc_id", fp_expr)
+    edited = docs.select(
+        "doc_id", F.concat(F.lit("edited prefix "), "text").alias("text")
+    ).selectExpr("doc_id", fp_expr.replace("AS fps", "AS fps2"))
+    both = orig.join(edited, "doc_id").select(
+        "doc_id",
+        (
+            F.size(F.array_intersect("fps", "fps2"))
+            / F.least(F.size("fps"), F.size("fps2"))
+        ).alias("overlap"),
+    )
+    for r in both.collect():
+        assert r.overlap >= 0.8, r
+
+
+def test_ivf_sims_match_brute_force(spark, registry):
+    """IVF results must be a subset of the exact pair space with identical
+    similarity values — the approximation only prunes candidates."""
+    queries, _ = registry
+    ivf = queries["l12_ivf_topk"](spark, SF_SMOKE).collect()
+    brute = queries["l3_cosine_topk"](spark, SF_SMOKE)
+    # recompute full exact sims for the probed pairs via l3's machinery is
+    # heavy; instead verify per-query invariants + recall vs brute top-5
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r.query_id, []).append((r.neighbor_id, r.cos_sim))
+    for q, items in per_q.items():
+        sims = [s for _, s in items]
+        assert sims == sorted(sims, reverse=True)
+        assert len(items) <= 5
+    brute_sets = {}
+    for r in brute.collect():
+        brute_sets.setdefault(r.query_id, {})[r.neighbor_id] = r.cos_sim
+    # where IVF returned a neighbor that brute force ranked, sims must agree
+    agreements = 0
+    for q, items in per_q.items():
+        for nid, sim in items:
+            if nid in brute_sets.get(q, {}):
+                assert abs(brute_sets[q][nid] - sim) < 1e-9
+                agreements += 1
+    assert agreements > 0  # the two searches overlap somewhere
+
+
+def test_language_id_beats_chance(spark, registry):
+    queries, _ = registry
+    out = queries["l13_language_id"](spark, SF_SMOKE)
+    acc = out.agg(
+        F.avg((F.col("true_lang") == F.col("pred_lang")).cast("double"))
+    ).collect()[0][0]
+    assert acc > 0.25, acc  # 5 classes → chance = 0.2
+
+
+def test_multimodal_decode_checksums(spark, registry):
+    queries, _ = registry
+    out = {r.media_id: r for r in queries["m1_multimodal_decode"](spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50).collect()
+    for d in docs:
+        r = out[d.doc_id]
+        assert r.n_bytes == d.n_chars
+        assert r.checksum == hashlib.sha256(d.text.encode()).hexdigest()[:16]
+        assert len(r.feat) == 4 and all(0.0 <= v <= 1.0 for v in r.feat)
+
+
+def test_multimodal_meta_only_prunes_payload(spark, registry):
+    """Metadata aggregation must not read the binary column (column pruning)."""
+    queries, _ = registry
+    df = queries["m2_multimodal_meta"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0] if "ReadSchema:" in plan else ""
+    # the payload column (derived from text) must be pruned away — the scan
+    # reads only what the metadata needs
+    assert "text" not in read_schema, read_schema
+    assert "n_chars" in read_schema
+    assert df.count() > 0
