@@ -49,6 +49,8 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas-UDF / mapInPandas boundary (groups J/L).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs (j5) evaluate via Arrow batches, not pickled rows.
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
 }
 
 

@@ -1,0 +1,169 @@
+"""Physical-plan audit — the scale gate next to check_parity's correctness gate.
+
+For every registered operator, build its DataFrame at sf0.01 and inspect the
+*executed* (post-AQE-prep) physical plan for the invariants that decide
+whether the operator survives a 100 TB / 1000-executor scale-up:
+
+- **no row-at-a-time Python** (`BatchEvalPython`) anywhere — Python touches
+  data only through Arrow (`ArrowEvalPython`, `MapInPandas`,
+  `FlatMapGroupsInPandas`, `PythonMapInArrow`), and only in the declared
+  UDF/LLM/multimodal groups (J, L, M, K6, P1);
+- **scan hygiene**: `a1` must prune columns at the parquet reader
+  (ReadSchema), `a2` must push its predicate (PushedFilters);
+- **join strategy**: `c5` must be a `BroadcastHashJoin`; unbounded
+  `CartesianProduct` appears only where declared (`c9` cross join, `c10`
+  range/theta join as BNLJ, `l3`/`l11` blocked all-pairs at toy scale —
+  their 100 TB paths are `l12_ivf_topk` / LSH blocking, see operator docs);
+- **codegen**: every relational (non-Python-boundary) query runs inside
+  WholeStageCodegen spans.
+
+Usage:
+    python tools/explain_audit.py [key ...]    # default: all keys
+Writes EXPLAIN_AUDIT.md at the repo root and exits non-zero on violations.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dask_pipes_spark import operators  # noqa: F401  (registers everything)
+from dask_pipes_spark.registry import ORACLES, QUERIES
+from dask_pipes_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# Operators whose *contract* is a Python boundary (pandas UDF / mapInPandas /
+# applyInPandas / UDTF): Arrow-batched Python is expected there.
+ARROW_OK = {
+    "j1_scalar_pandas_udf",
+    "j2_map_partitions",
+    "j3_grouped_map",
+    "j4_grouped_agg_udaf",
+    "j5_python_udtf",
+    "k6_stream_stateful",
+    "l2_minhash_lsh",
+    "l7_dup_cluster_stats",
+    "l9_simhash",
+    "l11_embedding_neardup",
+    "l12_ivf_topk",
+    "l16_doc_fingerprint",
+    "m1_multimodal_decode",
+    "m2_multimodal_meta",
+    "p1_pipeline_fit_transform",
+}
+
+# Unbounded-product shapes that are *declared*: c9 is the cartesian operator
+# itself; c10 is a theta join (BNLJ is the only strategy); l3/l11 are the
+# brute-force all-pairs baselines whose scale path is IVF/LSH blocking.
+CARTESIAN_OK = {
+    "c9_join_cross",
+    "c10_join_range",
+    "l3_cosine_topk",
+    "l11_embedding_neardup",
+    # IVF coarse assignment: every vector × the (tiny, broadcast, constant-K)
+    # centroid table — bounded O(N·K) BNLJ, the correct distributed shape.
+    "l12_ivf_topk",
+}
+
+# Streaming live variants build a streaming plan; skip the batch-plan audit.
+SKIP = {"k4_stream_tumbling", "k5_stream_dedup", "k6_stream_stateful", "k7_stream_static_join"}
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit(keys: list[str]) -> int:
+    spark = get_session("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows: list[tuple[str, str, str]] = []  # key, verdict, notes
+    violations = 0
+
+    for key in keys:
+        if key in SKIP:
+            rows.append((key, "skip", "streaming live variant (no batch plan)"))
+            continue
+        try:
+            df = QUERIES[key](spark, SF_DIR)
+            plan = plan_of(df)
+        except Exception as exc:  # noqa: BLE001
+            rows.append((key, "ERROR", str(exc).splitlines()[0][:120]))
+            violations += 1
+            continue
+
+        notes: list[str] = []
+        bad = False
+
+        if "BatchEvalPython" in plan:
+            bad = True
+            notes.append("row-at-a-time Python UDF (BatchEvalPython)")
+        arrow = bool(re.search(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|MapInArrow", plan))
+        if arrow and key not in ARROW_OK:
+            bad = True
+            notes.append("unexpected Python boundary in relational operator")
+
+        if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan) and key not in CARTESIAN_OK:
+            bad = True
+            notes.append("undeclared cartesian/BNLJ")
+
+        if key == "a1_scan_parquet":
+            m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+            ncols = len(m.group(1).split(",")) if m else -1
+            notes.append(f"ReadSchema cols={ncols}")
+            if ncols < 0 or ncols > 4:
+                bad = True
+                notes.append("column pruning did not reach the scan")
+        if key == "a2_scan_filter_pushdown":
+            if not re.search(r"PushedFilters: \[[^\]]", plan):
+                bad = True
+                notes.append("no PushedFilters at parquet scan")
+        if key == "c5_join_broadcast" and "BroadcastHashJoin" not in plan:
+            bad = True
+            notes.append("broadcast join not broadcast")
+
+        if not arrow and "WholeStageCodegen" not in plan and "LocalTableScan" not in plan:
+            notes.append("no WholeStageCodegen span")  # informational
+
+        joins = "+".join(sorted(set(re.findall(r"(\w*?(?:HashJoin|MergeJoin|NestedLoopJoin|CartesianProduct))", plan))))
+        nex = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+        info = f"exchanges={nex}" + (f" joins={joins}" if joins else "")
+        if notes:
+            info += " | " + "; ".join(notes)
+        if bad:
+            violations += 1
+            rows.append((key, "VIOLATION", info))
+        else:
+            rows.append((key, "ok", info))
+
+    lines = [
+        "# EXPLAIN audit — physical-plan invariants per operator",
+        "",
+        f"Generated by `tools/explain_audit.py` at sf_dir=`{SF_DIR}`. Checks:",
+        "no `BatchEvalPython` anywhere; Arrow-Python only in declared UDF groups;",
+        "cartesian/BNLJ only where declared; scan pruning/pushdown on `a1`/`a2`;",
+        "`c5` broadcasts. `exchanges=` counts shuffle exchanges in the executed plan.",
+        "",
+        "| key | verdict | plan notes |",
+        "| --- | --- | --- |",
+    ]
+    for key, verdict, info in rows:
+        lines.append(f"| `{key}` | {verdict} | {info} |")
+    lines.append("")
+    lines.append(f"**{sum(1 for r in rows if r[1] == 'ok')} ok, "
+                 f"{violations} violations, {sum(1 for r in rows if r[1] == 'skip')} skipped** "
+                 f"of {len(rows)} audited.")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN_AUDIT.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines[-3:]))
+    print(f"wrote {out}")
+    return violations
+
+
+if __name__ == "__main__":
+    ks = [k for k in sys.argv[1:] if not k.startswith("-")] or sorted(QUERIES)
+    sys.exit(1 if audit(ks) else 0)
