@@ -337,3 +337,52 @@ def c12_self_join(spark, sf_dir):
         .groupBy(F.col("a.o_custkey").alias("o_custkey"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def salted_join(big, small, big_key, small_key, salt: int = 8, how: str = "inner"):
+    """Skew-mitigating equi-join: salt the big (skewed) side deterministically,
+    replicate the small side ``salt`` ways, join on (key, salt).
+
+    Semantically identical to ``big.join(small, big_key == small_key, how)``
+    for inner/left joins; the hot key's rows spread over ``salt`` reducer
+    partitions instead of one straggler task. This is the manual form of what
+    AQE skew-join does at runtime; keep it for engines/paths where AQE is off
+    (streaming joins, fixed-partition writes) or where the skew is known ahead
+    of time and you want the plan, not a runtime rescue.
+
+    100 TB note: replication multiplies the small side by ``salt`` — keep the
+    small side dimension-sized (it is usually also broadcastable; salting
+    matters when the small side is too big to broadcast but far smaller than
+    the skewed fact side).
+    """
+    salted_big = big.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), salt))
+    salted_small = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = salted_big.join(salted_small, (big_key == small_key) & (salted_big["_salt"] == salted_small["_salt"]), how)
+    return out.drop("_salt")
+
+
+@query(
+    "c13_join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items, {rev} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """.format(rev=sql_dsum("l_extendedprice * (1 - l_discount)")),
+)
+def c13_join_skew_salted(spark, sf_dir):
+    """Salted skew join (fact=lineitem, dim=orders ×8): same rowset as the
+    plain equi-join — the oracle IS the plain join — but no single reducer
+    ever owns a hot key. Salting is deterministic on the big side row id, so
+    results are exactly reproducible."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    joined = salted_join(
+        t["lineitem"],
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey"),
+        F.col("o_orderkey"),
+        salt=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )

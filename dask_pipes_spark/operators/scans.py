@@ -160,3 +160,43 @@ def a5_scan_csv(spark, sf_dir):
     return back.withColumn(
         "o_orderdate", F.to_timestamp("o_orderdate").cast("timestamp_ntz")
     )
+
+
+@query("a7_bucketed_join")  # weak: writes catalog tables to scratch
+def a7_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join — the 100 TB answer to repeated fact-fact
+    joins: write both tables bucketed (and sorted) on the join key, and every
+    later join on that key runs with ZERO shuffle of either side (the plan is
+    SortMergeJoin with no Exchange under it; asserted in tests/test_scans.py).
+
+    Dask's analog is ``set_index`` + divisions-aligned merge; Spark's bucketing
+    persists the co-partitioning in the table layout so it is paid once at
+    write time, not per query."""
+    scratch = os.path.join(tempfile.gettempdir(), "dps_a7_bucketed")
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    spark.sql("DROP TABLE IF EXISTS dps_orders_b")
+    spark.sql("DROP TABLE IF EXISTS dps_lineitem_b")
+    (
+        t["orders"].select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", os.path.join(scratch, "orders"))
+        .saveAsTable("dps_orders_b")
+    )
+    (
+        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", os.path.join(scratch, "lineitem"))
+        .saveAsTable("dps_lineitem_b")
+    )
+    ob = spark.table("dps_orders_b")
+    lb = spark.table("dps_lineitem_b")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )

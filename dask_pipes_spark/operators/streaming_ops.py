@@ -205,3 +205,46 @@ def k7_stream_static_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
     )
     return run_to_memory(agg, "k7_enrich", "complete")
+
+
+@query("k8_stream_stream_join")  # weak: streaming runtime output
+def k8_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join — both sides are live streams (the case
+    k7's static broadcast can't cover): each purchase joins the same user's
+    click events from the preceding 30 minutes.
+
+    Both sides carry watermarks and the join condition bounds event time on
+    both sides, so Spark can evict buffered rows once the watermark passes
+    the interval — state is bounded, the 100 TB requirement for an unbounded
+    join. Without the time bound the state store would grow forever."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND click_ts BETWEEN "
+            "purchase_ts - INTERVAL 30 MINUTES AND purchase_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "p_user", "purchase_ts", "click_ts", "click_value")
+    return run_to_memory(joined, "k8_stream_stream", "append")

@@ -73,3 +73,17 @@ def test_c10_range_join_matches_bnlj(spark, registry):
     )
     bucketed = queries["c10_join_range"](spark, SF_SMOKE).select("s_suppkey", "c_custkey")
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join is a pure physical rewrite — rowset identical to df.join."""
+    from dask_pipes_spark.operators.joins import salted_join
+    from dask_pipes_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, SF_SMOKE, ("orders", "lineitem"))
+    dim = t["orders"].select("o_orderkey", "o_orderpriority")
+    plain = t["lineitem"].join(dim, F.col("l_orderkey") == F.col("o_orderkey"))
+    salted = salted_join(t["lineitem"], dim, F.col("l_orderkey"), F.col("o_orderkey"), salt=4)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0

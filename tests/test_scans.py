@@ -48,3 +48,32 @@ def test_a5_csv_roundtrip_equals_source(spark, registry):
     )
     assert back.count() == src.count()
     assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_a7_bucketed_join_has_no_exchange(spark, registry):
+    """The whole point of bucketing: the fact-fact join plan contains no
+    shuffle Exchange — co-location was paid once at write time."""
+    queries, _ = registry
+    queries["a7_bucketed_join"](spark, SF_SMOKE)  # writes the bucketed tables
+    # at smoke scale Catalyst would just broadcast (also shuffle-free);
+    # disable broadcast to surface the large-scale plan: bucketed SMJ
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob = spark.table("dps_orders_b")
+        lb = spark.table("dps_lineitem_b")
+        bare = _plan(lb.join(ob, lb.l_orderkey == ob.o_orderkey))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in bare
+    assert "Exchange hashpartitioning" not in bare
+
+
+def test_a7_bucketed_join_matches_plain_join(spark, registry):
+    """Same aggregate through the bucketed path and the plain shuffle path."""
+    queries, _ = registry
+    a = {r.o_orderpriority: (r.n_items, round(r.revenue, 2))
+         for r in queries["a7_bucketed_join"](spark, SF_SMOKE).collect()}
+    b = {r.o_orderpriority: (r.n_items, round(r.revenue, 2))
+         for r in queries["c13_join_skew_salted"](spark, SF_SMOKE).collect()}
+    assert a == b

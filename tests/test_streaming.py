@@ -75,3 +75,34 @@ def test_append_mode_emits_only_watermark_closed_windows(spark):
         assert cnt == next(b.cnt for b in batch if b.start == start)
     # and at least one window did close (the replay spans ~30 days)
     assert len(got) >= 1
+
+
+def test_k8_stream_stream_join_equals_batch_join(spark, registry):
+    """The watermarked stream-stream interval join must produce exactly the
+    rows of the same join run as a batch query."""
+    from pyspark.sql import functions as F
+    from dask_pipes_spark.session import load
+
+    queries, _ = registry
+    streamed = queries["k8_stream_stream_join"](spark, SF_SMOKE)
+
+    e = load(spark, SF_SMOKE, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND click_ts BETWEEN "
+            "purchase_ts - INTERVAL 30 MINUTES AND purchase_ts"
+        ),
+    ).select("purchase_id", "p_user", "purchase_ts", "click_ts", "click_value")
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
