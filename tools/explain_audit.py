@@ -70,7 +70,13 @@ CARTESIAN_OK = {
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
-SKIP = {"k4_stream_tumbling", "k5_stream_dedup", "k6_stream_stateful", "k7_stream_static_join"}
+SKIP = {
+    "k4_stream_tumbling",
+    "k5_stream_dedup",
+    "k6_stream_stateful",
+    "k7_stream_static_join",
+    "k8_stream_stream_join",
+}
 
 
 def plan_of(df) -> str:
