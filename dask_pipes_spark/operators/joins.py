@@ -245,6 +245,99 @@ def c10_join_range(spark, sf_dir):
     )
 
 
+def asof_join(probe, build, by, on, direction="backward"):
+    """Generic as-of join (Dask/pandas ``merge_asof``), all three directions,
+    exact matches allowed, per-key.
+
+    ``probe``/``build``: DataFrames sharing the ``by`` key column(s) and the
+    ``on`` ordering column; every other ``build`` column is a value column
+    appended to each probe row (column names must not collide — rename
+    first). ``build`` must be unique per (by, on) — pre-aggregate ties, as
+    ASOF semantics are undefined for duplicate build timestamps.
+
+    Algorithm (no per-key loops, one hash partitioning): union both sides
+    tagged, then running ``last(ignorenulls)`` over the preceding frame
+    (backward) / ``first(ignorenulls)`` over the following frame (forward) /
+    both with a per-row gap comparison (nearest, ties → backward). Sort
+    places build rows so that equal-``on`` rows stay visible to the probe in
+    the frame direction. Nearest gaps compare at microsecond precision for
+    timestamps (``unix_micros``), exact double for numerics.
+
+    Scale: state per key is one running row — the Window operator streams
+    each partition once; cost equals one shuffle + in-partition sort
+    (nearest: two sorts, same single Exchange), the same profile as Dask's
+    divisions-aligned merge_asof without requiring pre-sorted input.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    val_cols = [c for c in build.columns if c not in by + [on]]
+    probe_cols = [c for c in probe.columns if c not in by + [on]]
+    overlap = set(val_cols) & set(probe_cols)
+    if overlap:
+        raise ValueError(f"column collision between probe and build: {sorted(overlap)}")
+    b = build.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_is_probe"),
+        *val_cols,
+        *[F.lit(None).cast(dict(probe.dtypes)[c]).alias(c) for c in probe_cols],
+    )
+    p = probe.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_is_probe"),
+        *[F.lit(None).cast(dict(build.dtypes)[c]).alias(c) for c in val_cols],
+        *probe_cols,
+    )
+    u = b.unionByName(p)
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").asc(), F.col("_is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").asc(), F.col("_is_probe").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    if direction == "backward":
+        matched = [F.last(c, ignorenulls=True).over(wb).alias(f"_m_{c}") for c in val_cols]
+        u = u.select("*", *matched)
+    elif direction == "forward":
+        matched = [F.first(c, ignorenulls=True).over(wf).alias(f"_m_{c}") for c in val_cols]
+        u = u.select("*", *matched)
+    elif direction == "nearest":
+        is_ts = dict(u.dtypes)["_t"].startswith("timestamp")
+        tnum = F.unix_micros(F.col("_t").cast("timestamp")) if is_ts else F.col("_t").cast("double")
+        u = u.withColumn("_tn_src", F.when(F.col("_is_probe") == 0, tnum))
+        u = u.select(
+            "*",
+            tnum.alias("_tn"),
+            F.last("_tn_src", ignorenulls=True).over(wb).alias("_bt"),
+            F.first("_tn_src", ignorenulls=True).over(wf).alias("_ft"),
+            *[F.last(c, ignorenulls=True).over(wb).alias(f"_b_{c}") for c in val_cols],
+            *[F.first(c, ignorenulls=True).over(wf).alias(f"_f_{c}") for c in val_cols],
+        )
+        use_fwd = F.col("_bt").isNull() | (
+            F.col("_ft").isNotNull()
+            & ((F.col("_ft") - F.col("_tn")) < (F.col("_tn") - F.col("_bt")))
+        )
+        u = u.select(
+            "*",
+            *[
+                F.when(use_fwd, F.col(f"_f_{c}")).otherwise(F.col(f"_b_{c}")).alias(f"_m_{c}")
+                for c in val_cols
+            ],
+        )
+    else:
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    return u.filter(F.col("_is_probe") == 1).select(
+        *by,
+        F.col("_t").alias(on),
+        *probe_cols,
+        *[F.col(f"_m_{c}").alias(c) for c in val_cols],
+    )
+
+
 @query(
     "c11_join_asof",
     oracle="""
@@ -277,40 +370,27 @@ def c11_join_asof(spark, sf_dir):
     Scale: the window is keyed (bounded state per user) and Spark's Window
     operator streams each partition once — the same cost profile as Dask's
     divisions-aligned merge_asof, but without requiring pre-sorted input.
+    (Implementation shared with c14/c15: :func:`asof_join`.)
     """
+    clicks, purchases = _asof_fixture_sides(spark, sf_dir)
+    return asof_join(purchases, clicks, by="user_id", on="ts", direction="backward").select(
+        "event_id", "user_id", "ts", "value", F.col("click_value").alias("last_click_value")
+    )
+
+
+def _asof_fixture_sides(spark, sf_dir):
+    """Shared build/probe frames for the asof operators: clicks (build,
+    tie-collapsed per (user, ts) with max_by) and purchases (probe)."""
     events = load_tables(spark, sf_dir, ("events",))["events"]
     clicks = (
         events.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
         .agg(F.max_by("value", "event_id").alias("click_value"))
-        .select(
-            "user_id",
-            F.col("ts").alias("t"),
-            F.lit(0).alias("side"),
-            "click_value",
-            F.lit(None).cast("long").alias("event_id"),
-            F.lit(None).cast("double").alias("value"),
-        )
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("side"),
-        F.lit(None).cast("double").alias("click_value"),
-        "event_id",
-        "value",
+        "event_id", "user_id", "ts", "value"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        clicks.unionByName(purchases)
-        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
-        .filter(F.col("side") == 1)
-        .select("event_id", "user_id", F.col("t").alias("ts"), "value", "last_click_value")
-    )
+    return clicks, purchases
 
 
 @query(
@@ -385,4 +465,82 @@ def c13_join_skew_salted(spark, sf_dir):
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@query(
+    "c14_join_asof_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX_BY(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value, c.click_value AS next_click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def c14_join_asof_forward(spark, sf_dir):
+    """Forward as-of join (Dask ``merge_asof(direction='forward')``): each
+    purchase picks the *earliest* click of the same user at-or-after its
+    timestamp. Mirror of c11: same union-tag, but the running pick is
+    ``first(value, ignorenulls)`` over the *following* frame, with probe rows
+    ordered before build rows at equal timestamps so exact matches stay
+    visible. One shuffle, keyed bounded state — identical cost to c11.
+    (Implementation shared with c11/c15: :func:`asof_join`.)"""
+    clicks, purchases = _asof_fixture_sides(spark, sf_dir)
+    return asof_join(purchases, clicks, by="user_id", on="ts", direction="forward").select(
+        "event_id", "user_id", "ts", "value", F.col("click_value").alias("next_click_value")
+    )
+
+
+@query(
+    "c15_join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX_BY(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             c.ts AS bt, c.click_value AS bv
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    f AS (
+      SELECT p.event_id, c.ts AS ft, c.click_value AS fv
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts, b.value,
+           CASE WHEN bv IS NULL THEN fv
+                WHEN fv IS NULL THEN bv
+                WHEN EPOCH(ft) - EPOCH(b.ts) < EPOCH(b.ts) - EPOCH(bt) THEN fv
+                ELSE bv END AS nearest_click_value
+    FROM b JOIN f ON b.event_id = f.event_id
+    """,
+)
+def c15_join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (Dask ``merge_asof(direction='nearest')``): each
+    purchase picks the click whose timestamp is closest in either direction;
+    ties go backward (the earlier click), matching the oracle's CASE.
+
+    Both directional candidates come from the same union in one hash
+    partitioning — two Window operators (backward running-last, forward
+    running-first) differ only in sort order within the partition, so
+    Catalyst plans one Exchange and two in-partition sorts. Gap comparison
+    is at microsecond precision (``unix_micros``), matching the oracle's
+    fractional ``EPOCH``. (Implementation shared with c11/c14:
+    :func:`asof_join`.)"""
+    clicks, purchases = _asof_fixture_sides(spark, sf_dir)
+    return asof_join(purchases, clicks, by="user_id", on="ts", direction="nearest").select(
+        "event_id", "user_id", "ts", "value", F.col("click_value").alias("nearest_click_value")
     )

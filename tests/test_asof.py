@@ -98,3 +98,78 @@ def test_asof_edges_match_duckdb(spark):
     assert got[4] == 25.0  # latest prior click
     assert norm(got[5]) is None  # no prior click → NULL
     assert norm(got[7]) is None  # user with no clicks at all → NULL
+
+
+# --- property-based differential test: asof_join vs DuckDB, all directions ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ts = st.integers(min_value=0, max_value=40).map(
+    lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+)
+_side = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=3), _ts, st.integers(min_value=0, max_value=9)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(clicks=_side, purchases=_side)
+def test_asof_join_matches_duckdb_all_directions(spark, clicks, purchases):
+    from dask_pipes_spark.operators.joins import asof_join
+
+    cpd = pd.DataFrame(
+        {
+            "user_id": [c[0] for c in clicks],
+            "ts": [c[1] for c in clicks],
+            "click_value": [float(c[2]) for c in clicks],
+        }
+    )
+    # unique per (by, on): keep the max click_value per (user, ts)
+    cpd = cpd.groupby(["user_id", "ts"], as_index=False)["click_value"].max()
+    ppd = pd.DataFrame(
+        {
+            "pid": range(len(purchases)),
+            "user_id": [p[0] for p in purchases],
+            "ts": [p[1] for p in purchases],
+        }
+    )
+    # empty lists otherwise leave object/float dtypes → wrong DuckDB types
+    for frame in (cpd, ppd):
+        frame["ts"] = pd.to_datetime(frame["ts"])
+        frame["user_id"] = frame["user_id"].astype("int64")
+    cpd["click_value"] = cpd["click_value"].astype("float64")
+    ppd["pid"] = ppd["pid"].astype("int64")
+
+    schema_c = "user_id long, ts timestamp_ntz, click_value double"
+    schema_p = "pid long, user_id long, ts timestamp_ntz"
+    cdf = spark.createDataFrame(cpd, schema_c) if len(cpd) else spark.createDataFrame([], schema_c)
+    pdf = spark.createDataFrame(ppd, schema_p) if len(ppd) else spark.createDataFrame([], schema_p)
+
+    con = duckdb.connect()
+    con.register("c", cpd)
+    con.register("p", ppd)
+    oracle = {
+        "backward": "SELECT p.pid, c.click_value FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts",
+        "forward": "SELECT p.pid, c.click_value FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts",
+        "nearest": """
+            WITH b AS (SELECT p.pid, p.ts, c.ts bt, c.click_value bv
+                       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+                 f AS (SELECT p.pid, c.ts ft, c.click_value fv
+                       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+            SELECT b.pid, CASE WHEN bv IS NULL THEN fv WHEN fv IS NULL THEN bv
+                               WHEN EPOCH(ft) - EPOCH(b.ts) < EPOCH(b.ts) - EPOCH(bt) THEN fv
+                               ELSE bv END
+            FROM b JOIN f USING (pid)
+        """,
+    }
+    for direction, sql in oracle.items():
+        got = {
+            r.pid: r.click_value
+            for r in asof_join(pdf, cdf, by="user_id", on="ts", direction=direction).collect()
+        }
+        want = {pid: (None if v is None or v != v else v) for pid, v in con.execute(sql).fetchall()}
+        got = {pid: (None if v is None or v != v else v) for pid, v in got.items()}
+        assert got == want, f"direction={direction}: {got} != {want}"
