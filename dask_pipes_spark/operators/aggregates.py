@@ -365,3 +365,42 @@ def d15_melt(spark, sf_dir):
         F.col("p_size").cast("double").alias("p_size"),
         F.col("p_retailprice"),
     ).unpivot("p_partkey", ["p_size", "p_retailprice"], "var", "val")
+
+
+@query(
+    "d16_describe",
+    oracle="""
+    SELECT 'l_quantity' AS col, COUNT(l_quantity) AS cnt,
+           CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                / COUNT(l_quantity) AS DECIMAL(18,10)), 6) AS DOUBLE) AS mean,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS std,
+           MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(l_discount),
+           CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6)))
+                / COUNT(l_discount) AS DECIMAL(18,10)), 6) AS DOUBLE),
+           ROUND(STDDEV_SAMP(l_discount), 4),
+           MIN(l_discount), MAX(l_discount)
+    FROM lineitem
+    """,
+)
+def d16_describe(spark, sf_dir):
+    """``describe()`` (Dask/pandas summary stats) as one long-format pass:
+    count/mean/std/min/max per column, stacked — built from explicit exact
+    aggregates rather than Spark's string-typed ``df.describe`` so the
+    output is typed and oracle-checkable. One scan per column-stack via
+    unionByName of single-row aggs (Catalyst merges the scans)."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def stats(col):
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count(col).alias("cnt"),
+            F.round(davg(col).cast("decimal(18,10)"), 6).cast("double").alias("mean"),
+            F.round(F.stddev_samp(col), 4).alias("std"),
+            F.min(col).alias("min_v"),
+            F.max(col).alias("max_v"),
+        )
+
+    return stats("l_quantity").unionByName(stats("l_discount"))

@@ -98,3 +98,63 @@ def p2_fitted_preprocess(spark, sf_dir):
         F.col("c_acctbal_z"),
         F.col("c_mktsegment_code"),
     )
+
+
+@query(
+    "p3_llm_corpus_pipeline",
+    oracle="""
+    WITH filtered AS (
+      SELECT * FROM documents WHERE lang IN ('en','fr','es') AND n_chars >= 50
+    ),
+    deduped AS (
+      SELECT * FROM filtered
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS sum_tokens,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(n_chars)
+             AS avg_chars
+    FROM deduped GROUP BY lang, source
+    """,
+)
+def p3_llm_corpus_pipeline(spark, sf_dir):
+    """End-to-end training-data curation pipeline as a Pipeline of nodes —
+    the composition the whole engine exists for: language filter → quality
+    (length) filter → exact dedup (keep min doc_id per content hash) →
+    tokenize → per-(lang, source) corpus stats.
+
+    Every stage is a lazy DataFrame op, so the fitted pipeline is ONE
+    Catalyst plan: filters merge and push into the parquet scan, the dedup
+    is a keyed window (one shuffle), the final agg is partial+final. At
+    100 TB this runs exactly as written — no driver materialization between
+    stages; swap the exact-dedup node for the MinHash-LSH operator (l2) for
+    near-dedup at the same pipeline position."""
+    from pyspark.sql import Window
+
+    from dask_pipes_spark.pipeline import FnNode, Pipeline
+    from dask_pipes_spark.registry import davg
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    pipe = Pipeline(
+        [
+            FnNode(lambda df: df.filter(F.col("lang").isin("en", "fr", "es")), name="lang_filter"),
+            FnNode(lambda df: df.filter(F.col("n_chars") >= 50), name="quality_filter"),
+            FnNode(
+                lambda df: df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn"),
+                name="exact_dedup",
+            ),
+            FnNode(
+                lambda df: df.withColumn("n_tokens", F.size(F.split("text", " ")).cast("long")),
+                name="tokenize",
+            ),
+        ]
+    )
+    curated = pipe.fit_transform(docs)
+    return curated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        davg("n_chars").alias("avg_chars"),
+    )

@@ -104,3 +104,17 @@ def f5_sample(spark, sf_dir):
     engine-specific RNG → weak check; tests assert the fraction is within
     binomial bounds and that the same seed reproduces the same rows."""
     return load(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+
+
+@query("f6_stratified_sample")  # weak: RNG is engine-specific
+def f6_stratified_sample(spark, sf_dir):
+    """Stratified sample (Dask ``groupby().sample()`` idiom / pandas
+    ``groupby.sample``): per-stratum Bernoulli fractions via ``sampleBy`` —
+    one scan, no shuffle, each row kept with its stratum's probability.
+    Weak check (engine RNG); tests assert per-stratum fractions land within
+    binomial bounds and the seed reproduces exactly."""
+    li = load(spark, sf_dir, "lineitem")
+    fractions = {"A": 0.05, "N": 0.2, "R": 0.1}
+    return li.sampleBy("l_returnflag", fractions, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )

@@ -87,3 +87,18 @@ def test_salted_join_equals_plain_join(spark):
     salted = salted_join(t["lineitem"], dim, F.col("l_orderkey"), F.col("o_orderkey"), salt=4)
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_f6_stratified_sample_fractions_and_reproducibility(spark, registry):
+    queries, _ = registry
+    out = queries["f6_stratified_sample"](spark, SF_SMOKE)
+    src = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    totals = {r.l_returnflag: r.c for r in src.groupBy("l_returnflag").count().withColumnRenamed("count", "c").collect()}
+    got = {r.l_returnflag: r.c for r in out.groupBy("l_returnflag").count().withColumnRenamed("count", "c").collect()}
+    import math
+    for flag, frac in (("A", 0.05), ("N", 0.2), ("R", 0.1)):
+        n, k = totals[flag], got.get(flag, 0)
+        # 5-sigma binomial bound
+        assert abs(k - n * frac) <= 5 * math.sqrt(n * frac * (1 - frac)) + 1, (flag, k, n)
+    again = queries["f6_stratified_sample"](spark, SF_SMOKE)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
