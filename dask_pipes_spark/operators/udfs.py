@@ -161,3 +161,81 @@ def j5_python_udtf(spark, sf_dir):
         "SELECT t.doc_id, t.pos, t.token "
         "FROM dps_docs_for_udtf d, LATERAL dps_tokenize(d.doc_id, d.text) t"
     )
+
+
+def map_overlap(df, order_cols, before, fn, schema, npartitions=8):
+    """Dask's ``map_overlap`` primitive re-expressed Spark-first: apply a
+    pandas function per range-partition with ``before`` rows of preceding
+    context copied in from the neighboring partition, then drop the rows the
+    padding produced.
+
+    Mechanism: range-partition on ``order_cols`` (Dask: divisions), tag each
+    row with its partition id, duplicate the last ``before`` rows of every
+    partition into partition id+1 flagged ``_pad=1``, group by partition id
+    via ``applyInPandas``; the wrapper sorts each pandas group by
+    ``order_cols``, runs ``fn`` (a same-length positional transform), and
+    keeps only ``_pad=0`` outputs. Any partition boundary placement yields
+    identical results as long as ``before`` covers the window — asserted by
+    j6's SQL oracle.
+
+    Cost: one range shuffle + one hash shuffle of body rows plus a
+    ``before × npartitions``-row duplication — the same boundary-transfer
+    profile as Dask's overlap layers, scale-independent of total row count.
+    ``fn`` must return a frame positionally aligned with its (sorted) input.
+    """
+    rp = df.repartitionByRange(npartitions, *order_cols)
+    tagged = rp.withColumn("_pid", F.spark_partition_id())
+    from pyspark.sql import Window
+
+    w_desc = Window.partitionBy("_pid").orderBy(*[F.col(c).desc() for c in order_cols])
+    pad = (
+        tagged.withColumn("_rn", F.row_number().over(w_desc))
+        .filter(F.col("_rn") <= before)
+        .drop("_rn")
+        .withColumn("_pid", F.col("_pid") + 1)
+        .withColumn("_pad", F.lit(1))
+    )
+    unioned = tagged.withColumn("_pad", F.lit(0)).unionByName(pad)
+    cols = list(order_cols)
+
+    def run(pdf):
+        pdf = pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
+        out = fn(pdf.drop(columns=["_pid", "_pad"]))
+        return out.loc[pdf["_pad"].values == 0]
+
+    return unioned.groupBy("_pid").applyInPandas(lambda _, pdf: run(pdf), schema)
+
+
+@query(
+    "j6_map_overlap",
+    oracle="""
+    SELECT event_id,
+           ROUND(AVG(value) OVER (ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+    FROM events
+    """,
+)
+def j6_map_overlap(spark, sf_dir):
+    """``map_overlap`` exercised end-to-end: a 5-row trailing rolling mean
+    over the globally-ordered events stream, computed with *pandas*
+    ``rolling`` inside overlap partitions — and proven equal to the pure-SQL
+    window-function answer by the oracle. This is the escape hatch for
+    pandas-only windowed logic (EWMs, custom decay kernels) that
+    ``F.avg().over()`` can't express; for plain rolling means prefer e7."""
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+
+    def roll(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "roll_avg": pdf["value"].rolling(5, min_periods=1).mean().round(4),
+            }
+        )
+
+    return map_overlap(
+        e,
+        order_cols=("ts", "event_id"),
+        before=4,
+        fn=roll,
+        schema="event_id bigint, roll_avg double",
+    )

@@ -102,3 +102,26 @@ def test_f6_stratified_sample_fractions_and_reproducibility(spark, registry):
         assert abs(k - n * frac) <= 5 * math.sqrt(n * frac * (1 - frac)) + 1, (flag, k, n)
     again = queries["f6_stratified_sample"](spark, SF_SMOKE)
     assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_map_overlap_invariant_to_partition_count(spark):
+    """Boundary duplication must make the result independent of where the
+    range partitioner cuts — 3 and 8 partitions give identical rolling means."""
+    import pandas as pd
+    from dask_pipes_spark.operators.udfs import map_overlap
+    from dask_pipes_spark.session import load
+
+    e = load(spark, SF_SMOKE, "events").select("event_id", "ts", "value")
+
+    def roll(pdf):
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "roll_avg": pdf["value"].rolling(5, min_periods=1).mean().round(4),
+            }
+        )
+
+    a = map_overlap(e, ("ts", "event_id"), 4, roll, "event_id bigint, roll_avg double", npartitions=3)
+    b = map_overlap(e, ("ts", "event_id"), 4, roll, "event_id bigint, roll_avg double", npartitions=8)
+    assert a.count() == e.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -44,6 +44,7 @@ ARROW_OK = {
     "j3_grouped_map",
     "j4_grouped_agg_udaf",
     "j5_python_udtf",
+    "j6_map_overlap",
     "k6_stream_stateful",
     "l2_minhash_lsh",
     "l7_dup_cluster_stats",
