@@ -224,3 +224,40 @@ def b11_conditional_replace(spark, sf_dir):
         .otherwise(F.col("l_extendedprice"))
         .alias("effective_price"),
     )
+
+
+@query(
+    "b12_cut_bins",
+    oracle="""
+    SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0) / 10000.0), 0), 9)
+                AS BIGINT) AS bin,
+           COUNT(*) AS cnt,
+           ROUND(MIN(l_extendedprice), 2) AS min_p,
+           ROUND(MAX(l_extendedprice), 2) AS max_p
+    FROM lineitem GROUP BY 1
+    """,
+)
+def b12_cut_bins(spark, sf_dir):
+    """Equal-width binning (pandas/Dask ``cut``): price → 10 fixed-width
+    buckets with clamped edges, then per-bin counts. Pure codegen arithmetic
+    — the formula (not an engine-specific ``width_bucket``) so both engines
+    compute identical edges; at scale this is a map-side expression + one
+    10-group agg."""
+    li = load(spark, sf_dir, "lineitem")
+    bin_col = (
+        F.least(
+            F.greatest(F.floor((F.col("l_extendedprice") - 900.0) / 10000.0), F.lit(0)),
+            F.lit(9),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    return (
+        li.select(bin_col, "l_extendedprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_p"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_p"),
+        )
+    )

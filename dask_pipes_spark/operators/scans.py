@@ -200,3 +200,25 @@ def a7_bucketed_join(spark, sf_dir):
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+@query("a8_partition_pruned_scan")  # weak: writes scratch files
+def a8_partition_pruned_scan(spark, sf_dir):
+    """Partitioned-layout scan pruning — the 100 TB layout primitive beyond
+    row-group pushdown (a2): events written ``partitionBy(event_type)``, then
+    a filtered read touches ONLY the matching directories (the plan shows
+    ``PartitionFilters``, and with a dimension-driven filter Spark inserts
+    *dynamic* partition pruning). tests/test_scans.py asserts both the
+    PartitionFilters entry and the dynamicpruning subquery."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = os.path.join(tempfile.gettempdir(), f"dps_a8_events_by_type_{tag}")
+    done = os.path.join(out, "_SUCCESS")
+    ev = load(spark, sf_dir, "events")
+    if not os.path.exists(done):
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+    )

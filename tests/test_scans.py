@@ -77,3 +77,38 @@ def test_a7_bucketed_join_matches_plain_join(spark, registry):
     b = {r.o_orderpriority: (r.n_items, round(r.revenue, 2))
          for r in queries["c13_join_skew_salted"](spark, SF_SMOKE).collect()}
     assert a == b
+
+
+def test_a8_partition_filters_reach_the_scan(spark, registry):
+    import os, tempfile
+
+    queries, _ = registry
+    queries["a8_partition_pruned_scan"](spark, SF_SMOKE)  # writes the layout
+    out = os.path.join(tempfile.gettempdir(), "dps_a8_events_by_type_sf0.001")
+    back = spark.read.parquet(out)
+    plan = _plan(back.filter(F.col("event_type") == "click"))
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_type" in pf  # the filter prunes directories, not rows
+
+
+def test_a8_dynamic_partition_pruning_from_dim_filter(spark, registry):
+    """A join whose dim side is filtered must inject a dynamicpruning
+    subquery on the partitioned fact scan — Spark's runtime analog of
+    Dask's divisions-based partition pruning."""
+    import os, tempfile
+
+    queries, _ = registry
+    queries["a8_partition_pruned_scan"](spark, SF_SMOKE)
+    out = os.path.join(tempfile.gettempdir(), "dps_a8_events_by_type_sf0.001")
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1)], "event_type string, weight double"
+    ).filter(F.col("weight") > 0.5)
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        plan = _plan(fact.join(dim, "event_type").groupBy("event_type").count())
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

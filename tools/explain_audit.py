@@ -163,11 +163,14 @@ def audit(keys: list[str]) -> int:
     lines.append(f"**{sum(1 for r in rows if r[1] == 'ok')} ok, "
                  f"{violations} violations, {sum(1 for r in rows if r[1] == 'skip')} skipped** "
                  f"of {len(rows)} audited.")
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN_AUDIT.md")
-    with open(out, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
     print("\n".join(lines[-3:]))
-    print(f"wrote {out}")
+    if len(keys) == len(QUERIES):  # subset runs must not clobber the full report
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN_AUDIT.md"
+        )
+        with open(out, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        print(f"wrote {out}")
     return violations
 
 
