@@ -17,6 +17,7 @@ engine-native streaming algorithms, so Spark and DuckDB match bitwise.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import davg, dsum, query, sql_davg, sql_dsum
@@ -404,3 +405,29 @@ def d16_describe(spark, sf_dir):
         )
 
     return stats("l_quantity").unionByName(stats("l_discount"))
+
+
+@query(
+    "d17_mode",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    """,
+)
+def d17_mode(spark, sf_dir):
+    """Per-group mode (pandas ``mode()``), made deterministic: value counts,
+    then rank by (count desc, value asc) — ties always resolve to the
+    smallest value, unlike Spark's ``F.mode`` whose tie choice is
+    partitioning-dependent. Two shuffles (count, then 5-group window)."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), "l_quantity")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "cnt")
+    )

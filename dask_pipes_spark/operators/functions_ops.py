@@ -370,3 +370,41 @@ def h15_hash(spark, sf_dir):
     where no cross-engine oracle is needed."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", F.sha2("text", 256).alias("text_sha"))
+
+
+@query(
+    "h16_levenshtein_pairs",
+    oracle="""
+    WITH top_tokens AS (
+      SELECT t AS token, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+      GROUP BY t ORDER BY cnt DESC, token LIMIT 30
+    )
+    SELECT a.token AS tok_a, b.token AS tok_b,
+           levenshtein(a.token, b.token) AS dist
+    FROM top_tokens a JOIN top_tokens b ON a.token < b.token
+    WHERE levenshtein(a.token, b.token) <= 2
+    """,
+)
+def h16_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance typo candidates (fuzzy-dedup primitive): the 30 most
+    frequent tokens, all ordered pairs within Levenshtein distance 2 —
+    ``F.levenshtein`` is a JVM builtin, and the pair space is bounded by the
+    top-k cut, the same blocking discipline as the near-dup operators (never
+    all-pairs over the raw vocabulary)."""
+    d = load(spark, sf_dir, "documents")
+    top = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(30)
+        .select("token")
+    )
+    a = top.select(F.col("token").alias("tok_a"))
+    b = top.select(F.col("token").alias("tok_b"))
+    return (
+        a.join(b, F.col("tok_a") < F.col("tok_b"))
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
+        .filter(F.col("dist") <= 2)
+    )

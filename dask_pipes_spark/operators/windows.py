@@ -276,3 +276,27 @@ def e10_topk_per_group(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "e11_percent_rank_cume",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey), 6) AS cume
+    FROM orders
+    """,
+)
+def e11_percent_rank_cume(spark, sf_dir):
+    """Relative ranks (pandas ``rank(pct=True)`` family): percent_rank and
+    cume_dist per customer, total-ordered for determinism."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -68,6 +68,8 @@ CARTESIAN_OK = {
     # IVF coarse assignment: every vector × the (tiny, broadcast, constant-K)
     # centroid table — bounded O(N·K) BNLJ, the correct distributed shape.
     "l12_ivf_topk",
+    # theta self-join over a top-30 token block — 30×30 bounded by the limit.
+    "h16_levenshtein_pairs",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
