@@ -431,3 +431,28 @@ def d17_mode(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "cnt")
     )
+
+
+@query(
+    "d18_one_hot",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pri_urgent,
+           CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS pri_high,
+           CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS pri_medium
+    FROM orders
+    """,
+)
+def d18_one_hot(spark, sf_dir):
+    """``get_dummies`` (one-hot encoding) with an explicit category list —
+    fixed output schema (the 100 TB-safe form: no distinct-values job, no
+    schema drift between runs); unseen categories simply get all-zero rows."""
+    o = load(spark, sf_dir, "orders")
+    cats = [("1-URGENT", "pri_urgent"), ("2-HIGH", "pri_high"), ("3-MEDIUM", "pri_medium")]
+    return o.select(
+        "o_orderkey",
+        *[
+            (F.col("o_orderpriority") == v).cast("int").alias(name)
+            for v, name in cats
+        ],
+    )

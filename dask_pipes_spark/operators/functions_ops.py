@@ -408,3 +408,26 @@ def h16_levenshtein_pairs(spark, sf_dir):
         .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
         .filter(F.col("dist") <= 2)
     )
+
+
+@query(
+    "h17_parse_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+             AS reparsed,
+           CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS year_str
+    FROM orders
+    """,
+)
+def h17_parse_datetime(spark, sf_dir):
+    """String↔datetime round-trip (Dask ``dd.to_datetime`` / ``dt.strftime``):
+    format out with ``date_format``, parse back with ``to_timestamp`` —
+    pattern pinned on both engines so the round-trip is exact."""
+    o = load(spark, sf_dir, "orders")
+    s = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss").cast("timestamp_ntz").alias("reparsed"),
+        F.date_format("o_orderdate", "yyyy").cast("long").alias("year_str"),
+    )

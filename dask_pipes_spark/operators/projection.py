@@ -261,3 +261,23 @@ def b12_cut_bins(spark, sf_dir):
             F.round(F.max("l_extendedprice"), 2).alias("max_p"),
         )
     )
+
+
+@query(
+    "b13_clip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           LEAST(GREATEST(l_extendedprice, 5000.0), 50000.0) AS price_clipped
+    FROM lineitem
+    """,
+)
+def b13_clip(spark, sf_dir):
+    """``Series.clip(lower, upper)`` — pure codegen ``greatest``/``least``."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.greatest("l_extendedprice", F.lit(5000.0)), F.lit(50000.0)).alias(
+            "price_clipped"
+        ),
+    )

@@ -118,3 +118,19 @@ def f6_stratified_sample(spark, sf_dir):
     return li.sampleBy("l_returnflag", fractions, seed=42).select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
     )
+
+
+@query("f7_random_split")  # weak: hash-split sizes are engine-specific
+def f7_random_split(spark, sf_dir):
+    """``random_split([0.8, 0.2], seed)`` (train/test split) done the way a
+    training pipeline must at scale: a *content-hash* threshold
+    (``pmod(xxhash64(row_key, seed), 100) < 80``), NOT ``rand()`` —
+    nondeterministic expressions are re-evaluated per-partition after any
+    shuffle, so a rand()-based split silently reassigns rows between plans,
+    while the hash split is a pure function of the row: disjoint,
+    exhaustive, and reproducible on any cluster/partitioning (asserted in
+    tests)."""
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.pmod(F.xxhash64("l_orderkey", "l_linenumber", F.lit(42)), F.lit(100))
+    tagged = li.withColumn("split", F.when(bucket < 80, "train").otherwise("test"))
+    return tagged.groupBy("l_returnflag", "split").agg(F.count(F.lit(1)).alias("cnt"))

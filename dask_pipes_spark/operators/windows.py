@@ -300,3 +300,28 @@ def e11_percent_rank_cume(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "e12_cumprod",
+    oracle="""
+    SELECT o_orderkey, l_linenumber,
+           CAST(ROUND(CAST(EXP(SUM(LN(1.0 + l_discount)) OVER (
+                 PARTITION BY o_orderkey ORDER BY l_linenumber)) AS DECIMAL(18,10)), 4)
+                AS DOUBLE) AS cum_growth
+    FROM (SELECT l_orderkey AS o_orderkey, l_linenumber, l_discount FROM lineitem)
+    """,
+)
+def e12_cumprod(spark, sf_dir):
+    """Running product (Dask ``cumprod``) over positive factors via the
+    log-sum-exp identity — Spark has no product aggregate; ``exp(sum(ln))``
+    stays in codegen and is numerically identical on both engines after
+    one rounding. Factors here are (1 + discount) growth multipliers."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    cum = F.exp(F.sum(F.log(F.lit(1.0) + F.col("l_discount"))).over(w))
+    return li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.round(cum.cast("decimal(18,10)"), 4).cast("double").alias("cum_growth"),
+    )

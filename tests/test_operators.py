@@ -125,3 +125,28 @@ def test_map_overlap_invariant_to_partition_count(spark):
     b = map_overlap(e, ("ts", "event_id"), 4, roll, "event_id bigint, roll_avg double", npartitions=8)
     assert a.count() == e.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_f7_random_split_disjoint_exhaustive_reproducible(spark):
+    """Content-hash split: partitions the table exactly, reproduces row-by-row
+    across independent plans (the property rand() cannot give), ~80/20."""
+    from pyspark.sql import functions as F
+    from dask_pipes_spark.session import load
+
+    def tag(df, col):
+        bucket = F.pmod(F.xxhash64("l_orderkey", "l_linenumber", F.lit(42)), F.lit(100))
+        return df.withColumn(col, F.when(bucket < 80, "train").otherwise("test"))
+
+    li = load(spark, SF_SMOKE, "lineitem")
+    tagged = tag(li, "split")
+    counts = {r.split: r.c for r in tagged.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts["train"] + counts["test"] == li.count()
+    again = tag(li.repartition(3), "split2").select("l_orderkey", "l_linenumber", "split2")
+    joined = tagged.join(again, ["l_orderkey", "l_linenumber"]).filter(
+        F.col("split") != F.col("split2")
+    )
+    assert joined.count() == 0
+    # rough 80/20 shape (5-sigma binomial)
+    import math
+    n = li.count()
+    assert abs(counts["train"] - 0.8 * n) <= 5 * math.sqrt(n * 0.16) + 1
