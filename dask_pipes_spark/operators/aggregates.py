@@ -143,16 +143,23 @@ _VAR_SQL = (
     SELECT l_returnflag,
            {_VAR_SQL} AS var_qty,
            SQRT({_VAR_SQL}) AS std_qty,
-           MIN_BY(l_extendedprice, l_orderkey * 10 + l_linenumber) AS first_price,
-           MAX_BY(l_extendedprice, l_orderkey * 10 + l_linenumber) AS last_price
+           MIN_BY(l_extendedprice,
+                  (l_orderkey * 100 + l_linenumber) * 100000000
+                  + CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS first_price,
+           MAX_BY(l_extendedprice,
+                  (l_orderkey * 100 + l_linenumber) * 100000000
+                  + CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS last_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def d6_group_stats(spark, sf_dir):
     """Per-group var/std/first/last (Dask ``groupby.var/std/first/last``).
 
-    first/last need a deterministic order → min_by/max_by over the natural
-    row key (orderkey, linenumber), exactly as the oracle defines them.
+    first/last need a deterministic total order, and the fixture's
+    (orderkey, linenumber) is NOT unique (duplicate pairs exist at
+    sf0.001) — so the ordering key is one exact bigint packing
+    (rowkey, cents(price)): rowkey·1e8 + round(price·100), identical
+    integer arithmetic on both engines, price as the final tiebreaker.
     """
     li = load(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("decimal(28,6)")
@@ -161,7 +168,9 @@ def d6_group_stats(spark, sf_dir):
     sx = F.sum(q).cast("double")
     sxx = F.sum(qq).cast("double")
     var = (sxx - sx * sx / n) / (n - 1)
-    rowkey = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    rowkey = (F.col("l_orderkey") * 100 + F.col("l_linenumber")) * 100000000 + F.round(
+        F.col("l_extendedprice") * 100
+    ).cast("long")
     return li.groupBy("l_returnflag").agg(
         var.alias("var_qty"),
         F.sqrt(var).alias("std_qty"),

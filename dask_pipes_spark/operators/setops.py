@@ -68,18 +68,20 @@ def g3_distinct(spark, sf_dir):
     SELECT l_partkey, l_orderkey, l_linenumber, l_quantity FROM (
       SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
              ROW_NUMBER() OVER (PARTITION BY l_partkey
-                                ORDER BY l_orderkey, l_linenumber) AS rn
+                                ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
       FROM lineitem
     ) WHERE rn = 1
     """,
 )
 def g4_dedup_subset(spark, sf_dir):
     """drop_duplicates(subset=...) with a *deterministic* survivor: first row
-    by (orderkey, linenumber) per partkey. Plain ``dropDuplicates`` keeps an
-    arbitrary row — unusable under a value-hash check or in a reproducible
-    pipeline."""
+    by (orderkey, linenumber, quantity) per partkey — quantity included
+    because the fixture's (orderkey, linenumber) is not unique (duplicate
+    pairs exist at sf0.001), and a tied pick would be engine-arbitrary.
+    Plain ``dropDuplicates`` keeps an arbitrary row — unusable under a
+    value-hash check or in a reproducible pipeline."""
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber", "l_quantity")
     return (
         li.select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
         .withColumn("rn", F.row_number().over(w))
