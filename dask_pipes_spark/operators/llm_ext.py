@@ -446,3 +446,86 @@ def l16_doc_fingerprint(spark, sf_dir):
         F.array_min("fingerprints").alias("min_fp"),
         F.array_max("fingerprints").alias("max_fp"),
     )
+
+
+# --- random-hyperplane LSH (sign LSH) for embeddings -------------------------
+
+
+def _hyperplanes(nbits: int, dim: int) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (numpy, fixed seed) — the LSH
+    family for cosine distance (Charikar 2002): P[collision] = 1 - θ/π."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return rng.standard_normal((nbits, dim)).round(6).tolist()
+
+
+def lsh_bucket(vec_col, planes) -> "F.Column":
+    """Sign-bit bucket id: bit j = [v · plane_j ≥ 0]; one codegen expression
+    per plane, O(nbits · dim) per row, zero shuffle."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+@query("l17_vector_lsh_topk")  # weak: probe-bounded ANN, recall data-dependent
+def l17_vector_lsh_topk(spark, sf_dir):
+    """Approximate top-k cosine neighbors via random-hyperplane LSH — the
+    third ANN scale path next to brute force (l3) and IVF (l12): vectors
+    bucket by 6 sign bits (zero shuffle), queries probe their own bucket
+    plus all Hamming-distance-1 buckets (multi-probe), candidates join on
+    the bucket id — an equi-join, never a cross join — and exact cosine
+    re-ranks within candidates. At 100 TB the candidate volume per query is
+    n/2^nbits × (nbits+1), tuned by nbits; recall vs l3 is measured in
+    tests/test_llm_ext.py."""
+    nbits = 6
+    e = load(spark, sf_dir, "embeddings")
+    dbl = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    ).withColumn("nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)))
+    planes = _hyperplanes(nbits, 64)
+    indexed = dbl.withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    queries = (
+        indexed.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "bucket",
+        )
+        # multi-probe: own bucket + each single-bit flip
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(nbits)],
+                )
+            ),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "e", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    pairs = (
+        indexed.join(queries, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

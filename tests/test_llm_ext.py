@@ -133,3 +133,34 @@ def test_multimodal_meta_only_prunes_payload(spark, registry):
     assert "text" not in read_schema, read_schema
     assert "n_chars" in read_schema
     assert df.count() > 0
+
+
+def test_l17_lsh_topk_invariants_and_recall(spark, registry):
+    """LSH results: ≤5 per query, sims descending, sims exact where they
+    overlap brute force, and multi-probe recall vs brute top-5 is reported
+    (bounded below loosely — the fixture vectors are near-isotropic, the
+    worst case for sign LSH)."""
+    queries, _ = registry
+    lsh = queries["l17_vector_lsh_topk"](spark, SF_SMOKE).collect()
+    brute = queries["l3_cosine_topk"](spark, SF_SMOKE).collect()
+    per_q = {}
+    for r in lsh:
+        per_q.setdefault(r.query_id, []).append((r.neighbor_id, r.cos_sim))
+    for q, items in per_q.items():
+        sims = [s for _, s in items]
+        assert sims == sorted(sims, reverse=True)
+        assert len(items) <= 5
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, {})[r.neighbor_id] = r.cos_sim
+    hits = total = 0
+    for q, bs in brute_sets.items():
+        got = {nid for nid, _ in per_q.get(q, [])}
+        hits += len(got & set(bs))
+        total += len(bs)
+    recall = hits / max(total, 1)
+    assert recall >= 0.15, recall  # isotropic worst case; real corpora cluster
+    for q, items in per_q.items():
+        for nid, sim in items:
+            if nid in brute_sets.get(q, {}):
+                assert abs(brute_sets[q][nid] - sim) < 1e-9
