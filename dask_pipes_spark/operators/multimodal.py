@@ -128,3 +128,74 @@ def m2_multimodal_meta(spark, sf_dir):
             F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
         )
     )
+
+
+@query("m3_frame_sample")  # weak: binary plumbing, stubbed codec
+def m3_frame_sample(spark, sf_dir):
+    """Video frame sampling through ``mapInPandas`` — the one-row→many-rows
+    batch shape of real frame extraction: each payload is treated as a
+    frame container (frame length 40 bytes), every 4th frame is sampled,
+    and one output row per sampled frame carries (media_id, frame_idx,
+    frame offset, stub checksum). Decoding a real container is the stubbed
+    step; the fan-out schema, offset arithmetic, and Arrow batching are the
+    real thing (row counts asserted in tests)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("frame_checksum", T.StringType()),
+        ]
+    )
+    FRAME, EVERY = 40, 4
+
+    def sample_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "offset": [], "frame_checksum": []}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(len(raw) // FRAME, 1)
+                for idx in range(0, n_frames, EVERY):
+                    chunk = raw[idx * FRAME : (idx + 1) * FRAME]
+                    rows["media_id"].append(media_id)
+                    rows["frame_idx"].append(idx)
+                    rows["offset"].append(idx * FRAME)
+                    rows["frame_checksum"].append(
+                        hashlib.sha256(chunk).hexdigest()[:12]
+                    )
+            yield pd.DataFrame(rows)
+
+    return synth_media(spark, sf_dir).mapInPandas(sample_partition, schema)
+
+
+@query("m4_image_resize")  # weak: binary plumbing, stubbed codec
+def m4_image_resize(spark, sf_dir):
+    """Resize / thumbnail extraction stub with the real batch contract: each
+    payload reduces to a fixed 2×2 block-mean "thumbnail" (4 doubles) — the
+    shape-normalization step every multimodal training pipeline runs before
+    batching tensors. A real resize swaps the block-mean for the image
+    library call; schema (fixed-length array), batching, and per-row
+    normalization are the tested plumbing."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("thumb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def resize_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, thumbs = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) or b"\x00"
+                q = max(len(raw) // 4, 1)
+                blocks = [raw[i * q : (i + 1) * q] or b"\x00" for i in range(4)]
+                thumbs.append([round(sum(b) / len(b) / 255.0, 6) for b in blocks])
+                ids.append(media_id)
+            yield pd.DataFrame({"media_id": ids, "thumb": thumbs})
+
+    return synth_media(spark, sf_dir).mapInPandas(resize_partition, schema)

@@ -164,3 +164,26 @@ def test_l17_lsh_topk_invariants_and_recall(spark, registry):
         for nid, sim in items:
             if nid in brute_sets.get(q, {}):
                 assert abs(brute_sets[q][nid] - sim) < 1e-9
+
+
+def test_m3_frame_sample_row_counts(spark, registry):
+    """Fan-out shape: one row per sampled frame, ceil(n_frames/4) per media."""
+    queries, _ = registry
+    out = queries["m3_frame_sample"](spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    import math
+    expected = sum(
+        math.ceil(max(r.n_chars // 40, 1) / 4) for r in docs.select("n_chars").collect()
+    )
+    assert out.count() == expected
+    assert out.filter(F.col("frame_idx") % 4 != 0).count() == 0
+
+
+def test_m4_resize_fixed_shape(spark, registry):
+    queries, _ = registry
+    out = queries["m4_image_resize"](spark, SF_SMOKE)
+    rows = out.collect()
+    docs_n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == docs_n
+    assert all(len(r.thumb) == 4 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.thumb)

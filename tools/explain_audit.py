@@ -54,6 +54,8 @@ ARROW_OK = {
     "l16_doc_fingerprint",
     "m1_multimodal_decode",
     "m2_multimodal_meta",
+    "m3_frame_sample",
+    "m4_image_resize",
     "p1_pipeline_fit_transform",
 }
 
