@@ -465,3 +465,31 @@ def d18_one_hot(spark, sf_dir):
             for v, name in cats
         ],
     )
+
+
+@query(
+    "d19_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def d19_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form under rollup/cube): per-flag,
+    per-status, and grand totals in one pass — Spark computes all sets from
+    a single partial aggregation (one scan, one expand), exactly like
+    rollup/cube. The grouping id disambiguates NULL-as-total from NULL-as-
+    value on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("dps_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+               grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid
+        FROM dps_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

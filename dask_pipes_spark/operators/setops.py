@@ -124,3 +124,27 @@ def g6_except(spark, sf_dir):
     return li.select("l_partkey").exceptAll(
         li.filter(F.col("l_returnflag") == "A").select("l_partkey")
     )
+
+
+@query(
+    "g7_union_missing_columns",
+    oracle="""
+    SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS pri FROM orders
+    UNION ALL
+    SELECT l_orderkey AS k, l_extendedprice AS price, NULL AS pri FROM lineitem
+    """,
+)
+def g7_union_missing_columns(spark, sf_dir):
+    """``unionByName(allowMissingColumns=True)`` (Dask ``dd.concat`` of
+    frames with different columns): missing columns null-fill — schema
+    alignment by *name*, the concat semantics pandas users expect."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    a = t["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    b = t["lineitem"].select(
+        F.col("l_orderkey").alias("k"), F.col("l_extendedprice").alias("price")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
