@@ -431,3 +431,54 @@ def h17_parse_datetime(spark, sf_dir):
         F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss").cast("timestamp_ntz").alias("reparsed"),
         F.date_format("o_orderdate", "yyyy").cast("long").alias("year_str"),
     )
+
+
+@query(
+    "h18_string_extra",
+    oracle="""
+    SELECT c_custkey,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           REVERSE(c_name) AS rev_name,
+           TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+           REPEAT('-', CAST(c_custkey % 5 AS INTEGER)) AS bar
+    FROM customer
+    """,
+)
+def h18_string_extra(spark, sf_dir):
+    """Second string tier (pandas ``str.pad/translate``, numpy repeat):
+    lpad / reverse / translate / repeat — all JVM builtins."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("c_name").alias("rev_name"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+        F.repeat(F.lit("-"), F.pmod("c_custkey", F.lit(5)).cast("int")).alias("bar"),
+    )
+
+
+@query(
+    "h19_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS band,
+           l_orderkey | l_linenumber AS bor,
+           xor(l_orderkey, l_linenumber) AS bxor,
+           l_orderkey << 2 AS shl,
+           l_orderkey >> 3 AS shr
+    FROM lineitem
+    """,
+)
+def h19_bitwise(spark, sf_dir):
+    """Bitwise operators (numpy ``& | ^ << >>`` over int series) — codegen
+    integer ops, the partitioner/bucketing primitive family."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("band"),
+        (F.col("l_orderkey").bitwiseOR(F.col("l_linenumber"))).alias("bor"),
+        (F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber"))).alias("bxor"),
+        F.shiftleft("l_orderkey", 2).alias("shl"),
+        F.shiftright("l_orderkey", 3).alias("shr"),
+    )

@@ -325,3 +325,31 @@ def e12_cumprod(spark, sf_dir):
         "l_linenumber",
         F.round(cum.cast("decimal(18,10)"), 4).cast("double").alias("cum_growth"),
     )
+
+
+@query("e13_ewm")  # weak: recursive float recurrence, no stable SQL form
+def e13_ewm(spark, sf_dir):
+    """Exponentially-weighted mean per key (Dask/pandas ``ewm.mean``,
+    adjust=True): inherently a running recurrence over the full per-key
+    history, so it rides the grouped-map escape hatch — ``applyInPandas``
+    per user, pandas computing the vectorized EWM inside each Arrow batch.
+    The SQL closed form needs ``pow(1-α, -i)`` which overflows for long
+    histories → declared weak; tests assert partition-invariance and
+    equality with a locally-computed pandas EWM."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+
+    def ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ewm_value": pdf["value"].ewm(alpha=0.3, adjust=True).mean().round(4),
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        ewm, "user_id bigint, event_id bigint, ewm_value double"
+    )

@@ -150,3 +150,25 @@ def test_f7_random_split_disjoint_exhaustive_reproducible(spark):
     import math
     n = li.count()
     assert abs(counts["train"] - 0.8 * n) <= 5 * math.sqrt(n * 0.16) + 1
+
+
+def test_e13_ewm_matches_local_pandas_and_is_partition_invariant(spark, registry):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from dask_pipes_spark.session import load
+
+    queries, _ = registry
+    out = queries["e13_ewm"](spark, SF_SMOKE).collect()
+    got = {(r.user_id, r.event_id): r.ewm_value for r in out}
+
+    # local pandas recompute for the busiest user
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts", "value").toPandas()
+    busiest = ev["user_id"].value_counts().index[0]
+    sub = ev[ev["user_id"] == busiest].sort_values(["ts", "event_id"], kind="mergesort")
+    want = sub["value"].ewm(alpha=0.3, adjust=True).mean().round(4)
+    for eid, w in zip(sub["event_id"], want):
+        assert abs(got[(busiest, eid)] - w) < 1e-9
+
+    # re-execution determinism: a second independent run agrees exactly
+    out2 = {(r.user_id, r.event_id): r.ewm_value for r in queries["e13_ewm"](spark, SF_SMOKE).collect()}
+    assert got == out2

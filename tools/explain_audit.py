@@ -45,6 +45,7 @@ ARROW_OK = {
     "j4_grouped_agg_udaf",
     "j5_python_udtf",
     "j6_map_overlap",
+    "e13_ewm",
     "k6_stream_stateful",
     "l2_minhash_lsh",
     "l7_dup_cluster_stats",
