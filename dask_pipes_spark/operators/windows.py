@@ -353,3 +353,52 @@ def e13_ewm(spark, sf_dir):
     return e.groupBy("user_id").applyInPandas(
         ewm, "user_id bigint, event_id bigint, ewm_value double"
     )
+
+
+@query(
+    "e14_resample",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    agg AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT grid.day AS day, COALESCE(cnt, 0) AS cnt,
+           COALESCE(sum_value, 0.0) AS sum_value
+    FROM grid LEFT JOIN agg ON grid.day = agg.day
+    """,
+)
+def e14_resample(spark, sf_dir):
+    """Time resampling with gap fill (pandas/Dask ``resample('1D').agg`` —
+    empty buckets PRESENT with zeros, which plain date_trunc+groupBy loses):
+    aggregate per day, then left-join onto the full day grid built with
+    ``sequence(min, max, interval 1 day)`` exploded. The grid is derived
+    from a bounded 2-value aggregate (broadcast), so the fill is
+    scale-free; the data-side agg is the usual partial+final."""
+    e = load(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return grid.join(agg, "day", "left").select(
+        "day",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )

@@ -137,8 +137,8 @@ def audit(keys: list[str]) -> int:
             bad = True
             notes.append("broadcast join not broadcast")
 
-        if not arrow and "WholeStageCodegen" not in plan and "LocalTableScan" not in plan:
-            notes.append("no WholeStageCodegen span")  # informational
+        # (codegen spans only appear in AQE *final* plans, i.e. after an
+        # action; pre-execution plans here always omit them — not a signal)
 
         joins = "+".join(sorted(set(re.findall(r"(\w*?(?:HashJoin|MergeJoin|NestedLoopJoin|CartesianProduct))", plan))))
         nex = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
