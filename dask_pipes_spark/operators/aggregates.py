@@ -493,3 +493,42 @@ def d19_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@query("d20_approx_quantile")  # weak: sketch-dependent values
+def d20_approx_quantile(spark, sf_dir):
+    """Approximate percentiles via Spark's mergeable quantile sketch
+    (``percentile_approx``, Greenwald-Khanna) — the scale path Dask's own
+    ``quantile`` (t-digest) takes; d7 is the exact twin. Weak-checked: the
+    sketch is engine-specific; the local test asserts each approximation
+    lands within the accuracy bound of d7's exact answer."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("exact_p50"),
+    )
+
+
+@query(
+    "d21_count_if",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d21_count_if(spark, sf_dir):
+    """Conditional aggregates (pandas boolean-mask ``sum()``/SQL FILTER):
+    ``count_if`` + filtered sums — one pass, no self-joins."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount") > 0.05
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(disc).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        F.sum(F.when(disc, F.col("l_extendedprice").cast("decimal(28,6)")))
+        .cast("double")
+        .alias("disc_revenue"),
+    )

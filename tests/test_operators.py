@@ -172,3 +172,12 @@ def test_e13_ewm_matches_local_pandas_and_is_partition_invariant(spark, registry
     # re-execution determinism: a second independent run agrees exactly
     out2 = {(r.user_id, r.event_id): r.ewm_value for r in queries["e13_ewm"](spark, SF_SMOKE).collect()}
     assert got == out2
+
+
+def test_d20_approx_quantile_within_bound(spark, registry):
+    """percentile_approx(accuracy=10000) must land within 1/10000-rank of
+    exact — loosely: p50 approx within 1 quantity unit of exact p50."""
+    queries, _ = registry
+    for r in queries["d20_approx_quantile"](spark, SF_SMOKE).collect():
+        assert abs(r.approx_pcts[0] - r.exact_p50) <= 1.0, r
+        assert r.approx_pcts[0] <= r.approx_pcts[1] <= r.approx_pcts[2]
