@@ -182,6 +182,12 @@ def map_overlap(df, order_cols, before, fn, schema, npartitions=8):
     ``before × npartitions``-row duplication — the same boundary-transfer
     profile as Dask's overlap layers, scale-independent of total row count.
     ``fn`` must return a frame positionally aligned with its (sorted) input.
+
+    Constraint: ``before`` must not exceed the smallest partition's row
+    count — context is copied only from the *adjacent* partition (Dask's
+    map_overlap has the same single-neighbor depth). Range partitioning
+    gives ~n/npartitions rows per partition; size npartitions so that
+    n/npartitions ≫ before, which any realistic window satisfies at scale.
     """
     rp = df.repartitionByRange(npartitions, *order_cols)
     tagged = rp.withColumn("_pid", F.spark_partition_id())
