@@ -361,3 +361,77 @@ def l8_embedding_agg(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("centroid")
     )
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components by min-label propagation — the clustering step a
+    real near-dedup pipeline needs between "candidate pairs" and "purge
+    list" (Lee et al. 2022 group duplicates exactly this way).
+
+    Iterative Spark: each round every node adopts the smallest label among
+    itself and its neighbors; converges in O(graph diameter) rounds (near-dup
+    clusters are tiny cliques → 2-3 rounds). Each round is one join + one
+    groupBy — all shuffles on the node key — and ``localCheckpoint``
+    truncates the lineage so the plan does not grow with iterations (the
+    standard Spark iterative-algorithm discipline; Pregel-style frameworks
+    do the same). Deterministic: labels are min() aggregates, no RNG.
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.s == labels.node)
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage — plan stays O(1) per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("l18_dup_components")  # weak: iterative fixpoint (deterministic; union-find-tested)
+def l18_dup_components(spark, sf_dir):
+    """Near-dup clustering end-to-end: MinHash-LSH candidate pairs (l2) →
+    connected components → per-cluster stats + the representative (min
+    doc_id) every other member would be purged in favor of. The piece
+    between pair generation and an actionable dedup decision; tests verify
+    the labeling against a driver-side union-find on the same edges."""
+    d = load(spark, sf_dir, "documents")
+    pairs = lsh_candidates(minhash_signatures(d)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    docs = d.select(F.col("doc_id").alias("node"), "lang", "source")
+    return (
+        comp.join(docs, "node")
+        .groupBy(F.col("label").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )

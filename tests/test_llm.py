@@ -51,3 +51,44 @@ def test_cosine_topk_self_similarity_excluded_and_sorted(spark, registry):
     for sims in per_q.values():
         assert len(sims) == 5
         assert sims == sorted(sims, reverse=True)
+
+
+def test_connected_components_match_union_find(spark):
+    """Spark min-label propagation vs a driver-side union-find on the same
+    edges — labels must induce identical partitions, with the min member as
+    representative."""
+    from dask_pipes_spark.operators.llm_ops import (
+        connected_components,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from dask_pipes_spark.session import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    edges = lsh_candidates(minhash_signatures(d)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edge_rows = [(r.src, r.dst) for r in edges.collect()]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_rows:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # path-compress fully
+    want = {n: find(n) for n in parent}
+
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == want
