@@ -3,6 +3,7 @@ operator into :mod:`dask_pipes_spark.registry`."""
 
 from dask_pipes_spark.operators import (  # noqa: F401
     aggregates,
+    curation,
     functions_ops,
     joins,
     llm_ext,
@@ -20,6 +21,7 @@ from dask_pipes_spark.operators import (  # noqa: F401
 
 __all__ = [
     "aggregates",
+    "curation",
     "functions_ops",
     "joins",
     "llm_ext",

@@ -1,0 +1,267 @@
+"""Group L (continued) — corpus-curation operators a production training-data
+pipeline runs between "raw scrape" and "tokenizer": text normalization, PII
+redaction, fixed-window chunking, concat-and-chunk sequence packing, and
+quality-percentile filtering (SURVEY.md §2-X).
+
+Published grounding: C4 cleaning heuristics (Raffel et al. 2020); Gopher
+rule-based quality filters (Rae et al. 2021); concat-and-chunk packing is the
+standard LM pretraining batching scheme (GPT-2/3 data pipelines).
+
+Scale notes (100 TB):
+- l19/l20 are pure per-row codegen expressions — no shuffle, no Python;
+  throughput is scan-bound and the regexes run in the JVM.
+- l21 chunking fans one row out to O(len/stride) rows via ``explode`` —
+  still narrow (no shuffle); output row count is bounded by corpus
+  bytes / stride, and the explode happens after scan-side column pruning.
+- l22 packing windows over (source) shards: each shard's cumsum is one
+  sorted window partition, so parallelism = #shards and no global sort is
+  required. A single global pack order would serialize; per-shard packing is
+  what real pipelines do (shard-local bin ids, shard id disambiguates).
+- l23 ranks within lang partitions — the quantile threshold comes from a
+  window rank, not a driver collect, so it scales with the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.registry import query
+from dask_pipes_spark.session import load
+
+#: fixed accent-fold table applied by l19 (both engines have ``translate``)
+_ACCENTS_FROM = "áéíóúüñàèìòùâêîôûç"
+_ACCENTS_TO = "aeiouunaeiouaeiouc"
+
+#: l21 chunking geometry (chars): window 128, stride 96 → 32-char overlap
+CHUNK_SIZE = 128
+CHUNK_STRIDE = 96
+
+#: l22 packing context length (whitespace tokens)
+PACK_CTX = 512
+
+
+def normalize_text(col):
+    """Canonical text form: lowercase, accent-fold, collapse runs of
+    whitespace to single spaces, trim. Matches the oracle's
+    ``TRANSLATE(LOWER(..))`` + global regexp_replace exactly."""
+    c = F.translate(F.lower(col), _ACCENTS_FROM, _ACCENTS_TO)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+@query(
+    "l19_text_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(TRANSLATE(LOWER(text),
+                '{_ACCENTS_FROM}', '{_ACCENTS_TO}'), '\\s+', ' ', 'g'))
+             AS norm_text,
+           CAST(LENGTH(TRIM(REGEXP_REPLACE(TRANSLATE(LOWER(text),
+                '{_ACCENTS_FROM}', '{_ACCENTS_TO}'), '\\s+', ' ', 'g')))
+             AS BIGINT) AS norm_chars
+    FROM documents
+    """,
+)
+def l19_text_normalize(spark, sf_dir):
+    """C4-style canonicalization: lowercase, accent-fold (fixed table),
+    whitespace collapse, trim. Pure codegen string expressions — the
+    upstream step every dedup hash (l1/l2/l9) should consume."""
+    d = load(spark, sf_dir, "documents")
+    n = normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        n.alias("norm_text"),
+        F.length(n).cast("long").alias("norm_chars"),
+    )
+
+
+# Redaction patterns — RE2-safe (no backreferences/lookaround) so the same
+# pattern text runs on Spark (Java regex) and DuckDB (RE2) identically.
+_PAT_URL = r"https?://\S+"
+_PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PAT_LONGNUM = r"\b\d{7,}\b"
+
+
+def redact_pii(col):
+    """URL → <URL>, email → <EMAIL>, 7+-digit runs → <NUM>; URL first so
+    emails inside URLs don't double-fire."""
+    c = F.regexp_replace(col, _PAT_URL, "<URL>")
+    c = F.regexp_replace(c, _PAT_EMAIL, "<EMAIL>")
+    return F.regexp_replace(c, _PAT_LONGNUM, "<NUM>")
+
+
+@query(
+    "l20_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+               '{_PAT_URL}', '<URL>', 'g'),
+               '{_PAT_EMAIL}', '<EMAIL>', 'g'),
+               '{_PAT_LONGNUM}', '<NUM>', 'g') AS redacted,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_PAT_URL}'))
+              + LEN(REGEXP_EXTRACT_ALL(text, '{_PAT_EMAIL}'))
+              + LEN(REGEXP_EXTRACT_ALL(text, '{_PAT_LONGNUM}'))
+             AS BIGINT) AS n_hits
+    FROM documents
+    """,
+)
+def l20_pii_redact(spark, sf_dir):
+    """PII scrubbing: URLs, emails, long digit runs → typed placeholders,
+    plus a per-doc hit count. Single-pass JVM regex chain; the fixture
+    corpus is synthetic (mostly zero hits) — crafted-input behavior is
+    pinned in tests/test_curation.py."""
+    d = load(spark, sf_dir, "documents")
+    hits = (
+        F.regexp_count("text", F.lit(_PAT_URL))
+        + F.regexp_count("text", F.lit(_PAT_EMAIL))
+        + F.regexp_count("text", F.lit(_PAT_LONGNUM))
+    )
+    return d.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        hits.cast("long").alias("n_hits"),
+    )
+
+
+@query(
+    "l21_doc_chunk",
+    oracle=f"""
+    SELECT doc_id,
+           i AS chunk_id,
+           SUBSTRING(text, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}) AS chunk_text,
+           CAST(LENGTH(SUBSTRING(text, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}))
+             AS BIGINT) AS chunk_len
+    FROM documents,
+         UNNEST(GENERATE_SERIES(0,
+             GREATEST(0, CAST(FLOOR((n_chars - 1) / {CHUNK_STRIDE}.0) AS BIGINT))
+         )) AS t(i)
+    """,
+)
+def l21_doc_chunk(spark, sf_dir):
+    """Sliding-window chunking: 128-char windows every 96 chars (32-char
+    overlap) — the context-window splitter for long documents. One narrow
+    ``explode`` per row (no shuffle); chunk count = ceil(len/stride)."""
+    d = load(spark, sf_dir, "documents")
+    n_last = F.greatest(
+        F.lit(0), F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE).cast("long")
+    )
+    chunk = F.substring(
+        "text", F.col("chunk_id").cast("int") * CHUNK_STRIDE + F.lit(1), CHUNK_SIZE
+    )
+    return (
+        d.select("doc_id", "text", F.explode(F.sequence(F.lit(0).cast("long"), n_last)).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            chunk.alias("chunk_text"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+        )
+    )
+
+
+@query(
+    "l22_seq_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), placed AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+      FROM toks
+    )
+    SELECT source,
+           CAST(FLOOR(start_tok / {PACK_CTX}.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed
+    GROUP BY source, CAST(FLOOR(start_tok / {PACK_CTX}.0) AS BIGINT)
+    """,
+)
+def l22_seq_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing: within each source shard, docs are
+    laid end-to-end in doc_id order and assigned to 512-token context bins
+    by their start offset (the GPT-2/3 pretraining batching scheme). The
+    cumsum windows over (source) shards, so parallelism = #shards and no
+    global sort exists; bin ids are shard-local by design."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    placed = d.select("source", "doc_id", n_tok.alias("n_tokens")).withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        placed.withColumn(
+            "bin_id", F.floor(F.col("start_tok") / float(PACK_CTX)).cast("long")
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "l23_quality_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             -- identical composite to l14, rounded once through DECIMAL so
+             -- both engines round HALF_UP on exact midpoints
+             CAST(ROUND(CAST(
+                 LEAST(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.4
+                 + (1.0 - CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   t -> t IN ('a', 'the'))) AS DOUBLE)
+                         / LEN(STRING_SPLIT(text, ' '))) * 0.3
+                 + CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                         / LEN(STRING_SPLIT(text, ' ')) * 0.3
+               AS DECIMAL(18,12)), 6) AS DOUBLE) AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang, quality,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM scored
+    )
+    SELECT doc_id, lang, quality, rn
+    FROM ranked
+    WHERE rn * 2 <= n_lang + 1
+    """,
+)
+def l23_quality_filter(spark, sf_dir):
+    """Keep the top half of each language by quality score (l14's composite)
+    — percentile filtering done with a window rank, not a driver-side
+    threshold collect, so the cut scales with the lang shuffle. Integer rank
+    arithmetic (rn*2 <= n+1) avoids any float-threshold comparison; ties
+    break on doc_id for determinism."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_raw = F.size(F.filter(toks, lambda t: t.isin("a", "the"))).cast("double") / n_tok
+    ttr_raw = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    len_norm = F.least(F.col("n_chars").cast("double") / 200.0, F.lit(1.0))
+    quality = F.round(len_norm * 0.4 + (1.0 - stop_raw) * 0.3 + ttr_raw * 0.3, 6)
+    scored = d.select("doc_id", "lang", quality.alias("quality"))
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    return ranked.filter(F.col("rn") * 2 <= F.col("n_lang") + 1).select(
+        "doc_id", "lang", "quality", "rn"
+    )
