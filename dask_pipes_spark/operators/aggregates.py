@@ -532,3 +532,30 @@ def d21_count_if(spark, sf_dir):
         .cast("double")
         .alias("disc_revenue"),
     )
+
+
+@query("d22_hll_merge")  # weak: sketch-dependent values (merge-invariance tested)
+def d22_hll_merge(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg``/``hll_union_agg``) — the 100 TB aggregation pattern:
+    per-shard partial sketches are tiny binary blobs that union associatively,
+    so a global distinct count never reshuffles raw keys. Per-event_type
+    sketches here stand in for per-day/per-shard partials; the ALL row is
+    their union. Sketches are hash-deterministic: the merged estimate equals
+    sketching the whole column directly (asserted in tests)."""
+    ev = load(spark, sf_dir, "events")
+    partials = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_type = partials.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+    )
+    merged = partials.agg(F.hll_union_agg("sk").alias("msk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("msk").alias("est_users"),
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return per_type.unionByName(merged.crossJoin(exact_all))

@@ -169,7 +169,14 @@ def l11_embedding_neardup(spark, sf_dir):
     vectors are near-isotropic, max pairwise ≈ 0.5). Exact all-pairs here;
     at scale the same predicate runs on LSH/IVF candidate pairs only."""
     e = load(spark, sf_dir, "embeddings")
-    dbl = e.select(
+    return cosine_pairs(e, threshold=0.35)
+
+
+def cosine_pairs(vectors: "DataFrame", threshold: float) -> "DataFrame":
+    """All-pairs cosine similarity ≥ threshold over (vec_id, embedding) —
+    shared by l11 and the p4 semantic-dedup pipeline. Exact quadratic
+    baseline; the scale path substitutes LSH/IVF candidates upstream."""
+    dbl = vectors.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     n = dbl.withColumn(
@@ -189,7 +196,7 @@ def l11_embedding_neardup(spark, sf_dir):
             F.col("b.vec_id").alias("vec_b"),
             sim.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.35)
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

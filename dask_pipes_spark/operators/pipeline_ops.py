@@ -158,3 +158,30 @@ def p3_llm_corpus_pipeline(spark, sf_dir):
         F.sum("n_tokens").alias("sum_tokens"),
         davg("n_chars").alias("avg_chars"),
     )
+
+
+@query("p4_semantic_dedup")  # weak: iterative components (union-find-tested)
+def p4_semantic_dedup(spark, sf_dir):
+    """Semantic dedup end-to-end: embedding-cosine near-dup pairs (l11's
+    predicate, threshold 0.30) -> connected components (l18's propagation) ->
+    purge non-representative members, report per-label kept/purged. The
+    embedding-space twin of the MinHash pipeline -- at 100 TB the pair stage
+    swaps to LSH/IVF candidates and the rest of the plan is unchanged."""
+    from dask_pipes_spark.operators.llm_ext import cosine_pairs
+    from dask_pipes_spark.operators.llm_ops import connected_components
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(e, threshold=0.30).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comp = connected_components(pairs).withColumnRenamed("label", "component")
+    labeled = (
+        e.select(F.col("vec_id").alias("node"), F.col("label").alias("vec_label"))
+        .join(comp, "node", "left")
+        .select("node", "vec_label", F.coalesce("component", "node").alias("component"))
+    )
+    return labeled.groupBy("vec_label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_if(F.col("component") != F.col("node")).alias("n_purged"),
+        F.count_if(F.col("component") == F.col("node")).alias("n_kept"),
+    )

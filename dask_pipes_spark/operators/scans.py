@@ -222,3 +222,29 @@ def a8_partition_pruned_scan(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
     )
+
+
+@query(
+    "a9_scan_orc",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def a9_scan_orc(spark, sf_dir):
+    """ORC write + re-read (columnar alternative to parquet; both ship in
+    Spark). ORC round-trips types exactly, so the post-roundtrip aggregate
+    carries a full SQL oracle against the original table — the scratch write
+    is covered by the same correctness gate as a pure scan. Predicate/column
+    pushdown works on ORC scans the same as parquet (audited)."""
+    out = os.path.join(tempfile.gettempdir(), "dps_a9_orc")
+    cust = load(spark, sf_dir, "customer")
+    cust.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum("c_acctbal").alias("sum_bal"),
+    )

@@ -111,3 +111,72 @@ def test_quality_filter_keeps_top_half_per_lang(spark, registry):
     ranks = kept.groupBy("lang").agg(F.max("rn").alias("max_rn")).collect()
     for r in ranks:
         assert r.max_rn == (sizes[r.lang] + 1) // 2
+
+
+def test_hll_merge_invariance_and_accuracy(spark, registry):
+    """Union of per-type sketches must equal sketching the column directly
+    (HLL is hash-deterministic), and land within 5% of exact."""
+    queries, _ = registry
+    rows = {r.event_type: r for r in queries["d22_hll_merge"](spark, SF_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("e")
+    ).collect()[0].e
+    assert rows["ALL"].est_users == direct
+    for r in rows.values():
+        assert abs(r.est_users - r.exact_users) / r.exact_users < 0.05
+
+
+def test_orc_roundtrip_preserves_values(spark, registry):
+    queries, _ = registry
+    got = {
+        r.c_mktsegment: (r.n_cust, round(r.sum_bal, 4))
+        for r in queries["a9_scan_orc"](spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.c_mktsegment: (r.n, round(r.s, 4))
+        for r in spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_semantic_dedup_matches_union_find(spark, registry):
+    """p4's per-label purge counts must equal a driver-side union-find over
+    the same cosine pairs."""
+    queries, _ = registry
+    from dask_pipes_spark.operators.llm_ext import cosine_pairs
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pairs = [(r.vec_a, r.vec_b) for r in cosine_pairs(e, 0.30).collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rep = {n: find(n) for n in parent}
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    purged_by_label: dict = {}
+    for n, r in rep.items():
+        if r != n:
+            purged_by_label[labels[n]] = purged_by_label.get(labels[n], 0) + 1
+    got = {r.vec_label: (r.n_vecs, r.n_purged, r.n_kept)
+           for r in queries["p4_semantic_dedup"](spark, SF_SMOKE).collect()}
+    from collections import Counter
+    n_by_label = Counter(labels.values())
+    for lab, n in n_by_label.items():
+        want_purged = purged_by_label.get(lab, 0)
+        assert got[lab] == (n, want_purged, n - want_purged)

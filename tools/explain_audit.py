@@ -73,6 +73,8 @@ CARTESIAN_OK = {
     "l12_ivf_topk",
     # theta self-join over a top-30 token block — 30×30 bounded by the limit.
     "h16_levenshtein_pairs",
+    # 1×1 crossJoin attaching the global exact count to the merged-sketch row.
+    "d22_hll_merge",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
