@@ -559,3 +559,74 @@ def d22_hll_merge(spark, sf_dir):
     )
     exact_all = ev.agg(F.countDistinct("user_id").alias("exact_users"))
     return per_type.unionByName(merged.crossJoin(exact_all))
+
+
+@query(
+    "d23_regr_ols",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(({_SXY} - {_SX} * {_SY} / COUNT(*))
+               / ({_SXX} - {_SX} * {_SX} / COUNT(*)), 8) AS slope,
+           ROUND({_SY} / COUNT(*)
+               - (({_SXY} - {_SX} * {_SY} / COUNT(*))
+                  / ({_SXX} - {_SX} * {_SX} / COUNT(*))) * {_SX} / COUNT(*),
+                 8) AS intercept,
+           ROUND(POWER({_SXY} - {_SX} * {_SY} / COUNT(*), 2)
+               / (({_SXX} - {_SX} * {_SX} / COUNT(*))
+                  * ({_SYY} - {_SY} * {_SY} / COUNT(*))), 8) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d23_regr_ols(spark, sf_dir):
+    """Per-group OLS regression (SQL ``REGR_SLOPE/REGR_INTERCEPT/REGR_R2``),
+    derived in closed form from the five mergeable decimal sums (n, Sx, Sy,
+    Sxy, Sxx[, Syy]) instead of the engines' streaming covariance kernels —
+    one partial+final aggregation pass, exact and order-insensitive, so both
+    engines agree bitwise before the final rounded divide. At 100 TB the
+    shuffle carries five decimals per group, nothing else."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(28,6)"
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    sx = F.sum(x.cast(dec)).cast("double")
+    sy = F.sum(y.cast(dec)).cast("double")
+    sxy = F.sum((x * y).cast(dec)).cast("double")
+    sxx = F.sum((x * x).cast(dec)).cast("double")
+    syy = F.sum((y * y).cast(dec)).cast("double")
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    intercept = sy / n - slope * sx / n
+    r2 = F.pow(sxy - sx * sy / n, F.lit(2)) / (
+        (sxx - sx * sx / n) * (syy - sy * sy / n)
+    )
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(slope, 8).alias("slope"),
+        F.round(intercept, 8).alias("intercept"),
+        F.round(r2, 8).alias("r2"),
+    )
+
+
+@query(
+    "d24_bool_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           BOOL_AND(o_totalprice > 1000.0) AS all_above_1k,
+           BOOL_OR(o_orderstatus = 'F') AS any_finished,
+           BOOL_AND(o_custkey IS NOT NULL) AS no_null_cust,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d24_bool_agg(spark, sf_dir):
+    """Boolean quantifier aggregates (SQL:2023 ``BOOL_AND``/``BOOL_OR``,
+    a.k.a. ``EVERY``/``SOME``) — the data-quality assertion pattern
+    ("does every row in this group satisfy the invariant?"). Short-circuits
+    map-side: partials are single booleans, the cheapest shuffle there is."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_above_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_custkey").isNotNull()).alias("no_null_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -265,3 +265,135 @@ def l23_quality_filter(spark, sf_dir):
     return ranked.filter(F.col("rn") * 2 <= F.col("n_lang") + 1).select(
         "doc_id", "lang", "quality", "rn"
     )
+
+
+@query(
+    "l24_repetition_ratio",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(1.0 - CAST(SUM(n_uniq) AS DOUBLE) / SUM(n_tok), 8)
+             AS corpus_rep,
+           ROUND(MAX(1.0 - CAST(n_uniq AS DOUBLE) / n_tok), 8) AS max_rep,
+           COUNT(*) FILTER (1.0 - CAST(n_uniq AS DOUBLE) / n_tok > 0.5)
+             AS n_highrep
+    FROM (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq
+      FROM documents
+    ) GROUP BY lang
+    """,
+)
+def l24_repetition_ratio(spark, sf_dir):
+    """Token-repetition quality signal (Gopher rep-filters, Rae et al. 2021
+    §A1.1: high duplicate-token fraction predicts boilerplate/spam). Per doc:
+    1 - distinct_tokens/total_tokens; per lang: corpus-level ratio from exact
+    integer sums, max per-doc ratio, and the count above the 0.5 cut. Pure
+    narrow per-row array ops feeding one map-side-combined groupBy — all
+    float outputs are single divides over exact BIGINT sums, so the hash is
+    stable without decimal scaffolding."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    per_doc = d.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    rep = 1.0 - F.col("n_uniq").cast("double") / F.col("n_tok")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            1.0 - F.sum("n_uniq").cast("double") / F.sum("n_tok"), 8
+        ).alias("corpus_rep"),
+        F.round(F.max(rep), 8).alias("max_rep"),
+        F.count_if(rep > 0.5).alias("n_highrep"),
+    )
+
+
+@query(
+    "l25_sampling_weights",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS char_mass
+      FROM documents GROUP BY lang
+    ),
+    probs AS (
+      SELECT lang, n_docs, char_mass,
+             CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS p
+      FROM per_lang
+    )
+    SELECT lang, n_docs, char_mass,
+           ROUND(p, 8) AS p_raw,
+           ROUND(SQRT(p) / SUM(SQRT(p)) OVER (), 6) AS q_temp
+    FROM probs
+    """,
+)
+def l25_sampling_weights(spark, sf_dir):
+    """Temperature-scaled data-mixture sampling weights (the multilingual
+    rebalancing rule of XLM-R / mT5: q_i ∝ p_i^α flattens head languages and
+    boosts the tail; α = 0.5 here so the exponent is IEEE-exact ``sqrt``).
+    The mixture table is tiny (one row per lang/source), so the normalizing
+    window sums run on a broadcast-sized frame — at 100 TB only the per-lang
+    counting pass touches data."""
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("char_mass"),
+    )
+    wall = Window.partitionBy()
+    probs = per_lang.select(
+        "lang",
+        "n_docs",
+        "char_mass",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(wall)).alias("p"),
+    )
+    return probs.select(
+        "lang",
+        "n_docs",
+        "char_mass",
+        F.round("p", 8).alias("p_raw"),
+        F.round(F.sqrt("p") / F.sum(F.sqrt("p")).over(wall), 6).alias("q_temp"),
+    )
+
+
+@query(
+    "l26_dedup_keep_best",
+    oracle="""
+    WITH r AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY substr(text, 1, 32)
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (rn = 1) AS n_kept,
+           COUNT(*) FILTER (rn > 1) AS n_purged,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM r GROUP BY lang
+    """,
+)
+def l26_dedup_keep_best(spark, sf_dir):
+    """Dedup with a quality-keeper policy: group near-identical docs (shared
+    32-char prefix — the cheap URL/boilerplate-prefix heuristic of
+    C4/RefinedWeb-style cleaning) and keep the HIGHEST-QUALITY member
+    (longest, doc_id tiebreak) instead of an arbitrary one. One shuffle keyed
+    by the prefix; the survivor rule is a rank-1 window, total-ordered so the
+    pick is deterministic. Contrast l1 (keep min id) — real pipelines keep
+    the best copy, not the first."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.substring("text", 1, 32)).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    r = d.select("lang", "n_chars", F.row_number().over(w).alias("rn"))
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("rn") == 1).alias("n_kept"),
+        F.count_if(F.col("rn") > 1).alias("n_purged"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )

@@ -402,3 +402,53 @@ def e14_resample(spark, sf_dir):
         F.coalesce("cnt", F.lit(0)).alias("cnt"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+@query(
+    "e15_value_window",
+    oracle="""
+    SELECT user_id,
+           MAX(fv) AS first_val, MAX(lv) AS last_val, MAX(nv2) AS second_val,
+           MAX(fbig) AS first_big, COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             FIRST_VALUE(value) OVER w AS fv,
+             LAST_VALUE(value) OVER w AS lv,
+             NTH_VALUE(value, 2) OVER w AS nv2,
+             FIRST_VALUE(CASE WHEN value >= 50.0 THEN value END IGNORE NULLS)
+               OVER w AS fbig
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ) GROUP BY user_id
+    """,
+)
+def e15_value_window(spark, sf_dir):
+    """Window value functions — ``FIRST_VALUE``/``LAST_VALUE``/``NTH_VALUE``
+    over a full frame, plus the IGNORE NULLS variant ("first event meeting a
+    condition, in time order"). Ordering key (ts, event_id) is a total order
+    (event_id unique), so every picked value is deterministic. One shuffle by
+    user_id; the full-frame functions evaluate in a single sorted pass per
+    partition. The per-user collapse reuses the same exchange (no second
+    shuffle — groupBy key == window partition key)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    big = F.when(F.col("value") >= 50.0, F.col("value"))
+    rows = e.select(
+        "user_id",
+        F.first("value").over(w).alias("fv"),
+        F.last("value").over(w).alias("lv"),
+        F.nth_value("value", 2).over(w).alias("nv2"),
+        F.first(big, ignorenulls=True).over(w).alias("fbig"),
+    )
+    return rows.groupBy("user_id").agg(
+        F.max("fv").alias("first_val"),
+        F.max("lv").alias("last_val"),
+        F.max("nv2").alias("second_val"),
+        F.max("fbig").alias("first_big"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
