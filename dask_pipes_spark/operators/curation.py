@@ -397,3 +397,70 @@ def l26_dedup_keep_best(spark, sf_dir):
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+@query(
+    "l27_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                  FROM documents),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(list_transform(generate_series(1, len(t) - 3),
+                                   i -> array_to_string(t[i:i+3], ' '))) AS g
+      FROM toks WHERE len(t) >= 4
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT gr.doc_id
+      FROM grams gr JOIN bench b USING (g)
+      WHERE gr.doc_id % 97 <> 0
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_train,
+           COUNT(c.doc_id) AS n_contaminated,
+           ROUND(CAST(COUNT(c.doc_id) AS DOUBLE) / COUNT(*), 6) AS contam_rate
+    FROM documents d
+    LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.lang
+    """,
+)
+def l27_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 §C / PaLM-style n-gram overlap): flag
+    training docs sharing any word n-gram with the held-out eval set. Eval set
+    here = ``doc_id % 97 = 0`` (~1%); n = 4 because the synthetic corpus has a
+    tiny vocabulary (production uses 8–13). The eval-side gram set is small by
+    construction, so it is BROADCAST and the corpus-side probe is a map-side
+    semi-join — the 100 TB scan never shuffles; at larger eval sets the grams
+    would be 64-bit-hashed first to shrink the broadcast."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 4)))"
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(1))
+    )
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("is_contam").alias("n_contaminated"),
+            F.round(
+                F.count("is_contam").cast("double") / F.count(F.lit(1)), 6
+            ).alias("contam_rate"),
+        )
+    )

@@ -185,3 +185,51 @@ def p4_semantic_dedup(spark, sf_dir):
         F.count_if(F.col("component") != F.col("node")).alias("n_purged"),
         F.count_if(F.col("component") == F.col("node")).alias("n_kept"),
     )
+
+
+@query(
+    "p5_incremental_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def p5_incremental_merge(spark, sf_dir):
+    """Incremental aggregate maintenance: a materialized per-type aggregate
+    built from history (ts < Jan 16) is MERGED with the new partition's
+    partial aggregate via full-outer join + coalesce-add, instead of
+    rescanning history — the incremental-view-maintenance pattern every
+    long-running 100 TB pipeline needs (only the delta is scanned per run).
+    Partials stay DECIMAL until after the merge add, so the merged sum is
+    bit-identical to the oracle's single-pass aggregate — correctness of the
+    merge algebra is exactly what the oracle checks."""
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp_ntz")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+        )
+
+    hist = partial(e.filter(F.col("ts") < cutoff))
+    delta = partial(e.filter(F.col("ts") >= cutoff))
+    h, d = hist.alias("h"), delta.alias("d")
+    return (
+        h.join(d, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce(F.col("h.cnt"), F.lit(0))
+                + F.coalesce(F.col("d.cnt"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("h.s"), F.lit(0).cast("decimal(28,6)"))
+                + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(28,6)"))
+            )
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -452,3 +452,37 @@ def e15_value_window(spark, sf_dir):
         F.max("fbig").alias("first_big"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "e16_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           ROW_NUMBER() OVER w AS version,
+           value AS state_value,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e16_scd2_intervals(spark, sf_dir):
+    """SCD Type-2 interval construction from a changelog: each per-user
+    change event becomes a versioned row with ``[valid_from, valid_to)``
+    validity and an ``is_current`` flag (open interval) — the standard
+    warehouse pattern for point-in-time joins. ROW_NUMBER + LEAD share one
+    window spec, so Catalyst evaluates both in a single sorted pass after one
+    shuffle by user_id; (ts, event_id) is a total order so versions are
+    deterministic."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
