@@ -464,3 +464,47 @@ def l27_decontaminate(spark, sf_dir):
             ).alias("contam_rate"),
         )
     )
+
+
+@query(
+    "l28_vocab_induction",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS pair
+      FROM toks WHERE len(t) >= 2
+    ),
+    counted AS (SELECT pair, COUNT(*) AS n_occ FROM pairs GROUP BY pair)
+    SELECT pair, n_occ, rank FROM (
+      SELECT pair, n_occ,
+             ROW_NUMBER() OVER (ORDER BY n_occ DESC, pair) AS rank
+      FROM counted
+    ) WHERE rank <= 20
+    """,
+)
+def l28_vocab_induction(spark, sf_dir):
+    """One BPE merge round (Sennrich et al. 2016): count adjacent token
+    pairs corpus-wide and rank the top merge candidates — the inner loop of
+    tokenizer training, run as data-parallel counting. The pair explode is
+    narrow; the groupBy shuffles only (pair, partial-count) — cardinality is
+    vocab², not corpus size — and the final top-20 window sorts that small
+    aggregate, so the global ORDER BY never touches raw data. (count, pair)
+    is a total order, so ranks are deterministic."""
+    d = load(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                " i -> concat(element_at(split(text, ' '), i), ' ',"
+                "             element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occ"))
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "n_occ", "rank")
+    )

@@ -248,3 +248,29 @@ def a9_scan_orc(spark, sf_dir):
         F.count(F.lit(1)).alias("n_cust"),
         dsum("c_acctbal").alias("sum_bal"),
     )
+
+
+@query("a10_scan_binary")  # weak: file-metadata source, no relational oracle
+def a10_scan_binary(spark, sf_dir):
+    """Raw-file ingestion via the ``binaryFile`` source — the entry point for
+    multimodal corpora (images/audio arrive as whole files, not rows): each
+    file becomes (path, modificationTime, length, content) with the bytes as
+    one opaque binary cell, feeding the m1-m4 decode plumbing. Scanned here
+    over the fixture parquet files themselves; ``pathGlobFilter`` prunes at
+    listing time (no bytes read for filtered files), and content is only
+    materialized for rows that survive. Per-file sizes are re-derived from
+    ``length`` AND from ``content`` to pin the contract that both agree
+    (asserted in tests against the on-disk sizes)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return (
+        files.select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("meta_bytes"),
+            F.length("content").cast("long").alias("content_bytes"),
+        )
+        .orderBy("file_name")
+    )

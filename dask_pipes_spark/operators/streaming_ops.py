@@ -248,3 +248,56 @@ def k8_stream_stream_join(spark, sf_dir):
         "inner",
     ).select("purchase_id", "p_user", "purchase_ts", "click_ts", "click_value")
     return run_to_memory(joined, "k8_stream_stream", "append")
+
+
+@query(
+    "k9_stream_foreach_sink",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def k9_stream_foreach_sink(spark, sf_dir):
+    """``foreachBatch`` production sink: each micro-batch's aggregate is
+    written to a parquet path keyed by batch id (``batch_id=N/``), which is
+    the idempotent-sink recipe — a replayed batch OVERWRITES its own
+    directory, so retries cannot double-count (exactly-once on top of
+    at-least-once delivery). The stream replays events in 4 files / 1 per
+    trigger; after the availableNow drain the latest batch (complete mode)
+    holds the full aggregate, which the SQL oracle checks against a one-pass
+    batch aggregation. Sums stay DECIMAL through the sink round-trip so the
+    final double is bit-identical."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = os.path.join(tempfile.gettempdir(), f"dps_k9_sink_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+
+    stream = read_events_stream(spark, sf_dir, n_files=4, max_files_per_trigger=1)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+    )
+
+    def write_batch(bdf, bid):
+        bdf.write.mode("overwrite").parquet(os.path.join(out, f"batch_id={bid}"))
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    sunk = spark.read.parquet(out)
+    latest = F.max("batch_id").over(Window.partitionBy())
+    return (
+        sunk.withColumn("maxb", latest)
+        .filter(F.col("batch_id") == F.col("maxb"))
+        .select("event_type", "n_events", F.col("s").cast("double").alias("sum_value"))
+    )

@@ -112,3 +112,21 @@ def test_a8_dynamic_partition_pruning_from_dim_filter(spark, registry):
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_a10_binary_scan_sizes_match_disk(spark, registry):
+    """binaryFile rows must report the exact on-disk byte size, from both
+    the length metadata column and the materialized content bytes."""
+    import os
+
+    queries, _ = registry
+    rows = queries["a10_scan_binary"](spark, SF_SMOKE).collect()
+    on_disk = {
+        f: os.path.getsize(os.path.join(SF_SMOKE, f))
+        for f in os.listdir(SF_SMOKE)
+        if f.endswith(".parquet")
+    }
+    assert {r["file_name"] for r in rows} == set(on_disk)
+    for r in rows:
+        assert r["meta_bytes"] == on_disk[r["file_name"]]
+        assert r["content_bytes"] == on_disk[r["file_name"]]
