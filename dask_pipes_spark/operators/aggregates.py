@@ -630,3 +630,46 @@ def d24_bool_agg(spark, sf_dir):
         F.bool_and(F.col("o_custkey").isNotNull()).alias("no_null_cust"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "d25_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, user_id, MIN(DATE_TRUNC('day', ts)) AS day
+      FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (SELECT event_type, day, COUNT(*) AS new_users
+              FROM firsts GROUP BY event_type, day)
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def d25_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct users per (event_type, day) ("users ever seen up
+    to day d") WITHOUT quadratic state: distinct-per-prefix is rewritten as
+    first-seen-day per (type, user) (one groupBy) + daily new-user counts +
+    a running sum over the tiny per-type-per-day frame. The naive form needs
+    a growing distinct set per day; this form shuffles each (type, user)
+    exactly once — the standard trick for cumulative cardinality at 100 TB.
+    The final window runs over #types × #days rows."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day")
+    )
+    daily = firsts.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

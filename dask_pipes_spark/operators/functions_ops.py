@@ -482,3 +482,40 @@ def h19_bitwise(spark, sf_dir):
         F.shiftleft("l_orderkey", 2).alias("shl"),
         F.shiftright("l_orderkey", 3).alias("shr"),
     )
+
+
+@query(
+    "h20_struct_json_roundtrip",
+    oracle="""
+    SELECT doc_id, doc_id AS rt_doc_id, lang AS rt_lang,
+           n_chars AS rt_n_chars
+    FROM documents
+    """,
+)
+def h20_struct_json_roundtrip(spark, sf_dir):
+    """Nested-type construction + JSON serialization round-trip:
+    ``struct() → to_json → from_json(schema) → field access`` must be the
+    identity on the packed scalars — the contract that lets pipelines ship
+    typed payloads through JSON columns (event buses, props fields) without
+    drift. The oracle is the identity projection, so any serialization
+    asymmetry (quoting, key order, type coercion) surfaces as a value-hash
+    mismatch. All four steps are codegen'd JVM expressions — no Python."""
+    d = load(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    packed = d.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("payload"),
+    )
+    back = packed.select("doc_id", F.from_json("payload", schema).alias("p"))
+    return back.select(
+        "doc_id",
+        F.col("p.doc_id").alias("rt_doc_id"),
+        F.col("p.lang").alias("rt_lang"),
+        F.col("p.n_chars").alias("rt_n_chars"),
+    )

@@ -536,3 +536,64 @@ def l17_vector_lsh_topk(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 8, damping: float = 0.85) -> DataFrame:
+    """PageRank by power iteration over an undirected edge list (edges are
+    symmetrized). Each round is one join (contribution scatter) + one groupBy
+    (gather), both shuffling on the node key, with ``localCheckpoint``
+    truncating lineage so the plan stays O(1) per round — the same iterative
+    discipline as :func:`~dask_pipes_spark.operators.llm_ops.connected_components`.
+    Dangling handling: nodes exist in the symmetric edge set, so every node
+    has degree ≥ 1; isolated nodes never enter. Returns (node, rank) with
+    ranks summing to the node count (uniform-teleport formulation)."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("node", F.lit(1.0).alias("rank")).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            sym.join(ranks.join(deg, "node"), sym.s == F.col("node"))
+            .select(F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            deg.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+@query("l29_pagerank")  # weak: float power iteration (verified vs numpy in tests)
+def l29_pagerank(spark, sf_dir):
+    """Link analysis over the embedding near-dup graph: PageRank scores rank
+    cluster centrality (which document is the 'canonical' member — an
+    alternative keeper policy to min-id / max-quality). Graph = cosine pairs
+    at 0.30; 8 power-iteration rounds. Output: top-20 nodes by (rounded
+    rank, node) — weak key: float iteration order makes exact hashes
+    engine-unstable, so correctness is pinned against a dense numpy power
+    iteration in tests instead."""
+    e = load(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(e, threshold=0.30).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    pr = pagerank(pairs)
+    w = Window.orderBy(F.round("rank", 4).desc(), F.col("node"))
+    return (
+        pr.select("node", F.round("rank", 4).alias("rank"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )

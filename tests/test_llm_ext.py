@@ -187,3 +187,30 @@ def test_m4_resize_fixed_shape(spark, registry):
     assert len(rows) == docs_n
     assert all(len(r.thumb) == 4 for r in rows)
     assert all(0.0 <= v <= 1.0 for r in rows for v in r.thumb)
+
+
+def test_l29_pagerank_matches_numpy_power_iteration(spark):
+    """PageRank on a planted graph must match a dense numpy power iteration
+    with identical damping/iterations, and rank mass must equal node count."""
+    import numpy as np
+
+    from dask_pipes_spark.operators.llm_ext import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11)]  # triangle+tail, pair
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=8).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        adj[idx[s], idx[d]] = adj[idx[d], idx[s]] = 1.0
+    deg = adj.sum(axis=1)
+    ranks = np.ones(len(nodes))
+    for _ in range(8):
+        ranks = 0.15 + 0.85 * (adj.T @ (ranks / deg))
+
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - ranks[idx[n]]) < 1e-9, (n, got[n], ranks[idx[n]])
+    assert abs(sum(got.values()) - len(nodes)) < 1e-6
