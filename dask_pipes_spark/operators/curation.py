@@ -508,3 +508,51 @@ def l28_vocab_induction(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .select("pair", "n_occ", "rank")
     )
+
+
+@query(
+    "l30_unigram_xent",
+    oracle="""
+    WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab),
+    scored AS (
+      SELECT doc_id,
+             CAST(-LN(CAST(c AS DOUBLE) / t) AS DECIMAL(28,6)) AS lp
+      FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tok,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS cross_entropy
+    FROM scored GROUP BY doc_id
+    """,
+)
+def l30_unigram_xent(spark, sf_dir):
+    """Language-model quality scoring, unigram edition (the CCNet / LLaMA
+    pipeline filters on LM perplexity; a corpus-fit unigram model is its
+    data-parallel floor): token cross-entropy = avg −ln p(token) per doc,
+    with p from corpus-wide counts. Two passes: (1) vocab counts — shuffle
+    bounded by vocab size, not corpus size; (2) token→prob lookup as a
+    BROADCAST join onto the exploded stream (vocab is small by Heaps' law),
+    then one per-doc aggregation. Per-token logs are quantized to DECIMAL(6)
+    before summing so the per-doc sum is order-insensitive and both engines
+    agree bitwise."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("long").alias("t"))
+    probs = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (-F.log(F.col("c").cast("double") / F.col("t")))
+        .cast("decimal(28,6)")
+        .alias("lp"),
+    )
+    scored = toks.join(F.broadcast(probs), "tok")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 4
+        ).alias("cross_entropy"),
+    )

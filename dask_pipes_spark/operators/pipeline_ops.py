@@ -233,3 +233,42 @@ def p5_incremental_merge(spark, sf_dir):
             .alias("sum_value"),
         )
     )
+
+
+@query(
+    "p6_observe_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (value >= 50.0) AS n_big,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    """,
+)
+def p6_observe_metrics(spark, sf_dir):
+    """Inline data-quality instrumentation via ``DataFrame.observe``: named
+    accumulator metrics ride along with a real action (here a parquet sink
+    write) at zero extra passes — the production pattern for row-count /
+    invariant gates inside an ETL job, instead of a second audit scan over
+    100 TB. The observed metrics are returned as a 1-row frame and oracled
+    against a direct aggregate, pinning that observe() sees every row
+    exactly once. The metric sum stays DECIMAL until the end (bit-stable)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    obs = Observation("dq_metrics")
+    e = load(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("value") >= 50.0).alias("n_big"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = os.path.join(tempfile.gettempdir(), f"dps_p6_sink_{tag}")
+    e.write.mode("overwrite").parquet(out)
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_big"], float(m["s"]))],
+        "n_rows bigint, n_big bigint, sum_value double",
+    )

@@ -75,6 +75,8 @@ CARTESIAN_OK = {
     "h16_levenshtein_pairs",
     # 1×1 crossJoin attaching the global exact count to the merged-sketch row.
     "d22_hll_merge",
+    # scalar token-total broadcast onto the vocab-bounded prob table (1×|V|).
+    "l30_unigram_xent",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
