@@ -148,3 +148,60 @@ def g7_union_missing_columns(spark, sf_dir):
         F.col("l_orderkey").alias("k"), F.col("l_extendedprice").alias("price")
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+@query(
+    "g8_table_diff",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 19 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 23 <> 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'deleted'
+                WHEN a.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'modified' END AS change_type,
+           a.o_totalprice AS old_price,
+           b.o_totalprice AS new_price
+    FROM orders a FULL OUTER JOIN b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+    """,
+)
+def g8_table_diff(spark, sf_dir):
+    """Table reconciliation (pandas ``DataFrame.compare`` / CDC validation):
+    diff two snapshots by key, emitting only changed rows classified as
+    inserted/deleted/modified with old+new values — the audit primitive for
+    "did the migration/replication copy everything?". One co-partitioned
+    full-outer join on the key; unchanged rows (the overwhelming majority at
+    scale) are filtered before any further processing, so downstream cost is
+    proportional to drift, not table size. Snapshot B is derived
+    deterministically (keys %23 deleted, %19 repriced ×1.1)."""
+    a = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = (
+        a.filter(F.col("o_orderkey") % 23 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 19 == 0, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    j = a.alias("a").join(b.alias("b"), "o_orderkey", "full_outer")
+    ak, bk = F.col("a.o_totalprice"), F.col("b.o_totalprice")
+    return (
+        j.select(
+            "o_orderkey",
+            F.when(bk.isNull(), "deleted")
+            .when(ak.isNull(), "inserted")
+            .otherwise("modified")
+            .alias("change_type"),
+            ak.alias("old_price"),
+            bk.alias("new_price"),
+        )
+        .filter(ak.isNull() | bk.isNull() | (ak != bk))
+    )

@@ -486,3 +486,69 @@ def e16_scd2_intervals(spark, sf_dir):
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "e17_rolling_corr",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts, event_id, value AS x,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events WHERE event_type = 'view'
+    ),
+    sums AS (
+      SELECT user_id, ts, event_id,
+             COUNT(y) OVER w AS n,
+             CAST(SUM(CASE WHEN y IS NOT NULL
+                  THEN CAST(x AS DECIMAL(28,6)) END) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sxy,
+             CAST(SUM(CASE WHEN y IS NOT NULL
+                  THEN CAST(x * x AS DECIMAL(28,6)) END) OVER w AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,6))) OVER w AS DOUBLE) AS syy
+      FROM lagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, n,
+           ROUND((sxy - sx * sy / n)
+                 / NULLIF(SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 0),
+                 8) AS roll_autocorr
+    FROM sums WHERE n >= 2
+    """,
+)
+def e17_rolling_corr(spark, sf_dir):
+    """Rolling autocorrelation (pandas ``rolling(20).corr(shifted)``): per
+    user, Pearson corr between each view's value and the previous one over a
+    trailing 20-row frame — computed from five DECIMAL rolling sums and the
+    closed-form corr identity, so both engines agree bitwise before the
+    rounded divide (same discipline as d11/d23, applied to moving frames).
+    The lag window and all five rolling sums share one (partition, order)
+    spec → Catalyst evaluates them in a single shuffle + sort; per-row state
+    is the 20-row frame. Pairs where y is NULL (first row) are excluded from
+    every sum so n/sx/sxx count the same rows the products do."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = order.rowsBetween(-19, Window.currentRow)
+    dec = "decimal(28,6)"
+    x = F.col("value")
+    y = F.lag("value").over(order)
+    pair = F.when(y.isNotNull(), x)
+    n = F.count(y).over(w)
+    sx = F.sum(pair.cast(dec)).over(w).cast("double")
+    sy = F.sum(y.cast(dec)).over(w).cast("double")
+    sxy = F.sum((x * y).cast(dec)).over(w).cast("double")
+    sxx = F.sum(F.when(y.isNotNull(), x * x).cast(dec)).over(w).cast("double")
+    syy = F.sum((y * y).cast(dec)).over(w).cast("double")
+    corr = (sxy - sx * sy / n) / F.nullif(
+        F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), F.lit(0.0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            n.alias("n"),
+            F.round(corr, 8).alias("roll_autocorr"),
+        )
+        .filter(F.col("n") >= 2)
+    )
