@@ -556,3 +556,36 @@ def l30_unigram_xent(spark, sf_dir):
             F.sum("lp").cast("double") / F.count(F.lit(1)), 4
         ).alias("cross_entropy"),
     )
+
+
+@query(
+    "l31_tokenize_ids",
+    oracle="""
+    WITH lists AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t))) AS i
+            FROM lists),
+    toks AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM pos),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    ids AS (SELECT tok,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS token_id
+            FROM vocab)
+    SELECT doc_id, pos, token_id FROM toks JOIN ids USING (tok)
+    """,
+)
+def l31_tokenize_ids(spark, sf_dir):
+    """Tokenizer id-mapping: assign each vocabulary token a dense id by
+    frequency rank (the layout every trained tokenizer ships) and emit the
+    corpus as (doc, position, token_id) — the numeric form that feeds
+    sequence packing (l22) and model input pipelines. The vocab is counted
+    once (shuffle bounded by |V|), ranked with a total-order window over the
+    tiny vocab frame, then BROADCAST back onto the positional token stream —
+    the 100 TB corpus is mapped map-side, no data-sized shuffle. Position
+    comes from ``posexplode`` (0-based, matches the oracle's ordinality)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    ids = vocab.select("tok", F.row_number().over(w).alias("token_id"))
+    return toks.join(F.broadcast(ids), "tok").select("doc_id", "pos", "token_id")

@@ -245,3 +245,71 @@ def j6_map_overlap(spark, sf_dir):
         fn=roll,
         schema="event_id bigint, roll_avg double",
     )
+
+
+@query(
+    "j7_cogrouped_map",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n_clicks,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS click_sum
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, COUNT(*) AS n_purchases,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS purchase_sum
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(n_clicks, 0) AS n_clicks,
+           COALESCE(click_sum, 0.0) AS click_sum,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(purchase_sum, 0.0) AS purchase_sum
+    FROM c FULL OUTER JOIN p USING (user_id)
+    """,
+)
+def j7_cogrouped_map(spark, sf_dir):
+    """Cogrouped pandas map (Dask ``map_partitions`` over two aligned
+    frames / Spark ``cogroup(...).applyInPandas``): both inputs are hash-
+    partitioned on the key, then each key's two pandas groups arrive in ONE
+    Python call — the escape hatch for per-key logic that needs both sides
+    at once (custom conformance checks, per-entity reconciliation) without a
+    join materializing the pairing. Arrow-batched; state is one key's rows.
+    The pandas body here computes per-user click/purchase summaries so the
+    whole operator carries a full SQL oracle: sums accumulate as
+    ``decimal.Decimal`` (exact, order-insensitive — the Python twin of the
+    engine-side DECIMAL(28,6) discipline; fixture values are ≤6dp so
+    ``Decimal(str(v))`` equals the oracle's cast bitwise)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "value"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value"
+    )
+
+    def summarize(ckey, cdf, pdf):
+        import decimal
+
+        uid = ckey[0]
+        csum = sum((decimal.Decimal(str(v)) for v in cdf["value"]), decimal.Decimal(0))
+        psum = sum((decimal.Decimal(str(v)) for v in pdf["value"]), decimal.Decimal(0))
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [len(cdf)],
+                "click_sum": [float(csum)],
+                "n_purchases": [len(pdf)],
+                "purchase_sum": [float(psum)],
+            }
+        )
+
+    out_schema = (
+        "user_id bigint, n_clicks bigint, click_sum double, "
+        "n_purchases bigint, purchase_sum double"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(summarize, out_schema)
+    )
