@@ -199,3 +199,45 @@ def m4_image_resize(spark, sf_dir):
             yield pd.DataFrame({"media_id": ids, "thumb": thumbs})
 
     return synth_media(spark, sf_dir).mapInPandas(resize_partition, schema)
+
+
+@query("m5_audio_segment")  # weak: stub codec; segment-count contract in tests
+def m5_audio_segment(spark, sf_dir):
+    """Audio segmentation through ``mapInPandas`` — the fixed-duration
+    windowing every speech pipeline runs before feature extraction (VAD /
+    ASR chunking): each payload is treated as PCM-ish samples (1 byte = 1
+    sample, stub "sample rate" 100/s), cut into 2-second segments with the
+    final ragged segment kept. One input row fans out to ceil(n_samples/200)
+    segment rows carrying (media_id, seg_idx, start/end sample, stub RMS
+    proxy). Real decode (soundfile/librosa) is the stubbed step; the fan-out
+    schema, offset arithmetic, and Arrow batch shape are real and tested."""
+    seg_samples = 200
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("seg_idx", T.LongType()),
+            T.StructField("start_sample", T.LongType()),
+            T.StructField("end_sample", T.LongType()),
+            T.StructField("mean_level", T.DoubleType()),
+        ]
+    )
+
+    def segment(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "seg_idx", "start_sample", "end_sample", "mean_level")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload)
+                for i in range(0, n, seg_samples):
+                    seg = payload[i : i + seg_samples]
+                    out["media_id"].append(mid)
+                    out["seg_idx"].append(i // seg_samples)
+                    out["start_sample"].append(i)
+                    out["end_sample"].append(i + len(seg))
+                    out["mean_level"].append(sum(seg) / len(seg) / 255.0)
+            yield pd.DataFrame(out)
+
+    media = synth_media(spark, sf_dir)
+    return media.select("media_id", "payload").mapInPandas(schema=schema, func=segment)

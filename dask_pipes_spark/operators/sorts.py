@@ -15,6 +15,7 @@ Spark equivalents are strictly stronger:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import query
@@ -134,3 +135,52 @@ def f7_random_split(spark, sf_dir):
     bucket = F.pmod(F.xxhash64("l_orderkey", "l_linenumber", F.lit(42)), F.lit(100))
     tagged = li.withColumn("split", F.when(bucket < 80, "train").otherwise("test"))
     return tagged.groupBy("l_returnflag", "split").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "f8_seeded_shuffle",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY MD5('epoch7:' || doc_id), doc_id)
+             AS shuffle_pos
+    FROM documents
+    """,
+)
+def f8_seeded_shuffle(spark, sf_dir):
+    """Seeded epoch shuffle for training-data ordering: a deterministic
+    pseudo-random permutation via sort-by-keyed-hash — reproducible across
+    re-runs, task retries, and any partitioning (the property `ORDER BY
+    rand()` lacks), and a new epoch seed yields a fresh permutation. MD5 is
+    the hash because both engines compute the identical digest (engine-
+    native hashes differ); doc_id tiebreak keeps the order total even under
+    hash collisions.
+
+    A naive global ``row_number() OVER (ORDER BY h)`` collapses to ONE
+    partition (WindowExec with no PARTITION BY) — fatal at 100 TB. Instead
+    the global index is computed in two scalable phases: (1) rank within
+    256 hash-prefix buckets in parallel (the bucket is a prefix of the sort
+    key, so bucket-major order == global hash order), (2) broadcast-join
+    the tiny cumulative bucket-offset table. Same exact output, no
+    single-reducer stage — the zipWithIndex / TeraSort-index pattern."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    bucketed = d.select("doc_id", h.alias("h"), F.substring(h, 1, 2).alias("bkt"))
+    within = F.row_number().over(Window.partitionBy("bkt").orderBy("h", "doc_id"))
+    ranked = bucketed.withColumn("r", within)
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "off")
+    )
+    return ranked.join(F.broadcast(offsets), "bkt").select(
+        "doc_id", (F.col("off") + F.col("r")).cast("int").alias("shuffle_pos")
+    )

@@ -214,3 +214,28 @@ def test_l29_pagerank_matches_numpy_power_iteration(spark):
     for n in nodes:
         assert abs(got[n] - ranks[idx[n]]) < 1e-9, (n, got[n], ranks[idx[n]])
     assert abs(sum(got.values()) - len(nodes)) < 1e-6
+
+
+def test_m5_audio_segment_counts_and_offsets(spark, registry):
+    """Segment fan-out must produce ceil(bytes/200) rows per media item with
+    contiguous, non-overlapping sample ranges covering the payload."""
+    queries, _ = registry
+    rows = queries["m5_audio_segment"](spark, SF_SMOKE).collect()
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.length(F.encode("text", "utf-8")).alias("n"))
+        .collect()
+    }
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(docs)
+    for mid, segs in by_media.items():
+        segs.sort(key=lambda r: r["seg_idx"])
+        n = docs[mid]
+        assert len(segs) == -(-n // 200)
+        assert segs[0]["start_sample"] == 0 and segs[-1]["end_sample"] == n
+        for a, b in zip(segs, segs[1:]):
+            assert a["end_sample"] == b["start_sample"]
+        assert all(0.0 <= s["mean_level"] <= 1.0 for s in segs)

@@ -57,6 +57,7 @@ ARROW_OK = {
     "m2_multimodal_meta",
     "m3_frame_sample",
     "m4_image_resize",
+    "m5_audio_segment",
     "p1_pipeline_fit_transform",
 }
 
