@@ -673,3 +673,62 @@ def d25_cumulative_distinct(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+@query(
+    "d26_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, ROUND(QUANTILE_CONT(value, 0.5), 4) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ROUND(QUANTILE_CONT(adev, 0.5), 4) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.med, m.mad,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN ABS(d.value - d.med) > 3 * m.mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, d.med, m.mad
+    """,
+)
+def d26_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    data-quality screen that survives the heavy tails that break z-scores
+    (pandas idiom: two ``groupby().median()`` passes + a filter). Two exact
+    interpolated medians (type-7, same definition both engines, d7), each a
+    per-group aggregate whose shuffle is bounded by group count; the tiny
+    per-type median tables come back as BROADCAST joins, so the events
+    stream is scanned twice but never reshuffled. med/mad are rounded(4)
+    BEFORE the 3-sigma-equivalent comparison so the outlier threshold is
+    bit-identical on both engines (the interpolation arithmetic is float);
+    at 100 TB the exact medians would swap for d20's mergeable
+    percentile_approx sketch, same plan shape."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

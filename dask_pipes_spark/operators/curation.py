@@ -589,3 +589,119 @@ def l31_tokenize_ids(spark, sf_dir):
     w = Window.orderBy(F.col("c").desc(), F.col("tok"))
     ids = vocab.select("tok", F.row_number().over(w).alias("token_id"))
     return toks.join(F.broadcast(ids), "tok").select("doc_id", "pos", "token_id")
+
+
+@query(
+    "l32_dup_ngram_coverage",
+    oracle="""
+    WITH lists AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 4)) AS i
+            FROM lists WHERE len(t) >= 5),
+    shingles AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS sh FROM pos),
+    counts AS (SELECT sh, COUNT(*) AS c FROM shingles GROUP BY sh)
+    SELECT doc_id, COUNT(*) AS n_shingles,
+           ROUND(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_frac
+    FROM shingles JOIN counts USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def l32_dup_ngram_coverage(spark, sf_dir):
+    """Exact-substring duplication coverage (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): the fraction of a
+    document's word 5-grams that occur >=2 times corpus-wide — the signal
+    behind exact-substring dedup and memorization audits. Plan shape: one
+    explode to positional 5-gram shingles (array slice + join, all codegen),
+    one shuffle bounded by distinct-shingle cardinality for the counts, then
+    a shuffle join back on the shingle (the counts side is corpus-sized at
+    100 TB — NOT broadcastable, unlike a vocab) and a per-doc aggregate. At
+    scale the shingle would be hashed to a fixed-width integer first
+    (xxhash64) to shrink shuffle payloads; kept as text here so both engines
+    group on identical keys."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 5
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 4),
+                lambda i: F.array_join(F.slice("t", i, 5), " "),
+            )
+        ).alias("sh"),
+    )
+    counts = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        shingles.join(counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "l33_mixture_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SQRT(COUNT(*)) AS DECIMAL(28,6)) AS w
+      FROM documents GROUP BY source
+    ),
+    quota AS (
+      SELECT source,
+             CAST(CEIL(200 * CAST(w AS DOUBLE)
+                       / CAST(SUM(w) OVER () AS DOUBLE)) AS BIGINT) AS k
+      FROM counts
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY MD5('mix:' || doc_id), doc_id)
+               AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, source, sample_rank
+    FROM ranked JOIN quota USING (source)
+    WHERE sample_rank <= k
+    """,
+)
+def l33_mixture_sample(spark, sf_dir):
+    """Temperature-scaled data-mixture sampling (the XLM-R / multilingual
+    recipe l25 computes weights for, executed): per-source quotas
+    q_s = ceil(K * sqrt(n_s) / sum sqrt(n)), filled deterministically by
+    taking each source's bottom-q_s docs by keyed hash — i.e. stratified
+    bottom-k (f9) driven by a computed mixture. sqrt weights are quantized
+    to DECIMAL before the cross-source sum so the normalizer is
+    order-insensitive; the quota table is per-source-tiny and broadcast;
+    the per-source ranking runs parallel across sources (partitioned
+    window, no global sort). Retry/partition-stable like f8/f9."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.sqrt(F.count(F.lit(1))).cast("decimal(28,6)").alias("w")
+    )
+    quota = counts.select(
+        "source",
+        F.ceil(
+            F.lit(200)
+            * F.col("w").cast("double")
+            / F.sum(F.col("w")).over(Window.partitionBy()).cast("double")
+        ).alias("k"),
+    )
+    h = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(h, "doc_id"))
+        .alias("sample_rank"),
+    )
+    return ranked.join(F.broadcast(quota), "source").filter(
+        F.col("sample_rank") <= F.col("k")
+    ).select("doc_id", "source", "sample_rank")

@@ -519,3 +519,54 @@ def h20_struct_json_roundtrip(spark, sf_dir):
         F.col("p.lang").alias("rt_lang"),
         F.col("p.n_chars").alias("rt_n_chars"),
     )
+
+
+@query(
+    "h21_url_parse",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&]*)', 1) AS lang_q,
+           regexp_extract(url, '([^./?#]+\\.[^./?#]+)(?:[/?#]|$)', 1)
+             AS registered_domain
+    FROM urls
+    """,
+)
+def h21_url_parse(spark, sf_dir):
+    """URL decomposition — the first projection of every web-crawl curation
+    pipeline (host-level dedup, domain blocklists, per-TLD mixture weights
+    all key on it). Spark's Hive-inherited ``parse_url`` handles HOST / PATH
+    / per-key QUERY natively; the registered domain (last two labels of the
+    host) is plain string algebra on the codegen'd path. URLs are
+    synthesized deterministically from fixture columns (the corpus carries
+    no real URLs); the oracle re-derives the same fields with regexes, so
+    the check exercises the extraction semantics, not string echo."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    labels = F.split(host, r"\.")
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_q"),
+        F.concat_ws(
+            ".",
+            F.element_at(labels, -2),
+            F.element_at(labels, -1),
+        ).alias("registered_domain"),
+    )

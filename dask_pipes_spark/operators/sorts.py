@@ -184,3 +184,31 @@ def f8_seeded_shuffle(spark, sf_dir):
     return ranked.join(F.broadcast(offsets), "bkt").select(
         "doc_id", (F.col("off") + F.col("r")).cast("int").alias("shuffle_pos")
     )
+
+
+@query(
+    "f9_bottomk_sample",
+    oracle="""
+    SELECT doc_id,
+           MD5('s9:' || doc_id) AS sample_key
+    FROM documents
+    ORDER BY sample_key, doc_id
+    LIMIT 100
+    """,
+)
+def f9_bottomk_sample(spark, sf_dir):
+    """Bottom-k-by-hash sampling: the distributed replacement for reservoir
+    sampling. Keeping the k rows with the smallest keyed hash IS a uniform
+    sample without replacement, and unlike a reservoir it is deterministic,
+    mergeable (min-k of min-ks), and partitioning/retry-stable. Spark plans
+    ``orderBy(h).limit(k)`` as TakeOrderedAndProject — each task keeps a
+    local k-heap and only k rows per partition reach the driver-side merge,
+    so no global sort materializes at 100 TB. doc_id tiebreak keeps the
+    cutoff total under hash collisions."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("s9:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", h.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(100)
+    )
