@@ -3,6 +3,7 @@ operator into :mod:`dask_pipes_spark.registry`."""
 
 from dask_pipes_spark.operators import (  # noqa: F401
     aggregates,
+    analytics,
     curation,
     functions_ops,
     joins,
@@ -21,6 +22,7 @@ from dask_pipes_spark.operators import (  # noqa: F401
 
 __all__ = [
     "aggregates",
+    "analytics",
     "curation",
     "functions_ops",
     "joins",
