@@ -732,3 +732,146 @@ def d26_mad_outliers(spark, sf_dir):
             ).alias("n_outliers"),
         )
     )
+
+
+_Q = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+@query(
+    "d27_skew_kurt",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             {_Q.format(e='l_quantity')} AS s1,
+             {_Q.format(e='l_quantity*l_quantity')} AS s2,
+             {_Q.format(e='l_quantity*l_quantity*l_quantity')} AS s3,
+             {_Q.format(e='l_quantity*l_quantity*l_quantity*l_quantity')} AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                 / POWER(s2/n - (s1/n)*(s1/n), 1.5), 8) AS skew,
+           ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                  - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                 / POWER(s2/n - (s1/n)*(s1/n), 2) - 3, 8) AS kurt
+    FROM s
+    """,
+)
+def d27_skew_kurt(spark, sf_dir):
+    """Per-group skewness and excess kurtosis (Dask ``groupby.skew`` /
+    ``Series.kurtosis``), derived in closed form from the four mergeable
+    decimal raw-moment sums (Σx..Σx⁴) — same discipline as d23's OLS: one
+    partial+final pass, order-insensitive, so both engines agree bitwise
+    before the final rounded divide. Spark's built-in ``F.skewness`` /
+    ``F.kurtosis`` use the same population (g1 / excess-g2) convention but a
+    streaming central-moment kernel whose float path differs from DuckDB's
+    bias-corrected sample convention — raw moments sidestep both. The
+    shuffle carries four decimals per group; x ≤ 50 keeps Σx⁴ well inside
+    DECIMAL(28,6)."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(28,6)"
+    x = F.col("l_quantity")
+    x2, x3, x4 = x * x, x * x * x, x * x * x * x
+    n = F.count(F.lit(1))
+    s1 = F.sum(x.cast(dec)).cast("double")
+    s2 = F.sum(x2.cast(dec)).cast("double")
+    s3 = F.sum(x3.cast(dec)).cast("double")
+    s4 = F.sum(x4.cast(dec)).cast("double")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+    m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 8).alias("skew"),
+        F.round(m4 / F.pow(m2, F.lit(2)) - 3, 8).alias("kurt"),
+    )
+
+
+@query(
+    "d28_idxmax",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey DESC, l_linenumber DESC)
+               AS rn_max,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice ASC,
+                                         l_orderkey ASC, l_linenumber ASC)
+               AS rn_min
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn_max = 1 THEN l_extendedprice END) AS max_price,
+           MAX(CASE WHEN rn_max = 1 THEN l_orderkey END) AS max_orderkey,
+           MAX(CASE WHEN rn_min = 1 THEN l_extendedprice END) AS min_price,
+           MAX(CASE WHEN rn_min = 1 THEN l_orderkey END) AS min_orderkey
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def d28_idxmax(spark, sf_dir):
+    """Per-group argmax/argmin (Dask ``groupby.idxmax/idxmin``) as a plain
+    hash aggregation: ``MAX(STRUCT(value, key...))`` compares structs
+    lexicographically, so the max carries its row's keys along — a
+    distributed argmax with NO window sort, just partial+final agg (the
+    shuffle moves one struct per group). Deterministic under ties because
+    the full key tuple participates in the comparison. The oracle spells
+    the same semantics as a ROW_NUMBER pick, the form engines without
+    struct ordering would use."""
+    li = load(spark, sf_dir, "lineitem")
+    mx = F.max(F.struct("l_extendedprice", "l_orderkey", "l_linenumber"))
+    mn = F.min(F.struct("l_extendedprice", "l_orderkey", "l_linenumber"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(mx.alias("mx"), mn.alias("mn"))
+        .select(
+            "l_returnflag",
+            F.col("mx.l_extendedprice").alias("max_price"),
+            F.col("mx.l_orderkey").alias("max_orderkey"),
+            F.col("mn.l_extendedprice").alias("min_price"),
+            F.col("mn.l_orderkey").alias("min_orderkey"),
+        )
+    )
+
+
+@query(
+    "d29_product_sem",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_lines,
+           CAST(ROUND(CAST(EXP(SUM(LN(1.0 - l_discount))) AS DECIMAL(18,10)), 4)
+                AS DOUBLE) AS disc_factor,
+           ROUND(SQRT((CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,6)))
+                            AS DOUBLE) / COUNT(*)
+                       - POWER(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                                    AS DOUBLE) / COUNT(*), 2))
+                      * COUNT(*) / (COUNT(*) - 1) / COUNT(*)), 8) AS qty_sem
+    FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+    """,
+)
+def d29_product_sem(spark, sf_dir):
+    """Product aggregate + standard error of the mean (Dask ``groupby.prod``
+    / ``Series.sem``). Product rides the log-sum-exp identity (e12's
+    discipline — Spark's ``F.product`` and DuckDB's ``product()`` multiply
+    in partition order, which is not hash-stable; ``exp(sum(ln))`` over a
+    decimal-roundable result is). SEM is sample-std/√n from the two decimal
+    moment sums. Groups of one line are excluded (sem undefined; both
+    engines would emit engine-specific NULL/NaN)."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(28,6)"
+    x = F.col("l_quantity")
+    n = F.count(F.lit(1))
+    s1 = F.sum(x.cast(dec)).cast("double")
+    s2 = F.sum((x * x).cast(dec)).cast("double")
+    prod = F.exp(F.sum(F.log(F.lit(1.0) - F.col("l_discount"))))
+    sem = F.sqrt((s2 / n - F.pow(s1 / n, F.lit(2))) * n / (n - 1) / n)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            n.alias("n_lines"),
+            F.round(prod.cast("decimal(18,10)"), 4).cast("double").alias("disc_factor"),
+            F.round(sem, 8).alias("qty_sem"),
+        )
+        .filter(F.col("n_lines") > 1)
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dask_pipes_spark.registry import dsum, query, sql_dsum
+from dask_pipes_spark.registry import davg, dsum, query, sql_dsum
 from dask_pipes_spark.session import load_tables
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -116,6 +116,145 @@ def x2_local_supplier_volume(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(F.round(dsum(_rev_col()), 4).alias("revenue"))
+    )
+
+
+@query(
+    "x4_small_quantity_revenue",
+    oracle="""
+    WITH thr AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                    / COUNT(*)) AS qty_thr
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / 7.0, 4) AS avg_weekly,
+           COUNT(*) AS n_small
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN thr  ON thr.l_partkey = lineitem.l_partkey
+    WHERE p_brand IN ('Brand#12', 'Brand#23')
+      AND l_quantity < qty_thr
+    """,
+)
+def x4_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated scalar
+    subquery — "lineitems below 20% of their part's average quantity" —
+    expressed as its decorrelated form, the aggregate-then-rejoin Catalyst
+    itself produces for correlated subqueries. The per-part threshold table
+    has part-key cardinality (tiny next to the fact table) and broadcasts;
+    the threshold is a decimal-exact average so the strict-< comparison is
+    bitwise identical on both engines (registry hash rules)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"]
+    thr = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                t["part"].filter(F.col("p_brand").isin("Brand#12", "Brand#23"))
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(thr), on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(dsum("l_extendedprice") / 7.0, 4).alias("avg_weekly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@query(
+    "x5_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name,
+           COUNT(*) AS n_cust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 4)
+             AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    CROSS JOIN avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY n_name
+    """,
+)
+def x5_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers with no urgent orders — a global scalar aggregate fanned onto
+    every row plus a NOT EXISTS anti-join. The scalar average rides a
+    broadcast cross join (one row, no collect on the driver); the anti-join
+    shuffles on custkey and AQE is free to broadcast the filtered orders
+    side. Decimal-exact average keeps the > comparison engine-identical."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "nation"))
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal").alias("ab"))
+    )
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(dsum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "x6_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def x6_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): outer join with
+    an extra non-equi condition folded into the join predicate (NULL-extended
+    rows count as zero via COUNT(col)'s null-skipping), then a second
+    aggregation over the first's output. Two shuffles total: custkey join +
+    count, then the tiny count-of-counts; the second input is
+    customer-cardinality, so the re-agg is nearly free at any scale."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
 
 

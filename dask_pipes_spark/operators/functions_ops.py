@@ -570,3 +570,73 @@ def h21_url_parse(spark, sf_dir):
             F.element_at(labels, -1),
         ).alias("registered_domain"),
     )
+
+
+@query(
+    "h22_array_setops",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_distinct(string_split(text, ' '))) AS n_types,
+           len(list_intersect(list_distinct(string_split(text, ' ')),
+                              ['a', 'the'])) AS n_stop,
+           list_sort(list_distinct(string_split(text, ' ')))[-1] AS last_type,
+           list_sort(list_filter(list_distinct(string_split(text, ' ')),
+                                 x -> x NOT IN ('a', 'the')))[1] AS first_content
+    FROM documents
+    """,
+)
+def h22_array_setops(spark, sf_dir):
+    """Array set algebra (Dask ``object``-column list ops done with Python
+    ``set``; Spark has first-class kernels): ``array_distinct`` /
+    ``array_intersect`` / ``array_except`` / ``sort_array`` compose per-row
+    inside whole-stage codegen — no explode, no shuffle, output stays at
+    document grain. Set-valued results are compared via sizes and sorted
+    extremes because the engines' intersect/except kernels emit different
+    element orders (both are set-semantics correct)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    types = F.array_distinct(toks)
+    stop = F.array(F.lit("a"), F.lit("the"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(types).alias("n_types"),
+        F.size(F.array_intersect(types, stop)).alias("n_stop"),
+        F.element_at(F.sort_array(types), -1).alias("last_type"),
+        F.element_at(F.sort_array(F.array_except(types, stop)), 1).alias(
+            "first_content"
+        ),
+    )
+
+
+@query(
+    "h23_greatest_least",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           GREATEST(l_quantity, 100 * l_discount, 100 * l_tax) AS hi,
+           LEAST(l_quantity, 100 * l_discount, 100 * l_tax) AS lo,
+           GREATEST(l_shipdate, TIMESTAMP '1998-01-01') AS ship_floor
+    FROM lineitem
+    """,
+)
+def h23_greatest_least(spark, sf_dir):
+    """Row-wise extrema across columns (numpy ``maximum.reduce`` /
+    ``np.minimum`` over pandas columns): ``GREATEST``/``LEAST`` are n-ary
+    codegen'd scalar kernels — the idiomatic replacement for chained
+    ``F.when`` comparisons, and they null-skip per SQL semantics. Works on
+    any orderable type; exercised on doubles and timestamps."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(
+            F.col("l_quantity"), 100 * F.col("l_discount"), 100 * F.col("l_tax")
+        ).alias("hi"),
+        F.least(
+            F.col("l_quantity"), 100 * F.col("l_discount"), 100 * F.col("l_tax")
+        ).alias("lo"),
+        F.greatest(
+            F.col("l_shipdate"), F.lit("1998-01-01").cast("timestamp_ntz")
+        ).alias("ship_floor"),
+    )

@@ -597,3 +597,69 @@ def l29_pagerank(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+@query(
+    "l34_zipf_slope",
+    oracle="""
+    WITH freq AS (
+      SELECT lang, token, COUNT(*) AS cnt
+      FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+      GROUP BY lang, token
+    ),
+    ranked AS (
+      SELECT lang,
+             CAST(CAST(LN(ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY cnt DESC, token)) AS DECIMAL(18,10)) AS DOUBLE) AS lx,
+             CAST(CAST(LN(cnt) AS DECIMAL(18,10)) AS DOUBLE) AS ly,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+      FROM freq
+    ),
+    s AS (
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(CAST(lx AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ly AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(lx*ly AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(lx*lx AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+      FROM ranked WHERE rk <= 100 GROUP BY lang
+    )
+    SELECT lang, n,
+           ROUND((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS zipf_slope
+    FROM s
+    """,
+)
+def l34_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit per language — the OLS slope of log(frequency) vs
+    log(rank) over each language's top-100 tokens. Natural corpora sit near
+    slope ≈ −1; a far-off slope is a corpus-quality red flag (template spam
+    → flat head, boilerplate dedup failures → cliff). Pipeline: explode →
+    (lang, token) count → per-lang rank window → closed-form OLS from
+    decimal sums (d23's discipline). Each engine's LN is snapped to
+    DECIMAL(18,10) before summing, so libm last-ulp differences cannot
+    reach the hash. The rank window sorts only ~vocab-size rows per lang —
+    negligible next to the token-count shuffle, which map-side combines."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    snap = lambda c: F.log(c).cast("decimal(18,10)").cast("double")  # noqa: E731
+    ranked = freq.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 100
+    ).select(
+        "lang",
+        snap(F.col("rk")).alias("lx"),
+        snap(F.col("cnt")).alias("ly"),
+    )
+    dec = "decimal(28,12)"
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("lx").cast(dec)).cast("double")
+    sy = F.sum(F.col("ly").cast(dec)).cast("double")
+    sxy = F.sum((F.col("lx") * F.col("ly")).cast(dec)).cast("double")
+    sxx = F.sum((F.col("lx") * F.col("lx")).cast(dec)).cast("double")
+    return ranked.groupBy("lang").agg(
+        n.alias("n"),
+        F.round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6).alias("zipf_slope"),
+    )

@@ -313,3 +313,65 @@ def j7_cogrouped_map(spark, sf_dir):
         .cogroup(purchases.groupBy("user_id"))
         .applyInPandas(summarize, out_schema)
     )
+
+
+@query(
+    "j8_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2))), 4) AS DOUBLE)
+             AS charge
+    FROM lineitem
+    """,
+)
+def j8_map_in_arrow(spark, sf_dir):
+    """The zero-copy UDF tier below ``mapInPandas``: ``mapInArrow`` hands
+    each partition to Python as raw ``pyarrow.RecordBatch``es — no pandas
+    materialization, no index bookkeeping, just Arrow buffers both ways.
+    The right boundary when the Python side is itself Arrow-native
+    (pyarrow.compute, polars, DuckDB-in-worker). Body computes the TPC-H
+    charge expression with ``pyarrow.compute`` decimal kernels so the
+    result is exact and the operator carries a full SQL oracle. Scale: the
+    fused per-partition map pipelines with the scan — no shuffle, and the
+    projection is pruned to the four columns the batch needs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+
+    def charge_batches(batches):
+        from decimal import Decimal
+
+        one = pa.scalar(Decimal("1.00"), type=pa.decimal128(4, 2))
+        for b in batches:
+            # fixture money columns are exact at 2dp (checked) — the whole
+            # product stays exact decimal: (12,2)×(5,2)×(5,2) ≤ scale 6
+            price = pc.cast(b.column("l_extendedprice"), pa.decimal128(12, 2))
+            disc = pc.cast(b.column("l_discount"), pa.decimal128(4, 2))
+            tax = pc.cast(b.column("l_tax"), pa.decimal128(4, 2))
+            net = pc.multiply(price, pc.subtract(one, disc))
+            charge = pc.multiply(net, pc.add(one, tax))
+            # half_towards_infinity == SQL half-away-from-zero on these
+            # strictly-positive charges (DuckDB ROUND's decimal mode)
+            rounded = pc.round(charge, 4, round_mode="half_towards_infinity")
+            # Arrow's decimal→float multiplies by an inexact 10^-scale
+            # (one ulp off on ~30% of values); the string path parses
+            # correctly rounded, matching DuckDB's decimal→double cast
+            rounded4 = pc.cast(rounded, pa.decimal128(24, 4))
+            as_double = pc.cast(pc.cast(rounded4, pa.string()), pa.float64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("l_orderkey"),
+                    b.column("l_linenumber"),
+                    as_double,
+                ],
+                names=["l_orderkey", "l_linenumber", "charge"],
+            )
+
+    return li.mapInArrow(
+        charge_batches, "l_orderkey bigint, l_linenumber int, charge double"
+    )

@@ -45,6 +45,8 @@ ARROW_OK = {
     "j4_grouped_agg_udaf",
     "j5_python_udtf",
     "j6_map_overlap",
+    "j7_cogrouped_map",
+    "j8_map_in_arrow",
     "e13_ewm",
     "k6_stream_stateful",
     "l2_minhash_lsh",
@@ -78,6 +80,8 @@ CARTESIAN_OK = {
     "d22_hll_merge",
     # scalar token-total broadcast onto the vocab-bounded prob table (1×|V|).
     "l30_unigram_xent",
+    # 1-row global-average broadcast cross join fanned onto customer (1×N).
+    "x5_dormant_customers",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
