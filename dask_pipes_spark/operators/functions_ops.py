@@ -640,3 +640,68 @@ def h23_greatest_least(spark, sf_dir):
             F.col("l_shipdate"), F.lit("1998-01-01").cast("timestamp_ntz")
         ).alias("ship_floor"),
     )
+
+
+@query(
+    "h24_value_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE l_returnflag WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'
+                             WHEN 'R' THEN 'returned' END AS flag_label,
+           COALESCE(CASE l_linestatus WHEN 'O' THEN 'open' END, 'closed')
+             AS status_label
+    FROM lineitem
+    """,
+)
+def h24_value_map(spark, sf_dir):
+    """Dict-driven value mapping (pandas ``Series.map({...})`` /
+    ``replace``): a literal ``MAP`` built with ``F.create_map`` and indexed
+    per row — unmatched keys yield NULL exactly like ``Series.map``, with
+    ``coalesce`` supplying the default. The map literal is a plan constant
+    (no join, no broadcast table needed at any scale); the oracle spells the
+    same lookup as simple CASE."""
+    li = load(spark, sf_dir, "lineitem")
+    flag_map = F.create_map(
+        F.lit("A"), F.lit("accepted"),
+        F.lit("N"), F.lit("none"),
+        F.lit("R"), F.lit("returned"),
+    )
+    status_map = F.create_map(F.lit("O"), F.lit("open"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(flag_map, F.col("l_returnflag")).alias("flag_label"),
+        F.coalesce(
+            F.element_at(status_map, F.col("l_linestatus")), F.lit("closed")
+        ).alias("status_label"),
+    )
+
+
+@query(
+    "h26_date_extra",
+    oracle="""
+    SELECT o_orderkey,
+           quarter(o_orderdate) AS qtr,
+           dayofyear(o_orderdate) AS doy,
+           STRFTIME(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           STRFTIME(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d')
+             AS plus2m
+    FROM orders
+    """,
+)
+def h26_date_extra(spark, sf_dir):
+    """Date-part tier 2 (pandas ``dt.quarter/dayofyear``, offsets
+    ``MonthEnd``/``DateOffset(months=)``): quarter, day-of-year, month-end
+    snap, and calendar-aware month addition (both engines clamp Jan 31 + 1
+    month to the shorter month's end — same convention). ``weekofyear`` is
+    deliberately excluded: ISO-week numbering differs across engines
+    (SURVEY §7.6.5)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months("o_orderdate", 2), "yyyy-MM-dd").alias("plus2m"),
+    )

@@ -544,3 +544,45 @@ def c15_join_asof_nearest(spark, sf_dir):
     return asof_join(purchases, clicks, by="user_id", on="ts", direction="nearest").select(
         "event_id", "user_id", "ts", "value", F.col("click_value").alias("nearest_click_value")
     )
+
+
+@query(
+    "c16_join_nullsafe",
+    oracle="""
+    WITH l AS (
+      SELECT NULLIF(c_nationkey % 5, 2) AS k, COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    r AS (
+      SELECT NULLIF(s_nationkey % 5, 2) AS k, COUNT(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT l.k AS k, n_cust, n_supp
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def c16_join_nullsafe(spark, sf_dir):
+    """Null-safe equi-join (``<=>`` / SQL ``IS NOT DISTINCT FROM`` — the
+    pandas ``merge`` behavior where NaN keys pair with NaN). Spark's
+    ``eqNullSafe`` stays a hash-joinable equality (NULL hashes to a regular
+    bucket), so Catalyst still picks BHJ/SMJ — no fallback to a nested-loop
+    plan. Null keys are synthesized deterministically with NULLIF on both
+    engines."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    left = (
+        t["customer"]
+        .select(F.nullif(F.col("c_nationkey") % 5, F.lit(2)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    right = (
+        t["supplier"]
+        .select(F.nullif(F.col("s_nationkey") % 5, F.lit(2)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        left.alias("l")
+        .join(right.alias("r"), F.col("l.k").eqNullSafe(F.col("r.k")))
+        .select(F.col("l.k").alias("k"), "n_cust", "n_supp")
+    )

@@ -281,3 +281,30 @@ def b13_clip(spark, sf_dir):
             "price_clipped"
         ),
     )
+
+
+@query(
+    "b14_query_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROUND(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+                      * (1 - CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE), 4)
+             AS net
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def b14_query_expr(spark, sf_dir):
+    """String-expression front-end (Dask/pandas ``df.query`` / ``df.eval``):
+    ``filter`` and ``selectExpr`` accept SQL expression strings that go
+    through the same Catalyst parser/analyzer as column objects — identical
+    plan, pushdown included (the predicate lands in PushedFilters). The
+    ergonomic bridge for users porting pandas query-string code."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter("l_quantity > 45 AND l_returnflag = 'R'").selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "ROUND(CAST(CAST(l_extendedprice AS DECIMAL(28,6))"
+        " * (1 - CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE), 4) AS net",
+    )

@@ -205,3 +205,47 @@ def g8_table_diff(spark, sf_dir):
         )
         .filter(ak.isNull() | bk.isNull() | (ak != bk))
     )
+
+
+@query(
+    "g9_combine_first",
+    oracle="""
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(a.price_a, b.price_b) AS price,
+           CASE WHEN a.price_a IS NOT NULL THEN 'primary'
+                ELSE 'fallback' END AS price_src
+    FROM (SELECT o_orderkey, o_totalprice AS price_a FROM orders
+          WHERE o_orderstatus = 'O') a
+    FULL OUTER JOIN
+         (SELECT o_orderkey, ROUND(CAST(CAST(o_totalprice AS DECIMAL(28,6))
+                                        * 0.9 AS DOUBLE), 4) AS price_b
+          FROM orders WHERE o_totalprice > 1000.0) b
+      ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def g9_combine_first(spark, sf_dir):
+    """Dask/pandas ``combine_first`` — overlay one keyed frame onto another,
+    preferring the primary's non-null values and taking the union of keys.
+    In Spark this is exactly FULL OUTER JOIN + per-column COALESCE, one
+    shuffle on the key; at scale the join inherits AQE skew handling and
+    either side can broadcast when small. A provenance column records which
+    side supplied each value (pandas' ``indicator`` idiom)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.col("o_totalprice").alias("price_a")
+    )
+    b = o.filter(F.col("o_totalprice") > 1000.0).select(
+        "o_orderkey",
+        F.round((F.col("o_totalprice").cast("decimal(28,6)") * 0.9).cast("double"), 4)
+        .alias("price_b"),
+    )
+    return (
+        a.join(b, "o_orderkey", "full_outer")
+        .select(
+            "o_orderkey",
+            F.coalesce("price_a", "price_b").alias("price"),
+            F.when(F.col("price_a").isNotNull(), "primary")
+            .otherwise("fallback")
+            .alias("price_src"),
+        )
+    )

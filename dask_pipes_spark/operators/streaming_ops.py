@@ -301,3 +301,37 @@ def k9_stream_foreach_sink(spark, sf_dir):
         .filter(F.col("batch_id") == F.col("maxb"))
         .select("event_type", "n_events", F.col("s").cast("double").alias("sum_value"))
     )
+
+
+@query("k10_stream_session")  # weak: streaming runtime output
+def k10_stream_session(spark, sf_dir):
+    """k3's session windows executed through the streaming runtime — the
+    hardest streaming-state shape Spark supports natively: session windows
+    MERGE as events arrive (two open sessions fuse when a bridging event
+    lands), so per-key state is a set of mutable intervals, not fixed
+    buckets. The watermark bounds it: a session closes (and its state is
+    evicted) once the watermark passes session-end + gap. Complete mode
+    keeps the drained result equal to the batch k3 answer (asserted in
+    tests/test_streaming.py); production would run append + RocksDB state
+    store."""
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # watermarks require LTZ; session tz is UTC
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("last_event").cast("timestamp_ntz").alias("last_event"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "k10_session", "complete")

@@ -106,3 +106,13 @@ def test_k8_stream_stream_join_equals_batch_join(spark, registry):
     ).select("purchase_id", "p_user", "purchase_ts", "click_ts", "click_value")
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_k10_stream_session_equals_batch(spark, registry):
+    """The drained streaming session-window result must equal batch k3
+    (same gap, same aggregates) — session merge logic included."""
+    queries, _ = registry
+    cols = ["user_id", "session_start", "last_event", "n_events", "sum_value"]
+    streamed = queries["k10_stream_session"](spark, SF_SMOKE).select(cols)
+    batch = queries["k3_session_window"](spark, SF_SMOKE).select(cols)
+    assert _norm(streamed.collect()) == _norm(batch.collect())

@@ -91,6 +91,7 @@ SKIP = {
     "k6_stream_stateful",
     "k7_stream_static_join",
     "k8_stream_stream_join",
+    "k10_stream_session",
 }
 
 
