@@ -663,3 +663,72 @@ def l34_zipf_slope(spark, sf_dir):
         n.alias("n"),
         F.round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6).alias("zipf_slope"),
     )
+
+
+@query(
+    "l35_paragraph_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(t[i*10+1 : i*10+10], ' ') AS seg
+      FROM toks, UNNEST(range(CAST(CEIL(len(t) / 10.0) AS BIGINT))) u(i)
+    ),
+    flagged AS (
+      SELECT doc_id, seg_idx, seg,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY seg
+                        ORDER BY doc_id, seg_idx) = 1
+                  THEN 1 ELSE 0 END AS keep
+      FROM segs
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN keep = 1 THEN seg END, ' '
+                               ORDER BY seg_idx), '') AS clean_text,
+           SUM(keep) AS n_kept,
+           SUM(1 - keep) AS n_dropped
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def l35_paragraph_dedup(spark, sf_dir):
+    """Sub-document exact dedup (the paragraph-granularity variant of Lee
+    et al. 2022's exact-substring removal, as shipped in corpus-curation
+    stacks): documents split into 10-token segments in-row (sequence +
+    slice — a per-row explode, no shuffle), every repeated segment after
+    its first corpus occurrence dropped (first-occurrence rule = window
+    rank over the segment text, deterministic), surviving segments
+    reassembled in order. Two exchanges total: the segment-hash partition
+    for the occurrence window, and the doc_id regroup; both key-partitioned
+    and AQE-skew-safe. At 100 TB the segment window would key on
+    ``xxhash64(seg)`` instead of the raw text to cut shuffle bytes —
+    semantics identical, and the reassembly stage is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    flagged = segs.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    kept_struct = F.when(
+        F.col("keep") == 1, F.struct("seg_idx", "seg")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum("keep").alias("n_kept"),
+        F.sum(1 - F.col("keep")).alias("n_dropped"),
+    )

@@ -272,3 +272,41 @@ def p6_observe_metrics(spark, sf_dir):
         [(m["n_rows"], m["n_big"], float(m["s"]))],
         "n_rows bigint, n_big bigint, sum_value double",
     )
+
+
+@query(
+    "p7_ml_pipeline_interop",
+    oracle="""
+    WITH ext AS (
+      SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer
+    )
+    SELECT c_custkey,
+           ROUND((c_acctbal - lo) / (hi - lo), 6) AS acctbal_scaled
+    FROM customer CROSS JOIN ext
+    """,
+)
+def p7_ml_pipeline_interop(spark, sf_dir):
+    """Native ``pyspark.ml.Pipeline`` interop (SURVEY §3.2/§7.5): a real
+    Estimator→Transformer chain — VectorAssembler packs the column,
+    MinMaxScaler *fits* the extrema (the dask-pipes ``fit`` analog: two
+    exact aggregates collected into the model) and *transforms* to [0,1].
+    ``vector_to_array`` unpacks for the relational surface. The fitted
+    params are two doubles broadcast in the model closure, so transform is
+    a pure per-row projection at any scale; the oracle inlines the same
+    (x−min)/(max−min) with identical IEEE arithmetic."""
+    from pyspark.ml import Pipeline as MlPipeline
+    from pyspark.ml.feature import MinMaxScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    pipe = MlPipeline(
+        stages=[
+            VectorAssembler(inputCols=["c_acctbal"], outputCol="feat"),
+            MinMaxScaler(inputCol="feat", outputCol="scaled"),
+        ]
+    )
+    model = pipe.fit(c)
+    return model.transform(c).select(
+        "c_custkey",
+        F.round(vector_to_array("scaled")[0], 6).alias("acctbal_scaled"),
+    )

@@ -552,3 +552,159 @@ def e17_rolling_corr(spark, sf_dir):
         )
         .filter(F.col("n") >= 2)
     )
+
+
+@query(
+    "e18_interpolate",
+    oracle="""
+    WITH gapped AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    bounds AS (
+      SELECT event_id, user_id, ts, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM gapped
+    )
+    SELECT event_id, user_id, ts,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             WHEN nt = pt THEN pv
+             ELSE pv + (nv - pv) * (epoch_us(ts) - pt) / (nt - pt)
+           END, 6) AS v_interp
+    FROM bounds
+    """,
+)
+def e18_interpolate(spark, sf_dir):
+    """Time-weighted linear interpolation of missing values (pandas
+    ``Series.interpolate(method='index')`` on a DatetimeIndex — the standard
+    sensor-gap fill). Nulls are synthesized deterministically ('view' events
+    lose their value), then two IGNORE-NULLS window passes find the bracketing
+    observations and their event times; the gap position interpolates on the
+    epoch-microsecond axis. Boundary rows fall back to nearest-neighbor
+    (pandas ``limit_direction='both'``). One sort per user partition serves
+    all four window frames — a single Exchange in the plan; interpolation
+    arithmetic is identical IEEE on both engines."""
+    e = load(spark, sf_dir, "events")
+    gapped = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v").isNotNull(), F.col("tus"))
+    b = gapped.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "v",
+        "tus",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(t_obs, ignorenulls=True).over(back).alias("pt"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(t_obs, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("tus") - F.col("pt"))
+            / (F.col("nt") - F.col("pt"))
+        )
+    )
+    return b.select(
+        "event_id", "user_id", "ts", F.round(interp, 6).alias("v_interp")
+    )
+
+
+@query(
+    "e19_pct_change",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND((value - LAG(value) OVER w)
+                 / NULLIF(LAG(value) OVER w, 0.0), 6) AS pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e19_pct_change(spark, sf_dir):
+    """Fractional change from the previous observation per key (pandas
+    ``groupby.pct_change``): one LAG window; a zero base becomes NULL via
+    NULLIF on both engines (pandas emits inf — NULL is the SQL convention,
+    documented divergence). Rides the same per-user sort as every other
+    e-group window — Catalyst reuses the Exchange when composed."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round((F.col("value") - prev) / F.nullif(prev, F.lit(0.0)), 6).alias(
+            "pct_change"
+        ),
+    )
+
+
+@query(
+    "e20_rank_average",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+             + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)
+               / 2.0 AS avg_rank
+    FROM lineitem
+    """,
+)
+def e20_rank_average(spark, sf_dir):
+    """pandas' default ranking, ``rank(method='average')`` — tied values get
+    the MEAN of the positions they occupy. Neither engine ships it as a
+    builtin; the closed form is min-rank + (tie-size − 1)/2, i.e. one
+    ordered RANK window plus one unordered per-(group, value) COUNT window
+    over the same partition sort. Exact integer arithmetic until the final
+    halving — no float-order risk."""
+    li = load(spark, sf_dir, "lineitem")
+    wr = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wt = Window.partitionBy("l_returnflag", "l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        (
+            F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
