@@ -875,3 +875,32 @@ def d29_product_sem(spark, sf_dir):
         )
         .filter(F.col("n_lines") > 1)
     )
+
+
+@query(
+    "d30_nunique_all",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS u_part,
+           COUNT(DISTINCT l_suppkey) AS u_supp,
+           COUNT(DISTINCT l_returnflag) AS u_flag,
+           COUNT(DISTINCT l_quantity) AS u_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def d30_nunique_all(spark, sf_dir):
+    """Whole-frame per-column distinct counts (pandas ``df.nunique()`` —
+    the profiling primitive). Multiple COUNT(DISTINCT)s in one aggregate
+    compile to a single Expand-based plan: each row fans out once per
+    distinct-column, partial aggregation dedups map-side, and one shuffle
+    serves all four counts — N columns profiled for one pass over the data,
+    not N passes. At 100 TB swap for d5's approx_count_distinct sketches;
+    the plan shape is identical."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("u_part"),
+        F.countDistinct("l_suppkey").alias("u_supp"),
+        F.countDistinct("l_returnflag").alias("u_flag"),
+        F.countDistinct("l_quantity").alias("u_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

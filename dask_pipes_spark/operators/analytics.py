@@ -303,3 +303,121 @@ def x3_returned_items(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "x7_disjunctive_join",
+    oracle=f"""
+    SELECT ROUND({sql_dsum(_REV)}, 4) AS revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_type = 'PROMO' AND l_quantity >= 40)
+    """,
+)
+def x7_disjunctive_join(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive predicates across a join): an OR of
+    conjunct blocks that mixes both tables' columns. Catalyst splits each
+    side's common factor out of the disjunction and pushes the extracted
+    single-table predicates below the join (visible as PushedFilters on
+    both scans), leaving only the cross-table residual on the join — the
+    rewrite engines without CNF extraction miss, turning this into a full
+    cartesian filter. part broadcasts; one aggregate row comes back."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(dsum(_rev_col()), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "x8_late_ship_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def x8_late_ship_orders(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): EXISTS with a correlated
+    cross-table comparison (lineitem shipped >60 days after its order
+    date) — a left-semi join whose condition mixes both sides, so the date
+    arithmetic rides the join predicate, not a pushdown. Semi-join output
+    is at most one row per order (no fan-out to dedup), shuffled on
+    orderkey; the quarter filter prunes the probe side before the
+    exchange."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    probe = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    return (
+        probe.join(
+            t["lineitem"],
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "x9_promo_revenue_share",
+    oracle=f"""
+    SELECT ROUND(100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' THEN " + _REV + " ELSE 0 END")}
+                 / {sql_dsum(_REV)}, 6) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= DATE '1996-09-01'
+      AND l_shipdate <  DATE '1996-10-01'
+    """,
+)
+def x9_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): the conditional-aggregate ratio
+    — promo revenue over total revenue in one month, one pass, no second
+    scan (the CASE folds the predicate into the sum). Both sums ride the
+    decimal pattern so the ratio's operands are exact before the single
+    float divide."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    rev = _rev_col()
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-09-01")
+            & (F.col("l_shipdate") < "1996-10-01")
+        )
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(100.0 * dsum(promo_rev) / dsum(rev), 6).alias("promo_pct")
+        )
+    )

@@ -705,3 +705,31 @@ def h26_date_extra(spark, sf_dir):
         F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
         F.date_format(F.add_months("o_orderdate", 2), "yyyy-MM-dd").alias("plus2m"),
     )
+
+
+@query(
+    "h27_regexp_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, 'ta[a-z]*')) AS n_ta,
+           len(regexp_extract_all(text, '[aeiou]{2}')) AS n_vowel_pairs,
+           regexp_extract_all(text, '\\b[a-z]{6,}\\b')[1] AS first_long
+    FROM documents
+    """,
+)
+def h27_regexp_count(spark, sf_dir):
+    """Pattern-occurrence counting and all-match extraction (pandas
+    ``str.count`` / ``str.findall``): ``regexp_count`` and
+    ``regexp_extract_all`` are JVM-regex kernels inside codegen — per-row,
+    no explode. Patterns avoid engine-divergent regex dialect corners
+    (both JVM and RE2-style engines agree on literal classes and bounded
+    repeats used here)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("ta[a-z]*")).alias("n_ta"),
+        F.regexp_count("text", F.lit("[aeiou]{2}")).alias("n_vowel_pairs"),
+        F.try_element_at(
+            F.regexp_extract_all("text", F.lit(r"\b[a-z]{6,}\b"), 0), F.lit(1)
+        ).alias("first_long"),
+    )

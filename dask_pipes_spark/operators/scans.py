@@ -274,3 +274,31 @@ def a10_scan_binary(spark, sf_dir):
         )
         .orderBy("file_name")
     )
+
+
+@query("a11_scan_text")  # weak: writes scratch files
+def a11_scan_text(spark, sf_dir):
+    """Line-oriented text source (Dask ``db.read_text`` / ``dd.read_csv`` on
+    raw logs — the landing format of every crawl dump): documents are
+    written as one ``<doc_id>\\t<text>`` line each, re-read with
+    ``spark.read.text`` (one ``value`` column, no parsing on the scan —
+    splitting is an explicit projection, so malformed lines are data, not
+    errors). Round-trip equality vs the source table is asserted in
+    tests/test_scans.py; the scan parallelizes by file split exactly like
+    any other file source at 100 TB."""
+    out = os.path.join(tempfile.gettempdir(), "dps_a11_text")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parts = F.split("value", "\t", 2)
+    return (
+        back.select(
+            parts.getItem(0).cast("bigint").alias("doc_id"),
+            parts.getItem(1).alias("text"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )

@@ -3,6 +3,7 @@
 
 from pyspark.sql import functions as F
 
+from dask_pipes_spark.session import load
 from tests.conftest import SF_SMOKE
 
 
@@ -130,3 +131,12 @@ def test_a10_binary_scan_sizes_match_disk(spark, registry):
     for r in rows:
         assert r["meta_bytes"] == on_disk[r["file_name"]]
         assert r["content_bytes"] == on_disk[r["file_name"]]
+
+
+def test_a11_text_roundtrip_equals_source(spark, registry):
+    queries, _ = registry
+    back = queries["a11_scan_text"](spark, SF_SMOKE)
+    src = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    a = sorted((r.doc_id, r.text) for r in back.collect())
+    b = sorted((r.doc_id, r.text) for r in src.collect())
+    assert a == b
