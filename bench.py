@@ -184,11 +184,13 @@ def main() -> None:
         spark.sql(sql).toPandas()
 
     # full-result fetch, like DuckDB's fetchall: collect() (row tuples) for
-    # small results — the Arrow toPandas path has ~70 ms fixed setup that
-    # only pays off on wide fetches, so the one ~45k-row result keeps it
+    # small results — the Arrow toPandas path has fixed setup that only pays
+    # off on larger fetches (the ~45k-row window result and the ~7.5k-row
+    # events rollup; measured crossover ~5k rows on this box)
     results: dict[str, float] = {}
+    arrow_fetch = {"q_window_rank", "q_events_session"}
     for name, sql in SQL.items():
-        fetch = (lambda d: d.toPandas()) if name == "q_window_rank" else (lambda d: d.collect())
+        fetch = (lambda d: d.toPandas()) if name in arrow_fetch else (lambda d: d.collect())
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
