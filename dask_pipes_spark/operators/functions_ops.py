@@ -733,3 +733,37 @@ def h27_regexp_count(spark, sf_dir):
             F.regexp_extract_all("text", F.lit(r"\b[a-z]{6,}\b"), 0), F.lit(1)
         ).alias("first_long"),
     )
+
+
+@query(
+    "h28_array_tier3",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_position(toks, 'the') AS pos_the,
+           list_has_any(toks, ['a', 'the']) AS has_stop,
+           array_to_string(toks[1:5], '-') AS first5,
+           len(list_filter(toks, x -> x NOT IN ('a', 'the'))) AS n_content
+    FROM t
+    """,
+)
+def h28_array_tier3(spark, sf_dir):
+    """Array tier 3 — positional and membership kernels (pandas list-column
+    idioms done with Python loops; Spark runs them codegen'd per row):
+    ``array_position`` (1-based first occurrence, 0 when absent — both
+    engines agree), ``arrays_overlap`` membership test, ``slice`` + join
+    for a bounded prefix, and ``array_remove``-style filtering counted.
+    All row-local — zero shuffle at any scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_position(toks, "the").alias("pos_the"),
+        F.arrays_overlap(toks, F.array(F.lit("a"), F.lit("the"))).alias(
+            "has_stop"
+        ),
+        F.array_join(F.slice(toks, 1, 5), "-").alias("first5"),
+        F.size(
+            F.filter(toks, lambda x: ~x.isin("a", "the"))
+        ).alias("n_content"),
+    )

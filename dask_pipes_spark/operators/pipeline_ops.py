@@ -310,3 +310,27 @@ def p7_ml_pipeline_interop(spark, sf_dir):
         "c_custkey",
         F.round(vector_to_array("scaled")[0], 6).alias("acctbal_scaled"),
     )
+
+
+@query("p8_skew_report")  # weak: partition introspection (layout-dependent)
+def p8_skew_report(spark, sf_dir):
+    """Partition-skew diagnostic — the first thing to check when a 100 TB
+    job straggles: row counts per physical partition after a key
+    repartition, reduced to the balance stats that matter (max/avg skew
+    ratio, emptiness). ``spark_partition_id`` is evaluated post-exchange,
+    so this measures the REAL layout the hash partitioner produced for the
+    key, not an estimate; run it on a sample before committing a partition
+    strategy. Two tiny aggregations; the report is O(num_partitions)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = (
+        li.repartition(32, "l_orderkey")
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return per_part.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.min("n_rows").alias("min_rows"),
+        F.max("n_rows").alias("max_rows"),
+        F.round(F.max("n_rows") / F.avg("n_rows"), 4).alias("skew_ratio"),
+    )

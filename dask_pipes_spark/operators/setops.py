@@ -249,3 +249,33 @@ def g9_combine_first(spark, sf_dir):
             .alias("price_src"),
         )
     )
+
+
+@query(
+    "g10_duplicated_flag",
+    oracle="""
+    SELECT doc_id, lang, source,
+           (COUNT(*) OVER (PARTITION BY lang, source) > 1) AS is_dup,
+           (ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) > 1)
+             AS is_extra
+    FROM documents
+    """,
+)
+def g10_duplicated_flag(spark, sf_dir):
+    """pandas ``duplicated()`` — MARK duplicates instead of dropping them
+    (the audit-first idiom: inspect before deleting). ``is_dup`` flags every
+    member of a multiply-occurring key group (``keep=False`` semantics);
+    ``is_extra`` flags all but the first occurrence (``keep='first'``,
+    deterministic via doc_id order). One window partition serves both — a
+    single exchange on the subset key, and the flags compose with any
+    downstream filter without a join."""
+    d = load(spark, sf_dir, "documents")
+    wc = Window.partitionBy("lang", "source")
+    wr = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.count(F.lit(1)).over(wc) > 1).alias("is_dup"),
+        (F.row_number().over(wr) > 1).alias("is_extra"),
+    )

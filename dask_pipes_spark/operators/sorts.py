@@ -212,3 +212,41 @@ def f9_bottomk_sample(spark, sf_dir):
         .orderBy("sample_key", "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "f10_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(LN(('0x' || substr(md5('w10:' || doc_id), 1, 8))::BIGINT
+                          / 4294967296.0) AS DECIMAL(18,10)) AS DOUBLE)
+               / n_chars AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, ROUND(sample_key, 10) AS sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+    """,
+)
+def f10_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (pandas ``sample(weights=...)``)
+    via the Efraimidis–Spirakis A-Res scheme: each row gets key
+    ln(u)/w (u uniform from a seeded content hash, w = n_chars here —
+    longer documents proportionally likelier) and the top-k keys ARE the
+    weighted sample. Deterministic (hash-derived u, the f8/f9 discipline),
+    mergeable (top-k of top-ks), and planned as TakeOrderedAndProject —
+    only k rows per partition reach the driver merge at any scale. The
+    ln() is snapped to DECIMAL(18,10) before the weight divide so libm
+    last-ulp differences can't reorder the cutoff."""
+    d = load(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w10:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    key = F.log(u).cast("decimal(18,10)").cast("double") / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", F.round(key, 10).alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(100)
+    )

@@ -554,6 +554,51 @@ def e17_rolling_corr(spark, sf_dir):
     )
 
 
+def interpolate_time_weighted(df, key: str, ts: str, order: tuple, value: str):
+    """Reusable time-weighted linear gap fill (pandas
+    ``interpolate(method='index', limit_direction='both')``): adds
+    ``v_interp`` — ``value`` where observed, otherwise the interpolation
+    between the bracketing observations positioned on the
+    epoch-microsecond axis, falling back to the nearest observation at
+    partition edges. One per-key sort serves all four IGNORE-NULLS window
+    frames (single Exchange). Property-tested against pandas in
+    tests/test_operators.py."""
+    tus = F.unix_micros(F.col(ts).cast("timestamp"))
+    back = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value)
+    t_obs = F.when(v.isNotNull(), tus)
+    b = df.select(
+        "*",
+        tus.alias("_tus"),
+        F.last(v, ignorenulls=True).over(back).alias("_pv"),
+        F.last(t_obs, ignorenulls=True).over(back).alias("_pt"),
+        F.first(v, ignorenulls=True).over(fwd).alias("_nv"),
+        F.first(t_obs, ignorenulls=True).over(fwd).alias("_nt"),
+    )
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(F.col("_pv").isNull(), F.col("_nv"))
+        .when(F.col("_nv").isNull(), F.col("_pv"))
+        .when(F.col("_nt") == F.col("_pt"), F.col("_pv"))
+        .otherwise(
+            F.col("_pv")
+            + (F.col("_nv") - F.col("_pv"))
+            * (F.col("_tus") - F.col("_pt"))
+            / (F.col("_nt") - F.col("_pt"))
+        )
+    )
+    return b.withColumn("v_interp", interp).drop("_tus", "_pv", "_pt", "_nv", "_nt")
+
+
 @query(
     "e18_interpolate",
     oracle="""
@@ -609,44 +654,12 @@ def e18_interpolate(spark, sf_dir):
         F.when(F.col("event_type") == "view", None)
         .otherwise(F.col("value"))
         .alias("v"),
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
     )
-    back = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    out = interpolate_time_weighted(
+        gapped, key="user_id", ts="ts", order=("ts", "event_id"), value="v"
     )
-    fwd = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    t_obs = F.when(F.col("v").isNotNull(), F.col("tus"))
-    b = gapped.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "v",
-        "tus",
-        F.last("v", ignorenulls=True).over(back).alias("pv"),
-        F.last(t_obs, ignorenulls=True).over(back).alias("pt"),
-        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
-        F.first(t_obs, ignorenulls=True).over(fwd).alias("nt"),
-    )
-    interp = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(F.col("pv").isNull(), F.col("nv"))
-        .when(F.col("nv").isNull(), F.col("pv"))
-        .when(F.col("nt") == F.col("pt"), F.col("pv"))
-        .otherwise(
-            F.col("pv")
-            + (F.col("nv") - F.col("pv"))
-            * (F.col("tus") - F.col("pt"))
-            / (F.col("nt") - F.col("pt"))
-        )
-    )
-    return b.select(
-        "event_id", "user_id", "ts", F.round(interp, 6).alias("v_interp")
+    return out.select(
+        "event_id", "user_id", "ts", F.round(F.col("v_interp"), 6).alias("v_interp")
     )
 
 

@@ -181,3 +181,75 @@ def test_d20_approx_quantile_within_bound(spark, registry):
     for r in queries["d20_approx_quantile"](spark, SF_SMOKE).collect():
         assert abs(r.approx_pcts[0] - r.exact_p50) <= 1.0, r
         assert r.approx_pcts[0] <= r.approx_pcts[1] <= r.approx_pcts[2]
+
+
+# --- property test: time-weighted interpolation vs pandas ------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_series = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # key
+        st.integers(min_value=0, max_value=3600),       # ts offset seconds
+        st.one_of(st.none(), st.integers(min_value=0, max_value=100)),  # value
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_series)
+def test_interpolate_matches_pandas(spark, rows):
+    import datetime as dt
+
+    import pandas as pd
+
+    from dask_pipes_spark.operators.windows import interpolate_time_weighted
+
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "rid": range(len(rows)),
+            "k": [r[0] for r in rows],
+            "ts": [base + dt.timedelta(seconds=r[1]) for r in rows],
+            "v": [None if r[2] is None else float(r[2]) for r in rows],
+        }
+    )
+    # unique (k, ts): duplicate timestamps make pandas' index interpolation
+    # ill-defined; keep the max-rid row per (k, ts)
+    pdf = pdf.sort_values("rid").groupby(["k", "ts"], as_index=False).last()
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["k"] = pdf["k"].astype("int64")
+    pdf["rid"] = pdf["rid"].astype("int64")
+    pdf["v"] = pdf["v"].astype("float64")
+    pdf = pdf[["rid", "k", "ts", "v"]]  # createDataFrame maps positionally
+
+    schema = "rid long, k long, ts timestamp_ntz, v double"
+    sdf = (
+        spark.createDataFrame(pdf, schema)
+        if len(pdf)
+        else spark.createDataFrame([], schema)
+    )
+    got = {
+        r.rid: r.v_interp
+        for r in interpolate_time_weighted(
+            sdf, key="k", ts="ts", order=("ts", "rid"), value="v"
+        ).collect()
+    }
+
+    want: dict[int, float | None] = {}
+    for _, grp in pdf.groupby("k"):
+        g = grp.sort_values("ts").set_index("ts")
+        filled = g["v"].interpolate(method="index", limit_direction="both")
+        for rid, val in zip(g["rid"], filled):
+            want[int(rid)] = None if pd.isna(val) else float(val)
+
+    assert set(got) == set(want)
+    for rid in got:
+        a, b = got[rid], want[rid]
+        if a is None or b is None:
+            assert a == b, f"rid={rid}: {a} != {b}"
+        else:
+            assert abs(a - b) < 1e-9, f"rid={rid}: {a} != {b}"

@@ -78,3 +78,13 @@ def test_imputer_fills_with_training_mean(spark):
     assert params["x"] == 3.0
     out = imp.transform(train, params).agg(F.sum("x")).collect()[0][0]
     assert out == 9.0
+
+
+def test_p8_skew_report_balance(spark, registry):
+    """The hash partitioner over a high-cardinality key must land near
+    balance: all 32 partitions populated, skew ratio close to 1."""
+    queries, _ = registry
+    row = queries["p8_skew_report"](spark, SF_SMOKE).collect()[0]
+    assert row.n_partitions == 32
+    assert row.min_rows > 0
+    assert 1.0 <= row.skew_ratio < 1.6
