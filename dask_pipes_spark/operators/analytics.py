@@ -421,3 +421,392 @@ def x9_promo_revenue_share(spark, sf_dir):
             F.round(100.0 * dsum(promo_rev) / dsum(rev), 6).alias("promo_pct")
         )
     )
+
+
+@query(
+    "x10_forecast_revenue",
+    oracle=f"""
+    SELECT ROUND({sql_dsum("l_extendedprice * l_discount")}, 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def x10_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): a pure scan-filter-
+    aggregate with three range predicates and no join at all — the query
+    every column store must win on. All three predicates reach the parquet
+    scan as PushedFilters (year via shipdate bounds, the discount band,
+    the quantity cap), so at 100 TB only row groups whose min/max stats
+    overlap the bands are read; one partial-aggregated double comes back
+    per task."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(
+                dsum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "x11_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND({sql_dsum("volume")}, 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate <  DATE '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def x11_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by year. The same dimension table (nation) joins the fact tree
+    TWICE under different roles (supplier's nation, customer's nation) —
+    the aliasing case that breaks engines which resolve columns by bare
+    name. Both nation copies broadcast; the pair disjunction can only be
+    applied after both are attached, but each broadcast hash join emits
+    rows non-materialized, so the filter still runs pipelined within the
+    same stage. Grouping output is ≤ 2 pairs × years — tiny at any
+    scale."""
+    t = load_tables(
+        spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(dsum(_rev_col()), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "x12_market_share",
+    oracle=f"""
+    SELECT o_year,
+           ROUND({sql_dsum("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END")}
+                 / {sql_dsum("volume")}, 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate <  DATE '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def x12_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): one supplier nation's share
+    of revenue in a region's market for one part type, by year — an 8-way
+    join (nation twice) whose numerator is a conditional aggregate over
+    the SAME rows as the denominator, so the share needs one pass, not
+    two plans. part (type-filtered), supplier, both nations, and region
+    broadcast; the orders⋈lineitem⋈customer spine shuffles on its keys.
+    The division happens once per year group after both decimal-exact
+    sums."""
+    t = load_tables(
+        spark,
+        sf_dir,
+        ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _rev_col()
+    nat_rev = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0))
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(dsum(nat_rev) / dsum(rev), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "x13_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, ROUND({sql_dsum(_REV)}, 4) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def x13_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): the argmax-with-ties idiom — a
+    derived revenue view consumed twice, once for its max (a scalar) and
+    once as the rows filtered against that max. The revenue aggregate has
+    supplier cardinality (small next to the fact table); its max rides a
+    one-row broadcast cross join back onto it, so the fact table is
+    scanned exactly once and nothing correlated re-executes. Equality is
+    on the 4-digit-rounded decimal-exact sum, so both engines pick the
+    identical winner set (ties included — which is why this can't be a
+    LIMIT 1)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(dsum(_rev_col()), 4).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "x14_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 4)
+               AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def x14_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity clears a threshold, decorated with their customer — the
+    aggregate-then-filter-then-rejoin pattern (HAVING over the fact grain
+    feeding a dimension join). The HAVING survivor set is tiny (~0.1% of
+    orders), so both the orders and customer joins run broadcast-from-the-
+    aggregate side under AQE at any scale; the top-100 is TakeOrdered on
+    (o_totalprice, o_orderkey) with the unique orderkey breaking price
+    ties deterministically."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    qty = F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.round(qty.cast("double"), 4).alias("sum_qty"), qty.alias("_q"))
+        .filter(F.col("_q") > 300)
+        .drop("_q")
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "x15_late_priority_split",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def x15_late_priority_split(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority split, adapted: the fixtures
+    carry no l_shipmode/l_commitdate, so "late" is shipdate > orderdate +
+    60 days — the x8 lateness criterion — and the grouping key is
+    l_returnflag): counts of late lineitems split by whether their order
+    was high-priority, as two conditional counts in ONE pass. The year
+    filter prunes the lineitem scan; the lateness predicate mixes both
+    tables so it rides the join condition; the pivoted CASE counts avoid
+    a second join or a pivot shuffle."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(
+            t["lineitem"].filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01")
+            ),
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "x16_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders     ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def x16_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting, adapted to the
+    x8/x15 lateness criterion): late lineitems in multi-supplier finished
+    orders where THIS supplier was the only late one — the classic
+    EXISTS + correlated NOT EXISTS pair. Instead of two correlated
+    re-scans of lineitem, the Spark plan decorrelates both quantifiers
+    into ONE per-order aggregate (distinct suppliers, distinct late
+    suppliers) joined back on orderkey: EXISTS ⇔ n_supp ≥ 2, NOT EXISTS
+    ⇔ n_late_supp = 1 given this row is late. The per-order aggregate and
+    the probe share the orderkey partitioning, so the join adds no new
+    exchange; supplier broadcasts onto the count."""
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem", "orders"))
+    lo = (
+        t["lineitem"]
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .withColumn(
+            "late",
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ),
+            on="l_orderkey",
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
