@@ -904,3 +904,34 @@ def d30_nunique_all(spark, sf_dir):
         F.countDistinct("l_quantity").alias("u_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "d31_pivot_multi",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND({sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")}, 4)
+             AS O_qty,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_cnt,
+           ROUND({sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")}, 4)
+             AS F_qty,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d31_pivot_multi(spark, sf_dir):
+    """pivot_table with MULTIPLE aggregates per cell (pandas
+    ``pivot_table(aggfunc=['sum','count'])``): one ``pivot`` carrying two
+    named aggregations fans out to ``<value>_<agg>`` columns in a single
+    shuffle — no second pass per aggregate, no join of two pivots. Pivot
+    values are enumerated so Spark skips the distinct-values pre-job
+    (the 100 TB-safe form, as in d14)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.round(dsum("l_quantity"), 4).alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )

@@ -586,3 +586,49 @@ def c16_join_nullsafe(spark, sf_dir):
         .join(right.alias("r"), F.col("l.k").eqNullSafe(F.col("r.k")))
         .select(F.col("l.k").alias("k"), "n_cust", "n_supp")
     )
+
+
+@query(
+    "c17_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX_BY(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.click_value END
+             AS click_value_1h
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def c17_asof_tolerance(spark, sf_dir):
+    """As-of join with a tolerance bound (pandas ``merge_asof(...,
+    tolerance=Timedelta('1h'))``): the backward match is kept only when it
+    lies within the window, else the value columns go NULL — attribution
+    semantics ("the click that drove this purchase") rather than
+    last-known-state. Implemented as the shared :func:`asof_join` with the
+    build timestamp carried through as a value column and a row-local
+    post-predicate at microsecond precision — the tolerance adds ZERO cost
+    to the single-exchange asof plan, unlike a range join which would
+    re-shuffle into time buckets."""
+    clicks, purchases = _asof_fixture_sides(spark, sf_dir)
+    build = clicks.withColumn("click_ts", F.col("ts"))
+    out = asof_join(purchases, build, by="user_id", on="ts", direction="backward")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("click_ts").cast("timestamp")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap_us <= 3600 * 1000 * 1000, F.col("click_value")).alias(
+            "click_value_1h"
+        ),
+    )

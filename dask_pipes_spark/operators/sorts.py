@@ -250,3 +250,33 @@ def f10_weighted_sample(spark, sf_dir):
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "f11_group_sample",
+    oracle="""
+    SELECT doc_id, lang, pick_order FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('f11:' || doc_id), doc_id) AS pick_order
+      FROM documents
+    ) WHERE pick_order <= 5
+    """,
+)
+def f11_group_sample(spark, sf_dir):
+    """Per-group uniform sample of fixed size k (pandas
+    ``groupby().sample(n=5)``, the class-balancing idiom for training
+    sets): rank rows inside each group by a seeded content hash and keep
+    the first k — deterministic (f8/f9 hash discipline), one exchange on
+    the group key, and the per-partition sort short-circuits into a
+    running top-k because only rank ≤ 5 survives. Unlike a fraction-based
+    ``sampleBy``, small groups are never over- or under-drawn: every group
+    yields exactly min(k, |group|) rows at any scale."""
+    d = load(spark, sf_dir, "documents")
+    hkey = F.md5(F.concat(F.lit("f11:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(hkey, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("pick_order"))
+        .filter(F.col("pick_order") <= 5)
+    )

@@ -721,3 +721,80 @@ def e20_rank_average(spark, sf_dir):
             F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
         ).alias("avg_rank"),
     )
+
+
+@query(
+    "e21_group_transform",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND((o_totalprice - sx / n)
+                 / SQRT((sx2 - (sx / n) * (sx / n) * n) / (n - 1)), 6)
+             AS z_price
+    FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             COUNT(o_totalprice) OVER w AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w
+                  AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,6)))
+                  OVER w AS DOUBLE) AS sx2
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority)
+    )
+    """,
+)
+def e21_group_transform(spark, sf_dir):
+    """pandas ``groupby().transform()`` — a group aggregate broadcast back
+    onto every member row (here: within-priority z-score of the order
+    price). No join: an unordered window partition computes the group's
+    decimal-exact count/sum/sum-of-squares next to each row in one
+    exchange, and the z-score arithmetic is the identical double-op
+    sequence on both engines (mean = sx/n, var = (sx2 - mean²·n)/(n-1)),
+    so the hash can't drift. The frame is the whole partition — Spark
+    evaluates it once per group, not per row."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    x = F.col("o_totalprice")
+    n = F.count(x).over(w)
+    sx = F.sum(x.cast("decimal(28,6)")).over(w).cast("double")
+    sx2 = F.sum((x * x).cast("decimal(28,6)")).over(w).cast("double")
+    mean = sx / n
+    var = (sx2 - mean * mean * n) / (n - 1)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round((x - mean) / F.sqrt(var), 6).alias("z_price"),
+    )
+
+
+@query(
+    "e22_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_med
+    FROM events
+    """,
+)
+def e22_rolling_median(spark, sf_dir):
+    """pandas ``rolling(5).median()`` — an order-statistic over a sliding
+    row frame, the robust-smoothing cousin of e7's rolling mean (outliers
+    shift a mean but not a median). Spark's ``median`` refuses a window
+    frame but the equivalent ``percentile(x, 0.5)`` accepts one; both
+    engines interpolate the even-count midpoint
+    identically on doubles, and the computation is sort-based (no
+    summation-order float drift). Keyed frames → one exchange + one
+    in-partition sort; state is the 5-row frame."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias(
+            "rolling_med"
+        ),
+    )
