@@ -810,3 +810,361 @@ def x16_waiting_suppliers(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "x17_min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_price) AS best_price FROM unit
+      GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           ROUND(unit_price, 4) AS unit_price
+    FROM unit
+    JOIN best ON best.l_partkey = unit.l_partkey
+             AND unit.unit_price = best.best_price
+    JOIN part     ON p_partkey = unit.l_partkey
+    JOIN supplier ON s_suppkey = unit.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def x17_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier), adapted to the fixture star
+    (no partsupp table — supply cost is derived as the minimum observed
+    unit price ``l_extendedprice / l_quantity`` per part×supplier within
+    the EUROPE region). The correlated MIN subquery of the original is
+    decorrelated the same way Q2 planners do it: aggregate once per part,
+    rejoin on (partkey, price == min). Both the unit-price table and its
+    per-part min share the partkey shuffle, so the rejoin adds no new
+    exchange; part/supplier/nation are broadcast onto the result. Unit
+    price is a single IEEE double division — bit-identical on both
+    engines, so the equality join is hash-safe.
+
+    100 TB: the per-(part,supplier) aggregate is the reduction step (fact
+    rows → |part×supp| pairs) and everything after operates on dimension
+    cardinality; no full-fact rejoin appears anywhere.
+    """
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region")
+    )
+    eu_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    unit = (
+        t["lineitem"]
+        .join(eu_supp.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    best = (
+        unit.groupBy("l_partkey")
+        .agg(F.min("unit_price").alias("best_price"))
+        .withColumnRenamed("l_partkey", "best_partkey")
+    )
+    return (
+        unit.join(
+            best,
+            (F.col("l_partkey") == F.col("best_partkey"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .drop("best_partkey")
+        .join(
+            F.broadcast(
+                t["part"].filter(
+                    (F.col("p_type") == "LARGE")
+                    & F.col("p_size").between(10, 20)
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("unit_price", 4).alias("unit_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "x18_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+           ROUND({sql_dsum("l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity")}, 4) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    """,
+)
+def x18_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit measure), adapted: with no
+    partsupp.ps_supplycost in the fixtures, unit cost is proxied as 10%
+    of ``p_retailprice``, so profit = revenue − qty·0.1·retail. The plan
+    is the Q9 classic: name-filtered part broadcast-pruned into the fact
+    scan FIRST (the most selective reduction), then supplier and orders
+    joined on their keys, nation broadcast last, two-level grouping
+    (nation × order-year) above the join tree.
+
+    100 TB: part filter reduces the fact side before any wide join; the
+    only big shuffles are lineitem⋈orders on orderkey and the final
+    aggregate exchange on (nation, year) — both AQE-coalesced.
+    """
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "part", "supplier", "orders", "nation")
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"]
+                .filter(F.col("p_name").like("%widget%"))
+                .select("p_partkey", "p_retailprice")
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(dsum(amount), 4).alias("profit"))
+    )
+
+
+@query(
+    "x19_important_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey, {sql_dsum("l_extendedprice")} AS part_value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, ROUND(part_value, 4) AS part_value
+    FROM pv
+    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM pv)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def x19_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification), adapted: part
+    "inventory value" is the summed extended price of its lineitems
+    supplied from two fixed nations (no partsupp availqty/supplycost).
+    The HAVING-against-global-scalar is the interesting bit: the scalar
+    (0.1% of total value) is a one-row aggregate of the SAME per-part
+    aggregate, broadcast cross-joined back — the per-part table is
+    computed once and reused for both sides of the comparison (Catalyst
+    reuses the exchange, no second fact scan).
+
+    100 TB: the threshold side collapses to one row before the
+    cross join, so the "correlated scalar" costs one broadcast of 8
+    bytes; skew-free because the per-part aggregate already reduced
+    the data to dimension cardinality.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    pv = (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["supplier"]
+                .join(
+                    F.broadcast(
+                        t["nation"].filter(
+                            F.col("n_name").isin("NATION_3", "NATION_7")
+                        )
+                    ),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+                .select("s_suppkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(dsum("l_extendedprice").alias("part_value"))
+    )
+    thr = pv.agg((F.sum("part_value") * 0.001).alias("thr"))
+    return (
+        pv.join(F.broadcast(thr))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("part_value", 4).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "x20_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def x20_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: the
+    supplier×part association comes from distinct lineitem pairs (no
+    partsupp), and the original's complaint-comment NOT IN blacklist
+    becomes the negative-balance suppliers. The NOT IN is a broadcast
+    left-anti join (the blacklist is tiny); part attributes arrive by
+    broadcast; COUNT(DISTINCT suppkey) above a (brand,type,size) grouping
+    runs as Spark's two-phase distinct-aggregate Expand.
+
+    100 TB: distinct (part,supp) pairs is the fact reduction; NOT IN via
+    anti-join stays broadcast as long as the blacklist is dimension-sized
+    (NOT IN with NULLs is a semantic trap — s_suppkey is non-null here,
+    and the anti-join encodes exactly that case).
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    sp = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    blacklist = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        sp.join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(
+                t["part"].filter(
+                    (F.col("p_brand") != "Brand#1")
+                    & (F.col("p_type") != "MEDIUM")
+                    & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "x21_dominant_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    part_total AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT shipped.l_suppkey
+      FROM shipped
+      JOIN part_total ON part_total.l_partkey = shipped.l_partkey
+      JOIN part       ON p_partkey = shipped.l_partkey
+      WHERE p_name LIKE 'small%'
+        AND shipped.qty > 0.5 * part_total.total_qty
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def x21_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion), adapted: with no
+    partsupp.ps_availqty, the >half-of-shipped-quantity test becomes
+    "this supplier alone shipped more than half of the part's 1996
+    volume" — same nested-aggregate-inside-IN structure. The IN becomes
+    a left-semi join into supplier after the inner query reduces to a
+    distinct suppkey set; the inner query itself is the Q20 double
+    aggregate: per-(part,supp) quantity, re-aggregated per part, rejoined
+    on the shared partkey partitioning (one exchange, reused).
+
+    100 TB: the date filter is pushed to the parquet scan (row-group
+    pruning on l_shipdate); both aggregates and the rejoin share the
+    partkey shuffle; the semi-join probe side is dimension-sized.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("qty"))
+    )
+    part_total = shipped.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(part_total, on="l_partkey")
+        .join(
+            F.broadcast(
+                t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
