@@ -935,3 +935,187 @@ def d31_pivot_multi(spark, sf_dir):
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+@query(
+    "d32_crosstab",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS status_O,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS status_F,
+           COUNT(*) AS row_total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d32_crosstab(spark, sf_dir):
+    """Contingency table (pandas ``crosstab`` with margins): returnflag ×
+    linestatus counts plus a row-total margin. Implemented as a pivot with
+    *enumerated* values — naming the pivot columns up front removes the
+    extra values-discovery job Spark otherwise runs, and fixes the output
+    schema (the d31 discipline). One shuffle on the grouping key; each
+    cell is a FILTER-style conditional count, map-side combinable.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("status_O"),
+        F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("status_F"),
+        F.count(F.lit(1)).alias("row_total"),
+    )
+
+
+# d33: every pairwise sum the correlation matrix needs, one aggregate pass.
+_D33_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "d33_corr_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+    """
+    + ",\n".join(
+        f"CAST(SUM(CAST(l_{c} AS DECIMAL(28,6))) AS DOUBLE) AS s_{c}"
+        for c in ("quantity", "extendedprice", "discount", "tax")
+    )
+    + ",\n"
+    + ",\n".join(
+        f"CAST(SUM(CAST(l_{a} * l_{b} AS DECIMAL(28,6))) AS DOUBLE) AS s_{a}_{b}"
+        for i, a in enumerate(("quantity", "extendedprice", "discount", "tax"))
+        for b in ("quantity", "extendedprice", "discount", "tax")[i:]
+    )
+    + """
+      FROM lineitem
+    )
+    SELECT col1, col2,
+           ROUND((sxy - sx * sy / n)
+                 / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 8) AS corr
+    FROM (
+    """
+    + "\nUNION ALL\n".join(
+        f"""SELECT 'l_{a}' AS col1, 'l_{b}' AS col2, n,
+               s_{a} AS sx, s_{b} AS sy,
+               s_{a}_{b} AS sxy, s_{a}_{a} AS sxx, s_{b}_{b} AS syy FROM s"""
+        for i, a in enumerate(("quantity", "extendedprice", "discount", "tax"))
+        for b in ("quantity", "extendedprice", "discount", "tax")[i:]
+    )
+    + ")",
+)
+def d33_corr_matrix(spark, sf_dir):
+    """Full pairwise Pearson correlation matrix (pandas/Dask ``df.corr()``)
+    over the four numeric lineitem measures, upper triangle in long form.
+
+    ONE aggregate pass computes all 4 first-moment and 10 second-moment
+    decimal sums (exact, order-insensitive — the d11 discipline); the 10
+    correlations are then closed-form double arithmetic on the one-row
+    aggregate, expanded row-per-pair via an inline explode of struct
+    literals. No per-pair scans: pandas computes the same matrix from one
+    pass over the data, and so does this.
+
+    100 TB: the scan is one map-side partial aggregate per partition (14
+    decimal accumulators), one exchange of 14 values — the cheapest possible
+    full-matrix plan; the pair expansion is driver-free projection on a
+    one-row frame.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(28,6)"
+    cols = list(_D33_COLS)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).cast("double").alias(f"s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast(dec))
+                .cast("double")
+                .alias(f"s_{a}_{b}")
+            )
+    s = li.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col1"),
+                F.lit(b).alias("col2"),
+                F.col(f"s_{a}").alias("sx"),
+                F.col(f"s_{b}").alias("sy"),
+                F.col(f"s_{a}_{b}").alias("sxy"),
+                F.col(f"s_{a}_{a}").alias("sxx"),
+                F.col(f"s_{b}_{b}").alias("syy"),
+            )
+            for i, a in enumerate(cols)
+            for b in cols[i:]
+        ]
+    )
+    n = F.col("n")
+    corr = F.round(
+        (F.col("p.sxy") - F.col("p.sx") * F.col("p.sy") / n)
+        / F.sqrt(
+            (F.col("p.sxx") - F.col("p.sx") * F.col("p.sx") / n)
+            * (F.col("p.syy") - F.col("p.sy") * F.col("p.sy") / n)
+        ),
+        8,
+    )
+    return (
+        s.select("n", F.explode(pairs).alias("p"))
+        .select(F.col("p.col1").alias("col1"), F.col("p.col2").alias("col2"), corr.alias("corr"))
+    )
+
+
+@query(
+    "d34_null_profile",
+    oracle="""
+    SELECT col, n_null, n_total FROM (
+      SELECT 'value_pos' AS col,
+             COUNT(*) - COUNT(NULLIF(GREATEST(value, 0.0), 0.0)) AS n_null,
+             COUNT(*) AS n_total
+      FROM events
+      UNION ALL
+      SELECT 'prop_k',
+             COUNT(*) - COUNT(NULLIF(CAST(props->>'$.k' AS INTEGER), 42)),
+             COUNT(*)
+      FROM events
+      UNION ALL
+      SELECT 'user_mod',
+             COUNT(*) - COUNT(NULLIF(user_id % 7, 3)),
+             COUNT(*)
+      FROM events
+    )
+    """,
+)
+def d34_null_profile(spark, sf_dir):
+    """Per-column null profile (pandas ``df.isna().sum()`` / Dask's missing
+    report): null counts for a set of derived columns in one aggregate
+    pass, long format via ``stack``-style struct explode. The fixtures ship
+    null-free, so the profiled columns are NULLIF-derived — the plumbing
+    (count(*) − count(col) per column, single scan) is the operator.
+
+    100 TB: one scan, k counter pairs — same shape as d30; never one
+    job per column (the naive pandas port).
+    """
+    ev = load(spark, sf_dir, "events")
+    derived = ev.select(
+        F.nullif(F.greatest(F.col("value"), F.lit(0.0)), F.lit(0.0)).alias("value_pos"),
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("int"), F.lit(42)
+        ).alias("prop_k"),
+        F.nullif(F.col("user_id") % 7, F.lit(3)).alias("user_mod"),
+    )
+    agg = derived.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}")
+            for c in ("value_pos", "prop_k", "user_mod")
+        ],
+    )
+    cols = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col("n_total").alias("n_total"),
+            )
+            for c in ("value_pos", "prop_k", "user_mod")
+        ]
+    )
+    return agg.select(F.explode(cols).alias("s")).select(
+        "s.col", "s.n_null", "s.n_total"
+    )

@@ -632,3 +632,57 @@ def c17_asof_tolerance(spark, sf_dir):
             "click_value_1h"
         ),
     )
+
+
+@query(
+    "c18_join_indicator",
+    oracle="""
+    WITH l AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0
+    ),
+    r AS (
+      SELECT o_custkey, COUNT(*) AS n_big
+      FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+    )
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           CASE WHEN c_custkey IS NULL THEN 'right_only'
+                WHEN o_custkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS _merge,
+           c_acctbal, n_big
+    FROM l FULL JOIN r ON c_custkey = o_custkey
+    """,
+)
+def c18_join_indicator(spark, sf_dir):
+    """Dask/pandas ``merge(indicator=True)``: full outer join carrying a
+    ``_merge`` provenance column (``both`` / ``left_only`` / ``right_only``)
+    derived from key nullness. The reference builds this with an internal
+    category column; here it is a plain CASE over the outer join's null
+    pattern — one shuffle on the key, no extra pass. Left side is
+    positive-balance customers, right side is big-order counts, so all
+    three categories are populated in the fixtures.
+
+    100 TB: identical plan to c4 (full outer SMJ); the indicator is a
+    zero-cost map-side projection above it.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    left = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    right = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 200000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    joined = left.join(right, F.col("c_custkey") == F.col("o_custkey"), "full")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), "right_only")
+        .when(F.col("o_custkey").isNull(), "left_only")
+        .otherwise("both")
+        .alias("_merge"),
+        "c_acctbal",
+        "n_big",
+    )

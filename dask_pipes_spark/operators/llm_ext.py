@@ -732,3 +732,87 @@ def l35_paragraph_dedup(spark, sf_dir):
         F.sum("keep").alias("n_kept"),
         F.sum(1 - F.col("keep")).alias("n_dropped"),
     )
+
+
+@query(
+    "l36_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, lang, unnest(string_split_regex(text, '')) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, lang, ch, COUNT(*) AS cnt FROM chars
+      WHERE ch <> '' GROUP BY doc_id, lang, ch
+    ),
+    totals AS (
+      SELECT doc_id, CAST(SUM(cnt) AS DOUBLE) AS total FROM counts GROUP BY doc_id
+    ),
+    ent AS (
+      SELECT counts.doc_id, lang,
+             CAST(SUM(CAST(
+               -(cnt / total) * LOG2(cnt / total) AS DECIMAL(28,6))) AS DOUBLE)
+               AS entropy
+      FROM counts JOIN totals ON counts.doc_id = totals.doc_id
+      GROUP BY counts.doc_id, lang
+    )
+    SELECT lang,
+           ROUND(CAST(SUM(CAST(entropy AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_entropy,
+           ROUND(MIN(entropy), 4) AS min_entropy,
+           ROUND(MAX(entropy), 4) AS max_entropy,
+           COUNT(*) AS n_docs
+    FROM ent GROUP BY lang
+    """,
+)
+def l36_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document, summarized per
+    language — a gibberish/boilerplate quality signal (low entropy =
+    repeated characters, high = random noise; natural text sits in a
+    band, cf. the CCNet/Gopher quality-filter families alongside
+    l14/l24/l30).
+
+    Plan: explode text into characters, count per (doc, char), join the
+    per-doc total back on the shared doc_id partitioning (one exchange,
+    reused by both aggregates), then −Σ p·log₂p with each term cast to
+    DECIMAL before the sum so the ≤~40-term accumulation is
+    order-insensitive (the d11/d23 discipline — the terms themselves are
+    single IEEE ops, bit-identical on both engines).
+
+    100 TB: fan-out is |chars| rows but the per-(doc,char) combine is
+    map-side partial; everything downstream is dimension-sized. An
+    aggregate-free variant via F.transform over a char-frequency map
+    would avoid the explode entirely but loses map-side combining of
+    the (doc,char) space — at corpus scale the explode wins.
+    """
+    docs = load(spark, sf_dir, "documents")
+    dec = "decimal(28,6)"
+    counts = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.col("text"), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "lang", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("double").alias("total")
+    )
+    p = F.col("cnt") / F.col("total")
+    ent = (
+        counts.join(totals, on="doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum((-p * F.log2(p)).cast(dec)).cast("double").alias("entropy")
+        )
+    )
+    return ent.groupBy("lang").agg(
+        F.round(F.sum(F.col("entropy").cast(dec)).cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_entropy"
+        ),
+        F.round(F.min("entropy"), 4).alias("min_entropy"),
+        F.round(F.max("entropy"), 4).alias("max_entropy"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

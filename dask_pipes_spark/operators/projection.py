@@ -308,3 +308,62 @@ def b14_query_expr(spark, sf_dir):
         "ROUND(CAST(CAST(l_extendedprice AS DECIMAL(28,6))"
         " * (1 - CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE), 4) AS net",
     )
+
+
+@query(
+    "b15_qcut",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.50) AS q2,
+             quantile_cont(l_quantity, 0.75) AS q3
+      FROM lineitem
+    )
+    SELECT CASE WHEN l_quantity <= q1 THEN 0
+                WHEN l_quantity <= q2 THEN 1
+                WHEN l_quantity <= q3 THEN 2
+                ELSE 3 END AS qbin,
+           COUNT(*) AS cnt,
+           MIN(l_quantity) AS min_q,
+           MAX(l_quantity) AS max_q
+    FROM lineitem, q
+    GROUP BY 1
+    """,
+)
+def b15_qcut(spark, sf_dir):
+    """Quantile binning (pandas/Dask ``qcut(x, 4)``): exact quartile edges
+    computed once over the column, every row bucketed by comparison against
+    the broadcast thresholds, per-bin counts and extrema. Unlike b12's
+    fixed-width ``cut``, the edges are data-dependent — the one-row quantile
+    aggregate is broadcast cross-joined back (the same decorrelation shape
+    as x19's scalar threshold). ``percentile`` is the exact interpolated
+    quantile on both engines, and l_quantity is integer-valued, so the
+    edges are bit-identical.
+
+    100 TB: exact percentile is a full sort-based aggregate per column —
+    at scale swap in ``percentile_approx`` (d20's mergeable sketch) and
+    accept epsilon-rank edges; the binning pass itself is map-side only.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = li.agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q1"),
+        F.expr("percentile(l_quantity, 0.50)").alias("q2"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q3"),
+    )
+    return (
+        li.join(F.broadcast(q))
+        .select(
+            F.when(F.col("l_quantity") <= F.col("q1"), 0)
+            .when(F.col("l_quantity") <= F.col("q2"), 1)
+            .when(F.col("l_quantity") <= F.col("q3"), 2)
+            .otherwise(3)
+            .alias("qbin"),
+            "l_quantity",
+        )
+        .groupBy("qbin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_quantity").alias("min_q"),
+            F.max("l_quantity").alias("max_q"),
+        )
+    )
