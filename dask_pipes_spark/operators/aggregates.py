@@ -1119,3 +1119,65 @@ def d34_null_profile(spark, sf_dir):
     return agg.select(F.explode(cols).alias("s")).select(
         "s.col", "s.n_null", "s.n_total"
     )
+
+
+@query(
+    "d35_group_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d35_group_quantile(spark, sf_dir):
+    """Per-group exact quantiles (pandas/Dask ``groupby().quantile()``):
+    interpolated quartiles of l_quantity per returnflag. ``percentile`` is
+    the exact linear-interpolation quantile on both engines, and
+    l_quantity is integer-valued, so the edges are bit-identical (the b15
+    argument, per group).
+
+    100 TB: exact per-group percentile buffers each group's values — fine
+    for bounded group counts/sizes; for billion-row groups swap in
+    ``percentile_approx`` (d20's mergeable KLL-style sketch) which keeps
+    the partial-aggregate shape with constant memory.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "d36_group_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+    ) WHERE n >= 12
+    """,
+)
+def d36_group_filter(spark, sf_dir):
+    """Group-predicate row filter (pandas/Dask
+    ``groupby().filter(lambda g: len(g) >= 12)``): keep every ROW whose
+    group passes an aggregate predicate. pandas materializes each group in
+    Python; here it is one unordered COUNT window over the grouping key —
+    a single hash exchange, no join, no Python.
+
+    The alternative shape (aggregate → semi-join back) costs a second
+    shuffle of the fact table; the window form reuses the one exchange for
+    both the count and the filter, which is the right plan at any scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("n") >= 12)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

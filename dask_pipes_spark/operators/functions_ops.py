@@ -767,3 +767,51 @@ def h28_array_tier3(spark, sf_dir):
             F.filter(toks, lambda x: ~x.isin("a", "the"))
         ).alias("n_content"),
     )
+
+
+@query(
+    "h29_to_numeric",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(TRY_CAST(raw AS BIGINT)) AS n_parsed,
+           COALESCE(SUM(TRY_CAST(raw AS BIGINT)), 0) AS sum_parsed
+    FROM (
+      SELECT event_type,
+             CASE WHEN event_type = 'click' THEN CAST(user_id AS VARCHAR)
+                  WHEN event_type = 'view' THEN CONCAT('#', user_id)
+                  ELSE event_type END AS raw
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def h29_to_numeric(spark, sf_dir):
+    """Lenient numeric parsing (pandas ``to_numeric(errors='coerce')``):
+    ``TRY_CAST`` turns unparseable strings into NULL instead of failing the
+    job — the coerce contract. The derived column mixes clean digit
+    strings, '#'-prefixed junk, and bare words, so parsed and rejected
+    paths are both exercised; counts/sums of the parsed values summarize
+    per event_type.
+
+    100 TB: TRY_CAST is a codegen'd row-local kernel (no Python, no
+    exception unwinding per bad row — Spark's ANSI try expressions return
+    null on error by design), so the coerce path costs the same as a plain
+    cast.
+    """
+    e = load(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_type") == "click", F.col("user_id").cast("string"))
+        .when(F.col("event_type") == "view", F.concat(F.lit("#"), F.col("user_id")))
+        .otherwise(F.col("event_type"))
+    )
+    parsed = raw.try_cast("bigint")
+    return (
+        e.select("event_type", parsed.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("n_parsed"),
+            F.coalesce(F.sum("v"), F.lit(0)).alias("sum_parsed"),
+        )
+    )

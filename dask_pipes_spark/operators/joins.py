@@ -27,7 +27,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import dsum, query, sql_dsum
-from dask_pipes_spark.session import load_tables
+from dask_pipes_spark.session import load, load_tables
 
 
 @query(
@@ -685,4 +685,136 @@ def c18_join_indicator(spark, sf_dir):
         .alias("_merge"),
         "c_acctbal",
         "n_big",
+    )
+
+
+@query(
+    "c19_range_bucket_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           COUNT(*) AS n_purch_1h,
+           ROUND(CAST(SUM(CAST(p.value AS DECIMAL(28,6))) AS DOUBLE), 4)
+             AS purch_value_1h
+    FROM events e
+    JOIN events p
+      ON p.user_id = e.user_id
+     AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def c19_range_bucket_join(spark, sf_dir):
+    """Bucketed range join — the SCALE PATH for c10's interval join
+    (SURVEY.md §4.3): purchases within one hour after each error, same
+    user. OSS Spark plans a bare interval predicate as BNLJ (quadratic);
+    here the range key is bucketed to the interval width (1 h), the
+    bounded probe interval (ts, ts+1h] spans at most two buckets, so the
+    probe side is exploded to those two bucket ids and the join becomes an
+    EQUI-join on (user_id, bucket) + a residual µs-exact filter. Each
+    build row lives in exactly one bucket, so no candidate pair is
+    produced twice.
+
+    100 TB: the 2× probe fan-out replaces an O(n·m) per-key BNLJ with a
+    shuffle-hash/SMJ equi-join — linear shuffle, AQE-skew-splittable; the
+    idiom generalizes to any bounded-width interval (width-w probe spans
+    ⌈w/bucket⌉+1 buckets). µs epoch arithmetic matches DuckDB's INTERVAL
+    arithmetic exactly.
+    """
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour_us = 3_600_000_000
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", us.alias("e_us"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    (F.col("e_us") / hour_us).cast("long"),
+                    (F.col("e_us") / hour_us).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        us.alias("p_us"),
+        (us / hour_us).cast("long").alias("p_bucket"),
+        "value",
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("bucket") == F.col("p_bucket"))
+        & (F.col("p_us") > F.col("e_us"))
+        & (F.col("p_us") <= F.col("e_us") + hour_us),
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_purch_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4
+        ).alias("purch_value_1h"),
+    )
+
+
+@query(
+    "c20_merge_ordered",
+    oracle="""
+    WITH a AS (
+      SELECT date_trunc('day', ts) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS purch_val
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    b AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS err_cnt
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT day,
+           LAST_VALUE(purch_val IGNORE NULLS) OVER w AS purch_val_ff,
+           LAST_VALUE(err_cnt IGNORE NULLS) OVER w AS err_cnt_ff
+    FROM (
+      SELECT COALESCE(a.day, b.day) AS day, purch_val, err_cnt
+      FROM a FULL JOIN b ON a.day = b.day
+    )
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def c20_merge_ordered(spark, sf_dir):
+    """pandas ``merge_ordered(..., fill_method='ffill')``: outer-merge two
+    time series on their ordered key, then forward-fill the gaps each side
+    leaves. Series A = daily purchase value, series B = daily error count;
+    the merge is a full outer join on day, the fill is e23's
+    ``last(ignorenulls)`` over the day order.
+
+    The fill window is UNPARTITIONED — correct to merge_ordered's global
+    order semantics, and safe here because the frame is already reduced to
+    calendar-day grain (dimension-sized) before the window. At 100 TB the
+    rule stands: aggregate to the merge grain first, window the small
+    frame; per-key variants add the key to partitionBy (e23).
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    a = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4
+            ).alias("purch_val")
+        )
+    )
+    b = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("err_cnt"))
+    )
+    merged = (
+        a.join(b, on="day", how="full")
+        .select("day", "purch_val", "err_cnt")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return merged.select(
+        "day",
+        F.last("purch_val", ignorenulls=True).over(w).alias("purch_val_ff"),
+        F.last("err_cnt", ignorenulls=True).over(w).alias("err_cnt_ff"),
     )

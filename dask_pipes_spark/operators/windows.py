@@ -798,3 +798,50 @@ def e22_rolling_median(spark, sf_dir):
             "rolling_med"
         ),
     )
+
+
+@query(
+    "e23_ffill",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(LAST_VALUE(pv IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS last_purchase,
+           ROUND(FIRST_VALUE(pv IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 4) AS next_purchase
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv
+      FROM events
+    )
+    """,
+)
+def e23_ffill(spark, sf_dir):
+    """Forward / backward fill (pandas/Dask ``ffill``/``bfill``,
+    ``groupby.ffill``): carry the last observed purchase value forward —
+    and the next one backward — across each user's event sequence. The
+    sparse column is NULL except on 'purchase' rows; the fill is
+    ``last(..., ignorenulls=True)`` over an unbounded-preceding row frame
+    (and ``first`` over the mirror frame), the direct Spark expression of
+    pandas' fill semantics. Order is pinned (ts, event_id) so ties are
+    deterministic.
+
+    Dask implements ffill via ``map_overlap`` (each partition needs its
+    predecessor's tail); Spark's Window does the same boundary exchange
+    internally after one hash exchange on user_id.
+
+    100 TB: keyed window — state per user is one running value, partitions
+    parallelize; both fills share the single (user_id) exchange and sort.
+    """
+    e = load(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wb = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(pv, ignorenulls=True).over(wf), 4).alias("last_purchase"),
+        F.round(F.first(pv, ignorenulls=True).over(wb), 4).alias("next_purchase"),
+    )
