@@ -82,6 +82,11 @@ CARTESIAN_OK = {
     "l30_unigram_xent",
     # 1-row global-average broadcast cross join fanned onto customer (1×N).
     "x5_dormant_customers",
+    # 1-row exact-quartile-edges broadcast cross join onto lineitem (1×N).
+    "b15_qcut",
+    # 1-row global-value-threshold broadcast cross join onto the per-part
+    # aggregate (1×|parts|) — the Q11 HAVING decorrelation.
+    "x19_important_parts",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
