@@ -279,3 +279,90 @@ def g10_duplicated_flag(spark, sf_dir):
         (F.count(F.lit(1)).over(wc) > 1).alias("is_dup"),
         (F.row_number().over(wr) > 1).alias("is_extra"),
     )
+
+
+def _global_index(df, order_cols, npartitions=8):
+    """Distributed global row index (Dask ``set_index``'s division builder /
+    pandas RangeIndex): range-partition on the order columns, count rows per
+    partition (a tiny ``npartitions``-row collect — the bounded fit-param
+    exemption of SURVEY §7.7), broadcast the cumulative offsets back as a
+    literal map, and number rows as offset + intra-partition row_number.
+    No single-task global window: the sort parallelizes across partitions
+    and only partition COUNTS travel through the driver.
+    """
+    rp = df.repartitionByRange(npartitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # repartitionByRange picks its boundaries by SAMPLING, re-drawn per job:
+    # without pinning, the counts job and the numbering job can see different
+    # partitionings and the offsets go stale (measured: duplicate indices).
+    # localCheckpoint materializes the partitioning once (l18's pattern) so
+    # both downstream jobs read identical partitions.
+    rp = rp.localCheckpoint()
+    counts = dict(
+        (r["_pid"], r["cnt"])
+        for r in rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return rp.withColumn(
+        "_idx", F.element_at(omap, F.col("_pid")) + F.row_number().over(w) - 1
+    ).drop("_pid")
+
+
+@query(
+    "g11_concat_axis1",
+    oracle="""
+    WITH a AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS idx,
+             o_orderkey AS big_spender_key, o_totalprice
+      FROM orders
+    ),
+    b AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS idx,
+             o_orderkey AS earliest_key, o_orderdate
+      FROM orders
+    )
+    SELECT a.idx, big_spender_key, o_totalprice, earliest_key, o_orderdate
+    FROM a JOIN b ON a.idx = b.idx
+    """,
+)
+def g11_concat_axis1(spark, sf_dir):
+    """Positional column concatenation (pandas ``pd.concat([a, b], axis=1)``
+    on default RangeIndexes): pair row N of one ordered frame with row N of
+    another. Spark has no row identity, so the alignment index must be
+    BUILT — the ``_global_index`` helper range-partitions each side on its
+    own order, numbers rows as partition-offset + local row_number (Dask's
+    divisions arithmetic), and the concat is then an equi-join on the
+    index. Side A ranks orders by price, side B by date, so the output
+    pairs the k-th biggest spender with the k-th earliest order.
+
+    100 TB: both index builds are parallel range sorts (no single-task
+    window — only the ``npartitions`` per-partition counts cross the
+    driver), and the final equi-join shuffles on a perfectly uniform,
+    dense integer key: zero skew by construction.
+    """
+    o = load(spark, sf_dir, "orders")
+    a = _global_index(
+        o.select("o_orderkey", "o_totalprice"),
+        (F.col("o_totalprice").desc(), F.col("o_orderkey")),
+    ).select(
+        F.col("_idx").alias("idx"),
+        F.col("o_orderkey").alias("big_spender_key"),
+        "o_totalprice",
+    )
+    b = _global_index(
+        o.select("o_orderkey", "o_orderdate"),
+        (F.col("o_orderdate"), F.col("o_orderkey")),
+    ).select(
+        F.col("_idx").alias("idx"),
+        F.col("o_orderkey").alias("earliest_key"),
+        "o_orderdate",
+    )
+    return a.join(b, on="idx")

@@ -163,7 +163,7 @@ def j5_python_udtf(spark, sf_dir):
     )
 
 
-def map_overlap(df, order_cols, before, fn, schema, npartitions=8):
+def map_overlap(df, order_cols, before, fn, schema, npartitions=8, after=0):
     """Dask's ``map_overlap`` primitive re-expressed Spark-first: apply a
     pandas function per range-partition with ``before`` rows of preceding
     context copied in from the neighboring partition, then drop the rows the
@@ -183,25 +183,44 @@ def map_overlap(df, order_cols, before, fn, schema, npartitions=8):
     profile as Dask's overlap layers, scale-independent of total row count.
     ``fn`` must return a frame positionally aligned with its (sorted) input.
 
-    Constraint: ``before`` must not exceed the smallest partition's row
-    count — context is copied only from the *adjacent* partition (Dask's
-    map_overlap has the same single-neighbor depth). Range partitioning
-    gives ~n/npartitions rows per partition; size npartitions so that
-    n/npartitions ≫ before, which any realistic window satisfies at scale.
+    ``after`` adds the mirror halo (Dask ``map_overlap(before, after)``):
+    the first ``after`` rows of every partition are also copied into
+    partition id−1, giving ``fn`` trailing context for centered/look-ahead
+    kernels.
+
+    Constraint: ``before``/``after`` must not exceed the smallest
+    partition's row count — context is copied only from the *adjacent*
+    partition (Dask's map_overlap has the same single-neighbor depth).
+    Range partitioning gives ~n/npartitions rows per partition; size
+    npartitions so that n/npartitions ≫ before+after, which any realistic
+    window satisfies at scale.
     """
     rp = df.repartitionByRange(npartitions, *order_cols)
     tagged = rp.withColumn("_pid", F.spark_partition_id())
     from pyspark.sql import Window
 
     w_desc = Window.partitionBy("_pid").orderBy(*[F.col(c).desc() for c in order_cols])
-    pad = (
-        tagged.withColumn("_rn", F.row_number().over(w_desc))
-        .filter(F.col("_rn") <= before)
-        .drop("_rn")
-        .withColumn("_pid", F.col("_pid") + 1)
-        .withColumn("_pad", F.lit(1))
-    )
-    unioned = tagged.withColumn("_pad", F.lit(0)).unionByName(pad)
+    pads = []
+    if before:
+        pads.append(
+            tagged.withColumn("_rn", F.row_number().over(w_desc))
+            .filter(F.col("_rn") <= before)
+            .drop("_rn")
+            .withColumn("_pid", F.col("_pid") + 1)
+            .withColumn("_pad", F.lit(1))
+        )
+    if after:
+        w_asc = Window.partitionBy("_pid").orderBy(*order_cols)
+        pads.append(
+            tagged.withColumn("_rn", F.row_number().over(w_asc))
+            .filter((F.col("_rn") <= after) & (F.col("_pid") > 0))
+            .drop("_rn")
+            .withColumn("_pid", F.col("_pid") - 1)
+            .withColumn("_pad", F.lit(1))
+        )
+    unioned = tagged.withColumn("_pad", F.lit(0))
+    for p in pads:
+        unioned = unioned.unionByName(p)
     cols = list(order_cols)
 
     def run(pdf):
@@ -374,4 +393,51 @@ def j8_map_in_arrow(spark, sf_dir):
 
     return li.mapInArrow(
         charge_batches, "l_orderkey bigint, l_linenumber int, charge double"
+    )
+
+
+@query(
+    "j9_map_overlap_centered",
+    oracle="""
+    SELECT event_id,
+           ROUND(AVG(value) OVER (ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS centered_avg
+    FROM events
+    """,
+)
+def j9_map_overlap_centered(spark, sf_dir):
+    """Two-sided ``map_overlap`` (Dask ``map_overlap(fn, before, after)``):
+    a CENTERED 5-row rolling mean over the globally-ordered events stream,
+    computed with pandas ``rolling(center=True)`` inside overlap
+    partitions. Each range partition receives a 2-row halo from BOTH
+    neighbors, so the kernel sees full context at every boundary; halo
+    outputs are dropped after the transform. Proven equal to the pure-SQL
+    centered window frame by the oracle — any partition boundary placement
+    yields identical results.
+
+    This closes j6's documented single-neighbor limitation: look-ahead
+    kernels (centered smoothing, leak-free future-context features) need
+    the ``after`` halo. Cost model is unchanged — one range shuffle plus a
+    (before+after)×npartitions-row duplication, independent of total rows.
+    """
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+
+    def roll(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "centered_avg": pdf["value"]
+                .rolling(5, min_periods=1, center=True)
+                .mean()
+                .round(4),
+            }
+        )
+
+    return map_overlap(
+        e,
+        order_cols=("ts", "event_id"),
+        before=2,
+        after=2,
+        fn=roll,
+        schema="event_id bigint, centered_avg double",
     )

@@ -845,3 +845,58 @@ def e23_ffill(spark, sf_dir):
         F.round(F.last(pv, ignorenulls=True).over(wf), 4).alias("last_purchase"),
         F.round(F.first(pv, ignorenulls=True).over(wb), 4).alias("next_purchase"),
     )
+
+
+@query(
+    "e24_expanding",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS exp_n,
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w * 10000 + 0.5) / 10000 AS exp_mean,
+           MAX(value) OVER w AS exp_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def e24_expanding(spark, sf_dir):
+    """pandas ``expanding()`` aggregates (count/mean/max) per user over the
+    event sequence — the anytime-prefix statistics family. One keyed window
+    (single exchange + sort) carries all three aggregates; the mean is a
+    decimal-exact running sum divided by the running count, so the division
+    is one IEEE op on both engines (the e5/d11 discipline).
+
+    Rounding caveat (now a SURVEY §7.6 rule): quotients land on near-tie
+    doubles like 38.045249999999996, where Spark's ``round`` (half-up on
+    the SHORTEST-DECIMAL repr → .0452), DuckDB's ``ROUND`` (binary value),
+    and DuckDB's double→DECIMAL casts (repeated-rounding carry → .0453)
+    all disagree with each other. The only construct measured to agree
+    bit-for-bit is arithmetic quantization from identical IEEE ops on both
+    engines: ``FLOOR(x * 1e4 + 0.5) / 1e4`` — used here on both sides.
+
+    100 TB: identical profile to e5 — per-key running state is O(1), keys
+    parallelize; never a per-prefix re-aggregation.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        n.alias("exp_n"),
+        (
+            F.floor(
+                F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+                / n
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("exp_mean"),
+        F.max("value").over(w).alias("exp_max"),
+    )
