@@ -367,3 +367,41 @@ def b15_qcut(spark, sf_dir):
             F.max("l_quantity").alias("max_q"),
         )
     )
+
+
+@query(
+    "b16_dropna_thresh",
+    oracle="""
+    SELECT event_id, value_pos, prop_k, user_mod FROM (
+      SELECT event_id,
+             NULLIF(GREATEST(value, 0.0), 0.0) AS value_pos,
+             NULLIF(CAST(props->>'$.k' AS INTEGER), 42) AS prop_k,
+             NULLIF(user_id % 7, 3) AS user_mod
+      FROM events
+    )
+    WHERE (CASE WHEN value_pos IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN prop_k IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN user_mod IS NULL THEN 0 ELSE 1 END) >= 2
+    """,
+)
+def b16_dropna_thresh(spark, sf_dir):
+    """pandas ``dropna(thresh=2)``: keep rows with at least 2 non-null
+    values across the inspected columns (b9 covers the subset/all modes;
+    thresh is the counting variant). The null-count predicate is a sum of
+    CASEs — row-local, codegen'd, pushed like any filter. Fixtures ship
+    null-free, so the columns are the d34 NULLIF-derived trio.
+
+    100 TB: embarrassingly parallel filter; no exchange.
+    """
+    ev = load(spark, sf_dir, "events")
+    derived = ev.select(
+        "event_id",
+        F.nullif(F.greatest(F.col("value"), F.lit(0.0)), F.lit(0.0)).alias("value_pos"),
+        F.nullif(F.get_json_object("props", "$.k").cast("int"), F.lit(42)).alias("prop_k"),
+        F.nullif(F.col("user_id") % 7, F.lit(3)).alias("user_mod"),
+    )
+    nn = sum(
+        F.when(F.col(c).isNull(), 0).otherwise(1)
+        for c in ("value_pos", "prop_k", "user_mod")
+    )
+    return derived.filter(nn >= 2)

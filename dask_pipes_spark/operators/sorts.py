@@ -280,3 +280,23 @@ def f11_group_sample(spark, sf_dir):
         d.select("doc_id", "lang", F.row_number().over(w).alias("pick_order"))
         .filter(F.col("pick_order") <= 5)
     )
+
+
+@query("f12_sample_replace")  # weak: RNG is engine-specific
+def f12_sample_replace(spark, sf_dir):
+    """Sampling WITH replacement (pandas/Dask ``sample(replace=True)``):
+    each row is emitted k~Poisson(fraction) times — the distributed
+    with-replacement semantics (a global multinomial draw would serialize
+    through one node; Poisson per row is iid across partitions and is what
+    both Dask and Spark implement). Seeded, so the draw is reproducible
+    partition-for-partition; bounds and reproducibility are asserted in
+    tests/test_operators.py.
+
+    100 TB: embarrassingly parallel map-side operator — no exchange; the
+    duplicated rows materialize only downstream (same row-count profile as
+    bootstrap resampling at scale).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(withReplacement=True, fraction=0.2, seed=7).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

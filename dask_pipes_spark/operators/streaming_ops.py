@@ -335,3 +335,34 @@ def k10_stream_session(spark, sf_dir):
         )
     )
     return run_to_memory(agg, "k10_session", "complete")
+
+
+@query("k11_stream_sliding")  # weak: streaming runtime output
+def k11_stream_sliding(spark, sf_dir):
+    """k2's sliding windows executed through the streaming runtime: each
+    event updates TWO overlapping window states (10-minute span, 5-minute
+    slide), so state size is (span/slide)× the tumbling case — the
+    watermark still bounds it because a window's state is evicted once the
+    watermark passes its end. Complete mode keeps the drained result equal
+    to the batch k2 answer (asserted in tests/test_streaming.py);
+    production would run append mode so each window emits exactly once.
+
+    100 TB/day stream: state is O(open windows × groups), independent of
+    events ingested — the slide factor multiplies state, not throughput;
+    map-side pre-aggregation within each micro-batch does the heavy
+    reduction before the state store is touched.
+    """
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # watermarks require LTZ; session tz is UTC
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "cnt",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "k11_sliding", "complete")

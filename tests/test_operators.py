@@ -253,3 +253,17 @@ def test_interpolate_matches_pandas(spark, rows):
             assert a == b, f"rid={rid}: {a} != {b}"
         else:
             assert abs(a - b) < 1e-9, f"rid={rid}: {a} != {b}"
+
+
+def test_f12_sample_replace_bounds_and_reproducible(spark, registry):
+    """Poisson with-replacement sample: seeded draw is reproducible, size is
+    within binomial-ish bounds, and duplicates actually occur (fraction
+    0.2 over 6k rows ~> a few multi-hit rows with overwhelming odds)."""
+    queries, _ = registry
+    a = queries["f12_sample_replace"](spark, SF_SMOKE)
+    b = queries["f12_sample_replace"](spark, SF_SMOKE)
+    rows_a = sorted(map(tuple, a.collect()))
+    assert rows_a == sorted(map(tuple, b.collect()))
+    n = len(rows_a)
+    assert 900 <= n <= 1500  # 6000 * 0.2 = 1200 expected
+    assert len(set(rows_a)) < n  # replacement produced duplicates

@@ -116,3 +116,13 @@ def test_k10_stream_session_equals_batch(spark, registry):
     streamed = queries["k10_stream_session"](spark, SF_SMOKE).select(cols)
     batch = queries["k3_session_window"](spark, SF_SMOKE).select(cols)
     assert _norm(streamed.collect()) == _norm(batch.collect())
+
+
+def test_k11_stream_sliding_equals_batch(spark, registry):
+    """The drained streaming sliding-window result must equal batch k2 —
+    overlapping window state included."""
+    queries, _ = registry
+    cols = ["window_start_epoch", "cnt", "sum_value"]
+    streamed = queries["k11_stream_sliding"](spark, SF_SMOKE).select(cols)
+    batch = queries["k2_sliding_window"](spark, SF_SMOKE).select(cols)
+    assert _norm(streamed.collect()) == _norm(batch.collect())
