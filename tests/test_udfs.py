@@ -79,3 +79,53 @@ def test_l7_cluster_stats_consistent_with_l2(spark, registry):
     stats = queries["l7_dup_cluster_stats"](spark, SF_SMOKE)
     total = stats.agg(F.sum("n_pairs").alias("s")).collect()[0].s or 0
     assert total == n_pairs
+
+
+def test_map_overlap_partition_invariance(spark, registry):
+    """The bilateral halo must make results independent of the partition
+    count — the core map_overlap contract (any boundary placement sees
+    enough context)."""
+    import pandas as pd
+
+    from dask_pipes_spark.operators.udfs import map_overlap
+    from dask_pipes_spark.session import load
+
+    e = load(spark, SF_SMOKE, "events").select("event_id", "ts", "value")
+
+    def roll(pdf):
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "c": pdf["value"].rolling(5, min_periods=1, center=True).mean().round(4),
+            }
+        )
+
+    outs = []
+    for nparts in (1, 3, 8):
+        rows = map_overlap(
+            e, ("ts", "event_id"), before=2, after=2, fn=roll,
+            schema="event_id bigint, c double", npartitions=nparts,
+        ).collect()
+        outs.append(sorted((r.event_id, r.c) for r in rows))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_global_index_partition_invariance(spark, registry):
+    """g11's distributed row index must be a dense 0..n-1 permutation of the
+    order for ANY partition count (offset arithmetic ⊥ boundary placement)."""
+    from dask_pipes_spark.operators.setops import _global_index
+    from dask_pipes_spark.session import load
+
+    o = load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    expected = [
+        r.o_orderkey
+        for r in o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").collect()
+    ]
+    for nparts in (1, 4, 8):
+        got = {
+            r._idx: r.o_orderkey
+            for r in _global_index(
+                o, (F.col("o_totalprice").desc(), F.col("o_orderkey")), nparts
+            ).collect()
+        }
+        assert [got[i] for i in range(len(expected))] == expected
