@@ -334,3 +334,94 @@ def p8_skew_report(spark, sf_dir):
         F.max("n_rows").alias("max_rows"),
         F.round(F.max("n_rows") / F.avg("n_rows"), 4).alias("skew_ratio"),
     )
+
+
+@query(
+    "p9_dag_pipeline",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    act AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY user_id
+    )
+    SELECT c_custkey, c_mktsegment, n_orders, total_spend,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(total_value, 0.0) AS total_value
+    FROM customer
+    JOIN spend ON c_custkey = o_custkey
+    LEFT JOIN act ON c_custkey = user_id
+    WHERE n_orders >= 5
+    """,
+)
+def p9_dag_pipeline(spark, sf_dir):
+    """The reference's DAG layer exercised end-to-end (its Graph/vertex/edge
+    abstraction over named input slots): a DIAMOND topology — two parallel
+    aggregation branches (order spend per customer, event activity per
+    user) fan IN to a join node over the shared `customer` input, then a
+    filter node — wired by node NAME through :class:`DagPipeline`,
+    validated acyclic, topologically executed.
+
+    The whole DAG compiles into ONE Catalyst plan (lazy wiring, no
+    per-node materialization), so the optimizer sees across node
+    boundaries — e.g. the final filter can push into the join. That is the
+    Spark-first answer to the reference's per-node persist-to-parquet
+    between stages: materialize only when a branch's reuse warrants it.
+    """
+    from dask_pipes_spark.pipeline import DagFn, DagPipeline
+
+    dag = DagPipeline(
+        nodes=[
+            DagFn(
+                "spend",
+                ["orders"],
+                lambda o: o.groupBy("o_custkey").agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+                    .cast("double")
+                    .alias("total_spend"),
+                ),
+            ),
+            DagFn(
+                "act",
+                ["events"],
+                lambda e: e.groupBy("user_id").agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(28,6)"))
+                    .cast("double")
+                    .alias("total_value"),
+                ),
+            ),
+            DagFn(
+                "enrich",
+                ["customer", "spend", "act"],
+                lambda c, s, a: c.join(
+                    s, F.col("c_custkey") == F.col("o_custkey")
+                ).join(a, F.col("c_custkey") == F.col("user_id"), "left"),
+            ),
+            DagFn(
+                "final",
+                ["enrich"],
+                lambda df: df.filter(F.col("n_orders") >= 5).select(
+                    "c_custkey",
+                    "c_mktsegment",
+                    "n_orders",
+                    "total_spend",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+                ),
+            ),
+        ],
+        outputs=["final"],
+    )
+    return dag.fit_transform(
+        {
+            "orders": load(spark, sf_dir, "orders"),
+            "events": load(spark, sf_dir, "events"),
+            "customer": load(spark, sf_dir, "customer"),
+        }
+    )

@@ -201,3 +201,105 @@ class FnNode(Node):
 
     def transform(self, df: DataFrame, params: Params) -> DataFrame:
         return self.fn(df)
+
+
+class DagNode:
+    """A named vertex in a :class:`DagPipeline`: ``inputs`` are the names of
+    upstream nodes (or pipeline input slots) whose OUTPUT DataFrames feed
+    this node, in declaration order — the reference's named input/output
+    slot wiring. ``fit`` receives the input frames and returns a JSON-able
+    param dict; ``transform`` receives them plus the params and returns one
+    DataFrame."""
+
+    def __init__(self, name: str, inputs: list[str]):
+        self.name = name
+        self.inputs = list(inputs)
+
+    def fit(self, dfs: list[DataFrame]) -> Params:
+        return {}
+
+    def transform(self, dfs: list[DataFrame], params: Params) -> DataFrame:
+        raise NotImplementedError
+
+
+class DagFn(DagNode):
+    """Stateless DAG vertex from a plain function ``fn(*dfs) -> DataFrame``."""
+
+    def __init__(self, name: str, inputs: list[str], fn):
+        super().__init__(name, inputs)
+        self._fn = fn
+
+    def transform(self, dfs: list[DataFrame], params: Params) -> DataFrame:
+        return self._fn(*dfs)
+
+
+class DagPipeline:
+    """General DAG of named fit/transform nodes — the reference's Graph /
+    vertex / edge layer: nodes are wired by NAME (multi-input joins, shared
+    branches), validated acyclic, executed in topological order with each
+    output computed once and fanned out to every consumer.
+
+    Everything stays lazy: a "run" wires Catalyst plans together, so a
+    diamond DAG compiles into ONE Spark plan with the shared branch reused,
+    not re-executed per consumer (at 100 TB, persist() a branch explicitly
+    when its recompute cost exceeds its cache cost — SURVEY §3.3).
+
+    ``fit_transform(inputs)`` runs fit-then-transform per node (the
+    reference's fit pass); ``transform`` replays with stored params.
+    ``outputs`` names the sink node(s); single-sink DAGs return the frame.
+    """
+
+    def __init__(self, nodes: list[DagNode], outputs: list[str]):
+        names = [n.name for n in nodes]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate node names: {names}")
+        self.nodes = {n.name: n for n in nodes}
+        self.outputs = list(outputs)
+        self.order = self._toposort(nodes)
+        self.params_: dict[str, Params] = {}
+
+    def _toposort(self, nodes: list[DagNode]) -> list[str]:
+        known = set(self.nodes)
+        done: list[str] = []
+        seen: set[str] = set()
+        visiting: set[str] = set()
+
+        def visit(name: str) -> None:
+            if name in seen or name not in known:
+                return  # unknown names are pipeline input slots
+            if name in visiting:
+                raise ValueError(f"cycle through node '{name}'")
+            visiting.add(name)
+            for up in self.nodes[name].inputs:
+                visit(up)
+            visiting.discard(name)
+            seen.add(name)
+            done.append(name)
+
+        for n in nodes:
+            visit(n.name)
+        return done
+
+    def _run(self, inputs: dict[str, DataFrame], fit: bool) -> dict[str, DataFrame]:
+        frames = dict(inputs)
+        for name in self.order:
+            node = self.nodes[name]
+            missing = [i for i in node.inputs if i not in frames]
+            if missing:
+                raise ValueError(f"node '{name}' missing inputs {missing}")
+            dfs = [frames[i] for i in node.inputs]
+            if fit:
+                self.params_[name] = node.fit(dfs)
+            frames[name] = node.transform(dfs, self.params_.get(name, {}))
+        return frames
+
+    def fit_transform(self, inputs: dict[str, DataFrame]):
+        self.params_ = {}
+        frames = self._run(inputs, fit=True)
+        outs = [frames[o] for o in self.outputs]
+        return outs[0] if len(outs) == 1 else outs
+
+    def transform(self, inputs: dict[str, DataFrame]):
+        frames = self._run(inputs, fit=False)
+        outs = [frames[o] for o in self.outputs]
+        return outs[0] if len(outs) == 1 else outs

@@ -88,3 +88,57 @@ def test_p8_skew_report_balance(spark, registry):
     assert row.n_partitions == 32
     assert row.min_rows > 0
     assert 1.0 <= row.skew_ratio < 1.6
+
+
+def test_dag_pipeline_cycle_and_missing_input_detection(spark):
+    from dask_pipes_spark.pipeline import DagFn, DagPipeline
+
+    ident = lambda df: df  # noqa: E731
+    try:
+        DagPipeline(
+            [DagFn("a", ["b"], ident), DagFn("b", ["a"], ident)], outputs=["b"]
+        )
+        raise AssertionError("cycle not detected")
+    except ValueError as exc:
+        assert "cycle" in str(exc)
+    dag = DagPipeline([DagFn("a", ["x"], ident)], outputs=["a"])
+    try:
+        dag.fit_transform({})
+        raise AssertionError("missing input not detected")
+    except ValueError as exc:
+        assert "missing inputs" in str(exc)
+
+
+def test_dag_pipeline_shared_branch_fans_out(spark):
+    """A shared upstream node feeds two consumers; both see the same frame
+    and the sink can reconcile them exactly."""
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.pipeline import DagFn, DagPipeline
+    from dask_pipes_spark.session import load
+
+    dag = DagPipeline(
+        nodes=[
+            DagFn("base", ["orders"], lambda o: o.select("o_custkey", "o_totalprice")),
+            DagFn(
+                "cnt", ["base"], lambda b: b.groupBy("o_custkey").count()
+            ),
+            DagFn(
+                "tot",
+                ["base"],
+                lambda b: b.groupBy("o_custkey").agg(
+                    F.sum("o_totalprice").alias("s")
+                ),
+            ),
+            DagFn(
+                "join",
+                ["cnt", "tot"],
+                lambda c, t: c.join(t, "o_custkey"),
+            ),
+        ],
+        outputs=["join"],
+    )
+    out = dag.fit_transform({"orders": load(spark, SF_SMOKE, "orders")})
+    rows = out.collect()
+    assert len(rows) == out.select("o_custkey").distinct().count()
+    assert all(r["count"] > 0 for r in rows)
