@@ -818,3 +818,88 @@ def c20_merge_ordered(spark, sf_dir):
         F.last("purch_val", ignorenulls=True).over(w).alias("purch_val_ff"),
         F.last("err_cnt", ignorenulls=True).over(w).alias("err_cnt_ff"),
     )
+
+
+@query(
+    "c21_interval_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           COUNT(*) AS n_overlaps,
+           ROUND(CAST(SUM(CAST(p.value AS DECIMAL(28,6))) AS DOUBLE), 4)
+             AS overlap_value
+    FROM events e
+    JOIN events p
+      ON p.user_id = e.user_id
+     AND e.ts <= p.ts + INTERVAL 20 MINUTE
+     AND p.ts <= e.ts + INTERVAL 30 MINUTE
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def c21_interval_join(spark, sf_dir):
+    """Interval-OVERLAP join (both sides are intervals — the temporal-join
+    generalization of c19's point-in-interval): error incident windows
+    [ts, ts+30m] × purchase sessions [ts, ts+20m], overlapping, same user.
+
+    Scale shape: both interval sets are bucketed at width W; an interval
+    touching k buckets is exploded to all k, the join is an EQUI-join on
+    (user_id, bucket) + the overlap residual, and the duplicate-candidate
+    problem (a pair sharing several buckets would match once per shared
+    bucket) is solved by the CANONICAL-BUCKET rule — the pair is kept only
+    in the bucket containing the overlap's START (floor(max(a_s,b_s)/W)),
+    which every overlapping pair hits exactly once. No post-hoc distinct.
+
+    100 TB: O(n·(L/W+2)) exploded rows instead of a per-key O(n·m) BNLJ;
+    W trades fan-out against candidate precision — set W ≈ the typical
+    interval length (here 30 min, fan-out ≤2× either side).
+    """
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    W = 1_800_000_000  # 30-minute buckets, µs
+    m30 = 30 * 60_000_000
+    m20 = 20 * 60_000_000
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", us.alias("a_s"), (us + m30).alias("a_e"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col("a_s") / W).cast("long"), (F.col("a_e") / W).cast("long")
+                )
+            ),
+        )
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            us.alias("b_s"),
+            (us + m20).alias("b_e"),
+            "value",
+        )
+        .withColumn(
+            "p_bucket",
+            F.explode(
+                F.sequence(
+                    (F.col("b_s") / W).cast("long"), (F.col("b_e") / W).cast("long")
+                )
+            ),
+        )
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("bucket") == F.col("p_bucket"))
+        & (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e"))
+        & (
+            (F.greatest("a_s", "b_s") / W).cast("long") == F.col("bucket")
+        ),
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4
+        ).alias("overlap_value"),
+    )
