@@ -1181,3 +1181,45 @@ def d36_group_filter(spark, sf_dir):
         .filter(F.col("n") >= 12)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "d37_percentile_disc",
+    oracle="""
+    SELECT l_linestatus,
+           quantile_disc(l_extendedprice, 0.25) AS q25_disc,
+           quantile_disc(l_extendedprice, 0.50) AS med_disc,
+           quantile_disc(l_extendedprice, 0.75) AS q75_disc,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def d37_percentile_disc(spark, sf_dir):
+    """Discrete per-group quantiles (pandas ``quantile(interpolation=
+    'lower')`` / SQL ``PERCENTILE_DISC``): the quantile is an ACTUAL data
+    value (the smallest value whose cumulative share ≥ p), never an
+    interpolated midpoint — which makes it float-exact by construction
+    (both engines return the identical stored double, no arithmetic), the
+    right choice for medians over prices and latencies at scale. d35 is
+    the interpolated (``_cont``) twin. Spark 4 spells it with the ANSI
+    ``WITHIN GROUP (ORDER BY ...)`` clause.
+
+    100 TB: same sort-based per-group aggregate as d35 — swap to the d20
+    sketch when groups reach billions of rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("q25_disc"),
+            F.expr(
+                "percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("med_disc"),
+            F.expr(
+                "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("q75_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

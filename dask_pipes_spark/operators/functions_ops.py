@@ -815,3 +815,39 @@ def h29_to_numeric(spark, sf_dir):
             F.coalesce(F.sum("v"), F.lit(0)).alias("sum_parsed"),
         )
     )
+
+
+@query(
+    "h30_format_string",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           printf('%s/%s-%06d#%02d', l_returnflag, l_linestatus,
+                  l_orderkey, l_linenumber) AS line_tag,
+           printf('Q%03d', CAST(l_quantity AS INTEGER)) AS qty_tag
+    FROM lineitem
+    """,
+)
+def h30_format_string(spark, sf_dir):
+    """printf-style string formatting (pandas ``'{}-{}'.format`` columns /
+    Dask ``map`` string building): composite business keys and padded
+    labels built with ``format_string`` — codegen'd, no Python. Restricted
+    to %s/%d conversions ON PURPOSE: %f formatting is where Java
+    (HALF_UP) and C (round-half-even) printf disagree on binary ties, the
+    same family of divergence as SURVEY §7.6.2 — float *formatting*
+    belongs to the presentation layer, not the engine contract.
+
+    100 TB: row-local projection, zero exchange.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string(
+            "%s/%s-%06d#%02d",
+            "l_returnflag",
+            "l_linestatus",
+            "l_orderkey",
+            "l_linenumber",
+        ).alias("line_tag"),
+        F.format_string("Q%03d", F.col("l_quantity").cast("int")).alias("qty_tag"),
+    )

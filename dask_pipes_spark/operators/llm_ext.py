@@ -816,3 +816,90 @@ def l36_char_entropy(spark, sf_dir):
         F.round(F.max("entropy"), 4).alias("max_entropy"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@query(
+    "l37_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             list_aggr(toks[i : i + 4], 'string_agg', ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT doc_a, doc_b, n_shared,
+           FLOOR(CAST(n_shared AS DOUBLE) / sa.n_sh * 10000 + 0.5) / 10000
+             AS containment_a,
+           FLOOR(CAST(n_shared AS DOUBLE) / sb.n_sh * 10000 + 0.5) / 10000
+             AS containment_b
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    """,
+)
+def l37_containment(spark, sf_dir):
+    """CONTAINMENT near-dup scoring — the asymmetric cousin of Jaccard
+    (|A∩B|/|A|): detects when one document swallows another (quote farms,
+    boilerplate wrappers, partial scrapes) that symmetric Jaccard dilutes;
+    the measure behind superset-dedup in large-corpus curation (the
+    Lee et al. 2022 exact-substring family, l32's pairwise form).
+
+    Plan: distinct word 5-grams per doc (one explode + distinct —
+    shingle-level dedup bounds the fan-out), self-equi-join on the shingle
+    string (candidate generation by shared content, the l10 blocking
+    idiom), per-pair intersection counts, then containment in BOTH
+    directions from the broadcast per-doc set sizes. ≥3-shared-shingle
+    floor keeps the pair list at near-dup density. Quantized with the
+    §7.6.2 FLOOR idiom, engine-identical.
+
+    100 TB: the shingle join shuffles (shingle, doc) pairs — hot shingles
+    are exactly LSH's banding problem; production swaps the raw-shingle
+    block for l2's MinHash bands and keeps this operator as the exact
+    re-scorer on the candidate set (two-tier: block cheap, score exact).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 5),
+                    lambda i: F.array_join(F.slice(toks, i + 1, 5), " "),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    q = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            q(F.col("n_shared").cast("double") / F.col("na")).alias("containment_a"),
+            q(F.col("n_shared").cast("double") / F.col("nb")).alias("containment_b"),
+        )
+    )
