@@ -46,6 +46,7 @@ ARROW_OK = {
     "j5_python_udtf",
     "j6_map_overlap",
     "j7_cogrouped_map",
+    "j9_map_overlap_centered",
     "j8_map_in_arrow",
     "e13_ewm",
     "k6_stream_stateful",
