@@ -851,3 +851,35 @@ def h30_format_string(spark, sf_dir):
         ).alias("line_tag"),
         F.format_string("Q%03d", F.col("l_quantity").cast("int")).alias("qty_tag"),
     )
+
+
+@query(
+    "h31_explode_outer",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> LENGTH(t) >= 9)
+               AS long_toks
+      FROM documents
+    )
+    SELECT doc_id, u.tok
+    FROM base LEFT JOIN LATERAL (
+      SELECT unnest(long_toks) AS tok
+    ) u ON TRUE
+    """,
+)
+def h31_explode_outer(spark, sf_dir):
+    """Null-preserving explode (``explode_outer`` / pandas
+    ``explode`` which keeps NaN rows for empty lists): documents whose
+    token list filters down to EMPTY still emit one row with a NULL token
+    — the row-preserving contract that plain ``explode`` (inner-unnest)
+    silently breaks, and the difference that corrupts left-side counts in
+    downstream joins when fan-out hits empty lists. Oracle is the LEFT
+    JOIN LATERAL unnest form — SQL's spelling of the same semantics.
+
+    100 TB: generator projection, no exchange; row count is
+    Σ max(1, |list|).
+    """
+    d = load(spark, sf_dir, "documents")
+    long_toks = F.filter(F.split("text", " "), lambda t: F.length(t) >= 9)
+    return d.select("doc_id", F.explode_outer(long_toks).alias("tok"))
