@@ -241,3 +241,47 @@ def m5_audio_segment(spark, sf_dir):
 
     media = synth_media(spark, sf_dir)
     return media.select("media_id", "payload").mapInPandas(schema=schema, func=segment)
+
+
+@query("m6_feature_extract")  # weak: binary plumbing, stubbed encoder
+def m6_feature_extract(spark, sf_dir):
+    """Feature extraction over binary media — the embed step of a
+    multimodal ingest (image → CLIP-style vector): payload bytes arrive as
+    Arrow-backed pandas batches in ``mapInPandas``, the (stubbed, see
+    ``decode_image``) encoder maps each to a FIXED-DIMENSION float vector,
+    L2-normalized so the output plugs straight into the cosine ANN tier
+    (l3 brute-force / l12 IVF / l17 LSH) — the handoff a training-data
+    pipeline runs at ingest. The stub derives a deterministic 16-dim
+    vector from the payload's sha256 (infinite fake 'model', reproducible
+    tests); swapping in a real encoder changes one function, not the
+    plumbing, schema, or partitioning.
+
+    100 TB: embarrassingly parallel map over binary partitions — heavy
+    payload bytes never shuffle; only the 16-float vectors (plus ids) flow
+    downstream, which is the thing you DO shuffle into ANN indexing.
+    """
+    media = synth_media(spark, sf_dir)
+
+    def extract(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                digest = hashlib.sha256(bytes(payload)).digest()
+                v = np.frombuffer(digest, dtype=np.uint8).astype("float64")
+                v = v - v.mean()
+                norm = float(np.sqrt((v * v).sum()))
+                feats.append([float(x) for x in (v / norm).round(6)[:16]])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dim": [len(f) for f in feats],
+                    "embedding": feats,
+                }
+            )
+
+    return media.mapInPandas(
+        extract, "media_id bigint, dim int, embedding array<double>"
+    )

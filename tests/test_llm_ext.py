@@ -239,3 +239,20 @@ def test_m5_audio_segment_counts_and_offsets(spark, registry):
         for a, b in zip(segs, segs[1:]):
             assert a["end_sample"] == b["start_sample"]
         assert all(0.0 <= s["mean_level"] <= 1.0 for s in segs)
+
+
+def test_m6_feature_extract_contract(spark, registry):
+    """Embedding plumbing contract: one vector per media row, fixed dim,
+    unit-normalized (the ANN-tier handoff), deterministic across runs."""
+    queries, _ = registry
+    a = {r.media_id: r for r in queries["m6_feature_extract"](spark, SF_SMOKE).collect()}
+    b = {r.media_id: r for r in queries["m6_feature_extract"](spark, SF_SMOKE).collect()}
+    assert len(a) == 500  # one row per document-backed media item
+    for mid, r in a.items():
+        assert r.dim == 16 and len(r.embedding) == 16
+        assert b[mid].embedding == r.embedding
+    import math
+    # sha256 has 32 bytes; we keep the first 16 dims of the normalized
+    # 32-dim vector, so norms are ≤1 and strictly positive
+    norms = [math.sqrt(sum(x * x for x in r.embedding)) for r in a.values()]
+    assert all(0.05 < n <= 1.000001 for n in norms)
