@@ -366,3 +366,56 @@ def k11_stream_sliding(spark, sf_dir):
         )
     )
     return run_to_memory(agg, "k11_sliding", "complete")
+
+
+@query(
+    "k12_hypertable_rollup",
+    oracle=f"""
+    SELECT CASE WHEN GROUPING(day) = 1 THEN 'total'
+                WHEN GROUPING(hr) = 1 THEN 'day'
+                ELSE 'hour' END AS grain,
+           day, hr, event_type,
+           COUNT(*) AS cnt, {sql_dsum('value')} AS sum_value
+    FROM (
+      SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hr,
+             event_type, value
+      FROM events
+    )
+    GROUP BY event_type, ROLLUP (day, hr)
+    """,
+)
+def k12_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup (the continuous-aggregate
+    hierarchy of time-series stores): hour, day, and per-series-total
+    grains of the events stream in ONE pass via
+    ``GROUP BY event_type, ROLLUP(day, hour)`` — event_type rides every
+    grouping set (the hypertable's series key), and each output row is
+    tagged with its grain from the GROUPING bits. This is the batch
+    materialization shape; the streaming refresh path is k1/k4 at the
+    finest grain with p5's incremental merge folding closed buckets
+    upward (finer grains aggregate into coarser without rescanning raw
+    data — the continuous-aggregate maintenance contract).
+
+    100 TB: the Expand (3 grouping sets) happens AFTER the map-side
+    partial aggregate at the finest grain, so the exchange carries ~3×
+    bucket cardinality, never 3× raw rows.
+    """
+    e = load(spark, sf_dir, "events")
+    e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        "event_type",
+        "value",
+    ).createOrReplaceTempView("dps_events_rollup")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(day) = 1 THEN 'total'
+                    WHEN grouping(hr) = 1 THEN 'day'
+                    ELSE 'hour' END AS grain,
+               day, hr, event_type,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        FROM dps_events_rollup
+        GROUP BY event_type, ROLLUP (day, hr)
+        """
+    )
