@@ -1223,3 +1223,36 @@ def d37_percentile_disc(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query("d38_hll_cumulative")  # weak: sketch estimates (accuracy bound in tests)
+def d38_hll_cumulative(spark, sf_dir):
+    """Cumulative distinct users per (event_type, day), APPROXIMATE — the
+    mergeable-sketch twin of d25's exact first-seen rewrite: one HLL
+    partial per (series, day), then a running ``hll_union_agg`` window
+    unions the prefix of daily sketches. The union is associative and
+    loss-free across sketches, so the day-N estimate equals sketching the
+    first N days directly — the property that makes this the 100 TB shape:
+    daily partials are built once (map-side, tiny blobs), and ANY
+    retention window (cumulative, trailing-28d via a bounded frame) is a
+    re-union of blobs, never a rescan of raw events. d25 shuffles each
+    user once to find first-seen days; this never shuffles users at all
+    beyond the daily partial — the win once user cardinality ×
+    retention-window count dwarfs sketch size.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "cum_est_users"
+        ),
+    )

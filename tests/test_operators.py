@@ -267,3 +267,33 @@ def test_f12_sample_replace_bounds_and_reproducible(spark, registry):
     n = len(rows_a)
     assert 900 <= n <= 1500  # 6000 * 0.2 = 1200 expected
     assert len(set(rows_a)) < n  # replacement produced duplicates
+
+
+def test_d38_hll_cumulative_accuracy(spark, registry):
+    """Running sketch-union estimates must track the exact cumulative
+    distinct count within HLL(lgK=12) error (≤2% at fixture cardinality)."""
+    from pyspark.sql import Window
+
+    queries, _ = registry
+    est = queries["d38_hll_cumulative"](spark, SF_SMOKE)
+    ev = __import__(
+        "dask_pipes_spark.session", fromlist=["load"]
+    ).load(spark, SF_SMOKE, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day")
+    )
+    daily_new = firsts.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exact = daily_new.select(
+        "event_type", "day", F.sum("new").over(w).alias("cum_exact")
+    )
+    joined = est.join(exact, ["event_type", "day"]).collect()
+    assert joined
+    for r in joined:
+        assert abs(r.cum_est_users - r.cum_exact) / r.cum_exact <= 0.02
