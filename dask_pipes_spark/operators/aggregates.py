@@ -692,8 +692,8 @@ def d25_cumulative_distinct(spark, sf_dir):
     )
     SELECT d.event_type, d.med, m.mad,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN ABS(d.value - d.med) > 3 * m.mad
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN ABS(d.value - d.med) > 3 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type, d.med, m.mad
     """,

@@ -175,7 +175,7 @@ def l21_doc_chunk(spark, sf_dir):
     SELECT source,
            CAST(FLOOR(start_tok / {PACK_CTX}.0) AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM placed

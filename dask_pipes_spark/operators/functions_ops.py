@@ -195,8 +195,8 @@ def h7_date_arith(spark, sf_dir):
            ROUND(EXP(l_discount), 6) AS disc_exp,
            ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
            ROUND(POW(l_quantity, 2), 6) AS qty_sq,
-           FLOOR(l_extendedprice) AS price_floor,
-           CEIL(l_extendedprice) AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod
     FROM lineitem
     """,
@@ -775,7 +775,7 @@ def h28_array_tier3(spark, sf_dir):
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(TRY_CAST(raw AS BIGINT)) AS n_parsed,
-           COALESCE(SUM(TRY_CAST(raw AS BIGINT)), 0) AS sum_parsed
+           CAST(COALESCE(SUM(TRY_CAST(raw AS BIGINT)), 0) AS BIGINT) AS sum_parsed
     FROM (
       SELECT event_type,
              CASE WHEN event_type = 'click' THEN CAST(user_id AS VARCHAR)

@@ -686,8 +686,8 @@ def l34_zipf_slope(spark, sf_dir):
     SELECT doc_id,
            COALESCE(string_agg(CASE WHEN keep = 1 THEN seg END, ' '
                                ORDER BY seg_idx), '') AS clean_text,
-           SUM(keep) AS n_kept,
-           SUM(1 - keep) AS n_dropped
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
     FROM flagged GROUP BY doc_id
     """,
 )

@@ -111,7 +111,7 @@ def p2_fitted_preprocess(spark, sf_dir):
       QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
     )
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS sum_tokens,
+           CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_tokens,
            CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(n_chars)
              AS avg_chars
     FROM deduped GROUP BY lang, source

@@ -312,7 +312,10 @@ def _global_index(df, order_cols, npartitions=8):
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     return rp.withColumn(
-        "_idx", F.element_at(omap, F.col("_pid")) + F.row_number().over(w) - 1
+        "_idx",
+        (F.element_at(omap, F.col("_pid")) + F.row_number().over(w) - 1).cast(
+            "long"  # bigint: ROW_NUMBER arithmetic is BIGINT on the oracle side
+        ),
     ).drop("_pid")
 
 
