@@ -20,7 +20,7 @@ from dask_pipes_spark.pipeline import (
     StandardScaler,
 )
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import load
+from dask_pipes_spark.session import load, load_tables
 
 
 @query("p1_pipeline_fit_transform")  # weak: end-state checked in tests
@@ -424,4 +424,50 @@ def p9_dag_pipeline(spark, sf_dir):
             "events": load(spark, sf_dir, "events"),
             "customer": load(spark, sf_dir, "customer"),
         }
+    )
+
+
+@query("p10_checkpoint_restart")  # weak: scratch parquet writes
+def p10_checkpoint_restart(spark, sf_dir):
+    """Staged materialization (SURVEY §3.3 / the reference's
+    persist-intermediates-between-stages behavior): stage 1 computes an
+    expensive intermediate (per-customer order rollup) and CHECKPOINTS it
+    to parquet; stage 2 re-reads the checkpoint and continues (join back
+    to the dimension, final filter). The re-read severs lineage — a stage-2
+    failure replays from the checkpoint, not from the raw scan, and the
+    checkpoint parquet doubles as an inspectable artifact between pipeline
+    runs — exactly how the reference dumps each node's output before the
+    next node consumes it.
+
+    100 TB: THE pattern for long DAGs — bound recompute-on-failure, cut
+    optimizer/planning cost on giant plans, and make stages restartable;
+    the cost is one write+read of the (already reduced) intermediate.
+    Equality with the unchekpointed single-plan answer is asserted in
+    tests/test_pipeline.py.
+    """
+    import os
+    import tempfile
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    stage1 = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+    ckpt = os.path.join(
+        tempfile.gettempdir(), "dps_ckpt_p10", os.path.basename(sf_dir)
+    )
+    stage1.write.mode("overwrite").parquet(ckpt)
+    restored = spark.read.parquet(ckpt)
+    return (
+        restored.join(
+            t["customer"], F.col("o_custkey") == F.col("c_custkey")
+        )
+        .filter(F.col("n_orders") >= 5)
+        .select("c_custkey", "c_mktsegment", "n_orders", "total_spend")
     )

@@ -142,3 +142,29 @@ def test_dag_pipeline_shared_branch_fans_out(spark):
     rows = out.collect()
     assert len(rows) == out.select("o_custkey").distinct().count()
     assert all(r["count"] > 0 for r in rows)
+
+
+def test_p10_checkpoint_equals_single_plan(spark, registry):
+    """The checkpointed two-stage pipeline must produce exactly the rowset
+    of the equivalent single Catalyst plan."""
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.session import load_tables
+
+    queries, _ = registry
+    staged = sorted(map(tuple, queries["p10_checkpoint_restart"](spark, SF_SMOKE).collect()))
+    t = load_tables(spark, SF_SMOKE, ("orders", "customer"))
+    direct = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("n_orders") >= 5)
+        .select("c_custkey", "c_mktsegment", "n_orders", "total_spend")
+    )
+    assert staged == sorted(map(tuple, direct.collect()))
