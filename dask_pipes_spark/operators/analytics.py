@@ -16,6 +16,7 @@ order can't perturb the hash.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import davg, dsum, query, sql_dsum
@@ -1167,4 +1168,47 @@ def x21_dominant_suppliers(spark, sf_dir):
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "x22_topk_with_ties",
+    oracle="""
+    SELECT c_mktsegment, price_bucket, o_orderkey, rnk FROM (
+      SELECT c_mktsegment,
+             CAST(FLOOR(o_totalprice / 10000) * 10000 AS DOUBLE) AS price_bucket,
+             o_orderkey,
+             CAST(RANK() OVER (PARTITION BY c_mktsegment
+                  ORDER BY FLOOR(o_totalprice / 10000) DESC) AS INTEGER) AS rnk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rnk <= 3
+    """,
+)
+def x22_topk_with_ties(spark, sf_dir):
+    """Top-k WITH TIES (ANSI ``FETCH FIRST k ROWS WITH TIES`` / the iceberg
+    query): per market segment, every order in the top-3 price BUCKETS —
+    ``RANK`` over a coarsened measure keeps all tied rows, where e10/f2's
+    ``row_number`` would arbitrarily cut within a tie (a correctness trap
+    for leaderboards; ties must be decided by the measure, not partition
+    luck). Spark 4 plans a ``WindowGroupLimit`` below the filter for rank
+    functions too, so per-partition pruning still applies before the full
+    window — the same top-k pushdown f2 gets.
+
+    100 TB: one keyed exchange; WindowGroupLimit caps per-key buffered
+    rows at the tie boundary instead of materializing whole partitions.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    joined = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    bucket = F.floor(F.col("o_totalprice") / 10000)
+    w = Window.partitionBy("c_mktsegment").orderBy(bucket.desc())
+    return (
+        joined.select(
+            "c_mktsegment",
+            (bucket * 10000).cast("double").alias("price_bucket"),
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
     )

@@ -167,7 +167,14 @@ def k5_stream_dedup(spark, sf_dir):
 def k6_stream_stateful(spark, sf_dir):
     """Custom per-key streaming state (Dask has nothing comparable): a
     running count+sum per user via ``applyInPandasWithState`` — arbitrary
-    Python state, watermark/timeout-bounded, emitted per micro-batch."""
+    Python state, watermark/timeout-bounded, emitted per micro-batch.
+
+    Spark 4's successor API (``transformWithStateInPandas``: typed state
+    handles, timers, RocksDB changelog state) was probed and is
+    unavailable in this environment — its state-server protocol imports
+    ``google.protobuf``, which the container does not ship; the legacy
+    API carries the stateful contract here and the migration is mechanical
+    (ValueState.get/update replaces GroupState)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
