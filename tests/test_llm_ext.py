@@ -256,3 +256,29 @@ def test_m6_feature_extract_contract(spark, registry):
     # 32-dim vector, so norms are ≤1 and strictly positive
     norms = [math.sqrt(sum(x * x for x in r.embedding)) for r in a.values()]
     assert all(0.05 < n <= 1.000001 for n in norms)
+
+
+def test_l9_simhash_registry_contract(spark, registry):
+    """Registry-key contract for l9: candidate pairs are deterministic,
+    ordered (a < b), and within the declared Hamming radius."""
+    queries, _ = registry
+    a = sorted(map(tuple, queries["l9_simhash"](spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, queries["l9_simhash"](spark, SF_SMOKE).collect()))
+    assert a == b and a
+    for doc_a, doc_b, hamming in a:
+        assert doc_a < doc_b
+        assert 0 <= hamming <= 8
+
+
+def test_l18_dup_components_registry_contract(spark, registry):
+    """Registry-key contract for l18: the representative is the minimum
+    member id (min-label propagation), sizes match the member lists, and
+    the clustering is deterministic."""
+    queries, _ = registry
+    rows = queries["l18_dup_components"](spark, SF_SMOKE).collect()
+    rows2 = queries["l18_dup_components"](spark, SF_SMOKE).collect()
+    key = lambda rs: sorted((r.cluster_rep, tuple(r.members)) for r in rs)  # noqa: E731
+    assert key(rows) == key(rows2) and rows
+    for r in rows:
+        assert r.cluster_rep == min(r.members)
+        assert r.cluster_size == len(r.members) >= 2

@@ -168,3 +168,19 @@ def test_p10_checkpoint_equals_single_plan(spark, registry):
         .select("c_custkey", "c_mktsegment", "n_orders", "total_spend")
     )
     assert staged == sorted(map(tuple, direct.collect()))
+
+
+def test_p1_registry_key_contract(spark, registry):
+    """Registry-key contract for p1: the fitted pipeline's output keeps the
+    input row count, z-scores are standardized (mean≈0 per construction),
+    and re-running fit_transform is deterministic."""
+    queries, _ = registry
+    out = queries["p1_pipeline_fit_transform"](spark, SF_SMOKE)
+    rows = out.collect()
+    rows2 = queries["p1_pipeline_fit_transform"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    assert len(rows) == 1500  # one per order at sf0.001
+    zs = [r.o_totalprice_z for r in rows]
+    assert abs(sum(zs) / len(zs)) < 1e-6
+    codes = {r.o_orderpriority_code for r in rows}
+    assert all(isinstance(c, int) and c >= 0 for c in codes)
