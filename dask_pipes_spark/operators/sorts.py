@@ -300,3 +300,36 @@ def f12_sample_replace(spark, sf_dir):
     return li.sample(withReplacement=True, fraction=0.2, seed=7).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "f13_limit_offset",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 50 OFFSET 100
+    """,
+)
+def f13_limit_offset(spark, sf_dir):
+    """Pagination (``LIMIT k OFFSET n`` / pandas ``iloc[n:n+k]`` on a sorted
+    frame): page 3 of the price-ranked lineitems via ``DataFrame.offset``
+    (Spark ≥3.4). Deterministic only over a TOTAL order — the sort key is
+    extended with the primary key, the f1/f3 discipline; an offset over a
+    partial order returns an arbitrary page.
+
+    100 TB: plans as a global sort limited to offset+k rows
+    (TakeOrderedAndProject-style: per-partition top-(n+k) then one merge),
+    so cost scales with n+k, not table size — but deep pagination (n in
+    the millions) degenerates; keyset pagination (WHERE key > last_seen
+    ORDER BY key LIMIT k) is the scale-safe idiom, expressible with b8+f3.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .offset(100)
+        .limit(50)
+    )
