@@ -903,3 +903,38 @@ def c21_interval_join(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4
         ).alias("overlap_value"),
     )
+
+
+@query(
+    "c22_join_hint_shuffle_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 100000
+    """,
+)
+def c22_join_hint_shuffle_hash(spark, sf_dir):
+    """Explicit join-strategy control (`hint("shuffle_hash")`): same rowset
+    as a plain equi-join, but the physical strategy is pinned to
+    ShuffledHashJoin — the right call when both sides exceed the broadcast
+    threshold but one is small enough to hash-build per partition: SHJ
+    skips BOTH sort phases of the default SMJ (asserted in
+    tests/test_operators.py). The hint travels with the plan, so the
+    choice is reviewable in `explain` instead of buried in a session conf.
+
+    100 TB: SMJ's sorts dominate when the build side fits executor memory
+    per partition; SHJ trades them for a hash build — but falls back badly
+    under skew (no spill-friendly merge), so pair with AQE skew handling
+    or salting (c13) when keys are hot. `broadcast`/`merge`/
+    `shuffle_replicate_nl` hints complete the family.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    return (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 100000)
+        .join(
+            t["customer"].hint("shuffle_hash"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "o_totalprice", "c_name")
+    )

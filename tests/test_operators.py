@@ -297,3 +297,12 @@ def test_d38_hll_cumulative_accuracy(spark, registry):
     assert joined
     for r in joined:
         assert abs(r.cum_est_users - r.cum_exact) / r.cum_exact <= 0.02
+
+
+def test_c22_hint_produces_shuffled_hash_join(spark, registry):
+    """The shuffle_hash hint must pin the physical strategy (no sort
+    phases), not just return correct rows."""
+    queries, _ = registry
+    df = queries["c22_join_hint_shuffle_hash"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
