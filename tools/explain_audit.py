@@ -61,6 +61,7 @@ ARROW_OK = {
     "m3_frame_sample",
     "m4_image_resize",
     "m5_audio_segment",
+    "m6_feature_extract",
     "p1_pipeline_fit_transform",
 }
 
