@@ -471,3 +471,41 @@ def p10_checkpoint_restart(spark, sf_dir):
         .filter(F.col("n_orders") >= 5)
         .select("c_custkey", "c_mktsegment", "n_orders", "total_spend")
     )
+
+
+@query("p11_hashing_tfidf")  # weak: ml-vector outputs summarized
+def p11_hashing_tfidf(spark, sf_dir):
+    """Feature-hashing TF-IDF through native pyspark.ml (the hashing-trick
+    vectorizer every large-corpus featurizer uses when a vocab dict is too
+    big to broadcast): Tokenizer → HashingTF(2^8 buckets, fixed seed
+    internally — MurmurHash3 of the token) → IDF Estimator fit+transform —
+    deepening p7's Estimator→Transformer interop with the text path. The
+    vector column is summarized to scalars (nnz, L2 norm) for the
+    driver-side check; l6 is the exact-vocabulary tf-idf twin with a full
+    SQL oracle.
+
+    100 TB: hashing needs NO vocabulary pass or broadcast (the trick);
+    IDF.fit is one aggregate over document frequencies per bucket;
+    collisions are the accepted trade (256 buckets here to force them —
+    real deployments use 2^18+).
+    """
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pipe_in = Tokenizer(inputCol="text", outputCol="toks").transform(docs)
+    tf = HashingTF(inputCol="toks", outputCol="tf", numFeatures=256).transform(
+        pipe_in
+    )
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = idf_model.transform(tf)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array("tfidf")
+    return out.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.filter(arr, lambda x: x != 0)).alias("nnz"),
+        F.round(
+            F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2_norm"),
+    )

@@ -302,3 +302,39 @@ def a11_scan_text(spark, sf_dir):
         )
         .withColumn("n_chars", F.length("text"))
     )
+
+
+@query("a12_schema_evolution_merge")  # weak: scratch writes
+def a12_schema_evolution_merge(spark, sf_dir):
+    """Schema evolution across parquet generations (``mergeSchema`` — the
+    data-lake reality at 100 TB: yesterday's files lack the column added
+    today): generation v1 writes (o_orderkey, o_totalprice), generation v2
+    adds o_orderpriority; one read over BOTH directories with
+    ``mergeSchema=true`` reconciles to the superset schema, v1 rows
+    carrying NULL for the later column. The aggregate proves both
+    generations scanned and the evolved column null-partitioned exactly at
+    the generation boundary (asserted in tests/test_scans.py).
+
+    Scale note: mergeSchema reconciles footers at LISTING time (cost ∝
+    file count, driver-side) — production tables register the evolved
+    schema in a catalog instead and read with an explicit schema; the
+    per-file NULL-fill behavior is identical, which is what this verifies.
+    """
+    base = os.path.join(tempfile.gettempdir(), "dps_a12_evo")
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "g=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "g=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "g=1"), os.path.join(base, "g=2")
+    )
+    return merged.groupBy(F.col("o_orderkey") % 2 == 1).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total"),
+    ).withColumnRenamed("((o_orderkey % 2) = 1)", "is_v2")

@@ -184,3 +184,17 @@ def test_p1_registry_key_contract(spark, registry):
     assert abs(sum(zs) / len(zs)) < 1e-6
     codes = {r.o_orderpriority_code for r in rows}
     assert all(isinstance(c, int) and c >= 0 for c in codes)
+
+
+def test_p11_hashing_tfidf_contract(spark, registry):
+    """Hashed TF-IDF: deterministic, nnz bounded by min(tokens, buckets),
+    norms positive for non-empty docs."""
+    queries, _ = registry
+    a = {r.doc_id: r for r in queries["p11_hashing_tfidf"](spark, SF_SMOKE).collect()}
+    b = {r.doc_id: r for r in queries["p11_hashing_tfidf"](spark, SF_SMOKE).collect()}
+    assert len(a) == 500
+    for did, r in a.items():
+        assert r.nnz <= min(r.n_tokens, 256)
+        assert r.l2_norm == b[did].l2_norm
+        if r.n_tokens > 0:
+            assert r.nnz > 0

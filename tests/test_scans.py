@@ -140,3 +140,14 @@ def test_a11_text_roundtrip_equals_source(spark, registry):
     a = sorted((r.doc_id, r.text) for r in back.collect())
     b = sorted((r.doc_id, r.text) for r in src.collect())
     assert a == b
+
+
+def test_a12_schema_evolution_null_partition(spark, registry):
+    """mergeSchema must reconcile generations: v1 rows (even keys) carry
+    NULL for the evolved column, v2 rows all carry it."""
+    queries, _ = registry
+    rows = {r.is_v2: r for r in queries["a12_schema_evolution_merge"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {True, False}
+    assert rows[False].n_with_priority == 0          # v1: column absent → NULL
+    assert rows[True].n_with_priority == rows[True].n_rows  # v2: always present
+    assert rows[True].n_rows + rows[False].n_rows == 1500
