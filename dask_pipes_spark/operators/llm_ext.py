@@ -903,3 +903,100 @@ def l37_containment(spark, sf_dir):
             q(F.col("n_shared").cast("double") / F.col("nb")).alias("containment_b"),
         )
     )
+
+
+# BM25 parameters (Robertson et al.; the retrieval-standard defaults)
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_QUERY = ("data", "model", "learn")
+
+
+@query(
+    "l40_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+      WHERE tok IN ('data', 'model', 'learn') GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_query_terms,
+           FLOOR(CAST(SUM(CAST(
+             LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * ({_BM25_K1} + 1)
+             / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dlen / avgdl))
+           AS DECIMAL(28,10))) AS DOUBLE) * 10000 + 0.5) / 10000 AS bm25
+    FROM tf
+    JOIN df USING (tok)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def l40_bm25(spark, sf_dir):
+    """BM25 retrieval scoring (Robertson/Spärck Jones — the lexical
+    -retrieval standard, and the first-stage ranker in most RAG data
+    stacks): per-document score for a fixed query, from term frequencies
+    saturated by k1, length-normalized by b against the corpus average
+    document length, weighted by the +0.5-smoothed idf. Pure DataFrame
+    composition — explode → two aggregates (tf per doc-term, df per term)
+    → broadcast corpus scalars → scored sum per doc; l6 (tf-idf) and p11
+    (hashed tf-idf) are the simpler members of this family.
+
+    Each per-term score is one deterministic IEEE expression; terms are
+    DECIMAL-cast before the per-doc sum (order-insensitive, the d11
+    discipline) and the result FLOOR-quantized (§7.6.2).
+
+    100 TB: df and the corpus stats are term-/scalar-cardinality
+    broadcasts; tf is the only document-scale shuffle, pre-filtered to
+    query terms at the scan — for ad-hoc queries over a static corpus,
+    materialize the (term → posting) aggregate once (p5's incremental
+    maintenance) and score from postings only.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_query_terms"),
+            (
+                F.floor(
+                    F.sum(score.cast("decimal(28,10)")).cast("double") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("bm25"),
+        )
+    )
