@@ -900,3 +900,46 @@ def e24_expanding(spark, sf_dir):
         ).alias("exp_mean"),
         F.max("value").over(w).alias("exp_max"),
     )
+
+
+@query(
+    "e25_lag_skip_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(LAG(pv IGNORE NULLS) OVER w, 4) AS prev_purchase,
+           ROUND(LEAD(pv IGNORE NULLS) OVER w, 4) AS next_purchase_excl
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e25_lag_skip_nulls(spark, sf_dir):
+    """``LAG/LEAD ... IGNORE NULLS`` — the STRICTLY-BEFORE variant of
+    e23's fill family (pandas: shift the last-valid forward, excluding the
+    current row): on a purchase row, ``prev_purchase`` is the PREVIOUS
+    purchase, not itself — the semantics leak-free feature engineering
+    needs ("value of the last prior conversion"), where e23's
+    running-last would leak the current row's own label. Offset functions
+    with null-skipping are ANSI; both engines agree exactly (probed,
+    including the all-null prefix → NULL case).
+
+    100 TB: same single keyed window pass as e3 — per-key state is one
+    remembered value in each direction.
+    """
+    e = load(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # F.lag/F.lead don't expose ignoreNulls in PySpark; the SQL form does.
+    return e.withColumn("pv", pv).select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("lag(pv, 1) IGNORE NULLS").over(w), 4).alias(
+            "prev_purchase"
+        ),
+        F.round(F.expr("lead(pv, 1) IGNORE NULLS").over(w), 4).alias(
+            "next_purchase_excl"
+        ),
+    )
