@@ -1212,3 +1212,57 @@ def x22_topk_with_ties(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "x23_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE tree AS (
+      SELECT c_custkey AS k, c_acctbal, 0 AS depth
+      FROM customer WHERE c_custkey = 1
+      UNION ALL
+      SELECT c.c_custkey, c.c_acctbal, x.depth + 1
+      FROM (SELECT unnest([t.k * 2, t.k * 2 + 1]) AS child, t.depth
+            FROM tree t) x
+      JOIN customer c ON c.c_custkey = x.child
+    )
+    SELECT depth, COUNT(*) AS n_nodes,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS depth_bal
+    FROM tree GROUP BY depth
+    """,
+)
+def x23_recursive_hierarchy(spark, sf_dir):
+    """Recursive CTE (``WITH RECURSIVE`` — new in Spark 4, closing the
+    last classic ANSI-SQL gap vs warehouse engines): BFS over the implicit
+    binary hierarchy child = parent·2 / parent·2+1 rooted at customer 1,
+    joined against the customer table at every level, rolled up per depth.
+    The fixpoint loop IS the query — no driver-side iteration (contrast
+    l18/l29, which hand-roll the loop with localCheckpoint because they
+    predate the feature and need per-round lineage control).
+
+    100 TB: each level EXPLODES the frontier's child ids and equi-joins
+    them (never an OR/theta condition, which would plan as a nested loop)
+    — the same per-round plan an iterative driver loop would build, but
+    planned as one operator;
+    depth here is log2(|customer|) ≈ 14 levels. Unbounded-depth graphs
+    still belong to the hand-rolled loop (recursion-depth limit guards
+    runaway fixpoints).
+    """
+    t = load_tables(spark, sf_dir, ("customer",))
+    t["customer"].createOrReplaceTempView("dps_cust_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT c_custkey AS k, c_acctbal, 0 AS depth
+          FROM dps_cust_rec WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey, c.c_acctbal, x.depth + 1
+          FROM (SELECT explode(array(t.k * 2, t.k * 2 + 1)) AS child, t.depth
+                FROM tree t) x
+          JOIN dps_cust_rec c ON c.c_custkey = x.child
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS depth_bal
+        FROM tree GROUP BY depth
+        """
+    )
