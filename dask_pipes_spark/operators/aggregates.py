@@ -1256,3 +1256,34 @@ def d38_hll_cumulative(spark, sf_dir):
             "cum_est_users"
         ),
     )
+
+
+@query(
+    "d39_string_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           string_agg(DISTINCT CAST(YEAR(l_shipdate) AS VARCHAR), ','
+                      ORDER BY CAST(YEAR(l_shipdate) AS VARCHAR)) AS ship_years,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def d39_string_agg(spark, sf_dir):
+    """Ordered string aggregation (SQL ``STRING_AGG`` / pandas
+    ``groupby.agg(','.join)``): the distinct ship YEARS per group, sorted
+    then joined — the *ordered distinct* discipline makes a text aggregate
+    deterministic (bare ``collect_set`` order is partition luck, banned by
+    §7.6.3). ``sort_array ∘ collect_set`` then ``concat_ws`` is the Spark
+    spelling of DuckDB's ``string_agg(DISTINCT ... ORDER BY ...)``.
+
+    100 TB: map-side partial collect_set bounds state at distinct-value
+    cardinality per group (7 ship years), not row count — safe for
+    enum-like columns, the wrong tool for unbounded ones (use d10's
+    explicit caveats).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate").cast("string")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set(yr))).alias("ship_years"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1244,9 +1244,10 @@ def x23_recursive_hierarchy(spark, sf_dir):
     them (never an OR/theta condition, which would plan as a nested loop)
     — the same per-round plan an iterative driver loop would build, but
     planned as one operator;
-    depth here is log2(|customer|) ≈ 14 levels. Unbounded-depth graphs
-    still belong to the hand-rolled loop (recursion-depth limit guards
-    runaway fixpoints).
+    depth here is log2(|customer|) ≈ 14 levels. CYCLIC graphs stay on
+    l18's hand-rolled loop: Spark 4.1 rejects UNION-dedup recursion
+    ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE], probed), and UNION ALL
+    diverges on cycles — the fixpoint must dedup to terminate.
     """
     t = load_tables(spark, sf_dir, ("customer",))
     t["customer"].createOrReplaceTempView("dps_cust_rec")
