@@ -883,3 +883,47 @@ def h31_explode_outer(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     long_toks = F.filter(F.split("text", " "), lambda t: F.length(t) >= 9)
     return d.select("doc_id", F.explode_outer(long_toks).alias("tok"))
+
+
+@query(
+    "h32_iso_calendar",
+    oracle="""
+    SELECT CAST(isoyear(l_shipdate) AS INTEGER) AS iso_year,
+           CAST(week(l_shipdate) AS INTEGER) AS iso_week,
+           COUNT(*) AS n,
+           CAST(MIN(isodow(l_shipdate)) AS INTEGER) AS first_dow,
+           CAST(MAX(isodow(l_shipdate)) AS INTEGER) AS last_dow
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def h32_iso_calendar(spark, sf_dir):
+    """ISO-8601 calendar surface — THE documented cross-engine divergence
+    risk (§7.6.5: week/dow numbering differs between engines' default
+    functions): pinned here to the ISO definitions on both sides, where
+    they agree EXACTLY (probed on the year-boundary edge cases:
+    2024-01-01 → W1/2024, 1995-01-01 → W52/1994, 2000-12-31 → W52/2000).
+    Spark: ``weekofyear`` / ``extract(yearofweek)`` / ``extract(dow_iso)``;
+    DuckDB: ``week`` / ``isoyear`` / ``isodow``. Weekly cohort aggregation
+    over the ship dates proves the full fixture range round-trips.
+
+    100 TB: row-local date kernels + one small-cardinality aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.expr("extract(yearofweek FROM l_shipdate)")
+            .cast("int")
+            .alias("iso_year"),
+            F.weekofyear("l_shipdate").alias("iso_week"),
+            F.expr("extract(dayofweek_iso FROM l_shipdate)")
+            .cast("int")
+            .alias("dow"),
+        )
+        .groupBy("iso_year", "iso_week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("dow").alias("first_dow"),
+            F.max("dow").alias("last_dow"),
+        )
+    )
