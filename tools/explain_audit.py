@@ -89,6 +89,8 @@ CARTESIAN_OK = {
     # 1-row global-value-threshold broadcast cross join onto the per-part
     # aggregate (1×|parts|) — the Q11 HAVING decorrelation.
     "x19_important_parts",
+    # 1-row corpus stats (N, avgdl) broadcast cross join onto the tf table.
+    "l40_bm25",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
