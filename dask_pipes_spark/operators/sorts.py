@@ -333,3 +333,26 @@ def f13_limit_offset(spark, sf_dir):
         .offset(100)
         .limit(50)
     )
+
+
+@query("f15_freq_items")  # weak: sketch superset semantics
+def f15_freq_items(spark, sf_dir):
+    """Approximate frequent items (``df.stat.freqItems`` — the
+    Karp/Misra-Gries one-pass heavy-hitter sketch, public Spark API): all
+    lineitem ship-years whose frequency exceeds 10% of rows, as one
+    array-valued row. The sketch guarantee is a SUPERSET: every true heavy
+    hitter is present, false positives possible — asserted against exact
+    frequencies in tests/test_operators.py (the d5/d20/d22 weak-sketch
+    discipline).
+
+    100 TB: single pass, per-partition bounded state (1/support counters),
+    mergeable — the shape that finds hot keys BEFORE a skewed join picks a
+    salting factor (c13's prerequisite diagnostic).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("ship_year")
+    )
+    out = li.stat.freqItems(["ship_year"], support=0.1)
+    return out.select(
+        F.sort_array(F.col("ship_year_freqItems")).alias("frequent_years")
+    )

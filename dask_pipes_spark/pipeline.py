@@ -303,3 +303,20 @@ class DagPipeline:
         frames = self._run(inputs, fit=False)
         outs = [frames[o] for o in self.outputs]
         return outs[0] if len(outs) == 1 else outs
+
+
+def _dag_save(self: "DagPipeline", path: str) -> None:
+    """Persist fitted per-node params as JSON (the reference persists each
+    node's fitted state between runs; topology stays in code)."""
+    with open(path, "w") as fh:
+        json.dump(self.params_, fh, indent=2, sort_keys=True)
+
+
+def _dag_load(self: "DagPipeline", path: str) -> "DagPipeline":
+    with open(path) as fh:
+        self.params_ = json.load(fh)
+    return self
+
+
+DagPipeline.save = _dag_save
+DagPipeline.load = _dag_load

@@ -306,3 +306,21 @@ def test_c22_hint_produces_shuffled_hash_join(spark, registry):
     df = queries["c22_join_hint_shuffle_hash"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
+
+
+def test_f15_freq_items_superset_of_true_heavy_hitters(spark, registry):
+    """Misra-Gries guarantee: every year with true frequency > support
+    appears in the sketch output."""
+    queries, _ = registry
+    (row,) = queries["f15_freq_items"](spark, SF_SMOKE).collect()
+    got = set(row.frequent_years)
+    from dask_pipes_spark.session import load
+
+    li = load(spark, SF_SMOKE, "lineitem")
+    n = li.count()
+    exact = {
+        r.y
+        for r in li.select(F.year("l_shipdate").alias("y")).groupBy("y").count().collect()
+        if r["count"] / n > 0.1
+    }
+    assert exact and exact <= got

@@ -198,3 +198,38 @@ def test_p11_hashing_tfidf_contract(spark, registry):
         assert r.l2_norm == b[did].l2_norm
         if r.n_tokens > 0:
             assert r.nnz > 0
+
+
+def test_dag_pipeline_save_load_roundtrip(spark, tmp_path):
+    """Fitted DAG params survive a save/load cycle: a fresh instance with
+    loaded params transforms identically without re-fitting."""
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.pipeline import DagFn, DagNode, DagPipeline
+    from dask_pipes_spark.session import load
+
+    class MeanThreshold(DagNode):
+        """Fit: collect the global mean; transform: keep rows above it."""
+
+        def fit(self, dfs):
+            (m,) = dfs[0].agg(F.avg("o_totalprice")).first()
+            return {"mean": float(m)}
+
+        def transform(self, dfs, params):
+            return dfs[0].filter(F.col("o_totalprice") > params["mean"])
+
+    def build():
+        return DagPipeline(
+            [MeanThreshold("cut", ["orders"]),
+             DagFn("proj", ["cut"], lambda d: d.select("o_orderkey"))],
+            outputs=["proj"],
+        )
+
+    orders = load(spark, SF_SMOKE, "orders")
+    p1 = build()
+    fitted_rows = sorted(r.o_orderkey for r in p1.fit_transform({"orders": orders}).collect())
+    path = str(tmp_path / "dag_params.json")
+    p1.save(path)
+    p2 = build().load(path)
+    replay_rows = sorted(r.o_orderkey for r in p2.transform({"orders": orders}).collect())
+    assert fitted_rows == replay_rows and fitted_rows
