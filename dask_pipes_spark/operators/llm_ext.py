@@ -1000,3 +1000,112 @@ def l40_bm25(spark, sf_dir):
             ).alias("bm25"),
         )
     )
+
+
+@query(
+    "l42_bigram_xent",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, lang, t[i] AS prev, t[i + 1] AS cur
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    uni AS (
+      SELECT prev, CAST(COUNT(*) AS DOUBLE) AS c_prev
+      FROM bigrams GROUP BY prev
+    ),
+    bi AS (
+      SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS c_bi
+      FROM bigrams GROUP BY prev, cur
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT cur) AS DOUBLE) AS v FROM bigrams
+    ),
+    scored AS (
+      SELECT b.doc_id, b.lang,
+             CAST(SUM(CAST(
+               -LOG2((c_bi + 0.5) / (c_prev + 0.5 * v))
+             AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS xent
+      FROM bigrams b
+      JOIN bi USING (prev, cur)
+      JOIN uni USING (prev)
+      CROSS JOIN vocab
+      GROUP BY b.doc_id, b.lang
+    )
+    SELECT lang,
+           FLOOR(CAST(SUM(CAST(xent AS DECIMAL(28,10))) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS avg_xent,
+           FLOOR(MIN(xent) * 10000 + 0.5) / 10000 AS min_xent,
+           FLOOR(MAX(xent) * 10000 + 0.5) / 10000 AS max_xent,
+           COUNT(*) AS n_docs
+    FROM scored GROUP BY lang
+    """,
+)
+def l42_bigram_xent(spark, sf_dir):
+    """Bigram conditional cross-entropy per document (the CCNet-family LM
+    quality signal one order up from l30's unigram model): score each doc
+    by −(1/n)·Σ log₂ P(cur|prev) under an add-k-smoothed bigram model
+    fitted on the corpus itself — fluent text (predictable continuations)
+    scores low, shuffled/boilerplate text high. Summarized per language.
+
+    Plan: positional bigram explode (the l37 slice idiom at n=2), two
+    count aggregates (bigram, unigram-context) joined back onto the bigram
+    stream, vocab size as a broadcast scalar. Each log term is one
+    deterministic IEEE expression, DECIMAL-cast before every sum (d11),
+    FLOOR-quantized at the reporting edge (§7.6.2).
+
+    100 TB: the model tables are vocab-bounded (Heaps' law — the l28/l30
+    argument); the doc-stream join is the only corpus-scale shuffle and
+    reuses the (prev,cur) partitioning of the count that produced it.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("prev"),
+                    F.element_at(toks, i + 1).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "bg.prev", "bg.cur")
+    uni = bigrams.groupBy("prev").agg(
+        F.count(F.lit(1)).cast("double").alias("c_prev")
+    )
+    bi = bigrams.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("double").alias("c_bi")
+    )
+    vocab = bigrams.agg(
+        F.countDistinct("cur").cast("double").alias("v")
+    )
+    term = -F.log2(
+        (F.col("c_bi") + 0.5) / (F.col("c_prev") + 0.5 * F.col("v"))
+    )
+    scored = (
+        bigrams.join(bi, ["prev", "cur"])
+        .join(uni, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.sum(term.cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("xent")
+        )
+    )
+    q = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return scored.groupBy("lang").agg(
+        q(
+            F.sum(F.col("xent").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_xent"),
+        q(F.min("xent")).alias("min_xent"),
+        q(F.max("xent")).alias("max_xent"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
