@@ -1267,3 +1267,77 @@ def x23_recursive_hierarchy(spark, sf_dir):
         FROM tree GROUP BY depth
         """
     )
+
+
+@query(
+    "x24_event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(s1.user_id) AS BIGINT) AS n_signup,
+           CAST(COUNT(s2.user_id) AS BIGINT) AS n_clicked_after,
+           CAST(COUNT(s3.user_id) AS BIGINT) AS n_purchased_after
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def x24_event_funnel(spark, sf_dir):
+    """Ordered event funnel (product-analytics sequence matching:
+    signup → later click → later purchase): stage k's timestamp is the
+    MIN event time strictly after stage k−1's, per user — three
+    dimension-sized aggregate passes, each joining the (user, t_k) frame
+    back onto the event stream. The funnel COUNTS how many users reach
+    each stage in order; out-of-order events (purchase before signup)
+    correctly don't qualify.
+
+    100 TB: pass 1 shuffles user-grain aggregates; passes 2-3 join a
+    user-cardinality frame back to the fact — each reuses the user_id
+    partitioning, and the event scan is filtered to one type per pass at
+    the source. The alternative single-pass form (sort per user +
+    ``aggregate()`` over the struct sequence) trades the two rejoins for
+    one per-user sort; both are linear — this form keeps every step
+    SQL-oracle-checkable.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count("t1").alias("n_signup"),
+            F.count("t2").alias("n_clicked_after"),
+            F.count("t3").alias("n_purchased_after"),
+        )
+    )
