@@ -1341,3 +1341,57 @@ def x24_event_funnel(spark, sf_dir):
             F.count("t3").alias("n_purchased_after"),
         )
     )
+
+
+@query(
+    "x25_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             CAST(date_diff('week', c.cohort_week,
+                            date_trunc('week', e.ts)) AS INTEGER) AS week_n
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+    )
+    SELECT cohort_week, week_n,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY cohort_week, week_n
+    """,
+)
+def x25_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix (the canonical growth-analytics query):
+    users are cohorted by the week of their FIRST event; each later active
+    week increments (cohort_week, weeks_since) by distinct user. Weeks are
+    date_trunc'd calendar weeks and the offset is whole-week differences —
+    both pinned identically on the two engines (ISO Monday weeks).
+
+    100 TB: cohorting is one user-grain aggregate; the activity matrix
+    reuses the user_id partitioning for the join and dedups at
+    (user, cohort, week) grain BEFORE the final count — the distinct is
+    the only fact-scale shuffle, bounded by users × active weeks, not
+    events.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_n").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
