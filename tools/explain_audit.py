@@ -91,6 +91,8 @@ CARTESIAN_OK = {
     "x19_important_parts",
     # 1-row corpus stats (N, avgdl) broadcast cross join onto the tf table.
     "l40_bm25",
+    # 1-row vocab-size broadcast cross join onto the bigram stream.
+    "l42_bigram_xent",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
