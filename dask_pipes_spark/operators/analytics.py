@@ -1395,3 +1395,76 @@ def x25_retention_cohorts(spark, sf_dir):
     return activity.groupBy("cohort_week", "week_n").agg(
         F.count(F.lit(1)).alias("active_users")
     )
+
+
+@query(
+    "x26_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             CAST(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+               / CAST(SUM(revenue) OVER () AS DOUBLE) AS cum_share
+      FROM rev
+    )
+    SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+                WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(SUM(revenue) AS DECIMAL(28,6)) AS DOUBLE) AS class_revenue
+    FROM ranked GROUP BY 1
+    """,
+)
+def x26_pareto_abc(spark, sf_dir):
+    """Pareto / ABC classification (the 80-20 inventory analysis): parts
+    ranked by revenue, classed by CUMULATIVE revenue share (A = first 50%
+    of revenue, B = to 80%, C = tail), then rolled up per class. The
+    running share is an ordered window over the part-grain aggregate —
+    revenue stays DECIMAL through both window sums (numerator and the
+    whole-partition denominator), so the division is one IEEE op per row
+    and the class boundaries are engine-identical (ties broken by partkey
+    per §7.6.3).
+
+    100 TB: the fact table reduces to part grain FIRST (one shuffle); the
+    ranking window runs over dimension cardinality. An unpartitioned
+    ordered window over parts is the honest cost of a global ranking —
+    ~200k parts at TPC-H scale, trivially one task; for billion-key
+    rankings switch to the f2 top-k or bucketed percentile approach.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("decimal(28,6)")
+        .alias("revenue")
+    )
+    w_run = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "revenue",
+        (
+            F.sum("revenue").over(w_run).cast("double")
+            / F.sum("revenue").over(w_all).cast("double")
+        ).alias("cum_share"),
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.5, "A")
+        .when(F.col("cum_share") <= 0.8, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(abc.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("revenue").cast("decimal(28,6)").cast("double").alias("class_revenue"),
+    )

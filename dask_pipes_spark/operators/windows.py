@@ -943,3 +943,70 @@ def e25_lag_skip_nulls(spark, sf_dir):
             "next_purchase_excl"
         ),
     )
+
+
+@query(
+    "e26_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts))
+                  AS BIGINT) AS day_n
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, day_n,
+             day_n - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_n)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_len,
+             MIN(day_n) AS streak_start
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MIN(streak_start) AS BIGINT) AS first_active_day
+    FROM streaks GROUP BY user_id
+    """,
+)
+def e26_streaks(spark, sf_dir):
+    """Gaps-and-islands (consecutive-day activity streaks per user — the
+    engagement metric behind "7-day streak" features): distinct active
+    day numbers per user, island id = day − row_number (constant within
+    every consecutive run — the classic identity), then streak lengths
+    and the per-user longest. Distinct from k3's session windows: islands
+    are INTEGER-consecutive runs, not time-gap clusters.
+
+    100 TB: dedup to (user, day) grain first — the only fact-scale
+    shuffle; the island window and both rollups all reuse the user_id
+    partitioning (one exchange total after the dedup).
+    """
+    e = load(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")),
+                F.lit("2024-01-01").cast("timestamp_ntz"),
+            )
+            .cast("bigint")
+            .alias("day_n"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_n")
+    islands = days.withColumn(
+        "island", F.col("day_n") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day_n").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.min("streak_start").alias("first_active_day"),
+    )
