@@ -1109,3 +1109,52 @@ def l42_bigram_xent(spark, sf_dir):
         q(F.max("xent")).alias("max_xent"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+from dask_pipes_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query(
+    "l44_langid_confusion",
+    oracle="WITH pred AS (" + _ORACLES["l13_language_id"] + """)
+    SELECT true_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY true_lang)
+                 * 10000 + 0.5) / 10000 AS row_share
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+)
+def l44_langid_confusion(spark, sf_dir):
+    """Classifier evaluation INSIDE the engine — the confusion matrix of
+    l13's language-ID against the gold ``lang`` labels: per (true, pred)
+    cell count plus the row-normalized share (recall on the diagonal).
+    The engine evaluating its own curation operators is the closing loop
+    of a data pipeline: the same pattern scores any labeled heuristic
+    (quality filters vs human ratings, dedup candidates vs audited pairs)
+    without leaving Spark. The oracle literally embeds l13's oracle as a
+    CTE, so both layers stay independently checked.
+
+    100 TB: adds one 25-cell aggregate over l13's doc-grain output —
+    evaluation cost is the classifier's cost.
+    """
+    pred = l13_language_id(spark, sf_dir)
+    w = Window.partitionBy("true_lang")
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            (
+                F.floor(
+                    F.col("n").cast("double")
+                    / F.sum("n").over(w)
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("row_share"),
+        )
+    )
