@@ -509,3 +509,95 @@ def p11_hashing_tfidf(spark, sf_dir):
             F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)), 4
         ).alias("l2_norm"),
     )
+
+
+@query(
+    "p13_contract_check",
+    oracle="""
+    SELECT rule, n_violations, n_checked FROM (
+      SELECT 'pk_unique' AS rule,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+             CAST(COUNT(*) AS BIGINT) AS n_checked
+      FROM orders
+      UNION ALL
+      SELECT 'fk_customer',
+             CAST(COUNT(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      UNION ALL
+      SELECT 'price_positive',
+             CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'status_domain',
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('P','O','F'))
+                  AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders
+    )
+    """,
+)
+def p13_contract_check(spark, sf_dir):
+    """Declarative data-contract gate (the Deequ/Great-Expectations shape,
+    pure DataFrame): one violations report over four rule kinds — primary
+    key uniqueness, referential integrity (anti-join nulls), numeric
+    range, and value domain — each a single aggregate, unioned into a
+    (rule, n_violations, n_checked) frame a pipeline can assert on before
+    publishing a dataset. Complements p6 (inline observe metrics riding a
+    write) with the standalone pre-publish audit; d24's per-group BOOL
+    aggregates are the grouped member of the family.
+
+    100 TB: pk/range/domain rules are map-side counts; the FK rule is the
+    one join (broadcast when the parent is a dimension, as here). At
+    fixture quality all four counts are zero — the PLUMBING (counting,
+    not failing, and the fixed report schema) is the operator.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    o = t["orders"]
+
+    def report(rule, violations, checked):
+        return F.struct(
+            F.lit(rule).alias("rule"),
+            violations.cast("bigint").alias("n_violations"),
+            checked.cast("bigint").alias("n_checked"),
+        )
+
+    pk = o.agg(
+        report(
+            "pk_unique",
+            F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+            F.count(F.lit(1)),
+        ).alias("r")
+    )
+    fk = (
+        o.join(
+            F.broadcast(t["customer"].select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            report(
+                "fk_customer",
+                F.count(F.when(F.col("c_custkey").isNull(), 1)),
+                F.count(F.lit(1)),
+            ).alias("r")
+        )
+    )
+    rng = o.agg(
+        report(
+            "price_positive",
+            F.count(F.when(F.col("o_totalprice") <= 0, 1)),
+            F.count(F.lit(1)),
+        ).alias("r")
+    )
+    dom = o.agg(
+        report(
+            "status_domain",
+            F.count(F.when(~F.col("o_orderstatus").isin("P", "O", "F"), 1)),
+            F.count(F.lit(1)),
+        ).alias("r")
+    )
+    return (
+        pk.unionByName(fk).unionByName(rng).unionByName(dom).select("r.*")
+    )
