@@ -1468,3 +1468,93 @@ def x26_pareto_abc(spark, sf_dir):
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("revenue").cast("decimal(28,6)").cast("double").alias("class_revenue"),
     )
+
+
+@query(
+    "x27_market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM items
+    ),
+    part_supp AS (
+      SELECT l_partkey, CAST(COUNT(*) AS DOUBLE) AS supp FROM items
+      GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, pair_count,
+           FLOOR(pair_count * n / (sa.supp * sb.supp) * 10000 + 0.5) / 10000
+             AS lift
+    FROM pairs
+    JOIN part_supp sa ON part_a = sa.l_partkey
+    JOIN part_supp sb ON part_b = sb.l_partkey
+    CROSS JOIN n_orders
+    """,
+)
+def x27_market_basket(spark, sf_dir):
+    """Market-basket affinity (association mining's support/lift core):
+    part pairs co-purchased in the same order, with lift =
+    P(a,b)/(P(a)·P(b)) — >1 means genuinely bought together, not just
+    individually popular. The pair space is generated by a SELF-EQUI-JOIN
+    on the order key over the distinct (order, part) grain with a<b
+    ordering (each pair once), then support tables and the order count
+    broadcast back; ≥2-support floor keeps the pair list at signal
+    density. FLOOR-quantized lift (§7.6.2).
+
+    100 TB: the pair fan-out is Σ C(basket_size, 2) — quadratic in
+    BASKET size, linear in orders (TPC-H: ~4 lines ⇒ ≤6 pairs/order);
+    giant baskets need a per-order cap or frequent-item pre-filter
+    (f15's heavy-hitter sketch) before pairing, the standard
+    Apriori-style prune.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    part_supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("supp")
+    )
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= 2)
+    )
+    sa = part_supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
+    )
+    sb = part_supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            (
+                F.floor(
+                    F.col("pair_count")
+                    * F.col("n")
+                    / (F.col("supp_a") * F.col("supp_b"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("lift"),
+        )
+    )

@@ -1010,3 +1010,67 @@ def e26_streaks(spark, sf_dir):
         F.count(F.lit(1)).alias("n_streaks"),
         F.min("streak_start").alias("first_active_day"),
     )
+
+
+@query(
+    "e27_last_touch_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(props->>'$.k' AS INTEGER) END AS click_channel
+      FROM events
+    ),
+    attributed AS (
+      SELECT user_id, event_type, value,
+             LAG(click_channel IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS channel
+      FROM tagged
+    )
+    SELECT COALESCE(CAST(channel AS VARCHAR), 'unattributed') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM attributed WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def e27_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution (the marketing-analytics standard): each
+    purchase's revenue is credited to the channel of the most recent PRIOR
+    click by the same user — e25's strictly-before null-skipping LAG
+    carrying the click's channel (here the ``props.k`` field) onto every
+    subsequent row; purchases with no preceding click fall into an
+    explicit 'unattributed' bucket rather than dropping (the reporting
+    contract). Revenue rolls up per channel decimal-exact.
+
+    100 TB: one keyed window pass over the event stream plus a
+    channel-cardinality aggregate — the same cost as e3; multi-touch
+    models (linear/time-decay) extend the same pass with collect_list
+    over the frame instead of LAG.
+    """
+    e = load(spark, sf_dir, "events")
+    tagged = e.withColumn(
+        "click_channel",
+        F.when(
+            F.col("event_type") == "click",
+            F.get_json_object("props", "$.k").cast("int"),
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    attributed = tagged.withColumn(
+        "channel", F.expr("lag(click_channel, 1) IGNORE NULLS").over(w)
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("channel").cast("string"), F.lit("unattributed")).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
