@@ -93,6 +93,8 @@ CARTESIAN_OK = {
     "l40_bm25",
     # 1-row vocab-size broadcast cross join onto the bigram stream.
     "l42_bigram_xent",
+    # 1-row order-count broadcast cross join onto the pair table.
+    "x27_market_basket",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
