@@ -1287,3 +1287,65 @@ def d39_string_agg(spark, sf_dir):
         F.concat_ws(",", F.sort_array(F.collect_set(yr))).alias("ship_years"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "d40_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_quantity,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS wt
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    cum AS (
+      SELECT l_returnflag, l_quantity,
+             CAST(SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cw,
+             CAST(SUM(wt) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS tw
+      FROM w
+    )
+    SELECT l_returnflag, MIN(l_quantity) AS weighted_median_qty
+    FROM cum WHERE cw >= tw / 2
+    GROUP BY l_returnflag
+    """,
+)
+def d40_weighted_median(spark, sf_dir):
+    """Weighted median (the 50% threshold of a weighted distribution —
+    "the quantity at which half the REVENUE sits below"): per returnflag,
+    the smallest quantity whose cumulative extendedprice weight reaches
+    half the group's total. Weights pre-aggregate to (group, value) grain
+    and stay DECIMAL through both the running and total window sums, so
+    the single threshold comparison is engine-identical; the crossing
+    value is an actual data value (d37's discrete discipline — no
+    interpolation, no float synthesis).
+
+    100 TB: one fact-grain aggregate to (group, value) cells, then
+    windows over cell cardinality — never a per-row sort of raw data;
+    the same shape computes any weighted percentile by changing the
+    threshold fraction.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("wt")
+    )
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = cells.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("wt").over(w_run).cast("double").alias("cw"),
+        F.sum("wt").over(w_all).cast("double").alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("weighted_median_qty"))
+    )

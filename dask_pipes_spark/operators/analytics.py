@@ -1558,3 +1558,59 @@ def x27_market_basket(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "x28_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(YEAR(l_shipdate) AS INTEGER) AS yr,
+             CAST(MONTH(l_shipdate) AS INTEGER) AS mo,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT yr, mo, revenue,
+           LAG(revenue, 12) OVER (ORDER BY yr, mo) AS revenue_prior_year,
+           FLOOR((revenue / LAG(revenue, 12) OVER (ORDER BY yr, mo) - 1)
+                 * 10000 + 0.5) / 10000 AS yoy_growth
+    FROM monthly
+    """,
+)
+def x28_yoy_growth(spark, sf_dir):
+    """Year-over-year growth (the reporting staple): monthly revenue with
+    the same-month-prior-year comparison as a 12-step LAG over the
+    calendar-ordered month series, growth FLOOR-quantized (§7.6.2); the
+    first year has no prior and reports NULL, not zero (the honest
+    reporting contract). e19 is the per-entity event-level pct_change;
+    this is its calendar-grain, fixed-offset sibling. The 12-LAG form
+    assumes a dense month series — the fixtures ship every month; gappy
+    calendars take e14's grid-fill first.
+
+    100 TB: the fact table reduces to ≤ years×12 rows before the window —
+    the unpartitioned LAG runs over a reporting-grain frame, which is the
+    correct (and trivial) cost.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    monthly = li.groupBy(
+        F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mo")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("yr", "mo")
+    prior = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        "revenue",
+        prior.alias("revenue_prior_year"),
+        (
+            F.floor((F.col("revenue") / prior - 1) * 10000 + F.lit(0.5)) / 10000
+        ).alias("yoy_growth"),
+    )
