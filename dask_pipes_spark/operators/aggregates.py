@@ -1349,3 +1349,70 @@ def d40_weighted_median(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.min("l_quantity").alias("weighted_median_qty"))
     )
+
+
+@query(
+    "d41_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT spend,
+             CAST(ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS DOUBLE) AS i,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS n,
+             CAST(SUM(spend) OVER () AS DOUBLE) AS total
+      FROM rev
+    )
+    SELECT FLOOR((2 * CAST(SUM(CAST(i * CAST(spend AS DOUBLE) / total
+                                    AS DECIMAL(28,10))) AS DOUBLE)
+                  - (MIN(n) + 1)) / MIN(n) * 10000 + 0.5) / 10000 AS gini,
+           CAST(MIN(n) AS BIGINT) AS n_customers
+    FROM ranked
+    """,
+)
+def d41_gini(spark, sf_dir):
+    """Gini coefficient of customer spend (the inequality summary behind
+    x26's Pareto classes — one number for "how concentrated is revenue"):
+    G = (2·Σᵢ i·sᵢ/S − (n+1))/n over spends ranked ascending — the exact
+    closed form from rank-weighted shares, no curve integration. Ranks are
+    deterministic (spend, custkey tiebreak §7.6.3); each rank-weighted
+    share is DECIMAL-cast before the sum (d11) and the final statistic
+    FLOOR-quantized (§7.6.2).
+
+    100 TB: spend reduces to customer grain first; the ranking is one
+    ordered window over dimension cardinality (x26's argument), and the
+    statistic is a single aggregate above it.
+    """
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "spend",
+        F.row_number().over(w).cast("double").alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("double").alias("n"),
+        F.sum("spend").over(w_all).cast("double").alias("total"),
+    )
+    share = (F.col("i") * F.col("spend").cast("double") / F.col("total")).cast(
+        "decimal(28,10)"
+    )
+    return ranked.agg(
+        (
+            F.floor(
+                (2 * F.sum(share).cast("double") - (F.min("n") + 1))
+                / F.min("n")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("gini"),
+        F.min("n").cast("bigint").alias("n_customers"),
+    )
