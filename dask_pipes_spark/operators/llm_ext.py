@@ -1158,3 +1158,76 @@ def l44_langid_confusion(spark, sf_dir):
             ).alias("row_share"),
         )
     )
+
+
+@query(
+    "l47_source_overlap",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS vs FROM vocab GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM vocab a JOIN vocab b
+        ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared,
+           FLOOR(CAST(n_shared AS DOUBLE)
+                 / (sa.vs + sb.vs - n_shared) * 10000 + 0.5) / 10000
+             AS vocab_jaccard
+    FROM inter
+    JOIN sizes sa ON src_a = sa.source
+    JOIN sizes sb ON src_b = sb.source
+    """,
+)
+def l47_source_overlap(spark, sf_dir):
+    """Source-level vocabulary overlap matrix (data-mixture diagnostics:
+    which corpus sources are near-clones of each other BEFORE you weight
+    them — l25/l33's mixture math assumes sources are distinct; this
+    measures whether they are): per-source distinct token vocabularies,
+    pairwise intersections via the shared-token equi-join (the l37
+    blocking idiom at source grain, src_a < src_b each pair once), Jaccard
+    from the inclusion-exclusion denominator. FLOOR-quantized (§7.6.2).
+
+    100 TB: vocab is (sources × vocab-size) after the distinct (Heaps'
+    law, the l28/l30 bound); the token join shuffles vocab-grain rows,
+    never documents — with S sources the output is S·(S−1)/2 rows, and a
+    hot token touches S rows, not |corpus|.
+    """
+    docs = load(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vs"))
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("vs").alias("va"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("vs").alias("vb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            (
+                F.floor(
+                    F.col("n_shared").cast("double")
+                    / (F.col("va") + F.col("vb") - F.col("n_shared"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("vocab_jaccard"),
+        )
+    )
