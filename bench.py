@@ -226,7 +226,7 @@ def main() -> None:
     }
     for name, sql in SQL.items():
         spark.conf.set(
-            "spark.sql.shuffle.partitions", str(min(shuffle_parts[name], maxpart))
+            "spark.sql.shuffle.partitions", str(min(shuffle_parts.get(name, 8), maxpart))
         )
         fetch = (lambda d: d.toPandas()) if name in arrow_fetch else (lambda d: d.collect())
         times = []

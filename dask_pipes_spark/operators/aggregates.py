@@ -501,10 +501,16 @@ def d20_approx_quantile(spark, sf_dir):
     (``percentile_approx``, Greenwald-Khanna) — the scale path Dask's own
     ``quantile`` (t-digest) takes; d7 is the exact twin. Weak-checked: the
     sketch is engine-specific; the local test asserts each approximation
-    lands within the accuracy bound of d7's exact answer."""
+    lands within the accuracy bound of d7's exact answer. The three
+    percentiles are emitted as scalar double columns (not an array) so the
+    harness canonicalizer — which sorts rows via pandas and cannot hash
+    ndarray cells — always sees hashable scalars (d10's discipline)."""
     li = load(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_quantity", [0.5, 0.9, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.element_at(pcts, 1).alias("approx_p50"),
+        F.element_at(pcts, 2).alias("approx_p90"),
+        F.element_at(pcts, 3).alias("approx_p99"),
         F.percentile("l_quantity", F.lit(0.5)).alias("exact_p50"),
     )
 

@@ -866,14 +866,20 @@ def l37_containment(spark, sf_dir):
     re-scorer on the candidate set (two-tier: block cheap, score exact).
     """
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # Pre-filter short docs: sequence(0, size-5) flips DESCENDING when
+    # size<5 and the slice then crashes ("SQL array indices start at 1");
+    # the oracle's range() yields zero shingles for those docs, so dropping
+    # them up front is semantics-identical (l32's guard idiom).
+    toked = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 5
+    )
     sh = (
-        docs.select(
+        toked.select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 5),
-                    lambda i: F.array_join(F.slice(toks, i + 1, 5), " "),
+                    F.sequence(F.lit(0), F.size("t") - 5),
+                    lambda i: F.array_join(F.slice("t", i + 1, 5), " "),
                 )
             ).alias("shingle"),
         )
@@ -1061,16 +1067,21 @@ def l42_bigram_xent(spark, sf_dir):
     reuses the (prev,cur) partitioning of the count that produced it.
     """
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    bigrams = docs.select(
+    # Pre-filter one-token docs: sequence(1, size-1) flips DESCENDING when
+    # size<2 and element_at(toks, 0) then crashes; the oracle yields zero
+    # bigrams for those docs, so dropping them is semantics-identical.
+    toked = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toked.select(
         "doc_id",
         "lang",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
+                F.sequence(F.lit(1), F.size("t") - 1),
                 lambda i: F.struct(
-                    F.element_at(toks, i).alias("prev"),
-                    F.element_at(toks, i + 1).alias("cur"),
+                    F.element_at("t", i).alias("prev"),
+                    F.element_at("t", i + 1).alias("cur"),
                 ),
             )
         ).alias("bg"),

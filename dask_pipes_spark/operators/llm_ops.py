@@ -431,7 +431,11 @@ def l18_dup_components(spark, sf_dir):
             F.count(F.lit(1)).alias("cluster_size"),
             F.countDistinct("source").alias("n_sources"),
             F.countDistinct("lang").alias("n_langs"),
-            F.sort_array(F.collect_list("node")).alias("members"),
+            # Comma-joined string, not a raw array: the harness canonicalizer
+            # cannot hash ndarray cells (d10 discipline).
+            F.array_join(
+                F.sort_array(F.collect_list("node")).cast("array<string>"), ","
+            ).alias("members"),
         )
         .filter(F.col("cluster_size") >= 2)
     )

@@ -76,7 +76,9 @@ def m1_multimodal_decode(spark, sf_dir):
             T.StructField("media_id", T.LongType()),
             T.StructField("n_bytes", T.LongType()),
             T.StructField("checksum", T.StringType()),
-            T.StructField("feat", T.ArrayType(T.DoubleType())),
+            # comma-joined string, not array<double>: harness canonicalizer
+            # cannot hash ndarray cells (d10 discipline)
+            T.StructField("feat", T.StringType()),
             T.StructField("meta_width", T.IntegerType()),
         ]
     )
@@ -97,7 +99,7 @@ def m1_multimodal_decode(spark, sf_dir):
                 out["media_id"].append(media_id)
                 out["n_bytes"].append(dec["n_bytes"])
                 out["checksum"].append(dec["checksum"])
-                out["feat"].append(dec["feat"])
+                out["feat"].append(",".join(f"{x:.6f}" for x in dec["feat"]))
                 out["meta_width"].append(meta["width"])
             import pandas as pd
 
@@ -181,7 +183,9 @@ def m4_image_resize(spark, sf_dir):
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
-            T.StructField("thumb", T.ArrayType(T.DoubleType())),
+            # comma-joined string, not array<double>: harness canonicalizer
+            # cannot hash ndarray cells (d10 discipline)
+            T.StructField("thumb", T.StringType()),
         ]
     )
 
@@ -194,7 +198,11 @@ def m4_image_resize(spark, sf_dir):
                 raw = bytes(payload) or b"\x00"
                 q = max(len(raw) // 4, 1)
                 blocks = [raw[i * q : (i + 1) * q] or b"\x00" for i in range(4)]
-                thumbs.append([round(sum(b) / len(b) / 255.0, 6) for b in blocks])
+                thumbs.append(
+                    ",".join(
+                        f"{round(sum(b) / len(b) / 255.0, 6):.6f}" for b in blocks
+                    )
+                )
                 ids.append(media_id)
             yield pd.DataFrame({"media_id": ids, "thumb": thumbs})
 
@@ -273,15 +281,18 @@ def m6_feature_extract(spark, sf_dir):
                 v = np.frombuffer(digest, dtype=np.uint8).astype("float64")
                 v = v - v.mean()
                 norm = float(np.sqrt((v * v).sum()))
-                feats.append([float(x) for x in (v / norm).round(6)[:16]])
+                vals = [float(x) for x in (v / norm).round(6)[:16]]
+                # comma-joined string, not array<double>: harness
+                # canonicalizer cannot hash ndarray cells (d10 discipline)
+                feats.append((len(vals), ",".join(f"{x:.6f}" for x in vals)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "dim": [len(f) for f in feats],
-                    "embedding": feats,
+                    "dim": [d for d, _ in feats],
+                    "embedding": [e for _, e in feats],
                 }
             )
 
     return media.mapInPandas(
-        extract, "media_id bigint, dim int, embedding array<double>"
+        extract, "media_id bigint, dim int, embedding string"
     )

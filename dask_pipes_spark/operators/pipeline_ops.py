@@ -20,7 +20,7 @@ from dask_pipes_spark.pipeline import (
     StandardScaler,
 )
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import load, load_tables
+from dask_pipes_spark.session import load, load_tables, scratch_path
 
 
 @query("p1_pipeline_fit_transform")  # weak: end-state checked in tests
@@ -265,7 +265,7 @@ def p6_observe_metrics(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
     )
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = os.path.join(tempfile.gettempdir(), f"dps_p6_sink_{tag}")
+    out = scratch_path(f"dps_p6_sink_{tag}")
     e.write.mode("overwrite").parquet(out)
     m = obs.get
     return spark.createDataFrame(
@@ -459,8 +459,12 @@ def p10_checkpoint_restart(spark, sf_dir):
             .alias("total_spend"),
         )
     )
+    # session-unique dir: a fixed world-shared path lets concurrent sessions
+    # overwrite each other's checkpoint mid-read; normpath guards a
+    # trailing-slash sf_dir yielding an empty basename
     ckpt = os.path.join(
-        tempfile.gettempdir(), "dps_ckpt_p10", os.path.basename(sf_dir)
+        tempfile.mkdtemp(prefix="dps_ckpt_p10_"),
+        os.path.basename(os.path.normpath(sf_dir)),
     )
     stage1.write.mode("overwrite").parquet(ckpt)
     restored = spark.read.parquet(ckpt)

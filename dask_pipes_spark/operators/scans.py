@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dask_pipes_spark.registry import dsum, query, sql_dsum
-from dask_pipes_spark.session import load, load_tables
+from dask_pipes_spark.session import load, load_tables, scratch_path
 
 
 @query(
@@ -61,7 +61,7 @@ def a3_sink_parquet_roundtrip(spark, sf_dir):
     by directory pruning — scans touch 1/3 of the files. tests/test_scans.py
     asserts the round trip preserves counts per partition value.
     """
-    out = os.path.join(tempfile.gettempdir(), "dps_a3_roundtrip")
+    out = scratch_path("dps_a3_roundtrip")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
@@ -115,7 +115,7 @@ def a6_scan_json(spark, sf_dir):
     same schema-on-read discipline as a5; JDBC is the one Dask source left
     unimplemented here (no database in this environment — the Spark call is
     ``spark.read.jdbc(url, table, properties)``, one line, untestable)."""
-    out = os.path.join(tempfile.gettempdir(), "dps_a6_json")
+    out = scratch_path("dps_a6_json")
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value", "props")
     ev.write.mode("overwrite").json(out)
     schema = T.StructType(
@@ -138,7 +138,7 @@ def a5_scan_csv(spark, sf_dir):
     schema-on-read, no inference pass (inference = a full extra scan at 100 TB).
     Timestamps ride ISO-8601 strings. Equality with the source is asserted in
     tests/test_scans.py."""
-    out = os.path.join(tempfile.gettempdir(), "dps_a5_csv")
+    out = scratch_path("dps_a5_csv")
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     orders.select(
         "o_orderkey",
@@ -172,7 +172,7 @@ def a7_bucketed_join(spark, sf_dir):
     Dask's analog is ``set_index`` + divisions-aligned merge; Spark's bucketing
     persists the co-partitioning in the table layout so it is paid once at
     write time, not per query."""
-    scratch = os.path.join(tempfile.gettempdir(), "dps_a7_bucketed")
+    scratch = scratch_path("dps_a7_bucketed")
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     spark.sql("DROP TABLE IF EXISTS dps_orders_b")
     spark.sql("DROP TABLE IF EXISTS dps_lineitem_b")
@@ -211,7 +211,7 @@ def a8_partition_pruned_scan(spark, sf_dir):
     *dynamic* partition pruning). tests/test_scans.py asserts both the
     PartitionFilters entry and the dynamicpruning subquery."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = os.path.join(tempfile.gettempdir(), f"dps_a8_events_by_type_{tag}")
+    out = scratch_path(f"dps_a8_events_by_type_{tag}")
     done = os.path.join(out, "_SUCCESS")
     ev = load(spark, sf_dir, "events")
     if not os.path.exists(done):
@@ -240,7 +240,7 @@ def a9_scan_orc(spark, sf_dir):
     carries a full SQL oracle against the original table — the scratch write
     is covered by the same correctness gate as a pure scan. Predicate/column
     pushdown works on ORC scans the same as parquet (audited)."""
-    out = os.path.join(tempfile.gettempdir(), "dps_a9_orc")
+    out = scratch_path("dps_a9_orc")
     cust = load(spark, sf_dir, "customer")
     cust.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
@@ -286,7 +286,7 @@ def a11_scan_text(spark, sf_dir):
     errors). Round-trip equality vs the source table is asserted in
     tests/test_scans.py; the scan parallelizes by file split exactly like
     any other file source at 100 TB."""
-    out = os.path.join(tempfile.gettempdir(), "dps_a11_text")
+    out = scratch_path("dps_a11_text")
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     docs.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
@@ -320,7 +320,7 @@ def a12_schema_evolution_merge(spark, sf_dir):
     schema in a catalog instead and read with an explicit schema; the
     per-file NULL-fill behavior is identical, which is what this verifies.
     """
-    base = os.path.join(tempfile.gettempdir(), "dps_a12_evo")
+    base = scratch_path("dps_a12_evo")
     o = load(spark, sf_dir, "orders")
     v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
     v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
@@ -331,10 +331,12 @@ def a12_schema_evolution_merge(spark, sf_dir):
     merged = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(base, "g=1"), os.path.join(base, "g=2")
     )
-    return merged.groupBy(F.col("o_orderkey") % 2 == 1).agg(
+    # alias the grouping expression directly — withColumnRenamed on the
+    # auto-generated name would silently no-op if codegen naming changes
+    return merged.groupBy((F.col("o_orderkey") % 2 == 1).alias("is_v2")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("o_orderpriority").alias("n_with_priority"),
         F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
         .cast("double")
         .alias("total"),
-    ).withColumnRenamed("((o_orderkey % 2) = 1)", "is_v2")
+    )

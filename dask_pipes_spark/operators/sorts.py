@@ -353,6 +353,10 @@ def f15_freq_items(spark, sf_dir):
         F.year("l_shipdate").alias("ship_year")
     )
     out = li.stat.freqItems(["ship_year"], support=0.1)
+    # Comma-joined string, not a raw array: the harness canonicalizer
+    # sorts rows via pandas and cannot hash ndarray cells (d10 discipline).
     return out.select(
-        F.sort_array(F.col("ship_year_freqItems")).alias("frequent_years")
+        F.array_join(
+            F.sort_array(F.col("ship_year_freqItems")).cast("array<string>"), ","
+        ).alias("frequent_years")
     )

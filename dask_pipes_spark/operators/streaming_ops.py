@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import dsum, query, sql_dsum
-from dask_pipes_spark.session import load, load_tables
+from dask_pipes_spark.session import load, load_tables, scratch_path
 from dask_pipes_spark.streaming import read_events_stream, run_to_memory
 
 _WINDOW_ORACLE = f"""
@@ -281,7 +281,7 @@ def k9_stream_foreach_sink(spark, sf_dir):
     from pyspark.sql import Window
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = os.path.join(tempfile.gettempdir(), f"dps_k9_sink_{tag}")
+    out = scratch_path(f"dps_k9_sink_{tag}")
     shutil.rmtree(out, ignore_errors=True)
 
     stream = read_events_stream(spark, sf_dir, n_files=4, max_files_per_trigger=1)

@@ -20,6 +20,7 @@ express.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -88,8 +89,9 @@ def j2_map_partitions(spark, sf_dir):
     "j3_grouped_map",
     oracle="""
     SELECT event_id, user_id,
-           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
-                 / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 4) AS zscore
+           FLOOR(((value - AVG(value) OVER (PARTITION BY user_id))
+                  / STDDEV_SAMP(value) OVER (PARTITION BY user_id))
+                 * 10000 + 0.5) / 10000 AS zscore
     FROM events
     """,
 )
@@ -109,7 +111,8 @@ def j3_grouped_map(spark, sf_dir):
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
         out = pdf[["event_id", "user_id"]].copy()
-        out["zscore"] = ((v - v.mean()) / v.std(ddof=1)).round(4)
+        z = (v - v.mean()) / v.std(ddof=1)
+        out["zscore"] = np.floor(z * 1e4 + 0.5) / 1e4
         return out
 
     e = load(spark, sf_dir, "events")
@@ -120,8 +123,8 @@ def j3_grouped_map(spark, sf_dir):
     "j4_grouped_agg_udaf",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
-             AS weighted_avg_price
+           FLOOR(SUM(l_extendedprice * l_quantity) / SUM(l_quantity)
+                 * 10000 + 0.5) / 10000 AS weighted_avg_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -132,7 +135,8 @@ def j4_grouped_agg_udaf(spark, sf_dir):
 
     @pandas_udf(T.DoubleType())
     def wmean(price: pd.Series, qty: pd.Series) -> float:
-        return float(((price * qty).sum() / qty.sum()).round(4))
+        wm = (price * qty).sum() / qty.sum()
+        return float(np.floor(wm * 1e4 + 0.5) / 1e4)
 
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -235,8 +239,9 @@ def map_overlap(df, order_cols, before, fn, schema, npartitions=8, after=0):
     "j6_map_overlap",
     oracle="""
     SELECT event_id,
-           ROUND(AVG(value) OVER (ORDER BY ts, event_id
-                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+           FLOOR(AVG(value) OVER (ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                 * 10000 + 0.5) / 10000 AS roll_avg
     FROM events
     """,
 )
@@ -253,7 +258,10 @@ def j6_map_overlap(spark, sf_dir):
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
-                "roll_avg": pdf["value"].rolling(5, min_periods=1).mean().round(4),
+                "roll_avg": np.floor(
+                    pdf["value"].rolling(5, min_periods=1).mean() * 1e4 + 0.5
+                )
+                / 1e4,
             }
         )
 
@@ -400,8 +408,9 @@ def j8_map_in_arrow(spark, sf_dir):
     "j9_map_overlap_centered",
     oracle="""
     SELECT event_id,
-           ROUND(AVG(value) OVER (ORDER BY ts, event_id
-                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS centered_avg
+           FLOOR(AVG(value) OVER (ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                 * 10000 + 0.5) / 10000 AS centered_avg
     FROM events
     """,
 )
@@ -426,10 +435,12 @@ def j9_map_overlap_centered(spark, sf_dir):
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
-                "centered_avg": pdf["value"]
-                .rolling(5, min_periods=1, center=True)
-                .mean()
-                .round(4),
+                "centered_avg": np.floor(
+                    pdf["value"].rolling(5, min_periods=1, center=True).mean()
+                    * 1e4
+                    + 0.5
+                )
+                / 1e4,
             }
         )
 

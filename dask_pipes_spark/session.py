@@ -40,6 +40,28 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_path(name: str) -> str:
+    """Per-process scratch dir for operators that write/read temp parquet.
+
+    A fixed world-shared path under /tmp lets two concurrent sessions on the
+    same fixture overwrite each other's scratch mid-read (``mode("overwrite")``
+    deletes files while the other session lists them). Keying the root by PID
+    keeps paths stable within a session (write-then-read works, re-runs
+    overwrite their own leftovers) while isolating concurrent sessions.
+    """
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import tempfile
+
+        _SCRATCH_ROOT = os.path.join(
+            tempfile.gettempdir(), f"dps_scratch_{os.getpid()}"
+        )
+        os.makedirs(_SCRATCH_ROOT, exist_ok=True)
+    return os.path.join(_SCRATCH_ROOT, name)
+
 # Runtime-settable SQL confs every query in this engine relies on.
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",

@@ -23,7 +23,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dask_pipes_spark.session import load
+from dask_pipes_spark.session import load, scratch_path
 
 
 def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str:
@@ -31,7 +31,7 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str:
     ts already converted to TIMESTAMP_NTZ(µs), range-partitioned by ts so
     file k holds the k-th time slice (deterministic multi-batch replay)."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = os.path.join(tempfile.gettempdir(), f"dps_events_stream_{tag}_{n_files}")
+    out = scratch_path(f"dps_events_stream_{tag}_{n_files}")
     done = os.path.join(out, "_SUCCESS")
     if not os.path.exists(done):
         events = load(spark, sf_dir, "events")

@@ -179,8 +179,8 @@ def test_d20_approx_quantile_within_bound(spark, registry):
     exact — loosely: p50 approx within 1 quantity unit of exact p50."""
     queries, _ = registry
     for r in queries["d20_approx_quantile"](spark, SF_SMOKE).collect():
-        assert abs(r.approx_pcts[0] - r.exact_p50) <= 1.0, r
-        assert r.approx_pcts[0] <= r.approx_pcts[1] <= r.approx_pcts[2]
+        assert abs(r.approx_p50 - r.exact_p50) <= 1.0, r
+        assert r.approx_p50 <= r.approx_p90 <= r.approx_p99
 
 
 # --- property test: time-weighted interpolation vs pandas ------------------
@@ -313,7 +313,7 @@ def test_f15_freq_items_superset_of_true_heavy_hitters(spark, registry):
     appears in the sketch output."""
     queries, _ = registry
     (row,) = queries["f15_freq_items"](spark, SF_SMOKE).collect()
-    got = set(row.frequent_years)
+    got = {int(x) for x in row.frequent_years.split(",") if x}
     from dask_pipes_spark.session import load
 
     li = load(spark, SF_SMOKE, "lineitem")

@@ -33,6 +33,28 @@ def test_all_queries_return_dataframes(spark, registry):
         assert df.schema is not None, key
 
 
+def test_no_registered_query_outputs_complex_types(spark, registry):
+    """The driver's canonicalizer sorts result rows via pandas, which cannot
+    hash ndarray cells — any array/map/struct output column crashes the
+    correctness harness (round-1 d20 failure). Registry-wide guard: every
+    query's output schema must be scalar-only; list outputs follow d10's
+    ``array_join`` string convention."""
+    from pyspark.sql import types as T
+
+    from tests.conftest import SF_SMOKE
+
+    queries, _ = registry
+    offenders = []
+    for key, fn in sorted(queries.items()):
+        schema = fn(spark, SF_SMOKE).schema
+        for field in schema.fields:
+            if isinstance(
+                field.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                offenders.append(f"{key}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"complex-typed output columns: {offenders}"
+
+
 def test_every_survey_contract_key_is_registered(registry):
     """SURVEY.md §2 is the contract: every key named in its operator tables
     must exist in the registry (the judge checks §2 line by line)."""
