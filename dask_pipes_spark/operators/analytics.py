@@ -1509,39 +1509,68 @@ def x27_market_basket(spark, sf_dir):
     broadcast back; ≥2-support floor keeps the pair list at signal
     density. FLOOR-quantized lift (§7.6.2).
 
-    100 TB: the pair fan-out is Σ C(basket_size, 2) — quadratic in
-    BASKET size, linear in orders (TPC-H: ~4 lines ⇒ ≤6 pairs/order);
-    giant baskets need a per-order cap or frequent-item pre-filter
-    (f15's heavy-hitter sketch) before pairing, the standard
-    Apriori-style prune.
+    100 TB shape (the round-2 rework, was a distinct + self-equi-join):
+    ONE groupBy(order) builds each basket as a sorted set, pair candidates
+    are expanded MAP-SIDE from the array (Σ C(basket_size, 2) rows —
+    quadratic in basket size, linear in orders; TPC-H: ~4 lines ⇒ ≤6
+    pairs/order; giant baskets need a per-order cap), and the Apriori
+    downward-closure prune — a pair can only reach pair_count ≥ 2 if BOTH
+    parts appear in ≥ 2 baskets — is applied by BROADCAST joins against
+    the frequent-1-itemset BEFORE the pair shuffle, which also attaches
+    the supports, so nothing joins after the aggregation. Shuffle
+    exchanges: basket build, support count, pair count — three, all keyed.
     """
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        # three consumers (order count, supports, pair expansion) — pin the
+        # basket build so its shuffle runs once, not per branch
+        .localCheckpoint()
     )
-    part_supp = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("double").alias("supp")
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    part_supp = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("supp"))
     )
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
-        .filter(F.col("pair_count") >= 2)
+    fsupp = part_supp.filter(F.col("supp") >= 2)
+    # map-side pair expansion: sorted set ⇒ part_a < part_b by slicing
+    # the tail of the array per element (each unordered pair exactly once)
+    pair_arr = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(
+                    "parts", i + 2, F.greatest(F.size("parts") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
-    sa = part_supp.select(
+    exploded = baskets.select(F.explode(pair_arr).alias("p")).select(
+        "p.part_a", "p.part_b"
+    )
+    sa = fsupp.select(
         F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
     )
-    sb = part_supp.select(
+    sb = fsupp.select(
         F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
     )
-    return (
-        pairs.join(F.broadcast(sa), "part_a")
+    pairs = (
+        exploded.join(F.broadcast(sa), "part_a")
         .join(F.broadcast(sb), "part_b")
-        .crossJoin(F.broadcast(n_orders))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).alias("pair_count"),
+            F.first("supp_a").alias("supp_a"),
+            F.first("supp_b").alias("supp_b"),
+        )
+        .filter(F.col("pair_count") >= 2)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
             "part_b",

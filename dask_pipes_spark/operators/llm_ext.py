@@ -200,20 +200,61 @@ def cosine_pairs(vectors: "DataFrame", threshold: float) -> "DataFrame":
     )
 
 
-def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFrame:
-    """Assign each vector to its ``nprobe`` nearest coarse centroids
-    (broadcast centroids, rank by rounded cosine). Returns
-    (vec_id, e, nrm, bucket)."""
-    cdot = F.aggregate(
-        F.zip_with("e", "ce", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+def ivf_assign(
+    vectors: DataFrame, cent_rows: list, nprobe: int = 1
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest coarse centroids,
+    entirely MAP-SIDE: the centroid table arrives as collected driver rows
+    (bounded by the codebook size — IVF coarse quantizers are, by design,
+    small enough to train and ship to every node) and is inlined as a
+    literal array-of-structs, so per-vector scoring + top-nprobe selection
+    is one codegen'd expression with ZERO exchange — no crossJoin, no
+    per-vector window. Returns (vec_id, e, nrm, bucket).
+
+    The prior shape (broadcast-join + row_number window) cost one shuffle
+    per assignment pass; at 100 TB that was 2 corpus-wide exchanges this
+    version simply does not have."""
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(r["bucket"]).alias("bucket"),
+                F.array(*[F.lit(float(v)) for v in r["ce"]]).alias("ce"),
+                F.lit(float(r["cnrm"])).alias("cnrm"),
+            )
+            for r in cent_rows
+        ]
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.round(cdot / (F.col("nrm") * F.col("cnrm")), 6).desc(), "bucket"
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("e"), c["ce"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (F.col("nrm") * c["cnrm"]),
+                6,
+            ).alias("sim"),
+            c["bucket"].alias("bucket"),
+        ),
+    )
+    # sort by (sim desc, bucket asc) — same ordering the window used
+    ranked = F.array_sort(
+        scored,
+        lambda x, y: F.when(x["sim"] > y["sim"], -1)
+        .when(x["sim"] < y["sim"], 1)
+        .when(x["bucket"] < y["bucket"], -1)
+        .when(x["bucket"] > y["bucket"], 1)
+        .otherwise(0),
     )
     return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= nprobe)
+        vectors.withColumn(
+            "bucket",
+            F.explode(
+                F.transform(F.slice(ranked, 1, nprobe), lambda s: s["bucket"])
+            ),
+        )
         .select("vec_id", "e", "nrm", "bucket")
     )
 
@@ -252,9 +293,13 @@ def l12_ivf_topk(spark, sf_dir):
         )
     )
     vecs = n.select("vec_id", "e", "nrm")
-    indexed = ivf_assign(vecs, cent, nprobe=1)
+    # codebook collect: bounded by label cardinality × dim (a coarse
+    # quantizer is small by design — this is the "train once, ship to every
+    # node" step, not a data-scale collect)
+    cent_rows = cent.collect()
+    indexed = ivf_assign(vecs, cent_rows, nprobe=1)
     queries = ivf_assign(
-        vecs.filter(F.col("vec_id") % 20 == 0), cent, nprobe=3
+        vecs.filter(F.col("vec_id") % 20 == 0), cent_rows, nprobe=3
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -264,15 +309,19 @@ def l12_ivf_topk(spark, sf_dir):
     dot = F.aggregate(
         F.zip_with("qe", "e", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
+    # broadcast the probe side: the query set is a small fraction of the
+    # corpus (at 100 TB it is the user's query batch), so the bucket join
+    # needs no shuffle of the indexed corpus at all. Each (query, neighbor)
+    # pair is unique by construction — nprobe=1 indexing puts every corpus
+    # vector in exactly one bucket — so no dedup pass is needed.
     pairs = (
-        indexed.join(queries, "bucket")
+        indexed.join(F.broadcast(queries), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
