@@ -209,46 +209,129 @@ def m4_image_resize(spark, sf_dir):
     return synth_media(spark, sf_dir).mapInPandas(resize_partition, schema)
 
 
-@query("m5_audio_segment")  # weak: stub codec; segment-count contract in tests
+#: m5 WAV parameters — mirrored in its SQL oracle, so the oracle can predict
+#: every decoded quantity from the documents table alone.
+_WAV_RATE = 8000  # Hz, 16-bit mono PCM
+_WAV_SEG = 2000  # samples per segment (0.25 s)
+
+
+def synth_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize REAL RIFF/WAVE payloads (stdlib ``wave`` writer, 16-bit
+    mono PCM at 8 kHz) from the documents fixture: ``n_chars * 8`` samples
+    of a ±amp square wave with ``amp = 1000 + doc_id % 1000``. Every byte
+    is a spec-conformant WAV file — any external audio tool can read it —
+    and every decoded quantity (rate, sample count, per-window RMS = amp
+    exactly, since |sample| is constant) is predictable from (doc_id,
+    n_chars), which is what lets m5 carry a full SQL oracle."""
+
+    def synth(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n_samples = int(n_chars) * 8
+                amp = 1000 + int(doc_id) % 1000
+                wave_arr = np.where(
+                    np.arange(n_samples) % 2 == 0, amp, -amp
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(_WAV_RATE)
+                    w.writeframes(wave_arr.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .mapInPandas(synth, "media_id bigint, payload binary")
+    )
+
+
+@query(
+    "m5_audio_segment",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, CAST(n_chars * 8 AS BIGINT) AS n_samples
+      FROM documents
+    )
+    SELECT media_id, CAST(i AS BIGINT) AS seg_idx,
+           CAST(i * {_WAV_SEG} AS BIGINT) AS start_sample,
+           CAST(LEAST((i + 1) * {_WAV_SEG}, n_samples) AS BIGINT) AS end_sample,
+           CAST({_WAV_RATE} AS INTEGER) AS sample_rate,
+           CAST(1000 + media_id % 1000 AS DOUBLE) AS rms
+    FROM base,
+         UNNEST(range(CAST(CEIL(n_samples / {_WAV_SEG}.0) AS BIGINT))) u(i)
+    """,
+)
 def m5_audio_segment(spark, sf_dir):
-    """Audio segmentation through ``mapInPandas`` — the fixed-duration
-    windowing every speech pipeline runs before feature extraction (VAD /
-    ASR chunking): each payload is treated as PCM-ish samples (1 byte = 1
-    sample, stub "sample rate" 100/s), cut into 2-second segments with the
-    final ragged segment kept. One input row fans out to ceil(n_samples/200)
-    segment rows carrying (media_id, seg_idx, start/end sample, stub RMS
-    proxy). Real decode (soundfile/librosa) is the stubbed step; the fan-out
-    schema, offset arithmetic, and Arrow batch shape are real and tested."""
-    seg_samples = 200
+    """REAL audio decode + segmentation (round-2 upgrade from the byte-count
+    stub): payloads are spec-conformant RIFF/WAVE files (see
+    ``synth_wav_media``), decoded in the ``mapInPandas`` kernel with
+    stdlib ``wave`` — sample rate, width, channel count and frame payload
+    all come from the container headers, not from fixture metadata — then
+    cut into 0.25 s windows (the VAD/ASR chunking shape) with the final
+    ragged window kept, each carrying its true RMS from the PCM samples.
+
+    The SQL oracle predicts every output value from (doc_id, n_chars)
+    because the synthesized waveform is a constant-magnitude square wave:
+    if the WAV parse misread the header or the PCM bytes, the sample
+    counts, rate, or RMS would diverge — so the decode itself is
+    oracle-verified, not just the fan-out arithmetic.
+
+    100 TB: decode is per-partition map work over binary columns (payload
+    bytes never shuffle); output rows are small scalars. Swapping the
+    stdlib reader for soundfile/ffmpeg changes only the kernel body."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
             T.StructField("seg_idx", T.LongType()),
             T.StructField("start_sample", T.LongType()),
             T.StructField("end_sample", T.LongType()),
-            T.StructField("mean_level", T.DoubleType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
         ]
     )
 
     def segment(batches):
+        import io
+        import math
+        import wave
+
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             out = {k: [] for k in
-                   ("media_id", "seg_idx", "start_sample", "end_sample", "mean_level")}
+                   ("media_id", "seg_idx", "start_sample", "end_sample",
+                    "sample_rate", "rms")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                n = len(payload)
-                for i in range(0, n, seg_samples):
-                    seg = payload[i : i + seg_samples]
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    assert w.getsampwidth() == 2 and w.getnchannels() == 1
+                    pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+                for i in range(0, n, _WAV_SEG):
+                    seg = pcm[i : i + _WAV_SEG].astype("float64")
                     out["media_id"].append(mid)
-                    out["seg_idx"].append(i // seg_samples)
+                    out["seg_idx"].append(i // _WAV_SEG)
                     out["start_sample"].append(i)
                     out["end_sample"].append(i + len(seg))
-                    out["mean_level"].append(sum(seg) / len(seg) / 255.0)
+                    out["sample_rate"].append(rate)
+                    out["rms"].append(math.sqrt(float((seg * seg).mean())))
             yield pd.DataFrame(out)
 
-    media = synth_media(spark, sf_dir)
-    return media.select("media_id", "payload").mapInPandas(schema=schema, func=segment)
+    media = synth_wav_media(spark, sf_dir)
+    return media.mapInPandas(schema=schema, func=segment)
 
 
 @query("m6_feature_extract")  # weak: binary plumbing, stubbed encoder

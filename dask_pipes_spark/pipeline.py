@@ -157,13 +157,31 @@ class StandardScaler(Node):
 
 class CategoryEncoder(Node):
     """Encode a string column as its index in the sorted fitted vocabulary
-    (reference: category-encoding node). Unseen values → -1."""
+    (reference: category-encoding node). Unseen values → -1.
 
-    def __init__(self, col: str, name: str = "encode"):
-        self.col, self.name = col, name
+    ``max_vocab`` caps the fit-phase ``collect()``: a categorical column is
+    assumed driver-collectable (segments, languages, flags — the KB-scale
+    vocabulary every encoder ships to executors), but an adversarial or
+    miskeyed column (say, a UUID) would otherwise pull the whole table onto
+    the driver. Fitting fails fast with a clear error instead."""
+
+    def __init__(self, col: str, name: str = "encode", max_vocab: int = 10_000):
+        self.col, self.name, self.max_vocab = col, name, max_vocab
 
     def fit(self, df: DataFrame) -> Params:
-        vals = [r[0] for r in df.select(self.col).distinct().orderBy(self.col).collect()]
+        # limit(max+1): bounded driver transfer even when the column is
+        # high-cardinality — we only need to know the cap was exceeded
+        probe = (
+            df.select(self.col).distinct().orderBy(self.col).limit(self.max_vocab + 1)
+        )
+        vals = [r[0] for r in probe.collect()]
+        if len(vals) > self.max_vocab:
+            raise ValueError(
+                f"CategoryEncoder({self.col!r}): distinct count exceeds "
+                f"max_vocab={self.max_vocab}; this column is not a "
+                "bounded categorical — raise max_vocab explicitly or hash-"
+                "encode instead"
+            )
         return {"vocab": vals}
 
     def transform(self, df: DataFrame, params: Params) -> DataFrame:

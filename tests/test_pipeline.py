@@ -233,3 +233,22 @@ def test_dag_pipeline_save_load_roundtrip(spark, tmp_path):
     p2 = build().load(path)
     replay_rows = sorted(r.o_orderkey for r in p2.transform({"orders": orders}).collect())
     assert fitted_rows == replay_rows and fitted_rows
+
+
+def test_category_encoder_vocab_cap(spark):
+    """An over-cardinality column must fail fast at fit time with a clear
+    error (bounded driver transfer), not silently collect the table."""
+    import pytest
+
+    from dask_pipes_spark.pipeline import CategoryEncoder
+    from tests.conftest import SF_SMOKE
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    # o_orderkey cast to string: cardinality = row count, way over the cap
+    high_card = orders.selectExpr("CAST(o_orderkey AS STRING) AS k")
+    enc = CategoryEncoder("k", max_vocab=100)
+    with pytest.raises(ValueError, match="max_vocab"):
+        enc.fit(high_card)
+    # and a genuine categorical still fits under the default cap
+    ok = CategoryEncoder("o_orderpriority").fit(orders)
+    assert 0 < len(ok["vocab"]) <= 10
