@@ -480,12 +480,40 @@ def l15_token_count(spark, sf_dir):
     )
 
 
-@query("l16_doc_fingerprint")  # weak: hash-family-specific fingerprints
+@query(
+    "l16_doc_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, GREATEST(len(string_split(text, ' ')) - 6, 0) + 1),
+               w -> list_min(list_transform(
+                 range(w, w + 4),
+                 i -> CAST(('0x' || substr(
+                        md5(array_to_string(
+                          string_split(text, ' ')[i + 1 : i + 3], ' ')),
+                        1, 15)) AS BIGINT)))
+             )) AS fps
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
+           list_min(fps) AS min_fp, list_max(fps) AS max_fp
+    FROM fp
+    """,
+)
 def l16_doc_fingerprint(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. 2003): hash every 3-gram
     shingle, slide a window of 4 hashes, keep each window's minimum — a
     position-robust fingerprint set. One HOF expression per row, no shuffle;
-    overlap between near-duplicates is asserted in tests/test_llm_ext.py."""
+    overlap between near-duplicates is asserted in tests/test_llm_ext.py.
+
+    Promoted to a full SQL oracle in round 2 by switching the shingle hash
+    from engine-specific ``xxhash64`` to a PORTABLE 60-bit digest — the
+    first 15 hex chars of md5, identical in Spark (``conv(..., 16, 10)``)
+    and DuckDB (``'0x' || ...`` cast) — so the whole winnowing pipeline
+    (shingling, window minima, distinct) is value-verified cross-engine.
+    The hash family is winnowing-agnostic; at 100 TB you would swap back
+    to xxhash64 for speed with zero structural change."""
     d = load(spark, sf_dir, "documents")
     return d.selectExpr(
         "doc_id",
@@ -493,7 +521,9 @@ def l16_doc_fingerprint(spark, sf_dir):
         array_distinct(transform(
           sequence(0, greatest(size(split(text, ' ')) - 6, 0)),
           w -> array_min(transform(sequence(w, w + 3),
-                 i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 3)))))
+                 i -> CAST(conv(substr(
+                        md5(concat_ws(' ', slice(split(text, ' '), i + 1, 3))),
+                        1, 15), 16, 10) AS BIGINT)))
         )) AS fingerprints
         """,
     ).select(

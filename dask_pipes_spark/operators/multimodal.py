@@ -65,7 +65,22 @@ def decode_image(payload: bytes) -> dict:
         }
 
 
-@query("m1_multimodal_decode")  # weak: binary plumbing, stubbed codec
+@query(
+    "m1_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(n_chars AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 16) AS checksum,
+           printf('%.6f,%.6f,%.6f,%.6f',
+             CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) / 255.0,
+             CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) / 255.0,
+             CAST(('0x' || substr(sha256(text), 5, 2)) AS INTEGER) / 255.0,
+             CAST(('0x' || substr(sha256(text), 7, 2)) AS INTEGER) / 255.0
+           ) AS feat,
+           CAST((n_chars % 640) + 1 AS INTEGER) AS meta_width
+    FROM documents
+    """,
+)  # full-oracle: sha256 digest + derived feature vector, cross-engine
 def m1_multimodal_decode(spark, sf_dir):
     """Binary-column decode through ``mapInPandas``: payloads arrive as
     pandas ``bytes`` values in Arrow batches; output is a typed feature row
@@ -132,7 +147,22 @@ def m2_multimodal_meta(spark, sf_dir):
     )
 
 
-@query("m3_frame_sample")  # weak: binary plumbing, stubbed codec
+@query(
+    "m3_frame_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS media_id, text,
+             GREATEST(CAST(FLOOR(n_chars / 40) AS BIGINT), 1) AS n_frames
+      FROM documents
+    )
+    SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * 40 AS BIGINT) AS "offset",
+           substr(sha256(substr(text, CAST(i * 40 + 1 AS INTEGER), 40)), 1, 12)
+             AS frame_checksum
+    FROM base, LATERAL (SELECT unnest(range(0, n_frames, 4)) AS i)
+    """,
+)  # full-oracle: fixture payloads are ASCII text, so byte-chunk checksums
+#   are SQL-reproducible via substr+sha256
 def m3_frame_sample(spark, sf_dir):
     """Video frame sampling through ``mapInPandas`` — the one-row→many-rows
     batch shape of real frame extraction: each payload is treated as a

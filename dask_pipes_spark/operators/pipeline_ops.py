@@ -427,7 +427,20 @@ def p9_dag_pipeline(spark, sf_dir):
     )
 
 
-@query("p10_checkpoint_restart")  # weak: scratch parquet writes
+@query(
+    "p10_checkpoint_restart",
+    oracle="""
+    WITH rollup AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_mktsegment, n_orders, total_spend
+    FROM rollup JOIN customer ON o_custkey = c_custkey
+    WHERE n_orders >= 5
+    """,
+)  # full-oracle: checkpoint+restore must equal the single-plan answer
 def p10_checkpoint_restart(spark, sf_dir):
     """Staged materialization (SURVEY §3.3 / the reference's
     persist-intermediates-between-stages behavior): stage 1 computes an

@@ -52,7 +52,14 @@ def a2_scan_filter_pushdown(spark, sf_dir):
     )
 
 
-@query("a3_sink_parquet_roundtrip")  # weak: writes scratch files
+@query(
+    "a3_sink_parquet_roundtrip",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_returnflag
+    """,
+)  # scratch write covered by the same gate as a pure scan
 def a3_sink_parquet_roundtrip(spark, sf_dir):
     """Partitioned parquet write + re-read (Dask ``to_parquet(partition_on)``).
 
@@ -109,7 +116,14 @@ def a4_from_local(spark, sf_dir):
     )
 
 
-@query("a6_scan_json")  # weak: writes scratch files
+@query(
+    "a6_scan_json",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)  # full-oracle: JSON round trip must preserve doubles bit-exactly
 def a6_scan_json(spark, sf_dir):
     """JSON-lines round-trip with explicit schema (Dask ``read_json``) —
     same schema-on-read discipline as a5; JDBC is the one Dask source left
@@ -132,7 +146,13 @@ def a6_scan_json(spark, sf_dir):
     )
 
 
-@query("a5_scan_csv")  # weak: writes scratch files
+@query(
+    "a5_scan_csv",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    """,
+)  # full-oracle: the CSV round trip must reproduce the source exactly
 def a5_scan_csv(spark, sf_dir):
     """CSV round-trip with an explicit schema (Dask ``read_csv(dtype=...)``) —
     schema-on-read, no inference pass (inference = a full extra scan at 100 TB).
@@ -202,7 +222,15 @@ def a7_bucketed_join(spark, sf_dir):
     )
 
 
-@query("a8_partition_pruned_scan")  # weak: writes scratch files
+@query(
+    "a8_partition_pruned_scan",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)  # full-oracle: the pruned partitioned read must match the direct scan
 def a8_partition_pruned_scan(spark, sf_dir):
     """Partitioned-layout scan pruning — the 100 TB layout primitive beyond
     row-group pushdown (a2): events written ``partitionBy(event_type)``, then
@@ -276,7 +304,12 @@ def a10_scan_binary(spark, sf_dir):
     )
 
 
-@query("a11_scan_text")  # weak: writes scratch files
+@query(
+    "a11_scan_text",
+    oracle="""
+    SELECT doc_id, text, CAST(LEN(text) AS INTEGER) AS n_chars FROM documents
+    """,
+)  # full-oracle: the text-line round trip must reproduce the source
 def a11_scan_text(spark, sf_dir):
     """Line-oriented text source (Dask ``db.read_text`` / ``dd.read_csv`` on
     raw logs — the landing format of every crawl dump): documents are
@@ -304,7 +337,17 @@ def a11_scan_text(spark, sf_dir):
     )
 
 
-@query("a12_schema_evolution_merge")  # weak: scratch writes
+@query(
+    "a12_schema_evolution_merge",
+    oracle="""
+    SELECT (o_orderkey % 2 = 1) AS is_v2,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+                AS BIGINT) AS n_with_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)  # full-oracle: v1 rows must carry NULL for the evolved column, v2 all
 def a12_schema_evolution_merge(spark, sf_dir):
     """Schema evolution across parquet generations (``mergeSchema`` — the
     data-lake reality at 100 TB: yesterday's files lack the column added

@@ -144,12 +144,19 @@ def j4_grouped_agg_udaf(spark, sf_dir):
     )
 
 
-@query("j5_python_udtf")  # weak: UDTF output, no scalar SQL twin registered
+@query(
+    "j5_python_udtf",
+    oracle="""
+    SELECT doc_id, CAST(i AS INTEGER) AS pos,
+           string_split(text, ' ')[i + 1] AS token
+    FROM documents,
+         LATERAL (SELECT unnest(range(len(string_split(text, ' ')))) AS i)
+    """,
+)  # full-oracle since round 2: LATERAL range-unnest is the SQL twin
 def j5_python_udtf(spark, sf_dir):
     """One-row→many-rows function (Spark 4 Python UDTF): explode a document
-    into (doc_id, position, token) triples. Declared weak per §2, but fully
-    deterministic — tests/test_udfs.py cross-checks it against h4's
-    split+explode."""
+    into (doc_id, position, token) triples. Fully deterministic —
+    tests/test_udfs.py also cross-checks it against h4's split+explode."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id: bigint, pos: int, token: string")

@@ -327,32 +327,60 @@ def e12_cumprod(spark, sf_dir):
     )
 
 
-@query("e13_ewm")  # weak: recursive float recurrence, no stable SQL form
+@query(
+    "e13_ewm",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+      FROM events
+    )
+    SELECT user_id, event_id,
+           FLOOR(
+             CAST(SUM(CAST(value * POW(1.0 / 0.7, i) AS DECIMAL(38,10)))
+                    OVER w AS DOUBLE)
+             / CAST(SUM(CAST(POW(1.0 / 0.7, i) AS DECIMAL(38,10)))
+                    OVER w AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS ewm_value
+    FROM seq
+    WINDOW w AS (PARTITION BY user_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
 def e13_ewm(spark, sf_dir):
     """Exponentially-weighted mean per key (Dask/pandas ``ewm.mean``,
-    adjust=True): inherently a running recurrence over the full per-key
-    history, so it rides the grouped-map escape hatch — ``applyInPandas``
-    per user, pandas computing the vectorized EWM inside each Arrow batch.
-    The SQL closed form needs ``pow(1-α, -i)`` which overflows for long
-    histories → declared weak; tests assert partition-invariance and
-    equality with a locally-computed pandas EWM."""
-    import pandas as pd
+    adjust=True) — promoted in round 2 from an ``applyInPandas`` recurrence
+    to a PURE WINDOW closed form with a full SQL oracle:
 
+        ewm_t = Σᵢ xᵢ·r⁻ⁱ / Σᵢ r⁻ⁱ   (r = 1-α; the rᵗ factors cancel)
+
+    so two running windowed sums give the exact adjusted EWM with no Python
+    in the row path. Products are DECIMAL-cast before summation (d6/d11
+    discipline) so both engines add exactly regardless of their window-sum
+    association order; the result is FLOOR-quantized (§7.6.2). Equality
+    with pandas ``ewm(alpha=0.3, adjust=True)`` stays asserted in tests.
+
+    Numerics at scale: r⁻ⁱ grows ~e^0.357i, overflowing double near
+    i≈2000 — but weights older than ~200 lags contribute < 1e-31
+    relative, so production restarts the recurrence per bounded block
+    (size ≪ 2000) and stitches with one carry term; fixture histories are
+    ≤ 99 rows, well inside the exact regime."""
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-
-    def ewm(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "ewm_value": pdf["value"].ewm(alpha=0.3, adjust=True).mean().round(4),
-            }
-        )
-
-    return e.groupBy("user_id").applyInPandas(
-        ewm, "user_id bigint, event_id bigint, ewm_value double"
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    i = F.row_number().over(w_ord) - 1
+    seq = e.withColumn("i", i)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    rinv = F.pow(F.lit(1.0 / 0.7), F.col("i"))
+    num = F.sum((F.col("value") * rinv).cast("decimal(38,10)")).over(w)
+    den = F.sum(rinv.cast("decimal(38,10)")).over(w)
+    ewm = F.floor(
+        num.cast("double") / den.cast("double") * 10000 + F.lit(0.5)
+    ) / 10000
+    return seq.select("user_id", "event_id", ewm.alias("ewm_value"))
 
 
 @query(
