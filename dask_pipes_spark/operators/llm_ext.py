@@ -30,22 +30,48 @@ from dask_pipes_spark.session import load
 
 
 def simhash_expr(tokens_col: str = "split(text, ' ')") -> str:
-    """64-bit SimHash as a single SQL expression (Charikar 2002): each token
-    hash votes ±1 per bit; the signature takes the sign of each bit sum."""
+    """60-bit SimHash as a single SQL expression (Charikar 2002): each token
+    hash votes ±1 per bit; the signature takes the sign of each bit sum.
+    The token hash is the PORTABLE md5-60bit digest (l16/l2 discipline), so
+    the signature — and therefore l9's candidate set — is reproducible in
+    DuckDB and l9 carries a full SQL oracle. SimHash width is a free
+    parameter; 60 bits keeps the same near-dup behavior as 64."""
+    h = "CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"
     return f"""
     aggregate(
-      transform(sequence(0, 63),
+      transform(sequence(0, 59),
         i -> aggregate({tokens_col}, 0L,
-               (acc, t) -> acc + CASE WHEN ((xxhash64(t) >> i) & 1L) = 1L
+               (acc, t) -> acc + CASE WHEN (({h} >> i) & 1L) = 1L
                                       THEN 1L ELSE -1L END)),
       0L,
       (sig, bitsum) -> (sig << 1) | CASE WHEN bitsum > 0 THEN 1L ELSE 0L END)
     """
 
 
-@query("l9_simhash")  # weak: hash-family-specific signature
+_L9_ORACLE = """
+    WITH sigs AS (
+      SELECT doc_id, source,
+        list_reduce(
+          list_transform(range(0, 60), i ->
+            CASE WHEN list_sum(list_transform(string_split(text, ' '),
+                   t -> CASE WHEN (CAST(('0x' || substr(md5(t), 1, 15))
+                                        AS BIGINT) >> i) & 1 = 1
+                        THEN 1 ELSE -1 END)) > 0
+                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+          (sig, bit) -> sig * 2 + bit) AS simhash
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("l9_simhash", oracle=_L9_ORACLE)
 def l9_simhash(spark, sf_dir):
-    """Per-document 64-bit SimHash signature + near-dup pairs at Hamming
+    """Per-document 60-bit SimHash signature + near-dup pairs at Hamming
     distance ≤ 3 among same-source docs. Signatures are one HOF expression
     per row (no shuffle); the pair scan blocks on source to stay bounded.
     Hamming closeness of planted near-dups is asserted in tests/test_llm_ext.py."""
@@ -639,7 +665,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             sym.join(ranks.join(deg, "node"), sym.s == F.col("node"))
             .select(F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
-            .agg(F.sum("c").alias("in_sum"))
+            # DECIMAL-summed gather (d6 discipline): the per-node sum is
+            # exact and associative, so partial-aggregation order cannot
+            # perturb the iteration and DuckDB computes identical ranks —
+            # this is what lets l29 carry a full recursive-CTE oracle
+            .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("in_sum"))
         )
         ranks = (
             deg.join(contribs, "node", "left")
@@ -655,15 +685,60 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks
 
 
-@query("l29_pagerank")  # weak: float power iteration (verified vs numpy in tests)
+_L29_ORACLE = """
+    WITH RECURSIVE v AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))) AS nrm
+      FROM v
+    ),
+    cand AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.e, b.e),
+                           p -> p[1] * p[2])) / (a.nrm * b.nrm), 6) >= 0.30
+    ),
+    sym AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT pa AS s, pb AS d FROM cand
+        UNION ALL SELECT pb, pa FROM cand
+      )
+    ),
+    deg AS (SELECT s AS node, COUNT(*) AS deg FROM sym GROUP BY s),
+    pr(iter, node, rank) AS (
+      SELECT 0, node, CAST(1.0 AS DOUBLE) FROM deg
+      UNION ALL
+      SELECT p.iter + 1, e.d,
+             CAST(0.15 AS DOUBLE)
+             + 0.85 * CAST(SUM(CAST(p.rank / dg.deg AS DECIMAL(38,18)))
+                           AS DOUBLE)
+      FROM pr p
+      JOIN deg dg ON dg.node = p.node
+      JOIN sym e ON e.s = p.node
+      WHERE p.iter < 8
+      GROUP BY p.iter + 1, e.d
+    )
+    SELECT node, rank FROM (
+      SELECT node, ROUND(rank, 4) AS rank,
+             ROW_NUMBER() OVER (ORDER BY ROUND(rank, 4) DESC, node) AS rn
+      FROM pr WHERE iter = 8
+    ) WHERE rn <= 20
+    """
+
+
+@query("l29_pagerank", oracle=_L29_ORACLE)
 def l29_pagerank(spark, sf_dir):
     """Link analysis over the embedding near-dup graph: PageRank scores rank
     cluster centrality (which document is the 'canonical' member — an
     alternative keeper policy to min-id / max-quality). Graph = cosine pairs
     at 0.30; 8 power-iteration rounds. Output: top-20 nodes by (rounded
-    rank, node) — weak key: float iteration order makes exact hashes
-    engine-unstable, so correctness is pinned against a dense numpy power
-    iteration in tests instead."""
+    rank, node). Full SQL oracle since round 2: the per-node gather is
+    DECIMAL-summed (exact, order-invariant), so DuckDB's recursive-CTE
+    power iteration computes bit-identical ranks; correctness is ALSO
+    pinned against a dense numpy power iteration in tests."""
     e = load(spark, sf_dir, "embeddings")
     pairs = cosine_pairs(e, threshold=0.30).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")

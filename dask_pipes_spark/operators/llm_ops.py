@@ -57,13 +57,31 @@ def l1_exact_dedup(spark, sf_dir):
     )
 
 
+def mh_hash(i: int, col) -> "F.Column":
+    """Portable 60-bit min-wise hash for permutation ``i``: the first 15 hex
+    chars of ``md5(f"{i}:{shingle}")``, parsed identically by Spark
+    (``conv``) and DuckDB (``'0x' ||`` cast) — the l16 discipline, applied
+    here so the ENTIRE MinHash-LSH candidate set is cross-engine
+    reproducible and l2/l7/l18 carry full SQL oracles. At 100 TB you would
+    swap back to ``xxhash64(i, shingle)`` for speed; the banding, join and
+    clustering structure is hash-family-agnostic."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def sql_mh_hash(i: int, expr: str) -> str:
+    """DuckDB twin of :func:`mh_hash`."""
+    return f"CAST(('0x' || substr(md5('{i}:' || {expr}), 1, 15)) AS BIGINT)"
+
+
 def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, sig: array<bigint>) — MinHash signatures over 3-word shingles.
 
-    The i-th permutation is simulated by ``xxhash64(i, shingle)`` (Broder's
-    min-wise hashing with independent seeds); the signature is the
-    element-wise min per document, computed as ``num_perm`` MIN aggregates in
-    a single groupBy pass — no per-permutation shuffle.
+    The i-th permutation is simulated by an independent seeded hash
+    (Broder's min-wise hashing); the signature is the element-wise min per
+    document, computed as ``num_perm`` MIN aggregates in a single groupBy
+    pass — no per-permutation shuffle.
     """
     shingled = docs.select(
         "doc_id",
@@ -77,8 +95,7 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
         ).alias("shingle"),
     )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_perm)
+        F.min(mh_hash(i, F.col("shingle"))).alias(f"h{i}") for i in range(num_perm)
     ]
     sigs = shingled.groupBy("doc_id").agg(*mins)
     return sigs.select(
@@ -97,9 +114,12 @@ def lsh_candidates(
     fraction of matching signature components.
     """
     r = num_perm // bands
-    stack_expr = "stack({}, {}) as (band_id, band_hash)".format(
+    # bucket key = the band's signature slice itself (array equality), not a
+    # re-hash of it — no second hash family in the semantic path, so the
+    # candidate set is exactly "some band identical", reproducible in SQL
+    stack_expr = "stack({}, {}) as (band_id, band_slice)".format(
         bands,
-        ", ".join(f"{j}, xxhash64(slice(sig, {j * r + 1}, {r}))" for j in range(bands)),
+        ", ".join(f"{j}, slice(sig, {j * r + 1}, {r})" for j in range(bands)),
     )
     banded = sigs.select("doc_id", "sig").selectExpr("doc_id", "sig", stack_expr)
     a, b = banded.alias("a"), banded.alias("b")
@@ -107,7 +127,7 @@ def lsh_candidates(
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_slice") == F.col("b.band_slice"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -129,11 +149,47 @@ def lsh_candidates(
     return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
-@query("l2_minhash_lsh")  # weak: candidate set is hash-family-specific
+
+def _l2_oracle(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
+    """DuckDB twin of minhash_signatures + lsh_candidates, generated for the
+    configured (num_perm, bands): per-permutation MIN aggregates over the
+    same distinct 3-shingles with the same portable hash, candidate pairs =
+    some band of r components fully equal, est_jaccard = matching
+    components / num_perm."""
+    r = num_perm // bands
+    mins = ",\n             ".join(
+        f"MIN({sql_mh_hash(i, 'shingle')}) AS h{i}" for i in range(num_perm)
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.h{j * r + k} = b.h{j * r + k}" for k in range(r)) + ")"
+        for j in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+      FROM toks,
+           LATERAL (SELECT unnest(range(GREATEST(len(t) - 3, 0) + 1)) AS i)
+    ),
+    sig AS (SELECT doc_id, {mins}
+            FROM sh GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ({matches}) / {num_perm}.0 AS est_jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {band_eq}
+    """
+
+
+@query("l2_minhash_lsh", oracle=_l2_oracle())
 def l2_minhash_lsh(spark, sf_dir):
     """MinHash + LSH near-duplicate candidates (Broder 1997 / Lee et al. 2022).
-    Weak-checked (the candidate set depends on the hash family); recall on
-    planted near-duplicates is asserted in tests/test_llm.py."""
+    Full SQL oracle since round 2: the portable hash family (mh_hash) makes
+    the signatures, the banded candidate set, and the per-pair similarity
+    estimate bit-reproducible in DuckDB; recall on planted near-duplicates
+    stays asserted in tests/test_llm.py."""
     d = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
     return lsh_candidates(sigs).orderBy("doc_a", "doc_b")
@@ -302,11 +358,28 @@ def l6_tfidf(spark, sf_dir):
     )
 
 
-@query("l7_dup_cluster_stats")  # weak: derived from l2's hash-specific candidates
+_L7_ORACLE = (
+    "WITH pairs AS (" + _l2_oracle() + """)
+    SELECT d1.lang AS lang_a,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN d1.source = d2.source THEN 1 ELSE 0 END)
+                AS BIGINT) AS same_source_pairs,
+           FLOOR(AVG(est_jaccard) * 10000 + 0.5) / 10000 AS avg_est_jaccard
+    FROM pairs
+    JOIN documents d1 ON doc_a = d1.doc_id
+    JOIN documents d2 ON doc_b = d2.doc_id
+    GROUP BY 1
+    """
+)
+
+
+@query("l7_dup_cluster_stats", oracle=_L7_ORACLE)
 def l7_dup_cluster_stats(spark, sf_dir):
     """Near-dup candidate analytics: join l2's pairs back to documents and
     break down by language/source agreement — the triage view a dedup
-    pipeline ships to operators."""
+    pipeline ships to operators. Full oracle since round 2 (l2's portable
+    candidates; est_jaccard values are dyadic k/32 rationals, so both
+    engines average them exactly before the FLOOR quantization)."""
     d = load(spark, sf_dir, "documents")
     pairs = l2_minhash_lsh(spark, sf_dir)
     da = d.select(
@@ -328,7 +401,9 @@ def l7_dup_cluster_stats(spark, sf_dir):
             F.sum((F.col("source_a") == F.col("source_b")).cast("long")).alias(
                 "same_source_pairs"
             ),
-            F.round(F.avg("est_jaccard"), 4).alias("avg_est_jaccard"),
+            (
+                F.floor(F.avg("est_jaccard") * 10000 + F.lit(0.5)) / 10000
+            ).alias("avg_est_jaccard"),
         )
         .orderBy("lang_a")
     )
@@ -411,13 +486,41 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     return labels
 
 
-@query("l18_dup_components")  # weak: iterative fixpoint (deterministic; union-find-tested)
+_L18_ORACLE = (
+    "WITH RECURSIVE pairs AS (" + _l2_oracle() + """),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+    SELECT c.label AS cluster_rep,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           ARRAY_TO_STRING(LIST_SORT(LIST(c.node)), ',') AS members
+    FROM comp c JOIN documents d ON c.node = d.doc_id
+    GROUP BY c.label HAVING COUNT(*) >= 2
+    """
+)
+
+
+@query("l18_dup_components", oracle=_L18_ORACLE)
 def l18_dup_components(spark, sf_dir):
     """Near-dup clustering end-to-end: MinHash-LSH candidate pairs (l2) →
     connected components → per-cluster stats + the representative (min
     doc_id) every other member would be purged in favor of. The piece
     between pair generation and an actionable dedup decision; tests verify
-    the labeling against a driver-side union-find on the same edges."""
+    the labeling against a driver-side union-find on the same edges, and
+    since round 2 a full SQL oracle re-derives the clustering in DuckDB
+    with a recursive-CTE transitive closure over the same (portable-hash)
+    candidate pairs."""
     d = load(spark, sf_dir, "documents")
     pairs = lsh_candidates(minhash_signatures(d)).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

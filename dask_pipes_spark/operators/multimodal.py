@@ -202,14 +202,39 @@ def m3_frame_sample(spark, sf_dir):
     return synth_media(spark, sf_dir).mapInPandas(sample_partition, schema)
 
 
-@query("m4_image_resize")  # weak: binary plumbing, stubbed codec
+_M4_ORACLE = """
+    WITH base AS (
+      SELECT doc_id AS media_id, text,
+             GREATEST(CAST(FLOOR(n_chars / 4) AS BIGINT), 1) AS q
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id, i,
+             FLOOR(LIST_SUM(LIST_TRANSFORM(range(i * q, (i + 1) * q),
+                     j -> ord(substr(text, CAST(j + 1 AS INTEGER), 1))))
+                   / q / 255.0 * 1000000 + 0.5) / 1000000 AS v
+      FROM base, LATERAL (SELECT unnest(range(4)) AS i)
+    )
+    SELECT media_id,
+           printf('%.6f,%.6f,%.6f,%.6f',
+                  MIN(CASE WHEN i = 0 THEN v END),
+                  MIN(CASE WHEN i = 1 THEN v END),
+                  MIN(CASE WHEN i = 2 THEN v END),
+                  MIN(CASE WHEN i = 3 THEN v END)) AS thumb
+    FROM blocks GROUP BY media_id
+    """
+
+
+@query("m4_image_resize", oracle=_M4_ORACLE)
 def m4_image_resize(spark, sf_dir):
     """Resize / thumbnail extraction stub with the real batch contract: each
     payload reduces to a fixed 2×2 block-mean "thumbnail" (4 doubles) — the
     shape-normalization step every multimodal training pipeline runs before
     batching tensors. A real resize swaps the block-mean for the image
-    library call; schema (fixed-length array), batching, and per-row
-    normalization are the tested plumbing."""
+    library call; schema, batching, and per-row normalization are the
+    tested plumbing. Full SQL oracle since round 2: fixture payloads are
+    ASCII, so per-block byte means are SQL-reproducible via ord(substr);
+    both sides FLOOR-quantize to the same 1e-6 grid."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -228,9 +253,14 @@ def m4_image_resize(spark, sf_dir):
                 raw = bytes(payload) or b"\x00"
                 q = max(len(raw) // 4, 1)
                 blocks = [raw[i * q : (i + 1) * q] or b"\x00" for i in range(4)]
+                import math
+
+                # FLOOR quantization (section 7.6.2) so the SQL oracle's
+                # FLOOR(x*1e6+0.5)/1e6 sees the identical grid value
                 thumbs.append(
                     ",".join(
-                        f"{round(sum(b) / len(b) / 255.0, 6):.6f}" for b in blocks
+                        f"{math.floor(sum(b) / len(b) / 255.0 * 1e6 + 0.5) / 1e6:.6f}"
+                        for b in blocks
                     )
                 )
                 ids.append(media_id)

@@ -23,12 +23,51 @@ from dask_pipes_spark.registry import query
 from dask_pipes_spark.session import load, load_tables, scratch_path
 
 
-@query("p1_pipeline_fit_transform")  # weak: end-state checked in tests
+_P1_ORACLE = """
+    WITH stats1 AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    imputed AS (
+      SELECT o_orderkey, o_orderpriority, o_orderdate,
+             CASE WHEN o_orderkey % 10 = 0 THEN sx / n
+                  ELSE o_totalprice END AS val
+      FROM orders CROSS JOIN stats1
+    ),
+    stats2 AS (
+      SELECT CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(val * val AS DECIMAL(28,6))) AS DOUBLE) AS s22,
+             COUNT(*) AS m
+      FROM imputed
+    ),
+    vocab AS (
+      SELECT o_orderpriority AS pr,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER)
+               AS code
+      FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    )
+    SELECT o_orderkey, val AS o_totalprice,
+           ROUND((val - s2 / m) / SQRT((s22 - s2 * s2 / m) / (m - 1)), 6)
+             AS o_totalprice_z,
+           code AS o_orderpriority_code,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS o_orderdate_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS o_orderdate_month,
+           CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS o_orderdate_dow
+    FROM imputed CROSS JOIN stats2 JOIN vocab ON o_orderpriority = pr
+    """
+
+
+@query("p1_pipeline_fit_transform", oracle=_P1_ORACLE)
 def p1_pipeline_fit_transform(spark, sf_dir):
     """Full pipeline run (reference: ``Pipeline.fit`` over a node DAG):
     inject NAs → impute with fitted means → standardize → encode categories
     → expand dates. Persistence round-trip is asserted in
-    tests/test_pipeline.py."""
+    tests/test_pipeline.py. Full SQL oracle since round 2: the fit params
+    (imputation mean, post-imputation mean/std, sorted vocabulary) are all
+    recomputed in SQL subqueries from the same exact decimal sums — the
+    p2 discipline applied to the whole DAG (Spark dayofweek is 1-based,
+    DuckDB 0-based, hence the +1)."""
     orders = load(spark, sf_dir, "orders")
     pipe = Pipeline(
         [
@@ -160,13 +199,54 @@ def p3_llm_corpus_pipeline(spark, sf_dir):
     )
 
 
-@query("p4_semantic_dedup")  # weak: iterative components (union-find-tested)
+_P4_ORACLE = """
+    WITH RECURSIVE v AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))) AS nrm
+      FROM v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.e, b.e),
+                           p -> p[1] * p[2])) / (a.nrm * b.nrm), 6) >= 0.30
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb, pa FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT emb.label AS vec_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (WHERE COALESCE(c.component, emb.vec_id)
+                                       <> emb.vec_id) AS BIGINT) AS n_purged,
+           CAST(COUNT(*) FILTER (WHERE COALESCE(c.component, emb.vec_id)
+                                       = emb.vec_id) AS BIGINT) AS n_kept
+    FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.node
+    GROUP BY emb.label
+    """
+
+
+@query("p4_semantic_dedup", oracle=_P4_ORACLE)
 def p4_semantic_dedup(spark, sf_dir):
     """Semantic dedup end-to-end: embedding-cosine near-dup pairs (l11's
     predicate, threshold 0.30) -> connected components (l18's propagation) ->
     purge non-representative members, report per-label kept/purged. The
     embedding-space twin of the MinHash pipeline -- at 100 TB the pair stage
-    swaps to LSH/IVF candidates and the rest of the plan is unchanged."""
+    swaps to LSH/IVF candidates and the rest of the plan is unchanged.
+    Full SQL oracle since round 2: DuckDB re-derives the same cosine pairs
+    and clusters them with a recursive-CTE transitive closure."""
     from dask_pipes_spark.operators.llm_ext import cosine_pairs
     from dask_pipes_spark.operators.llm_ops import connected_components
 

@@ -121,18 +121,34 @@ def f6_stratified_sample(spark, sf_dir):
     )
 
 
-@query("f7_random_split")  # weak: hash-split sizes are engine-specific
+@query(
+    "f7_random_split",
+    oracle="""
+    SELECT l_returnflag,
+           CASE WHEN CAST(('0x' || substr(md5(l_orderkey || ':' || l_linenumber
+                                          || ':42'), 1, 15)) AS BIGINT) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
 def f7_random_split(spark, sf_dir):
     """``random_split([0.8, 0.2], seed)`` (train/test split) done the way a
     training pipeline must at scale: a *content-hash* threshold
-    (``pmod(xxhash64(row_key, seed), 100) < 80``), NOT ``rand()`` —
+    (``hash(row_key, seed) % 100 < 80``), NOT ``rand()`` —
     nondeterministic expressions are re-evaluated per-partition after any
     shuffle, so a rand()-based split silently reassigns rows between plans,
     while the hash split is a pure function of the row: disjoint,
     exhaustive, and reproducible on any cluster/partitioning (asserted in
-    tests)."""
+    tests). Full SQL oracle since round 2 via the portable md5-60bit bucket
+    hash (l16/l2 discipline; swap to xxhash64 at scale for speed)."""
     li = load(spark, sf_dir, "lineitem")
-    bucket = F.pmod(F.xxhash64("l_orderkey", "l_linenumber", F.lit(42)), F.lit(100))
+    key = F.concat_ws(
+        ":", F.col("l_orderkey"), F.col("l_linenumber"), F.lit("42")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint"), F.lit(100)
+    )
     tagged = li.withColumn("split", F.when(bucket < 80, "train").otherwise("test"))
     return tagged.groupBy("l_returnflag", "split").agg(F.count(F.lit(1)).alias("cnt"))
 
