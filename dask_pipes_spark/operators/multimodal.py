@@ -394,7 +394,32 @@ def m5_audio_segment(spark, sf_dir):
     return media.mapInPandas(schema=schema, func=segment)
 
 
-@query("m6_feature_extract")  # weak: binary plumbing, stubbed encoder
+def _m6_oracle() -> str:
+    """DuckDB twin of the sha256-digest encoder: every step is exact or
+    correctly-rounded IEEE (integer byte values, mean over 32 = exact
+    dyadic, squares/sums of sub-26-bit values exact, sqrt and divide
+    correctly rounded), so both engines produce bit-identical dims before
+    the shared FLOOR(1e-6) quantization."""
+    b = [
+        f"CAST(('0x' || substr(sha256(text), {2 * j + 1}, 2)) AS INTEGER)"
+        for j in range(32)
+    ]
+    mean = "((" + " + ".join(b) + ") / 32.0)"
+    sq = " + ".join(f"(({x} - m) * ({x} - m))" for x in b)
+    dims = ", ".join(
+        f"FLOOR(({x} - m) / nrm * 1000000 + 0.5) / 1000000" for x in b[:16]
+    )
+    fmt = ",".join(["%.6f"] * 16)
+    return f"""
+    WITH base AS (SELECT doc_id, text, {mean} AS m FROM documents),
+    normed AS (SELECT doc_id, text, m, SQRT({sq}) AS nrm FROM base)
+    SELECT doc_id AS media_id, CAST(16 AS INTEGER) AS dim,
+           printf('{fmt}', {dims}) AS embedding
+    FROM normed
+    """
+
+
+@query("m6_feature_extract", oracle=_m6_oracle())
 def m6_feature_extract(spark, sf_dir):
     """Feature extraction over binary media — the embed step of a
     multimodal ingest (image → CLIP-style vector): payload bytes arrive as
@@ -424,10 +449,13 @@ def m6_feature_extract(spark, sf_dir):
                 v = np.frombuffer(digest, dtype=np.uint8).astype("float64")
                 v = v - v.mean()
                 norm = float(np.sqrt((v * v).sum()))
-                vals = [float(x) for x in (v / norm).round(6)[:16]]
-                # comma-joined string, not array<double>: harness
-                # canonicalizer cannot hash ndarray cells (d10 discipline)
-                feats.append((len(vals), ",".join(f"{x:.6f}" for x in vals)))
+                # FLOOR quantization (section 7.6.2): same 1e-6 grid as the
+                # SQL oracle; comma-joined string, not array<double>, since
+                # the harness canonicalizer cannot hash ndarray cells
+                vals = np.floor(v / norm * 1e6 + 0.5) / 1e6
+                feats.append(
+                    (16, ",".join(f"{x:.6f}" for x in vals[:16]))
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

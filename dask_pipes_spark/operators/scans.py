@@ -182,7 +182,17 @@ def a5_scan_csv(spark, sf_dir):
     )
 
 
-@query("a7_bucketed_join")  # weak: writes catalog tables to scratch
+@query(
+    "a7_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)  # full-oracle since r2: the bucketed co-located join must equal the plain join
 def a7_bucketed_join(spark, sf_dir):
     """Bucketed co-located join — the 100 TB answer to repeated fact-fact
     joins: write both tables bucketed (and sorted) on the join key, and every

@@ -117,14 +117,16 @@ def k3_session_window(spark, sf_dir):
     )
 
 
-@query("k4_stream_tumbling")  # weak: streaming runtime output
+@query("k4_stream_tumbling", oracle=_WINDOW_ORACLE)
 def k4_stream_tumbling(spark, sf_dir):
     """k1 executed through the actual streaming runtime: file source →
     watermark → windowed agg → memory sink, drained with availableNow.
 
-    Complete mode keeps the result equal to the batch answer (asserted in
-    tests); append-mode + multi-batch watermark eviction — where only closed
-    windows emit and late rows are dropped — is exercised in
+    Complete mode keeps the drained result equal to the batch answer, so
+    since round 2 the key carries k1's FULL SQL ORACLE — the streaming
+    runtime must land exactly where the batch plan does. Append-mode +
+    multi-batch watermark eviction — where only closed windows emit and
+    late rows are dropped — is exercised in
     tests/test_streaming.py::test_append_mode_emits_only_closed_windows.
     """
     stream = read_events_stream(spark, sf_dir).withColumn(
@@ -144,11 +146,20 @@ def k4_stream_tumbling(spark, sf_dir):
     return run_to_memory(agg, "k4_tumbling", "complete")
 
 
-@query("k5_stream_dedup")  # weak: streaming runtime output
+@query(
+    "k5_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
 def k5_stream_dedup(spark, sf_dir):
     """Streaming dedup within the watermark: the stream is doubled (every
     event twice) and ``dropDuplicatesWithinWatermark`` restores exactly one
-    row per event_id; the dedup buffer is evicted as the watermark advances."""
+    row per event_id; the dedup buffer is evicted as the watermark advances.
+    Full SQL oracle since round 2: the default single-file drain runs as
+    one micro-batch (watermark never advances mid-stream), so the drained
+    result must equal the original event set exactly; multi-batch
+    watermark eviction stays covered in tests/test_streaming.py."""
     stream = read_events_stream(spark, sf_dir).withColumn(
         "ts", F.col("ts").cast("timestamp")  # watermarks require LTZ; session tz is UTC
     )
@@ -202,7 +213,16 @@ def k6_stream_stateful(spark, sf_dir):
     return run_to_memory(counted, "k6_stateful", "update")
 
 
-@query("k7_stream_static_join")  # weak: streaming runtime output
+@query(
+    "k7_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
 def k7_stream_static_join(spark, sf_dir):
     """Stream-static enrichment: events stream joined to the static customer
     dimension (re-broadcast per micro-batch), then aggregated per segment."""
@@ -217,7 +237,17 @@ def k7_stream_static_join(spark, sf_dir):
     return run_to_memory(agg, "k7_enrich", "complete")
 
 
-@query("k8_stream_stream_join")  # weak: streaming runtime output
+@query(
+    "k8_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS p_user,
+           p.ts AS purchase_ts, c.ts AS click_ts, c.value AS click_value
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    """,
+)
 def k8_stream_stream_join(spark, sf_dir):
     """Stream-stream interval join — both sides are live streams (the case
     k7's static broadcast can't cover): each purchase joins the same user's
@@ -226,7 +256,10 @@ def k8_stream_stream_join(spark, sf_dir):
     Both sides carry watermarks and the join condition bounds event time on
     both sides, so Spark can evict buffered rows once the watermark passes
     the interval — state is bounded, the 100 TB requirement for an unbounded
-    join. Without the time bound the state store would grow forever."""
+    join. Without the time bound the state store would grow forever.
+    Full SQL oracle since round 2: an INNER interval join in append mode
+    emits exactly the matched pairs, so the drained result must equal the
+    batch interval join row-for-row."""
     clicks = (
         read_events_stream(spark, sf_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -256,7 +289,15 @@ def k8_stream_stream_join(spark, sf_dir):
             "purchase_ts - INTERVAL 30 MINUTES AND purchase_ts"
         ),
         "inner",
-    ).select("purchase_id", "p_user", "purchase_ts", "click_ts", "click_value")
+    ).select(
+        "purchase_id",
+        "p_user",
+        # NTZ for the oracle hash (k10 discipline): session tz is UTC, so
+        # the cast is instant-preserving
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "click_value",
+    )
     return run_to_memory(joined, "k8_stream_stream", "append")
 
 
@@ -313,7 +354,10 @@ def k9_stream_foreach_sink(spark, sf_dir):
     )
 
 
-@query("k10_stream_session")  # weak: streaming runtime output
+from dask_pipes_spark.registry import ORACLES as _K_ORACLES  # noqa: E402
+
+
+@query("k10_stream_session", oracle=_K_ORACLES["k3_session_window"])
 def k10_stream_session(spark, sf_dir):
     """k3's session windows executed through the streaming runtime — the
     hardest streaming-state shape Spark supports natively: session windows
@@ -347,7 +391,7 @@ def k10_stream_session(spark, sf_dir):
     return run_to_memory(agg, "k10_session", "complete")
 
 
-@query("k11_stream_sliding")  # weak: streaming runtime output
+@query("k11_stream_sliding", oracle=_K_ORACLES["k2_sliding_window"])
 def k11_stream_sliding(spark, sf_dir):
     """k2's sliding windows executed through the streaming runtime: each
     event updates TWO overlapping window states (10-minute span, 5-minute
