@@ -705,3 +705,70 @@ def l33_mixture_sample(spark, sf_dir):
     return ranked.join(F.broadcast(quota), "source").filter(
         F.col("sample_rank") <= F.col("k")
     ).select("doc_id", "source", "sample_rank")
+
+
+@query(
+    "l48_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 5 = 0
+    ),
+    batch AS (
+      SELECT doc_id, lang, sha256(text) AS h FROM documents
+      WHERE doc_id % 5 <> 0
+    ),
+    tagged AS (
+      SELECT b.doc_id, b.lang, b.h,
+             (c.h IS NOT NULL) AS in_corpus,
+             ROW_NUMBER() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+      FROM batch b LEFT JOIN corpus c ON b.h = c.h
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(COUNT(*) FILTER (WHERE in_corpus) AS BIGINT)
+             AS n_dropped_vs_corpus,
+           CAST(COUNT(*) FILTER (WHERE NOT in_corpus AND rn > 1) AS BIGINT)
+             AS n_dropped_in_batch,
+           CAST(COUNT(*) FILTER (WHERE NOT in_corpus AND rn = 1) AS BIGINT)
+             AS n_kept
+    FROM tagged GROUP BY lang
+    """,
+)
+def l48_incremental_dedup(spark, sf_dir):
+    """Incremental corpus ingest dedup — the shape a CONTINUOUSLY-growing
+    training corpus actually runs (nobody re-dedups 100 TB per day): the
+    existing corpus is represented by its content-digest state table
+    (here: docs with ``doc_id % 5 = 0``), and each new batch is deduped
+    (a) against that state via a digest anti/left join and (b) within
+    itself by the min-doc_id survivor rule, reporting per-language ingest
+    accounting. Kept docs' digests then append to the state table —
+    making the next batch's join input, the incremental loop.
+
+    100 TB: the state table is digests only (32 bytes/doc, ~1/1000th of
+    corpus bytes), bucketed by digest so each day's batch join is
+    co-partitioned; the batch-internal dedup is one keyed window. Fully
+    SQL-oracled end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    batch = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "lang", F.sha2("text", 256).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    tagged = (
+        batch.join(corpus, "h", "left")
+        .withColumn("in_corpus", F.coalesce("in_corpus", F.lit(False)))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count_if(F.col("in_corpus")).alias("n_dropped_vs_corpus"),
+        F.count_if(~F.col("in_corpus") & (F.col("rn") > 1)).alias(
+            "n_dropped_in_batch"
+        ),
+        F.count_if(~F.col("in_corpus") & (F.col("rn") == 1)).alias("n_kept"),
+    )

@@ -938,3 +938,79 @@ def c22_join_hint_shuffle_hash(spark, sf_dir):
         )
         .select("o_orderkey", "o_totalprice", "c_name")
     )
+
+
+@query(
+    "c23_bloom_runtime_filter",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    GROUP BY l_returnflag
+    """,
+)
+def c23_bloom_runtime_filter(spark, sf_dir):
+    """Runtime Bloom-filter join pruning — the 100 TB lever for selective
+    dim-filtered fact joins: when one join side carries a selective filter,
+    Spark can inject a Bloom filter built from that side's join keys into
+    the OTHER side's scan (``spark.sql.optimizer.runtime.bloomFilter``),
+    so fact rows that cannot match are dropped AT THE SCAN, before the
+    shuffle — the runtime analog of a semi-join reduction. Values are
+    filter-independent (a Bloom filter only prunes non-matches), so the
+    key carries a plain SQL oracle; the plan-level assertion that the
+    bloom filter was actually injected lives in tests/test_operators.py.
+
+    100 TB: the filter is built once from the (small) filtered dim side
+    and broadcast to every scan task; shuffle volume on the fact side
+    drops by the dim filter's selectivity — often 10-100×. Works with AQE
+    and survives any partitioning, unlike manual pre-join semi-filters.
+    """
+    # Scoped configs, restored after the plan is pinned: the injection only
+    # fires for SHUFFLE joins (a broadcast dim needs no runtime filter), so
+    # broadcast is disabled — at 100 TB both sides exceed the threshold and
+    # this IS the natural plan; the application-side scan threshold
+    # (default 10GB, same reasoning) is zeroed to exercise the rule at
+    # fixture scale.
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in scoped.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+        sel = t["orders"].filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000)
+        )
+        df = (
+            t["lineitem"]
+            .join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        # materialize the QueryExecution NOW so the plan (with the Bloom
+        # filter injected) is pinned before the configs are restored
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

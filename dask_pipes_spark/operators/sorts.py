@@ -376,3 +376,54 @@ def f15_freq_items(spark, sf_dir):
             F.sort_array(F.col("ship_year_freqItems")).cast("array<string>"), ","
         ).alias("frequent_years")
     )
+
+
+@query(
+    "f16_zorder_layout",
+    oracle="""
+    WITH d AS (
+      SELECT l_partkey % 1024 AS zx, l_suppkey % 1024 AS zy
+      FROM lineitem
+    ),
+    z AS (
+      SELECT zx, zy, ((((zx >> 0) & 1) << 0) + (((zy >> 0) & 1) << 1)) + ((((zx >> 1) & 1) << 2) + (((zy >> 1) & 1) << 3)) + ((((zx >> 2) & 1) << 4) + (((zy >> 2) & 1) << 5)) + ((((zx >> 3) & 1) << 6) + (((zy >> 3) & 1) << 7)) + ((((zx >> 4) & 1) << 8) + (((zy >> 4) & 1) << 9)) + ((((zx >> 5) & 1) << 10) + (((zy >> 5) & 1) << 11)) + ((((zx >> 6) & 1) << 12) + (((zy >> 6) & 1) << 13)) + ((((zx >> 7) & 1) << 14) + (((zy >> 7) & 1) << 15)) + ((((zx >> 8) & 1) << 16) + (((zy >> 8) & 1) << 17)) + ((((zx >> 9) & 1) << 18) + (((zy >> 9) & 1) << 19)) AS zval
+      FROM d
+    )
+    SELECT CAST(FLOOR(zval / 65536) AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(zx) AS min_x, MAX(zx) AS max_x,
+           MIN(zy) AS min_y, MAX(zy) AS max_y
+    FROM z GROUP BY 1
+    """,
+)
+def f16_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) clustering — the multi-dimensional layout
+    primitive behind Delta/Iceberg ``ZORDER BY``: interleaving the bits of
+    two key dimensions gives a single sort key whose ranges are tight
+    RECTANGLES in (x, y) space, so range-partitioned files carry narrow
+    min/max stats on BOTH columns and scans filtered on EITHER dimension
+    prune files — impossible with a lexicographic two-column sort, which
+    only prunes on the leading column.
+
+    The operator buckets the curve into 16 z-ranges (the 'files') and
+    reports each bucket's rectangle: every bucket spans at most 1/4 of
+    each dimension's domain (asserted in tests/test_operators.py), which
+    is exactly the pruning guarantee. Pure codegen bit arithmetic — zero
+    shuffle before the 16-group aggregate; full SQL oracle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.pmod("l_partkey", F.lit(1024)).alias("zx"),
+        F.pmod("l_suppkey", F.lit(1024)).alias("zy"),
+    )
+    z = d.selectExpr("zx", "zy", "(shiftleft(shiftright(zx, 0) & 1, 0) + shiftleft(shiftright(zy, 0) & 1, 1)) + (shiftleft(shiftright(zx, 1) & 1, 2) + shiftleft(shiftright(zy, 1) & 1, 3)) + (shiftleft(shiftright(zx, 2) & 1, 4) + shiftleft(shiftright(zy, 2) & 1, 5)) + (shiftleft(shiftright(zx, 3) & 1, 6) + shiftleft(shiftright(zy, 3) & 1, 7)) + (shiftleft(shiftright(zx, 4) & 1, 8) + shiftleft(shiftright(zy, 4) & 1, 9)) + (shiftleft(shiftright(zx, 5) & 1, 10) + shiftleft(shiftright(zy, 5) & 1, 11)) + (shiftleft(shiftright(zx, 6) & 1, 12) + shiftleft(shiftright(zy, 6) & 1, 13)) + (shiftleft(shiftright(zx, 7) & 1, 14) + shiftleft(shiftright(zy, 7) & 1, 15)) + (shiftleft(shiftright(zx, 8) & 1, 16) + shiftleft(shiftright(zy, 8) & 1, 17)) + (shiftleft(shiftright(zx, 9) & 1, 18) + shiftleft(shiftright(zy, 9) & 1, 19)) AS zval")
+    return (
+        z.groupBy(F.floor(F.col("zval") / 65536).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zx").alias("min_x"),
+            F.max("zx").alias("max_x"),
+            F.min("zy").alias("min_y"),
+            F.max("zy").alias("max_y"),
+        )
+    )

@@ -324,3 +324,26 @@ def test_f15_freq_items_superset_of_true_heavy_hitters(spark, registry):
         if r["count"] / n > 0.1
     }
     assert exact and exact <= got
+
+
+def test_c23_bloom_filter_injected(spark, registry):
+    """The runtime Bloom filter must actually appear in the optimized plan:
+    a BloomFilterAggregate on the filtered dim side feeding a might_contain
+    probe on the fact scan side."""
+    queries, _ = registry
+    df = queries["c23_bloom_runtime_filter"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "bloomfilter" in plan or "might_contain" in plan, plan[:2000]
+    assert df.count() > 0
+
+
+def test_f16_zorder_buckets_are_tight_rectangles(spark, registry):
+    """The z-order locality guarantee: every curve bucket spans at most a
+    quarter of each dimension's 1024-wide domain (a lexicographic sort
+    would leave the trailing dimension spanning the full domain)."""
+    queries, _ = registry
+    rows = queries["f16_zorder_layout"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.max_x - r.min_x <= 512, r
+        assert r.max_y - r.min_y <= 512, r
