@@ -772,3 +772,124 @@ def l48_incremental_dedup(spark, sf_dir):
         ),
         F.count_if(~F.col("in_corpus") & (F.col("rn") == 1)).alias("n_kept"),
     )
+
+
+@query(
+    "l50_dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 128 AS b
+      FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents)
+    ),
+    tgt AS (
+      SELECT b, COUNT(*) AS c FROM toks WHERE lang = 'en' GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+               AS nt,
+             CAST(COUNT(*) AS DOUBLE) AS ns
+      FROM toks
+    ),
+    src AS (SELECT b, COUNT(*) AS c FROM toks GROUP BY b),
+    ratio AS (
+      SELECT src.b,
+             CAST(CAST(LN((COALESCE(tgt.c, 0) + 1) / (tot.nt + 128))
+                       - LN((src.c + 1) / (tot.ns + 128))
+                  AS DECIMAL(18,10)) AS DOUBLE) AS logr
+      FROM src LEFT JOIN tgt ON src.b = tgt.b CROSS JOIN tot
+    ),
+    docw AS (
+      SELECT t.doc_id, t.lang,
+             CAST(SUM(CAST(r.logr AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS logw
+      FROM toks t JOIN ratio r ON t.b = r.b
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(CAST(SUM(CAST(logw AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS avg_logw,
+           FLOOR(MIN(logw) * 10000 + 0.5) / 10000 AS min_logw,
+           FLOOR(MAX(logw) * 10000 + 0.5) / 10000 AS max_logw
+    FROM docw GROUP BY lang
+    """,
+)
+def l50_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — Data
+    Selection via Importance Resampling): score every document by the
+    log-likelihood ratio of hashed n-gram features under a TARGET
+    distribution (here: the English slice) vs the SOURCE (whole corpus) —
+    the method behind targeted pretraining mixtures. Features are word
+    unigrams hashed into 128 buckets with the portable md5-60bit hash
+    (l2/l16 discipline), both bucket models Laplace-smoothed; per-doc
+    weight = mean log ratio over its tokens. English docs must score
+    highest (asserted in tests), and everything — hashing, models, log
+    ratios (snapped to DECIMAL(18,10), l34 discipline), per-doc decimal
+    sums — is recomputed in the SQL oracle.
+
+    100 TB: the feature models are 128 rows (broadcast scalars); the only
+    corpus-scale work is the token explode + one bucket-keyed aggregate
+    and a broadcast join back — no vocabulary pass, which is the point of
+    the hashing trick. Resampling itself is l25/l33's machinery fed by
+    these weights."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(128),
+        ).alias("b"),
+    )
+    tot = toks.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("ns"),
+    )
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    src = toks.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
+    ratio = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("tc", F.lit(0)) + 1) / (F.col("nt") + 128))
+                - F.log((F.col("sc") + 1) / (F.col("ns") + 128))
+            )
+            .cast("decimal(18,10)")
+            .cast("double")
+            .alias("logr"),
+        )
+    )
+    docw = (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.sum(F.col("logr").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("logw")
+        )
+    )
+    q = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return docw.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        q(
+            F.sum(F.col("logw").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_logw"),
+        q(F.min("logw")).alias("min_logw"),
+        q(F.max("logw")).alias("max_logw"),
+    )

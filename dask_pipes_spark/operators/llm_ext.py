@@ -1396,3 +1396,102 @@ def l47_source_overlap(spark, sf_dir):
             ).alias("vocab_jaccard"),
         )
     )
+
+
+@query(
+    "l49_semdedup_prune",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS val,
+             vec_id
+      FROM v
+    ),
+    cent AS (
+      SELECT label, LIST(cv ORDER BY pos) AS c
+      FROM (SELECT label, pos, AVG(val) AS cv FROM dims GROUP BY label, pos)
+      GROUP BY label
+    ),
+    scored AS (
+      SELECT v.vec_id, v.label,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.e, cent.c), p -> p[1] * p[2]))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(v.e, x -> x * x)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(cent.c, x -> x * x)))), 6)
+               AS cos_c
+      FROM v JOIN cent USING (label)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY cos_c DESC, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM scored
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (WHERE rn <= CEIL(n / 4.0)) AS BIGINT)
+             AS n_core,
+           MIN(CASE WHEN rn <= CEIL(n / 4.0) THEN vec_id END) AS kept_rep,
+           CAST(COUNT(*) FILTER (WHERE rn <= CEIL(n / 4.0)) - 1 AS BIGINT)
+             AS n_dropped
+    FROM ranked GROUP BY label
+    """,
+)
+def l49_semdedup_prune(spark, sf_dir):
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+    within each embedding cluster (the fixture ``label`` stands in for the
+    k-means assignment), vectors closest to the cluster CENTROID are the
+    semantic-duplicate core — SemDeDup keeps one representative per
+    near-centroid group and drops the rest, shrinking web corpora ~50%
+    with no quality loss. Here the top quartile by centroid-cosine is the
+    core set, the min vec_id survives, and per-cluster accounting is
+    emitted; fully SQL-oracled (centroids, cosines, ranks recomputed in
+    DuckDB).
+
+    100 TB: centroids are a vocab-scale table (k × dim) built in one
+    aggregate pass and broadcast back; scoring is map-side; the only
+    corpus-scale shuffle is the per-cluster rank window, keyed by label —
+    exactly k-partitionable. The quadratic pairwise SemDeDup variant is
+    what l11/p4 cover; this is the linear centroid approximation the
+    paper ships."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cent = (
+        v.select("label", F.posexplode("e").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select("label", F.expr("transform(pairs, p -> p.cv)").alias("c"))
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "c", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    scored = v.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(dot / (nrm(F.col("e")) * nrm(F.col("c"))), 6).alias("cos_c"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos_c").desc(), "vec_id")
+    wn = Window.partitionBy("label")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    core = F.col("rn") <= F.ceil(F.col("n") / 4.0)
+    return ranked.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.count_if(core).alias("n_core"),
+        F.min(F.when(core, F.col("vec_id"))).alias("kept_rep"),
+        (F.count_if(core) - 1).alias("n_dropped"),
+    )

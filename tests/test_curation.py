@@ -180,3 +180,13 @@ def test_semantic_dedup_matches_union_find(spark, registry):
     for lab, n in n_by_label.items():
         want_purged = purged_by_label.get(lab, 0)
         assert got[lab] == (n, want_purged, n - want_purged)
+
+
+def test_l50_dsir_targets_score_highest(spark, registry):
+    """DSIR sanity: the target slice (English) must get the highest average
+    importance weight — that's the selection signal the method exists for."""
+    queries, _ = registry
+    rows = {r.lang: r.avg_logw for r in queries["l50_dsir_weights"](spark, SF_SMOKE).collect()}
+    assert "en" in rows and len(rows) >= 3
+    others = [v for k, v in rows.items() if k != "en"]
+    assert rows["en"] > max(others), rows
