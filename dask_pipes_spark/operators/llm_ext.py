@@ -1495,3 +1495,217 @@ def l49_semdedup_prune(spark, sf_dir):
         F.min(F.when(core, F.col("vec_id"))).alias("kept_rep"),
         (F.count_if(core) - 1).alias("n_dropped"),
     )
+
+
+@query(
+    "l51_fuzzy_join",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 80) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.s, c.s) AS BIGINT) AS edit_dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.s, c.s) <= 20
+    """,
+)
+def l51_fuzzy_join(spark, sf_dir):
+    """Edit-distance fuzzy self-join with prefix blocking — the classic
+    record-linkage shape (Fellegi/Sunter blocking; Ed-Join, Xiao et al.
+    VLDB 2008 uses the same prefix-filter idea): candidate pairs come ONLY
+    from an equi-join on a cheap blocking key (here the first 16 chars),
+    then the expensive Levenshtein verifier runs on the bounded candidate
+    set. Both Spark and DuckDB implement textbook Levenshtein, so the key
+    carries a full SQL oracle; distances are computed on a 80-char window
+    so per-pair cost is O(80²) regardless of document length.
+
+    100 TB: the blocking key turns an O(n²) all-pairs problem into a
+    shuffle-by-block equi-join — quadratic only WITHIN a block, and block
+    sizes are data-bounded (oversized blocks are the skew case; salt or
+    sub-block by a second key, the c13 pattern). The verifier is a pure
+    JVM codegen expression: no Python, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.substring("text", 1, 16).alias("blk"),
+        F.substring("text", 1, 80).alias("s"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.s"), F.col("c.s"))
+    return (
+        a.join(c, (F.col("a.blk") == F.col("c.blk"))
+               & (F.col("a.doc_id") < F.col("c.doc_id")))
+        .where(dist <= 20)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "l52_kl_drift",
+    oracle="""
+    WITH toks AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    per_src AS (
+      SELECT source, tok, COUNT(*) AS c_s FROM toks GROUP BY source, tok
+    ),
+    src_tot AS (
+      SELECT source, CAST(SUM(c_s) AS BIGINT) AS t_s FROM per_src GROUP BY source
+    ),
+    corpus AS (
+      SELECT tok, CAST(SUM(c_s) AS BIGINT) AS c FROM per_src GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM corpus),
+    terms AS (
+      SELECT p.source,
+             CAST((CAST(p.c_s AS DOUBLE) / s.t_s)
+                  * LN((CAST(p.c_s AS DOUBLE) / s.t_s)
+                       / (CAST(g.c AS DOUBLE) / tot.t))
+                  AS DECIMAL(28,12)) AS term
+      FROM per_src p
+      JOIN src_tot s USING (source)
+      JOIN corpus g USING (tok)
+      CROSS JOIN tot
+    )
+    SELECT source,
+           (SELECT t_s FROM src_tot WHERE src_tot.source = terms.source)
+             AS n_tok,
+           ROUND(CAST(SUM(term) AS DOUBLE), 4) AS kl_vs_corpus
+    FROM terms GROUP BY source
+    """,
+)
+def l52_kl_drift(spark, sf_dir):
+    """Distribution-drift monitor: KL(P_source ‖ P_corpus) over unigram
+    token distributions — the standard training-mix diagnostic for "has
+    this source's language shifted vs the blend" (same statistic DoReMi /
+    data-mixing work optimizes). KL is computed only over tokens the
+    source actually emits (P>0), and Q>0 holds by construction since the
+    corpus distribution is the union of the sources.
+
+    Per-token terms are quantized to DECIMAL(28,12) before the per-source
+    sum, so aggregation order cannot perturb the result and the DuckDB
+    oracle matches bitwise (l30's discipline at higher precision — drift
+    terms are tiny).
+
+    100 TB: both count passes shuffle vocab-sized data (Heaps' law), the
+    corpus table broadcasts back onto per-source counts, and the final
+    aggregate is one row per source — no corpus-scale shuffle anywhere."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    per_src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_s"))
+    src_tot = per_src.groupBy("source").agg(
+        F.sum("c_s").cast("long").alias("t_s")
+    )
+    corpus = per_src.groupBy("tok").agg(F.sum("c_s").cast("long").alias("c"))
+    tot = corpus.agg(F.sum("c").cast("long").alias("t"))
+    p = F.col("c_s").cast("double") / F.col("t_s")
+    q = F.col("c").cast("double") / F.col("t")
+    terms = (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "t_s",
+            (p * F.log(p / q)).cast("decimal(28,12)").alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("t_s").alias("n_tok"),
+        F.round(F.sum("term").cast("double"), 4).alias("kl_vs_corpus"),
+    )
+
+
+@query(
+    "l53_perplexity_buckets",
+    oracle="""
+    WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab),
+    scored AS (
+      SELECT doc_id,
+             CAST(-LN(CAST(c AS DOUBLE) / t) AS DECIMAL(28,6)) AS lp
+      FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+    ),
+    xent AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS ce
+      FROM scored GROUP BY doc_id
+    ),
+    cuts AS (
+      SELECT quantile_disc(ce, 1.0/3) AS q33,
+             quantile_disc(ce, 2.0/3) AS q66
+      FROM xent
+    )
+    SELECT CASE WHEN ce <= q33 THEN 'head'
+                WHEN ce <= q66 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(ce AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_ce,
+           MIN(ce) AS min_ce, MAX(ce) AS max_ce
+    FROM xent CROSS JOIN cuts
+    GROUP BY 1
+    """,
+)
+def l53_perplexity_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every doc
+    by LM cross-entropy (the corpus-fit unigram floor, = l30's statistic),
+    split the corpus into head/middle/tail at the exact 33rd/66th
+    percentile, and report per-bucket document counts and score ranges —
+    the triage that decides which third of a web crawl feeds training.
+
+    The cutoffs come from ``percentile_disc`` (an order-statistic PICKED
+    from the data, so both engines agree exactly — no interpolation), and
+    bucketing is then a map-side comparison against two broadcast scalars.
+    This is the 100 TB-honest shape: a global NTILE would funnel the whole
+    corpus through one window partition, while a two-scalar broadcast
+    keeps the labeling pass embarrassingly parallel (the production
+    variant swaps the exact percentile for approx_percentile with no
+    structural change)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("long").alias("t"))
+    probs = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (-F.log(F.col("c").cast("double") / F.col("t")))
+        .cast("decimal(28,6)")
+        .alias("lp"),
+    )
+    xent = (
+        toks.join(F.broadcast(probs), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 4).alias("ce")
+        )
+    )
+    cuts = xent.agg(
+        F.expr("percentile_disc(1.0/3) WITHIN GROUP (ORDER BY ce)").alias("q33"),
+        F.expr("percentile_disc(2.0/3) WITHIN GROUP (ORDER BY ce)").alias("q66"),
+    )
+    bucket = (
+        F.when(F.col("ce") <= F.col("q33"), "head")
+        .when(F.col("ce") <= F.col("q66"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        xent.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("ce").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_ce"),
+            F.min("ce").alias("min_ce"),
+            F.max("ce").alias("max_ce"),
+        )
+    )

@@ -369,3 +369,66 @@ def g11_concat_axis1(spark, sf_dir):
         "o_orderdate",
     )
     return a.join(b, on="idx")
+
+
+@query(
+    "g12_table_checksum",
+    oracle="""
+    WITH rows_d AS (
+      SELECT o_orderkey % 64 AS bucket,
+             CAST(('0x' || substr(md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                 o_orderpriority)), 1, 15)) AS BIGINT) AS digest
+      FROM orders
+    )
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(digest AS DECIMAL(38,0))) AS VARCHAR) AS sum_digest,
+           BIT_XOR(digest) AS xor_digest
+    FROM rows_d GROUP BY bucket
+    """,
+)
+def g12_table_checksum(spark, sf_dir):
+    """Bucketed content checksum — the anti-entropy primitive for verifying
+    two copies of a 100 TB table WITHOUT co-locating them (the pattern
+    behind Cassandra/Dynamo Merkle-tree repair and warehouse replication
+    audits): each row folds to a portable 60-bit md5 digest (the l2/l16
+    discipline — identical in Spark and DuckDB), rows hash into 64 buckets
+    by key, and each bucket emits an order-insensitive SUM and BIT_XOR of
+    its digests. Two replicas compare 64 tiny (bucket, checksum) rows; a
+    mismatched bucket localizes the diff to 1/64th of the table, recursing
+    like a Merkle level. Versus g8_table_diff (row-level EXCEPT — shuffles
+    both full tables) this moves CONSTANT bytes per replica.
+
+    Determinism notes: doubles are quantized to integer cents
+    (``FLOOR(x*100+0.5)`` — SURVEY §7.6.2) and timestamps rendered with an
+    explicit format before hashing, so the digest never depends on an
+    engine's float/timestamp print rules. SUM is carried in DECIMAL(38,0)
+    (bigint would overflow at ~8k rows/bucket) and emitted as a string;
+    XOR stays closed over bigint. Map-side partial aggregation means the
+    single shuffle moves 64 rows per partition, regardless of table size.
+    """
+    o = load(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    digest = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    return (
+        o.select((F.col("o_orderkey") % 64).alias("bucket"), digest.alias("digest"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("digest").cast("decimal(38,0)")).cast("string").alias("sum_digest"),
+            F.expr("bit_xor(digest)").alias("xor_digest"),
+        )
+    )

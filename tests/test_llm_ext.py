@@ -397,3 +397,55 @@ def test_m7_png_payloads_and_crc_guard(spark):
     body = bytes(data[idat_at + 4 : idat_at + 4 + length])
     (crc,) = _s.unpack(">I", bytes(data[idat_at + 4 + length : idat_at + 8 + length]))
     assert crc != (_crc(b"IDAT" + body) & 0xFFFFFFFF)  # corruption detectable
+
+
+def test_l51_fuzzy_join_contract(spark, registry):
+    """Every emitted pair respects the distance threshold and the canonical
+    a<b ordering, and a planted one-char edit is always recovered."""
+    queries, _ = registry
+    out = queries["l51_fuzzy_join"](spark, SF_SMOKE).collect()
+    for r in out:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.edit_dist <= 20
+    # plant: duplicate a doc with a single char appended far from the
+    # 16-char blocking prefix — same block, distance 1
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    planted = docs.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit("Z")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        planted
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out2 = queries["l51_fuzzy_join"](spark, d).collect()
+    base = docs.limit(1).collect()[0].doc_id
+    assert any(
+        r.doc_a == base and r.doc_b == base + 1_000_000 and r.edit_dist <= 1
+        for r in out2
+    )
+
+
+def test_l52_kl_drift_nonnegative(spark, registry):
+    """KL divergence is ≥ 0 for every source (Gibbs' inequality; rounding
+    may leave exact 0.0 for a source matching the corpus blend)."""
+    queries, _ = registry
+    rows = queries["l52_kl_drift"](spark, SF_SMOKE).collect()
+    assert rows, "no sources scored"
+    for r in rows:
+        assert r.kl_vs_corpus >= -1e-4, (r.source, r.kl_vs_corpus)
+        assert r.n_tok > 0
+
+
+def test_l53_buckets_partition_corpus(spark, registry):
+    """head/middle/tail cover every doc exactly once, and bucket score
+    ranges are ordered head ≤ middle ≤ tail."""
+    queries, _ = registry
+    rows = {r.bucket: r for r in queries["l53_perplexity_buckets"](spark, SF_SMOKE).collect()}
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    assert set(rows) == {"head", "middle", "tail"}
+    assert rows["head"].max_ce <= rows["middle"].min_ce + 1e-9
+    assert rows["middle"].max_ce <= rows["tail"].min_ce + 1e-9

@@ -347,3 +347,35 @@ def test_f16_zorder_buckets_are_tight_rectangles(spark, registry):
     for r in rows:
         assert r.max_x - r.min_x <= 512, r
         assert r.max_y - r.min_y <= 512, r
+
+
+def test_g12_checksum_localizes_a_diff(spark, registry):
+    """Perturbing ONE row must change exactly that row's bucket — the
+    Merkle-level localization property the operator exists for."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    queries, _ = registry
+    base = {r.bucket: (r.n_rows, r.sum_digest, r.xor_digest)
+            for r in queries["g12_table_checksum"](spark, SF_SMOKE).collect()}
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    victim = orders.limit(1).collect()[0]
+    mutated = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == victim.o_orderkey,
+               F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
+    )
+    d = tempfile.mkdtemp()
+    mutated.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    after = {r.bucket: (r.n_rows, r.sum_digest, r.xor_digest)
+             for r in queries["g12_table_checksum"](spark, d).collect()}
+    hot = victim.o_orderkey % 64
+    assert base.keys() == after.keys()
+    for b in base:
+        if b == hot:
+            assert base[b] != after[b]
+            assert base[b][0] == after[b][0]  # row count unchanged
+        else:
+            assert base[b] == after[b]

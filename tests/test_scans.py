@@ -81,11 +81,11 @@ def test_a7_bucketed_join_matches_plain_join(spark, registry):
 
 
 def test_a8_partition_filters_reach_the_scan(spark, registry):
-    import os, tempfile
+    from dask_pipes_spark.session import scratch_path
 
     queries, _ = registry
     queries["a8_partition_pruned_scan"](spark, SF_SMOKE)  # writes the layout
-    out = os.path.join(tempfile.gettempdir(), "dps_a8_events_by_type_sf0.001")
+    out = scratch_path("dps_a8_events_by_type_sf0.001")
     back = spark.read.parquet(out)
     plan = _plan(back.filter(F.col("event_type") == "click"))
     assert "PartitionFilters" in plan
@@ -97,11 +97,11 @@ def test_a8_dynamic_partition_pruning_from_dim_filter(spark, registry):
     """A join whose dim side is filtered must inject a dynamicpruning
     subquery on the partitioned fact scan — Spark's runtime analog of
     Dask's divisions-based partition pruning."""
-    import os, tempfile
+    from dask_pipes_spark.session import scratch_path
 
     queries, _ = registry
     queries["a8_partition_pruned_scan"](spark, SF_SMOKE)
-    out = os.path.join(tempfile.gettempdir(), "dps_a8_events_by_type_sf0.001")
+    out = scratch_path("dps_a8_events_by_type_sf0.001")
     fact = spark.read.parquet(out)
     dim = spark.createDataFrame(
         [("click", 1.0), ("view", 0.1)], "event_type string, weight double"

@@ -62,6 +62,7 @@ ARROW_OK = {
     "m4_image_resize",
     "m5_audio_segment",
     "m6_feature_extract",
+    "m7_png_decode",
     "p1_pipeline_fit_transform",
 }
 
@@ -95,6 +96,12 @@ CARTESIAN_OK = {
     "l42_bigram_xent",
     # 1-row order-count broadcast cross join onto the pair table.
     "x27_market_basket",
+    # 1-row token-total broadcast onto the 128-row hash-bucket feature models.
+    "l50_dsir_weights",
+    # scalar corpus-total broadcast onto the vocab-bounded per-source counts.
+    "l52_kl_drift",
+    # scalar token-total + 1-row percentile-cutoff broadcasts (l30 pattern).
+    "l53_perplexity_buckets",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
