@@ -1501,7 +1501,8 @@ def l49_semdedup_prune(spark, sf_dir):
     "l51_fuzzy_join",
     oracle="""
     WITH b AS (
-      SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 80) AS s
+      SELECT doc_id, substr(text, 1, 16) AS blk,
+             regexp_replace(substr(text, 1, 80), '[^\\x00-\\x7F]', '?', 'g') AS s
       FROM documents
     )
     SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
@@ -1516,9 +1517,16 @@ def l51_fuzzy_join(spark, sf_dir):
     VLDB 2008 uses the same prefix-filter idea): candidate pairs come ONLY
     from an equi-join on a cheap blocking key (here the first 16 chars),
     then the expensive Levenshtein verifier runs on the bounded candidate
-    set. Both Spark and DuckDB implement textbook Levenshtein, so the key
-    carries a full SQL oracle; distances are computed on a 80-char window
-    so per-pair cost is O(80²) regardless of document length.
+    set. Distances are computed on an 80-char window so per-pair cost is
+    O(80²) regardless of document length.
+
+    Cross-engine determinism: Spark's ``levenshtein`` counts CHARACTERS
+    while DuckDB's counts BYTES (a found-by-hypothesis divergence — 'é' is
+    distance 2 from '' there), so both sides fold non-ASCII to '?' before
+    measuring; on the folded strings bytes == characters and the SQL
+    oracle is exact for any input corpus (the differential test in
+    tests/test_llm_ext.py proves the folded property on arbitrary
+    unicode).
 
     100 TB: the blocking key turns an O(n²) all-pairs problem into a
     shuffle-by-block equi-join — quadratic only WITHIN a block, and block
@@ -1529,7 +1537,9 @@ def l51_fuzzy_join(spark, sf_dir):
     b = d.select(
         "doc_id",
         F.substring("text", 1, 16).alias("blk"),
-        F.substring("text", 1, 80).alias("s"),
+        F.regexp_replace(
+            F.substring("text", 1, 80), "[^\\x00-\\x7F]", "?"
+        ).alias("s"),
     )
     a, c = b.alias("a"), b.alias("c")
     dist = F.levenshtein(F.col("a.s"), F.col("c.s"))

@@ -326,8 +326,15 @@ def j7_cogrouped_map(spark, sf_dir):
         import decimal
 
         uid = ckey[0]
-        csum = sum((decimal.Decimal(str(v)) for v in cdf["value"]), decimal.Decimal(0))
-        psum = sum((decimal.Decimal(str(v)) for v in pdf["value"]), decimal.Decimal(0))
+        # a key present on only one side cogroups with an EMPTY frame — and
+        # depending on session Arrow config the empty side can arrive with
+        # NO columns at all (found by driver-session simulation; the engine
+        # session happened to deliver schema'd empties), so never index a
+        # column on a frame that may be column-less
+        cvals = cdf["value"] if "value" in cdf.columns else []
+        pvals = pdf["value"] if "value" in pdf.columns else []
+        csum = sum((decimal.Decimal(str(v)) for v in cvals), decimal.Decimal(0))
+        psum = sum((decimal.Decimal(str(v)) for v in pvals), decimal.Decimal(0))
         return pd.DataFrame(
             {
                 "user_id": [uid],

@@ -449,3 +449,48 @@ def test_l53_buckets_partition_corpus(spark, registry):
     assert set(rows) == {"head", "middle", "tail"}
     assert rows["head"].max_ce <= rows["middle"].min_ce + 1e-9
     assert rows["middle"].max_ce <= rows["tail"].min_ce + 1e-9
+
+
+# --- differential: Spark vs DuckDB Levenshtein on arbitrary strings --------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x24F),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pairs=st.lists(st.tuples(_word, _word), min_size=1, max_size=8))
+def test_levenshtein_matches_duckdb_after_ascii_fold(spark, pairs):
+    """Raw Levenshtein DIVERGES across engines on non-ASCII (Spark counts
+    characters, DuckDB counts bytes — hypothesis found 'é'→'' as 1 vs 2),
+    which is why l51 folds non-ASCII to '?' on both sides. Prove the folded
+    distances agree on arbitrary unicode, batched."""
+    import duckdb
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+    fold = lambda c: F.regexp_replace(c, "[^\\x00-\\x7F]", "?")  # noqa: E731
+    got = (
+        spark.createDataFrame(pdf)
+        .select(F.levenshtein(fold(F.col("a")), fold(F.col("b"))).alias("d"))
+        .toPandas()["d"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [
+        r[0]
+        for r in con.execute(
+            r"""SELECT levenshtein(regexp_replace(a, '[^\x00-\x7F]', '?', 'g'),
+                                   regexp_replace(b, '[^\x00-\x7F]', '?', 'g'))
+                FROM t"""
+        ).fetchall()
+    ]
+    assert got == want

@@ -379,3 +379,33 @@ def test_g12_checksum_localizes_a_diff(spark, registry):
             assert base[b][0] == after[b][0]  # row count unchanged
         else:
             assert base[b] == after[b]
+
+
+def test_g12_checksum_is_layout_invariant(spark, registry):
+    """The per-bucket SUM/XOR checksums must not depend on partitioning or
+    row order — re-run the operator over shuffled/re-partitioned copies of
+    orders and require bit-identical output."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    queries, _ = registry
+    base = sorted(
+        (r.bucket, r.n_rows, r.sum_digest, r.xor_digest)
+        for r in queries["g12_table_checksum"](spark, SF_SMOKE).collect()
+    )
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    for width, order_col in ((7, F.rand(seed=1)), (3, F.col("o_totalprice"))):
+        d = tempfile.mkdtemp()
+        (
+            orders.orderBy(order_col)
+            .repartition(width)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "orders.parquet"))
+        )
+        got = sorted(
+            (r.bucket, r.n_rows, r.sum_digest, r.xor_digest)
+            for r in queries["g12_table_checksum"](spark, d).collect()
+        )
+        assert got == base
