@@ -2,11 +2,13 @@
 ``binary`` columns with typed metadata, decoded / feature-extracted through
 Arrow-batched ``mapInPandas``.
 
-Two codecs are REAL and stdlib-only (round 2): m5 decodes spec-conformant
-RIFF/WAVE containers (``wave``) and m7 decodes spec-conformant PNGs
-(``struct``/``zlib`` with CRC-32 verification) — both synthesized so every
-decoded quantity is SQL-oracle-predictable. The remaining keys (m1 generic
-decode, m4 resize) keep a deterministic fake codec (the real-library path
+Three codecs are REAL and stdlib-only (round 2): m5 decodes spec-conformant
+RIFF/WAVE containers (``wave``), m7 decodes spec-conformant PNGs
+(``struct``/``zlib`` with CRC-32 verification), and m8 resizes those PNGs
+through an actual decode → nearest-neighbor raster pipeline — all
+synthesized so every decoded quantity is SQL-oracle-predictable. The
+remaining keys (m1 generic decode, m4 byte-block resize) keep a
+deterministic fake codec (the real-library path
 gated behind an import-try raising ``NotImplementedError``) while the
 Spark-side plumbing — binary column type, metadata struct, ``mapInPandas``
 batch shape, partitioning, schema contract — is real, tested, and since
@@ -572,43 +574,13 @@ def m7_png_decode(spark, sf_dir):
 
     def decode(batches):
         import math
-        import struct
-        import zlib
-        from binascii import crc32
 
         import pandas as pd
 
         for pdf in batches:
             out = {k: [] for k in ("media_id", "width", "height", "n_pixels", "mean_gray")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = bytes(payload)
-                assert data[:8] == b"\x89PNG\r\n\x1a\n"
-                pos, width, height, idat = 8, None, None, b""
-                while pos < len(data):
-                    (length,) = struct.unpack(">I", data[pos : pos + 4])
-                    tag = data[pos + 4 : pos + 8]
-                    body = data[pos + 8 : pos + 8 + length]
-                    (crc,) = struct.unpack(
-                        ">I", data[pos + 8 + length : pos + 12 + length]
-                    )
-                    assert crc == (crc32(tag + body) & 0xFFFFFFFF), "bad CRC"
-                    if tag == b"IHDR":
-                        width, height, depth, ctype = struct.unpack(
-                            ">IIBB", body[:10]
-                        )
-                        assert depth == 8 and ctype == 0
-                    elif tag == b"IDAT":
-                        idat += body
-                    elif tag == b"IEND":
-                        break
-                    pos += 12 + length
-                raw = zlib.decompress(idat)
-                pix = []
-                stride = width + 1
-                for y in range(height):
-                    row = raw[y * stride : (y + 1) * stride]
-                    assert row[0] == 0  # filter type 0
-                    pix.extend(row[1:])
+                width, height, pix = _png_decode_gray(bytes(payload))
                 out["media_id"].append(mid)
                 out["width"].append(width)
                 out["height"].append(height)
@@ -619,3 +591,113 @@ def m7_png_decode(spark, sf_dir):
             yield pd.DataFrame(out)
 
     return synth_png_media(spark, sf_dir).mapInPandas(decode, schema)
+
+
+def _png_decode_gray(data: bytes) -> tuple[int, int, list]:
+    """REAL stdlib PNG decoder for 8-bit grayscale filter-0 images: walks
+    the chunk stream verifying every CRC-32, parses IHDR, inflates the
+    concatenated IDAT stream, strips per-scanline filter bytes. Returns
+    (width, height, row-major pixel list). Shared by m7 (decode audit) and
+    m8 (resize)."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, width, height, idat = 8, None, None, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        assert crc == (crc32(tag + body) & 0xFFFFFFFF), "bad CRC"
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert depth == 8 and ctype == 0
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    pix: list = []
+    stride = width + 1
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        assert row[0] == 0  # filter type 0
+        pix.extend(row[1:])
+    return width, height, pix
+
+
+@query(
+    "m8_png_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+             CAST(n_chars % 16 + 1 AS BIGINT) AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT media_id, w, h, k,
+             (media_id
+              + CAST(FLOOR((k % 4) * w / 4) AS BIGINT)
+              + CAST(FLOOR(FLOOR(k / 4) * h / 4) AS BIGINT)) % 256 AS val
+      FROM dims, LATERAL (SELECT unnest(range(16)) AS k)
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS INTEGER) AS src_w,
+           CAST(MAX(h) AS INTEGER) AS src_h,
+           string_agg(CAST(val AS VARCHAR), ',' ORDER BY k) AS thumb_4x4,
+           FLOOR(AVG(val) * 1000000 + 0.5) / 1000000 AS mean_thumb
+    FROM cells GROUP BY media_id
+    """,
+)
+def m8_png_resize(spark, sf_dir):
+    """REAL image resize (upgrades m4's fake-codec thumbnailing to an
+    actual raster pipeline): spec-conformant PNG payloads are DECODED
+    (CRC-verified chunk walk, inflate, de-filter — ``_png_decode_gray``)
+    and downsampled to a 4×4 thumbnail by nearest-neighbor sampling at
+    ``src = (dst * size) // 4`` — the standard NN resample grid. Because
+    the planted pixel pattern is ``(doc_id + x + y) % 256``, every sampled
+    cell is SQL-predictable and the key carries a FULL oracle: a wrong
+    decode, wrong sample coordinate, or wrong raster order fails parity.
+
+    100 TB: same shape as m7 — per-partition Arrow map over binary
+    payloads, heavy bytes never shuffle, only 16-byte thumbnails flow
+    downstream. Swapping nearest-neighbor for area/bilinear (or stdlib-PNG
+    for PIL) changes arithmetic inside one kernel, not the plumbing."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("src_w", T.IntegerType()),
+            T.StructField("src_h", T.IntegerType()),
+            T.StructField("thumb_4x4", T.StringType()),
+            T.StructField("mean_thumb", T.DoubleType()),
+        ]
+    )
+
+    def resize(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "src_w", "src_h", "thumb_4x4", "mean_thumb")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, pix = _png_decode_gray(bytes(payload))
+                thumb = [
+                    pix[((j * h) // 4) * w + ((i * w) // 4)]
+                    for j in range(4)
+                    for i in range(4)
+                ]
+                out["media_id"].append(mid)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["thumb_4x4"].append(",".join(str(v) for v in thumb))
+                out["mean_thumb"].append(
+                    math.floor(sum(thumb) / 16 * 1e6 + 0.5) / 1e6
+                )
+            yield pd.DataFrame(out)
+
+    return synth_png_media(spark, sf_dir).mapInPandas(resize, schema)

@@ -494,3 +494,34 @@ def test_levenshtein_matches_duckdb_after_ascii_fold(spark, pairs):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_m8_resize_samples_known_pixels(spark, registry):
+    """Hand-build an 8x4 gradient PNG, resize via the kernel's helper, and
+    check every nearest-neighbor sample lands on the expected source pixel."""
+    from dask_pipes_spark.operators.multimodal import (
+        _png_decode_gray,
+        _png_encode,
+    )
+
+    w, h = 8, 4
+    data = _png_encode(w, h, lambda x, y: (3 * x + 7 * y) % 256)
+    dw, dh, pix = _png_decode_gray(data)
+    assert (dw, dh) == (w, h)
+    assert pix == [(3 * x + 7 * y) % 256 for y in range(h) for x in range(w)]
+    thumb = [
+        pix[((j * h) // 4) * w + ((i * w) // 4)]
+        for j in range(4)
+        for i in range(4)
+    ]
+    expect = [
+        (3 * ((i * w) // 4) + 7 * ((j * h) // 4)) % 256
+        for j in range(4)
+        for i in range(4)
+    ]
+    assert thumb == expect
+    # registry surface: every row's thumb has 16 cells, all 0..255
+    rows = registry[0]["m8_png_resize"](spark, SF_SMOKE).collect()
+    for r in rows:
+        cells = [int(v) for v in r.thumb_4x4.split(",")]
+        assert len(cells) == 16 and all(0 <= v <= 255 for v in cells)

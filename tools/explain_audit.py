@@ -63,6 +63,7 @@ ARROW_OK = {
     "m5_audio_segment",
     "m6_feature_extract",
     "m7_png_decode",
+    "m8_png_resize",
     "p1_pipeline_fit_transform",
 }
 
