@@ -2,11 +2,12 @@
 ``binary`` columns with typed metadata, decoded / feature-extracted through
 Arrow-batched ``mapInPandas``.
 
-Three codecs are REAL and stdlib-only (round 2): m5 decodes spec-conformant
+Four keys run REAL stdlib-only codecs (round 2): m5 decodes spec-conformant
 RIFF/WAVE containers (``wave``), m7 decodes spec-conformant PNGs
-(``struct``/``zlib`` with CRC-32 verification), and m8 resizes those PNGs
-through an actual decode → nearest-neighbor raster pipeline — all
-synthesized so every decoded quantity is SQL-oracle-predictable. The
+(``struct``/``zlib`` with CRC-32 verification), m8 resizes those PNGs
+through an actual decode → nearest-neighbor raster pipeline, and m9 routes
+a MIXED png/wav payload stream to the right decoder by magic-byte sniffing
+— all synthesized so every decoded quantity is SQL-oracle-predictable. The
 remaining keys (m1 generic decode, m4 byte-block resize) keep a
 deterministic fake codec (the real-library path
 gated behind an import-try raising ``NotImplementedError``) while the
@@ -701,3 +702,126 @@ def m8_png_resize(spark, sf_dir):
             yield pd.DataFrame(out)
 
     return synth_png_media(spark, sf_dir).mapInPandas(resize, schema)
+
+
+@query(
+    "m9_multiformat_dispatch",
+    oracle="""
+    WITH png AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+             CAST(n_chars % 16 + 1 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    png_px AS (
+      SELECT media_id, w, h,
+             (media_id + (i % w) + CAST(FLOOR(i / w) AS BIGINT)) % 256 AS val
+      FROM png, LATERAL (SELECT unnest(range(w * h)) AS i)
+    ),
+    png_rows AS (
+      SELECT media_id, 'png' AS fmt, CAST(MAX(w * h) AS BIGINT) AS n_units,
+             FLOOR(AVG(val) / 255.0 * 1000000 + 0.5) / 1000000 AS level
+      FROM png_px GROUP BY media_id
+    ),
+    wav_rows AS (
+      SELECT doc_id AS media_id, 'wav' AS fmt,
+             CAST(n_chars * 8 AS BIGINT) AS n_units,
+             FLOOR((1000 + doc_id % 1000) / 32768.0 * 1000000 + 0.5) / 1000000
+               AS level
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT * FROM png_rows UNION ALL SELECT * FROM wav_rows
+    """,
+)
+def m9_multiformat_dispatch(spark, sf_dir):
+    """REAL multi-format decode dispatch — the shape of an actual ingest
+    where one binary column carries MIXED media: even docs synthesize
+    spec-conformant PNGs, odd docs spec-conformant WAVs, interleaved in the
+    SAME payload stream, and the kernel routes each payload by sniffing its
+    magic bytes (``\\x89PNG`` vs ``RIFF``) to the matching REAL stdlib
+    decoder (m7's CRC-verified PNG walk; ``wave`` PCM parse). Output
+    normalizes both modalities to (fmt, n_units, level): pixels + mean
+    gray/255 for images, samples + RMS/full-scale for audio. Every value
+    is predicted by the SQL oracle from the planted patterns — a wrong
+    sniff, a wrong decoder, or a wrong normalization fails parity.
+
+    100 TB: the dispatch is per-row inside a per-partition Arrow map —
+    no shuffle by format, no split pipelines; payload bytes stay columnar
+    and never shuffle. Adding a codec = one more sniff branch."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth_mixed(batches):
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                if int(doc_id) % 2 == 0:
+                    w = int(doc_id) % 16 + 1
+                    h = int(n_chars) % 16 + 1
+                    payloads.append(
+                        _png_encode(w, h, lambda x, y: (int(doc_id) + x + y) % 256)
+                    )
+                else:
+                    n_samples = int(n_chars) * 8
+                    amp = 1000 + int(doc_id) % 1000
+                    arr = np.where(
+                        np.arange(n_samples) % 2 == 0, amp, -amp
+                    ).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave_mod.open(buf, "wb") as wv:
+                        wv.setnchannels(1)
+                        wv.setsampwidth(2)
+                        wv.setframerate(_WAV_RATE)
+                        wv.writeframes(arr.tobytes())
+                    payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth_mixed, "media_id bigint, payload binary")
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("n_units", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+        ]
+    )
+
+    def dispatch(batches):
+        import io
+        import math
+        import wave as wave_mod
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "fmt": [], "n_units": [], "level": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if data[:4] == b"\x89PNG":
+                    w, h, pix = _png_decode_gray(data)
+                    fmt, n_units = "png", len(pix)
+                    level = sum(pix) / len(pix) / 255.0
+                elif data[:4] == b"RIFF":
+                    with wave_mod.open(io.BytesIO(data), "rb") as wv:
+                        assert wv.getsampwidth() == 2 and wv.getnchannels() == 1
+                        frames = wv.readframes(wv.getnframes())
+                        n_units = wv.getnframes()
+                    samples = np.frombuffer(frames, dtype="<i2").astype("float64")
+                    fmt = "wav"
+                    level = float(np.sqrt((samples * samples).mean())) / 32768.0
+                else:  # pragma: no cover - no third format synthesized
+                    raise ValueError(f"unknown magic: {data[:4]!r}")
+                out["media_id"].append(mid)
+                out["fmt"].append(fmt)
+                out["n_units"].append(n_units)
+                out["level"].append(math.floor(level * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(dispatch, schema)

@@ -64,6 +64,7 @@ ARROW_OK = {
     "m6_feature_extract",
     "m7_png_decode",
     "m8_png_resize",
+    "m9_multiformat_dispatch",
     "p1_pipeline_fit_transform",
 }
 
