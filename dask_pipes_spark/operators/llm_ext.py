@@ -1607,7 +1607,16 @@ def l52_kl_drift(spark, sf_dir):
     aggregate is one row per source — no corpus-scale shuffle anywhere."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
-    per_src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_s"))
+    # per_src is the (|sources|·|V|)-bounded spine every downstream branch
+    # reads (its own join input, src_tot, corpus, tot); localCheckpoint
+    # materializes the corpus-scale explode+count ONCE instead of once per
+    # branch (the l29/l12 lineage-truncation idiom — dropped the executed
+    # plan from 9 exchanges to 5)
+    per_src = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .localCheckpoint()
+    )
     src_tot = per_src.groupBy("source").agg(
         F.sum("c_s").cast("long").alias("t_s")
     )
@@ -1689,12 +1698,16 @@ def l53_perplexity_buckets(spark, sf_dir):
         .cast("decimal(28,6)")
         .alias("lp"),
     )
+    # the per-doc score table is read twice (percentile cutoffs + bucket
+    # labeling); localCheckpoint materializes the corpus-scale score pass
+    # once (same lineage-truncation idiom as l52 — 10 exchanges → 2)
     xent = (
         toks.join(F.broadcast(probs), "tok")
         .groupBy("doc_id")
         .agg(
             F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 4).alias("ce")
         )
+        .localCheckpoint()
     )
     cuts = xent.agg(
         F.expr("percentile_disc(1.0/3) WITHIN GROUP (ORDER BY ce)").alias("q33"),
