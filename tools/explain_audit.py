@@ -121,6 +121,27 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+_BUDGET_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_budget.json")
+
+
+def _load_budget() -> dict:
+    """Per-key shuffle-exchange budgets — the plan-REGRESSION gate. The
+    recorded count is the audited-good plan's exchange count; a future edit
+    that adds exchanges to a key fails the audit until the regression is
+    either fixed or consciously re-recorded with ``--update-budget``.
+    (Counts come from the pre-execution plan string, which is deterministic
+    for a fixed operator + session config.)"""
+    import json
+
+    if os.path.exists(_BUDGET_PATH):
+        with open(_BUDGET_PATH) as fh:
+            return json.load(fh)
+    return {}
+
+
+PLAN_BUDGET = _load_budget()
+
+
 def audit(keys: list[str]) -> int:
     spark = get_session("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -174,6 +195,12 @@ def audit(keys: list[str]) -> int:
 
         joins = "+".join(sorted(set(re.findall(r"(\w*?(?:HashJoin|MergeJoin|NestedLoopJoin|CartesianProduct))", plan))))
         nex = len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+        budget = PLAN_BUDGET.get(key)
+        if budget is not None and nex > budget:
+            bad = True
+            notes.append(
+                f"exchange budget regression: {nex} > recorded {budget}"
+            )
         info = f"exchanges={nex}" + (f" joins={joins}" if joins else "")
         if notes:
             info += " | " + "; ".join(notes)
@@ -208,6 +235,17 @@ def audit(keys: list[str]) -> int:
         with open(out, "w") as fh:
             fh.write("\n".join(lines) + "\n")
         print(f"wrote {out}")
+        if "--update-budget" in sys.argv:
+            import json
+
+            counts = {}
+            for key, verdict, info in rows:
+                m = re.match(r"exchanges=(\d+)", info)
+                if verdict == "ok" and m:
+                    counts[key] = int(m.group(1))
+            with open(_BUDGET_PATH, "w") as fh:
+                json.dump(counts, fh, indent=0, sort_keys=True)
+            print(f"recorded {len(counts)} exchange budgets -> {_BUDGET_PATH}")
     return violations
 
 
