@@ -698,3 +698,133 @@ def p13_contract_check(spark, sf_dir):
     return (
         pk.unionByName(fk).unionByName(rng).unionByName(dom).select("r.*")
     )
+
+
+@query(
+    "p14_drift_monitor",
+    oracle="""
+    WITH f AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    s AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+    fstat AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxx,
+             COUNT(*) AS n
+      FROM f
+    ),
+    fit AS (
+      SELECT sx / n AS mean_f,
+             SQRT((sxx - sx * sx / n) / (n - 1)) AS std_f,
+             n AS n_fit
+      FROM fstat
+    ),
+    sstat AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS mean_s,
+             COUNT(*) AS n_serve
+      FROM s
+    ),
+    zrow AS (
+      SELECT 'price_mean_shift_z' AS metric,
+             FLOOR((mean_s - mean_f) / (std_f / SQRT(n_serve)) * 1000000 + 0.5)
+               / 1000000 AS value,
+             CAST(n_fit AS BIGINT) AS n_fit,
+             CAST(n_serve AS BIGINT) AS n_serve
+      FROM fit CROSS JOIN sstat
+    ),
+    fp AS (SELECT o_orderpriority AS pr, COUNT(*) AS c_f FROM f GROUP BY 1),
+    sp AS (SELECT o_orderpriority AS pr, COUNT(*) AS c_s FROM s GROUP BY 1),
+    terms AS (
+      SELECT CAST((CAST(c_s AS DOUBLE) / (SELECT n_serve FROM sstat)
+                   - CAST(c_f AS DOUBLE) / (SELECT n_fit FROM fit))
+                  * LN((CAST(c_s AS DOUBLE) / (SELECT n_serve FROM sstat))
+                       / (CAST(c_f AS DOUBLE) / (SELECT n_fit FROM fit)))
+                  AS DECIMAL(28,12)) AS term
+      FROM fp JOIN sp USING (pr)
+    ),
+    psirow AS (
+      SELECT 'priority_psi' AS metric,
+             FLOOR(CAST(SUM(term) AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS value,
+             (SELECT CAST(n_fit AS BIGINT) FROM fit) AS n_fit,
+             (SELECT CAST(n_serve AS BIGINT) FROM sstat) AS n_serve
+      FROM terms
+    )
+    SELECT * FROM zrow UNION ALL SELECT * FROM psirow
+    """,
+)
+def p14_drift_monitor(spark, sf_dir):
+    """Training-serving drift monitor — the production check between a
+    FITTED pipeline and fresh data: the fit slice (even order keys) trains
+    a :class:`StandardScaler` through the pipeline layer's normal ``fit``
+    path; the serving slice (odd keys) is then scored against those FROZEN
+    params with two canonical statistics:
+
+    - ``price_mean_shift_z`` — the serving mean's z-distance from the
+      fitted mean under the fitted std's standard error (the two-sample
+      drift test applied one-sided, as monitors do against a frozen
+      reference);
+    - ``priority_psi`` — Population Stability Index over the categorical
+      priority distribution, Σ (p_serve − p_fit)·ln(p_serve/p_fit), the
+      industry-standard feature-drift score (>0.2 ⇒ investigate).
+
+    The fitted params are driver floats, but they come from the pipeline's
+    exact decimal-sum ``_exact_mean_std`` — so the SQL oracle recomputes
+    them bitwise and the WHOLE monitor (fit arithmetic included) is
+    parity-verified, same as p2's fitted-transform proof.
+
+    100 TB: one aggregate pass per slice (decimal sums, map-side partial),
+    a priority-cardinality groupBy each, and scalar joins — the monitor
+    costs two scans and shuffles only group keys. The fit params cross the
+    driver as a bounded dict (the documented pipeline-layer pattern)."""
+    o = load(spark, sf_dir, "orders")
+    fit_df = o.filter(F.col("o_orderkey") % 2 == 0)
+    serve_df = o.filter(F.col("o_orderkey") % 2 == 1)
+
+    scaler = StandardScaler(["o_totalprice"])
+    mean_f, std_f = scaler.fit(fit_df)["o_totalprice"]
+    n_fit = fit_df.count()
+
+    quant = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+
+    sstat = serve_df.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mean_s"),
+        F.count(F.lit(1)).alias("n_serve"),
+    )
+    zrow = sstat.select(
+        F.lit("price_mean_shift_z").alias("metric"),
+        quant(
+            (F.col("mean_s") - F.lit(mean_f))
+            / (F.lit(std_f) / F.sqrt(F.col("n_serve")))
+        ).alias("value"),
+        F.lit(n_fit).cast("bigint").alias("n_fit"),
+        F.col("n_serve").cast("bigint").alias("n_serve"),
+    )
+
+    fp = fit_df.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.count(F.lit(1)).alias("c_f")
+    )
+    sp = serve_df.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+    joined = fp.join(sp, "pr").crossJoin(
+        F.broadcast(sstat.select("n_serve"))
+    )
+    p_f = F.col("c_f").cast("double") / F.lit(n_fit)
+    p_s = F.col("c_s").cast("double") / F.col("n_serve")
+    psirow = (
+        joined.select(
+            ((p_s - p_f) * F.log(p_s / p_f)).cast("decimal(28,12)").alias("term"),
+            "n_serve",
+        )
+        .groupBy()
+        .agg(
+            F.lit("priority_psi").alias("metric"),
+            quant(F.sum("term").cast("double")).alias("value"),
+            F.lit(n_fit).cast("bigint").alias("n_fit"),
+            F.max("n_serve").cast("bigint").alias("n_serve"),
+        )
+        .select("metric", "value", "n_fit", "n_serve")
+    )
+    return zrow.unionByName(psirow)

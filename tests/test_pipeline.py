@@ -252,3 +252,17 @@ def test_category_encoder_vocab_cap(spark):
     # and a genuine categorical still fits under the default cap
     ok = CategoryEncoder("o_orderpriority").fit(orders)
     assert 0 < len(ok["vocab"]) <= 10
+
+
+def test_p14_drift_monitor_contract(spark, registry):
+    """PSI is non-negative (its terms share sign by construction) and both
+    slices are non-empty; the z-score must be finite."""
+    import math
+
+    queries, _ = registry
+    rows = {r.metric: r for r in queries["p14_drift_monitor"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"price_mean_shift_z", "priority_psi"}
+    for r in rows.values():
+        assert r.n_fit > 0 and r.n_serve > 0
+        assert math.isfinite(r.value)
+    assert rows["priority_psi"].value >= 0.0

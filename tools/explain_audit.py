@@ -104,6 +104,8 @@ CARTESIAN_OK = {
     "l52_kl_drift",
     # scalar token-total + 1-row percentile-cutoff broadcasts (l30 pattern).
     "l53_perplexity_buckets",
+    # 1-row serving-count broadcast cross join onto the 5-row PSI terms.
+    "p14_drift_monitor",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
