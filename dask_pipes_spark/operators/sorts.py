@@ -427,3 +427,45 @@ def f16_zorder_layout(spark, sf_dir):
             F.max("zy").alias("max_y"),
         )
     )
+
+
+@query(
+    "f17_systematic_sample",
+    oracle="""
+    WITH indexed AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx
+      FROM orders
+    )
+    SELECT idx, o_orderkey, o_custkey, o_totalprice
+    FROM indexed WHERE idx % 50 = 0
+    """,
+)
+def f17_systematic_sample(spark, sf_dir):
+    """Systematic (every k-th row) sampling — pandas/Dask ``df.loc[::50]``
+    on a sorted frame: deterministic, covers the key range uniformly, and
+    unlike Bernoulli sampling yields an EXACT ceil(n/k) row count (the
+    property survey/profiling jobs rely on). Built on the distributed
+    global index (``_global_index``: parallel range sort, only per-partition
+    counts cross the driver — no single-task global window), then a
+    map-side ``idx % k`` filter.
+
+    100 TB: the only full-data movement is the range partition for the
+    order (the same cost as any global sort); the filter prunes 49/50 of
+    rows before anything else happens. For unordered corpora the f7
+    hash-threshold split is the cheaper sibling (zero shuffle)."""
+    from dask_pipes_spark.operators.setops import _global_index
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return (
+        _global_index(o, (F.col("o_orderkey"),))
+        .filter(F.col("_idx") % 50 == 0)
+        .select(
+            F.col("_idx").alias("idx"),
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+        )
+    )

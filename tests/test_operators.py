@@ -409,3 +409,25 @@ def test_g12_checksum_is_layout_invariant(spark, registry):
             for r in queries["g12_table_checksum"](spark, d).collect()
         )
         assert got == base
+
+
+def test_f17_systematic_sample_exact_stride(spark, registry):
+    """Exactly ceil(n/50) rows, indices are multiples of 50, and the
+    sampled keys are the true every-50th keys of the global key order."""
+    import math
+
+    queries, _ = registry
+    rows = sorted(
+        queries["f17_systematic_sample"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.idx,
+    )
+    keys = sorted(
+        r.o_orderkey
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    )
+    assert len(rows) == math.ceil(len(keys) / 50)
+    for r in rows:
+        assert r.idx % 50 == 0
+        assert r.o_orderkey == keys[r.idx]
