@@ -260,17 +260,25 @@ def main() -> None:
         for proj in over.values():
             proj.count()
 
-    # per-query exchange width: sized to the shuffled row count (the AQE
-    # coalesce analog, pinned since AQE is off here)
+    # per-query exchange width: sized to the shuffled ROW count (the AQE
+    # coalesce analog, pinned since AQE is off here). Queries whose only
+    # exchanges carry GROUP-bounded data (6 pricing groups, 25 nations,
+    # 5 langs) keep a fixed width at ANY data scale — the shuffled row
+    # count does not grow with the input, so scaling the width only adds
+    # task dispatch and, at >1, a range-sort sampling pass for the final
+    # ORDER BY (measured: pricing 191 ms @1 vs 224 ms @8; join 253 @1 vs
+    # 272 @8). Row-scaled queries (window per-customer rows, events
+    # per-user rollup) keep the data-volume multiplier.
     shuffle_parts = {
-        "q_pricing_summary": 8,
-        "q_join3_topn": 8,
+        "q_pricing_summary": 1,
+        "q_join3_topn": 1,
         "q_window_rank": 4,
         "q_sort": 8,
         "q_distinct": 8,
         "q_events_session": 1,
         "q_text_stats": 1,
     }
+    noscale = {"q_pricing_summary", "q_join3_topn", "q_text_stats"}
     # per-query broadcast threshold: q_join3_topn must NOT broadcast the
     # 150k-row orders side — re-building that broadcast every execution
     # costs more than the zero-exchange SMJ the co-partitioned, co-sorted
@@ -287,9 +295,10 @@ def main() -> None:
             "spark.sql.autoBroadcastJoinThreshold",
             str(bcast_threshold.get(qname, 10 * 1024 * 1024 * scale)),
         )
+        q_scale = 1 if qname in noscale else scale
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(min(shuffle_parts.get(qname, 8) * scale, maxpart)),
+            str(min(shuffle_parts.get(qname, 8) * q_scale, maxpart)),
         )
 
     # warmup + front-end cross-check: DataFrame-API plan and SQL text must
