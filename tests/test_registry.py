@@ -67,3 +67,25 @@ def test_every_survey_contract_key_is_registered(registry):
     keys = set(re.findall(r"`([a-z]\d+_[a-z0-9_]+)`", sec2))
     missing = sorted(k for k in keys if k not in queries)
     assert not missing, f"SURVEY §2 keys not registered: {missing}"
+
+
+def test_plan_budget_covers_every_audited_key(registry):
+    """The plan-regression gate only bites for keys with a recorded budget;
+    every registered key must have one (streaming live variants excepted) so
+    a new operator cannot ship without pinning its exchange count."""
+    import json
+    import os
+
+    queries, _ = registry
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "tools", "plan_budget.json"
+    )
+    with open(path) as fh:
+        budget = json.load(fh)
+    from tools.explain_audit import SKIP
+
+    missing = sorted(k for k in queries if k not in budget and k not in SKIP)
+    assert not missing, (
+        f"keys without a recorded exchange budget (run "
+        f"`python tools/explain_audit.py --update-budget`): {missing}"
+    )
