@@ -432,3 +432,118 @@ def g12_table_checksum(spark, sf_dir):
             F.expr("bit_xor(digest)").alias("xor_digest"),
         )
     )
+
+
+_ROW_DIGEST_SQL = """CAST(('0x' || substr(md5(concat_ws('|',
+    CAST(o_orderkey AS VARCHAR),
+    CAST(o_custkey AS VARCHAR),
+    o_orderstatus,
+    CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+    o_orderpriority)), 1, 15)) AS BIGINT)"""
+
+
+@query(
+    "g13_checksum_drilldown",
+    oracle=f"""
+    WITH a AS (SELECT * FROM orders),
+    b AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+                  THEN o_totalprice + 10.0 ELSE o_totalprice END
+               AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+    ),
+    ca AS (
+      SELECT o_orderkey % 64 AS bucket, BIT_XOR({_ROW_DIGEST_SQL}) AS x
+      FROM a GROUP BY 1
+    ),
+    cb AS (
+      SELECT o_orderkey % 64 AS bucket, BIT_XOR({_ROW_DIGEST_SQL}) AS x
+      FROM b GROUP BY 1
+    ),
+    hot AS (
+      SELECT ca.bucket FROM ca JOIN cb USING (bucket) WHERE ca.x <> cb.x
+    ),
+    ra AS (
+      SELECT o_orderkey, {_ROW_DIGEST_SQL} AS da FROM a
+      WHERE o_orderkey % 64 IN (SELECT bucket FROM hot)
+    ),
+    rb AS (
+      SELECT o_orderkey, {_ROW_DIGEST_SQL} AS db FROM b
+      WHERE o_orderkey % 64 IN (SELECT bucket FROM hot)
+    )
+    SELECT ra.o_orderkey % 64 AS bucket, ra.o_orderkey AS diff_key,
+           da AS digest_a, db AS digest_b,
+           (SELECT COUNT(*) FROM ra) AS n_drilled
+    FROM ra JOIN rb ON ra.o_orderkey = rb.o_orderkey
+    WHERE da <> db
+    """,
+)
+def g13_checksum_drilldown(spark, sf_dir):
+    """The Merkle RECURSION step completing g12: given two table replicas
+    (B = A with one planted row perturbation), compare their 64 bucket
+    checksums — constant bytes — then drill row-level ONLY into the
+    mismatched bucket(s): re-digest and anti-compare 1/64th of the table,
+    emitting the exact differing key(s) plus how many rows the drilldown
+    actually scanned. At 100 TB the full-table row diff (g8) moves both
+    tables through a shuffle; this path moves 64 checksum rows, then one
+    bucket, then the culprit — logarithmic in mismatch count, linear only
+    in the mismatched slice.
+
+    Every quantity is deterministic (the portable digest over quantized
+    fields, a keyed equi-join inside the hot bucket), so the whole
+    two-level protocol carries a full SQL oracle — including
+    ``n_drilled``, which PROVES the drilldown touched only the one
+    bucket's rows."""
+    o = load(spark, sf_dir, "orders")
+    minkey = o.agg(F.min("o_orderkey")).collect()[0][0]
+    b = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == minkey, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+    def digest(df):
+        row_str = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            F.col("o_orderpriority"),
+        )
+        return df.select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 64).alias("bucket"),
+            F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("d"),
+        )
+
+    da, db = digest(o), digest(b)
+    ca = da.groupBy("bucket").agg(F.expr("bit_xor(d)").alias("xa"))
+    cb = db.groupBy("bucket").agg(F.expr("bit_xor(d)").alias("xb"))
+    hot = ca.join(cb, "bucket").filter(F.col("xa") != F.col("xb")).select("bucket")
+    ra = da.join(F.broadcast(hot), "bucket").select(
+        "bucket", "o_orderkey", F.col("d").alias("digest_a")
+    )
+    rb = db.join(F.broadcast(hot), "bucket").select(
+        "o_orderkey", F.col("d").alias("digest_b")
+    )
+    n_drilled = ra.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return (
+        ra.join(rb, "o_orderkey")
+        .filter(F.col("digest_a") != F.col("digest_b"))
+        .crossJoin(F.broadcast(n_drilled))
+        .select(
+            "bucket",
+            F.col("o_orderkey").alias("diff_key"),
+            "digest_a",
+            "digest_b",
+            F.col("n").cast("long").alias("n_drilled"),
+        )
+    )

@@ -1102,3 +1102,80 @@ def e27_last_touch_attribution(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "e28_twap",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, value,
+             EPOCH_US(ts) AS t,
+             LEAD(EPOCH_US(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    ),
+    contrib AS (
+      SELECT user_id,
+             CAST(value * (t_next - t) AS DECIMAL(28,6)) AS vdt,
+             t_next - t AS dt
+      FROM stepped WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) + 1 AS n_samples,
+           CAST(SUM(dt) AS BIGINT) AS span_us,
+           FLOOR(CAST(SUM(vdt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS twap
+    FROM contrib
+    GROUP BY user_id
+    HAVING SUM(dt) > 0
+    """,
+)
+def e28_twap(spark, sf_dir):
+    """Time-weighted average price/value (TWAP) over IRREGULARLY-sampled
+    per-key series — the standard financial/IoT summary where a plain AVG
+    over-weights bursts: each observation holds (step function) until the
+    next one, contributing ``value·Δt``; the key's TWAP is
+    Σ value·Δt / Σ Δt. One keyed window (LEAD over the user's time order)
+    + one aggregation — the same two-exchange shape as any lag/diff
+    operator, per-key state is a single row.
+
+    Determinism: Δt is exact integer microseconds, ``value·Δt`` is
+    quantized to DECIMAL(28,6) before the order-insensitive sum, and the
+    final division is one double op — the SQL oracle matches bitwise.
+    Keys with a zero time span (all events simultaneous) are excluded
+    (HAVING span > 0) rather than emitting a 0/0.
+
+    100 TB: hash-partition by key, sort within partition — AQE-skew-safe;
+    nothing driver-side."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("t_next"),
+    )
+    contrib = stepped.filter(F.col("t_next").isNotNull()).select(
+        "user_id",
+        (F.col("value") * (F.col("t_next") - F.col("t")))
+        .cast("decimal(28,6)")
+        .alias("vdt"),
+        (F.col("t_next") - F.col("t")).alias("dt"),
+    )
+    return (
+        contrib.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_samples"),
+            F.sum("dt").cast("bigint").alias("span_us"),
+            (
+                F.floor(
+                    F.sum("vdt").cast("double")
+                    / F.sum("dt").cast("double")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("twap"),
+        )
+        .filter(F.col("span_us") > 0)
+    )

@@ -431,3 +431,46 @@ def test_f17_systematic_sample_exact_stride(spark, registry):
     for r in rows:
         assert r.idx % 50 == 0
         assert r.o_orderkey == keys[r.idx]
+
+
+def test_e28_twap_step_function(spark, registry):
+    """Hand-check one user: TWAP must equal the step-function integral,
+    not the plain mean."""
+    import math
+
+    from dask_pipes_spark.session import load
+
+    queries, _ = registry
+    rows = {r.user_id: r for r in queries["e28_twap"](spark, SF_SMOKE).collect()}
+    ev = sorted(
+        (r.ts, r.event_id, r.value)
+        for r in load(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id") == min(rows))
+        .collect()
+    )
+    num = den = 0.0
+    for (t0, _, v), (t1, _, _) in zip(ev, ev[1:]):
+        dt = (t1 - t0).total_seconds() * 1e6
+        num += round(v * dt, 6)
+        den += dt
+    want = math.floor(num / den * 1e6 + 0.5) / 1e6
+    got = rows[min(rows)]
+    assert got.n_samples == len(ev)
+    assert abs(got.twap - want) < 1e-6, (got.twap, want)
+
+
+def test_g13_drilldown_finds_the_planted_row_only(spark, registry):
+    """Exactly one differing key (the perturbed min orderkey), and the
+    drilldown provably scanned only one bucket's worth of rows."""
+    queries, _ = registry
+    rows = queries["g13_checksum_drilldown"](spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    minkey = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    r = rows[0]
+    assert r.diff_key == minkey
+    assert r.bucket == minkey % 64
+    assert r.digest_a != r.digest_b
+    n_total = orders.count()
+    n_bucket = orders.filter(F.col("o_orderkey") % 64 == r.bucket).count()
+    assert r.n_drilled == n_bucket < n_total

@@ -106,6 +106,8 @@ CARTESIAN_OK = {
     "l53_perplexity_buckets",
     # 1-row serving-count broadcast cross join onto the 5-row PSI terms.
     "p14_drift_monitor",
+    # 1-row drilled-row-count broadcast onto the (typically 1-row) diff set.
+    "g13_checksum_drilldown",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
