@@ -473,3 +473,64 @@ def k12_hypertable_rollup(spark, sf_dir):
         GROUP BY event_type, ROLLUP (day, hr)
         """
     )
+
+
+@query(
+    "k13_stream_checksum",
+    oracle="""
+    WITH rows_d AS (
+      SELECT event_id % 64 AS bucket,
+             CAST(('0x' || substr(md5(concat_ws('|',
+                 CAST(event_id AS VARCHAR),
+                 CAST(user_id AS VARCHAR),
+                 event_type,
+                 CAST(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS VARCHAR),
+                 strftime(ts, '%Y-%m-%d %H:%M:%S.%f'))), 1, 15)) AS BIGINT)
+               AS digest
+      FROM events
+    )
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(digest AS DECIMAL(38,0))) AS VARCHAR) AS sum_digest,
+           BIT_XOR(digest) AS xor_digest
+    FROM rows_d GROUP BY bucket
+    """,
+)
+def k13_stream_checksum(spark, sf_dir):
+    """INCREMENTAL replica verification — g12's Merkle checksums maintained
+    by the streaming runtime: each micro-batch's rows fold their portable
+    60-bit digests into 64 per-bucket SUM/XOR accumulators (both are
+    associative AND commutative, so arrival order and batch boundaries
+    cannot change the state), giving a continuously-current table
+    fingerprint for CDC-fed replicas at O(64 rows) of state — no
+    watermark needed, the state never grows with data.
+
+    Complete-mode drain makes the final state equal the batch g12-style
+    answer over the same rows, so the key carries a FULL SQL oracle: the
+    streaming runtime must land exactly where the batch digest aggregation
+    does. The value column is FLOOR-quantized and the timestamp rendered
+    with explicit microseconds before hashing (g12's determinism rules)."""
+    stream = read_events_stream(spark, sf_dir)
+    row_str = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("bigint").cast("string"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+    )
+    digest = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    agg = (
+        stream.select(
+            (F.col("event_id") % 64).alias("bucket"), digest.alias("digest")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("digest").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("sum_digest"),
+            F.expr("bit_xor(digest)").alias("xor_digest"),
+        )
+    )
+    return run_to_memory(agg, "k13_checksum", "complete")

@@ -126,3 +126,42 @@ def test_k11_stream_sliding_equals_batch(spark, registry):
     streamed = queries["k11_stream_sliding"](spark, SF_SMOKE).select(cols)
     batch = queries["k2_sliding_window"](spark, SF_SMOKE).select(cols)
     assert _norm(streamed.collect()) == _norm(batch.collect())
+
+
+def test_k13_incremental_state_is_replay_invariant(spark, registry):
+    """The checksum state must be identical whether the data arrives as one
+    micro-batch or replayed file-by-file — SUM/XOR accumulation is order-
+    and batching-insensitive, which is the whole incremental-Merkle claim."""
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.streaming import read_events_stream, run_to_memory
+
+    queries, _ = registry
+    one = sorted(
+        (r.bucket, r.n_rows, r.sum_digest, r.xor_digest)
+        for r in queries["k13_stream_checksum"](spark, SF_SMOKE).collect()
+    )
+    stream = read_events_stream(spark, SF_SMOKE, n_files=4, max_files_per_trigger=1)
+    row_str = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("bigint").cast("string"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+    )
+    digest = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    agg = (
+        stream.select((F.col("event_id") % 64).alias("bucket"), digest.alias("digest"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("digest").cast("decimal(38,0)")).cast("string").alias("sum_digest"),
+            F.expr("bit_xor(digest)").alias("xor_digest"),
+        )
+    )
+    replayed = sorted(
+        (r.bucket, r.n_rows, r.sum_digest, r.xor_digest)
+        for r in run_to_memory(agg, "k13_replay", "complete").collect()
+    )
+    assert replayed == one

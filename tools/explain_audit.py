@@ -118,6 +118,7 @@ SKIP = {
     "k7_stream_static_join",
     "k8_stream_stream_join",
     "k10_stream_session",
+    "k13_stream_checksum",
 }
 
 
