@@ -393,3 +393,58 @@ def a12_schema_evolution_merge(spark, sf_dir):
         .cast("double")
         .alias("total"),
     )
+
+
+@query(
+    "a13_rowgroup_stats",
+    oracle="""
+    SELECT row_group_id,
+           CAST(row_group_num_rows AS BIGINT) AS n_rows,
+           CAST(stats_min_value AS BIGINT) AS min_key,
+           CAST(stats_max_value AS BIGINT) AS max_key,
+           CAST(stats_null_count AS BIGINT) AS null_count
+    FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet')
+    WHERE path_in_schema = 'o_orderkey'
+    """,
+)
+def a13_rowgroup_stats(spark, sf_dir):
+    """Parquet row-group statistics introspection — the metadata that
+    row-group skipping (a2's PushedFilters) and min/max zone-map pruning
+    actually consult: per row group, the key column's row count, min/max,
+    and null count, read from the FOOTER (KBs) without touching data
+    pages. The operational tool for answering "will this predicate prune?"
+    and "is the layout sorted enough for skipping?" (pair with
+    f16_zorder_layout, which builds skippable layouts).
+
+    The oracle is DuckDB's own independent footer parser
+    (``parquet_metadata``) — two unrelated parquet implementations must
+    agree on every statistic. NOTE: oracle paths are literal, so the SQL
+    side is pinned to the driver's contractual sf=0.01 fixture; the Spark
+    side honors ``sf_dir`` (the pytest contract cross-checks at sf0.001
+    with a matching path).
+
+    100 TB: footers are the ONLY thing read — per-file KBs, fetched on the
+    driver exactly as a query planner's stats pass does (bounded like the
+    fit-param exemption, SURVEY §7.7); at fleet scale you'd parallelize
+    the footer fetch with a binaryFile scan of magic+footer ranges, same
+    output contract."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    meta = pq.ParquetFile(path).metadata
+    col_idx = next(
+        i for i in range(meta.num_columns)
+        if meta.row_group(0).column(i).path_in_schema == "o_orderkey"
+    )
+    rows = []
+    for g in range(meta.num_row_groups):
+        rg = meta.row_group(g)
+        st = rg.column(col_idx).statistics
+        rows.append(
+            (g, rg.num_rows, int(st.min), int(st.max), int(st.null_count))
+        )
+    schema = (
+        "row_group_id int, n_rows bigint, min_key bigint, "
+        "max_key bigint, null_count bigint"
+    )
+    return spark.createDataFrame(rows, schema)

@@ -151,3 +151,35 @@ def test_a12_schema_evolution_null_partition(spark, registry):
     assert rows[False].n_with_priority == 0          # v1: column absent → NULL
     assert rows[True].n_with_priority == rows[True].n_rows  # v2: always present
     assert rows[True].n_rows + rows[False].n_rows == 1500
+
+
+def test_a13_rowgroup_stats_match_duckdb_at_smoke_sf(spark, registry):
+    """Cross-check pyarrow's footer parse against DuckDB's at sf0.001 (the
+    oracle itself is pinned to the driver's sf0.01 path) and against the
+    actual data: min/max must bound the true key range exactly."""
+    import duckdb
+
+    queries, _ = registry
+    got = sorted(
+        (r.row_group_id, r.n_rows, r.min_key, r.max_key, r.null_count)
+        for r in queries["a13_rowgroup_stats"](spark, SF_SMOKE).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""SELECT row_group_id, CAST(row_group_num_rows AS BIGINT),
+                       CAST(stats_min_value AS BIGINT),
+                       CAST(stats_max_value AS BIGINT),
+                       CAST(stats_null_count AS BIGINT)
+                FROM parquet_metadata('{SF_SMOKE}/orders.parquet')
+                WHERE path_in_schema = 'o_orderkey'"""
+        ).fetchall()
+    )
+    assert got == want
+    lo, hi = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+        .collect()[0]
+    )
+    assert min(r[2] for r in got) == lo and max(r[3] for r in got) == hi
