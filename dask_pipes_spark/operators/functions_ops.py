@@ -927,3 +927,60 @@ def h32_iso_calendar(spark, sf_dir):
             F.max("dow").alias("last_dow"),
         )
     )
+
+
+@query(
+    "h33_surrogate_key",
+    oracle="""
+    WITH minted AS (
+      SELECT o_orderkey,
+             CAST(('0x' || substr(md5(concat_ws('|',
+                 'orders',
+                 CAST(o_custkey AS VARCHAR),
+                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                 CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) AS sk
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT sk) AS n_distinct_sk,
+           MIN(sk) AS min_sk,
+           MAX(sk) AS max_sk
+    FROM minted
+    """,
+)
+def h33_surrogate_key(spark, sf_dir):
+    """Deterministic surrogate-key minting — the warehouse pattern for
+    stable dimension keys that survive re-loads, task retries, and
+    re-partitioning (what ``monotonically_increasing_id()`` famously does
+    NOT): the key is the portable 60-bit digest of a NAMESPACED natural
+    key ('orders' + business columns), so every engine, run, and replica
+    mints the identical key with no coordination — the same reason f7
+    splits by content hash instead of rand(). The query reports row and
+    distinct-key counts (collision audit: with 15k rows in a 2^60 space a
+    collision would be a digest bug, and would fail parity) plus the key
+    range. Map-side-only minting; the distinct audit is the single
+    shuffle."""
+    o = load(spark, sf_dir, "orders")
+    sk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit("orders"),
+                    F.col("o_custkey").cast("string"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return o.select(sk.alias("sk")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("sk").alias("n_distinct_sk"),
+        F.min("sk").alias("min_sk"),
+        F.max("sk").alias("max_sk"),
+    )

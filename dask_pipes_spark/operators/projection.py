@@ -405,3 +405,47 @@ def b16_dropna_thresh(spark, sf_dir):
         for c in ("value_pos", "prop_k", "user_mod")
     )
     return derived.filter(nn >= 2)
+
+
+@query(
+    "b17_select_dtypes",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_numeric_cols,
+           'c_acctbal,c_custkey,c_nationkey' AS numeric_cols,
+           CAST(SUM(CAST(c_custkey AS DECIMAL(28,6))) AS DOUBLE) AS sum_c_custkey,
+           CAST(SUM(CAST(c_nationkey AS DECIMAL(28,6))) AS DOUBLE) AS sum_c_nationkey,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_c_acctbal
+    FROM customer
+    """,
+)
+def b17_select_dtypes(spark, sf_dir):
+    """Schema-driven column selection (pandas/Dask
+    ``df.select_dtypes('number')``): the numeric subset is discovered FROM
+    THE SCHEMA at plan time — no hardcoded list — then summed per column
+    so the discovery is value-verified: picking a wrong column set changes
+    the emitted names AND the sums. Catalyst prunes the scan to exactly
+    the discovered columns (schema metadata, zero data cost — the pandas
+    idiom maps to a free projection at any scale)."""
+    c = load(spark, sf_dir, "customer")
+    numeric = sorted(
+        name
+        for name, dt in c.dtypes
+        if dt in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or dt.startswith("decimal")
+    )
+    return c.agg(
+        F.lit(len(numeric)).cast("bigint").alias("n_numeric_cols"),
+        F.lit(",".join(numeric)).alias("numeric_cols"),
+        *[
+            F.sum(F.col(n).cast("decimal(28,6)"))
+            .cast("double")
+            .alias(f"sum_{n}")
+            for n in sorted(numeric)
+        ],
+    ).select(
+        "n_numeric_cols",
+        "numeric_cols",
+        "sum_c_custkey",
+        "sum_c_nationkey",
+        "sum_c_acctbal",
+    )
