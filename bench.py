@@ -255,6 +255,28 @@ def main() -> None:
             .repartition(min(16 * scale, maxpart))
             .cache(),
         },
+        # same pruned-projection treatment for the two small rollups: their
+        # plans are already single-stage zero-exchange (cache partitioning
+        # satisfies the group-by's clustered distribution), so the remaining
+        # cost is InMemoryTableScan width — documents carries `text` (~300 B/
+        # row) and events carries `props` JSON that the queries never touch.
+        # Measured on the isolated experiment harness: documents 148→129 ms,
+        # events 167→120 ms for the same plans. In the full bench the sf0.1
+        # totals sit within run-to-run noise (the dispatch floor dominates);
+        # the projection is kept for the bytes-scanned term, which is the
+        # part that grows with data volume.
+        "q_text_stats": {
+            "documents": tables["documents"]
+            .select("lang", "n_chars")
+            .repartition(1, "lang")
+            .cache(),
+        },
+        "q_events_session": {
+            "events": tables["events"]
+            .select("user_id", "event_type", "value")
+            .repartition(min(1 * scale, maxpart), "user_id")
+            .cache(),
+        },
     }
     for over in projections.values():
         for proj in over.values():
@@ -289,7 +311,7 @@ def main() -> None:
 
     def bind_views(qname: str) -> None:
         over = projections.get(qname, {})
-        for tname in ("orders", "lineitem"):
+        for tname in ("orders", "lineitem", "documents", "events"):
             (over.get(tname) or tables[tname]).createOrReplaceTempView(tname)
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold",
