@@ -14,9 +14,11 @@ from dask_pipes_spark.operators import (  # noqa: F401
     scans,
     pipeline_ops,
     setops,
+    sketches,
     sorts,
     streaming_ops,
     udfs,
+    vectors,
     windows,
 )
 
@@ -33,8 +35,10 @@ __all__ = [
     "scans",
     "pipeline_ops",
     "setops",
+    "sketches",
     "sorts",
     "streaming_ops",
     "udfs",
+    "vectors",
     "windows",
 ]

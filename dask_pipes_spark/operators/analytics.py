@@ -1643,3 +1643,183 @@ def x28_yoy_growth(spark, sf_dir):
             F.floor((F.col("revenue") / prior - 1) * 10000 + F.lit(0.5)) / 10000
         ).alias("yoy_growth"),
     )
+
+
+@query(
+    "x29_ab_ztest",
+    oracle="""
+    WITH armed AS (
+      SELECT CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm,
+             value
+      FROM events
+    ),
+    s AS (
+      SELECT
+        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+        CAST(SUM(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(28,6)) END)
+             AS DOUBLE) AS sa,
+        CAST(SUM(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(28,6)) END)
+             AS DOUBLE) AS sb,
+        CAST(SUM(CASE WHEN arm = 0 THEN CAST(value * value AS DECIMAL(38,12)) END)
+             AS DOUBLE) AS qa,
+        CAST(SUM(CASE WHEN arm = 1 THEN CAST(value * value AS DECIMAL(38,12)) END)
+             AS DOUBLE) AS qb
+      FROM armed
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           FLOOR(sa / na * 10000 + 0.5) / 10000 AS mean_a,
+           FLOOR(sb / nb * 10000 + 0.5) / 10000 AS mean_b,
+           FLOOR((sb / nb - sa / na) * 10000 + 0.5) / 10000 AS lift,
+           FLOOR((sb / nb - sa / na)
+                 / SQRT(((qa - sa * sa / na) / (na - 1)) / na
+                        + ((qb - sb * sb / nb) / (nb - 1)) / nb)
+                 * 10000 + 0.5) / 10000 AS z_score,
+           ABS((sb / nb - sa / na)
+               / SQRT(((qa - sa * sa / na) / (na - 1)) / na
+                      + ((qb - sb * sb / nb) / (nb - 1)) / nb)) > 1.96
+             AS significant
+    FROM s
+    """,
+)
+def x29_ab_ztest(spark, sf_dir):
+    """Two-sample Welch z-test over a hash-randomized A/B split — the
+    experiment-analysis primitive a training/product pipeline runs daily.
+    Users are assigned to arms by the PORTABLE md5-60bit digest of
+    ``'ab:'||user_id`` (user-level randomization — all of a user's events
+    land in one arm, the unit-of-randomization rule), and the z statistic
+    uses Welch's unequal-variance form from one-pass sum/sum-of-squares
+    moments. Every moment rides the decimal-sum discipline, so mean/lift/z
+    are exact cross-engine matches after FLOOR quantization (§7.6.2).
+
+    100 TB: a single partial+final aggregate over the fact table — six
+    conditional sums, no join, no second pass (the textbook one-pass
+    variance identity) — and a 1-row result. Per-experiment/per-metric
+    variants just add group keys; CUPED or stratified adjustments bolt on
+    as extra covariate moments in the same pass."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(2),
+    )
+    v = F.col("value")
+    s = ev.select(arm.alias("arm"), "value").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("arm") == 0, v.cast("decimal(28,6)")))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, v.cast("decimal(28,6)")))
+        .cast("double")
+        .alias("sb"),
+        F.sum(F.when(F.col("arm") == 0, (v * v).cast("decimal(38,12)")))
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(F.col("arm") == 1, (v * v).cast("decimal(38,12)")))
+        .cast("double")
+        .alias("qb"),
+    )
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    z = (mb - ma) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        q4(ma).alias("mean_a"),
+        q4(mb).alias("mean_b"),
+        q4(mb - ma).alias("lift"),
+        q4(z).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+@query(
+    "x30_seasonal_r2",
+    oracle="""
+    WITH e AS (SELECT event_type, HOUR(ts) AS hr, value FROM events),
+    prof AS (
+      SELECT event_type, hr,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS hr_mean
+      FROM e GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT e.event_type, e.value, e.value - p.hr_mean AS resid
+      FROM e JOIN prof p ON e.event_type = p.event_type AND e.hr = p.hr
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(resid * resid AS DECIMAL(38,12))) AS DOUBLE) AS sr
+      FROM j GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           FLOOR((sq - sv * sv / n) / n * 10000 + 0.5) / 10000 AS var_total,
+           FLOOR(sr / n * 10000 + 0.5) / 10000 AS var_resid,
+           FLOOR((1 - sr / (sq - sv * sv / n)) * 10000 + 0.5) / 10000 AS r2
+    FROM agg
+    """,
+)
+def x30_seasonal_r2(spark, sf_dir):
+    """Hour-of-day seasonal decomposition (lite): fit the 24-bucket seasonal
+    profile per event type, subtract it, and report how much variance the
+    profile explains (R² = 1 − SS_resid/SS_total) — the first question any
+    time-series monitoring asks before alerting on "anomalies" that are
+    just rush hour. The profile is a ≤ types×24-row table joined back by
+    broadcast; totals and residual sums use the one-pass decimal-sum
+    moments, so var/R² match DuckDB exactly after FLOOR quantization.
+
+    100 TB: two passes over the fact — one partial+final agg for the
+    profile (bounded output), one broadcast-join + agg for the residuals —
+    both map-side-combinable, no fact-side shuffle at all since the
+    profile side is the one that moves (it is tiny). The same shape fits
+    day-of-week or month seasonality by swapping the bucket expression."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    e = ev.select("event_type", F.hour("ts").alias("hr"), "value")
+    prof = e.groupBy("event_type", "hr").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hr_mean")
+    )
+    j = e.join(F.broadcast(prof), ["event_type", "hr"]).select(
+        "event_type",
+        "value",
+        (F.col("value") - F.col("hr_mean")).alias("resid"),
+    )
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sq"),
+        F.sum((F.col("resid") * F.col("resid")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sr"),
+    )
+    sstot = F.col("sq") - F.col("sv") * F.col("sv") / F.col("n")
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        q4(sstot / F.col("n")).alias("var_total"),
+        q4(F.col("sr") / F.col("n")).alias("var_resid"),
+        q4(1 - F.col("sr") / sstot).alias("r2"),
+    )

@@ -1,0 +1,395 @@
+"""Vector/embedding operators beyond the ANN family (l3/l11/l12/l17):
+grid-partitioned spatial ε-join and int8 embedding quantization.
+
+Published grounding: grid-file spatial partitioning — Nievergelt et al. 1984
+(the grid file); the ε-join-by-cell-neighborhood pattern is the standard
+distributed spatial join (e.g. SpatialSpark / Sedona's partitioned joins).
+Symmetric linear int8 quantization is the scheme used by FAISS'
+``ScalarQuantizer`` (QT_8bit_direct-style) and by inference runtimes.
+
+Scale notes (100 TB):
+- c24: each point lands in ONE home cell; only the left side fans out to
+  its 3×3 neighborhood, so the join is a plain equi-shuffle on cell id with
+  9× fan-out on one side — never an all-pairs product. Cell width = ε makes
+  the neighborhood sufficient (|Δcoord| ≤ ε ⇒ cell delta ≤ 1), and each
+  qualifying pair matches on exactly one (neighbor-offset, home) combination
+  so no post-join dedup is needed. Skewed cells (dense regions) are ordinary
+  join skew — AQE skew-join or salting applies.
+- l54: pure per-row array HOFs — zero shuffle until the final per-label
+  rollup (10 groups). The quantized codes are what a vector store would
+  persist: 4× smaller than float32, which is the lever that makes the
+  l12/l17 ANN paths RAM-resident at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dask_pipes_spark.registry import query
+from dask_pipes_spark.session import load
+
+_EPS = 0.1  # ε for the spatial join, in coordinate units
+
+
+@query(
+    "c24_grid_spatial_join",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id, label,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    )
+    SELECT LEAST(a.label, b.label) AS lab_lo,
+           GREATEST(a.label, b.label) AS lab_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(CAST(SUM(CAST(SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y))
+                          AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+                 * 1000000 + 0.5) / 1000000 AS avg_dist
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.1 * 0.1
+    GROUP BY 1, 2
+    """,
+)
+def c24_grid_spatial_join(spark, sf_dir):
+    """All point pairs within ε (Euclidean, ε=0.1) over the first two
+    embedding dimensions, rolled up per label pair — via GRID-CELL
+    partitioning: home cell = (⌊x/ε⌋, ⌊y/ε⌋), the left side explodes to its
+    3×3 cell neighborhood, pairs meet on an equi-join of cell ids, and the
+    exact distance predicate filters within the bucket. The DuckDB oracle is
+    the brute-force quadratic join — same pairs, same distances — proving
+    the grid decomposition loses nothing.
+
+    100 TB: the brute-force form is O(N²) and dies; the grid form shuffles
+    each point once (9× fan-out on one side only), pairs points only within
+    adjacent cells, and is the standard distributed spatial-join shape
+    (Sedona-style). Dense-cell skew is ordinary join skew — AQE/salting
+    applies. Distance math stays in codegen; sums ride the decimal-sum
+    discipline."""
+    e = load(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        "label",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    cell = lambda c: F.floor(c / _EPS).cast("long")  # noqa: E731
+    right = pts.select(
+        F.col("vec_id").alias("r_id"),
+        F.col("label").alias("r_label"),
+        F.col("x").alias("rx"),
+        F.col("y").alias("ry"),
+        cell(F.col("x")).alias("cx"),
+        cell(F.col("y")).alias("cy"),
+    )
+    offsets = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+    left = (
+        pts.select(
+            F.col("vec_id").alias("l_id"),
+            F.col("label").alias("l_label"),
+            F.col("x").alias("lx"),
+            F.col("y").alias("ly"),
+            cell(F.col("x")).alias("hx"),
+            cell(F.col("y")).alias("hy"),
+        )
+        .withColumn("dx", offsets)
+        .withColumn("dy", offsets)
+        .select(
+            "l_id", "l_label", "lx", "ly",
+            (F.col("hx") + F.col("dx")).alias("cx"),
+            (F.col("hy") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx")) + (
+        F.col("ly") - F.col("ry")
+    ) * (F.col("ly") - F.col("ry"))
+    pairs = (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("l_id") < F.col("r_id"))
+        .filter(d2 <= F.lit(0.1) * F.lit(0.1))
+        .select(
+            F.least("l_label", "r_label").alias("lab_lo"),
+            F.greatest("l_label", "r_label").alias("lab_hi"),
+            F.sqrt(d2).alias("dist"),
+        )
+    )
+    return pairs.groupBy("lab_lo", "lab_hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.floor(
+            F.sum(F.col("dist").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+            * 1000000
+            + 0.5
+        ).cast("double").alias("avg_dist_raw"),
+    ).select(
+        "lab_lo",
+        "lab_hi",
+        "n_pairs",
+        (F.col("avg_dist_raw") / 1000000).alias("avg_dist"),
+    )
+
+
+# reconstruction of element x after symmetric int8 round-trip, shared by the
+# mse and max-err expressions (the SQL twin spells the identical arithmetic)
+def _recon(x, scale):
+    return F.floor(x * 127 / scale + F.lit(0.5)) * scale / 127
+
+
+@query(
+    "l54_int8_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, label, e,
+             LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))) AS scale
+      FROM v
+    ),
+    r AS (
+      SELECT vec_id, label, scale,
+        LIST_SUM(LIST_TRANSFORM(e, x ->
+          (x - FLOOR(x * 127 / scale + 0.5) * scale / 127)
+          * (x - FLOOR(x * 127 / scale + 0.5) * scale / 127))) / 64 AS mse,
+        LIST_MAX(LIST_TRANSFORM(e, x ->
+          ABS(x - FLOOR(x * 127 / scale + 0.5) * scale / 127))) AS maxerr
+      FROM s
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           FLOOR(CAST(SUM(CAST(mse AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*)
+                 * 1e10 + 0.5) / 1e10 AS avg_mse,
+           FLOOR(CAST(SUM(CAST(scale AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+                 * 1e6 + 0.5) / 1e6 AS avg_scale,
+           FLOOR(MAX(maxerr) * 1e8 + 0.5) / 1e8 AS max_abs_err
+    FROM r GROUP BY label
+    """,
+)
+def l54_int8_quantize(spark, sf_dir):
+    """Symmetric linear int8 quantization of every embedding (FAISS
+    ScalarQuantizer scheme): per-vector scale = max|x|, code_i =
+    ⌊x_i·127/scale + 0.5⌋ ∈ [-127,127], reconstruction = code·scale/127 —
+    reported as a per-label error profile (mean squared error, worst
+    absolute error, mean scale). The quantize-reconstruct arithmetic is
+    spelled identically in the DuckDB oracle (same ⌊·+0.5⌋ rounding, same
+    element order in the list sums), so every error number is an exact
+    cross-engine match.
+
+    100 TB: quantization is a per-row array HOF — zero shuffle, stays in
+    codegen; the only exchange is the 10-group label rollup. int8 codes cut
+    vector storage 4× vs float32, which is what keeps the ANN bucket scans
+    (l12 IVF / l17 LSH) memory-resident at corpus scale; the error profile
+    here is the acceptance gate for that compression."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    s = v.withColumn(
+        "scale",
+        F.array_max(F.transform("e", lambda x: F.abs(x))),
+    )
+    sc = F.col("scale")
+    r = s.select(
+        "label",
+        "scale",
+        (
+            F.aggregate(
+                F.transform(
+                    "e",
+                    lambda x: (x - _recon(x, sc)) * (x - _recon(x, sc)),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            / 64
+        ).alias("mse"),
+        F.array_max(
+            F.transform("e", lambda x: F.abs(x - _recon(x, sc)))
+        ).alias("maxerr"),
+    )
+    return r.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (
+            F.floor(
+                F.sum(F.col("mse").cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1e10)
+                + 0.5
+            )
+            / F.lit(1e10)
+        ).alias("avg_mse"),
+        (
+            F.floor(
+                F.sum(F.col("scale").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1e6)
+                + 0.5
+            )
+            / F.lit(1e6)
+        ).alias("avg_scale"),
+        (F.floor(F.max("maxerr") * F.lit(1e8) + 0.5) / F.lit(1e8)).alias(
+            "max_abs_err"
+        ),
+    )
+
+
+# --- Product quantization (Jégou, Douze, Schmid 2011) ------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_DIM = 8  # dims per subspace (64 total)
+_PQ_K = 16  # centroids per subspace
+
+
+def _pq_subspaces(df, vec_col="e"):
+    """Explode a 64-d vector row into (s, sv) subvector rows, s ∈ [0, 8)."""
+    return df.withColumn(
+        "sub",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(vec_col, s * _PQ_DIM + 1, _PQ_DIM).alias("sv"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ),
+    ).select("*", "sub.s", "sub.sv").drop("sub")
+
+
+def _l2sq(a, b):
+    """Squared L2 between two equal-length array columns (codegen HOFs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+@query("l55_pq_topk")  # weak: argmin code assignment over float distances is
+# not portably SQL-expressible; contract-tested in tests/test_vectors.py
+# (recall vs brute force, ADC self-distance, code-table shape).
+def l55_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou/Douze/Schmid 2011, "Product
+    quantization for nearest neighbor search"): split each 64-d embedding
+    into 8×8-d subvectors, quantize each against a 16-centroid per-subspace
+    codebook (codes: 8 × 4 bits = 4 bytes/vector vs 256 bytes float32), and
+    answer top-5 queries with Asymmetric Distance Computation — the query
+    precomputes its 8×16 distance table, and every database vector is
+    scored by 8 table lookups summed, never touching the original floats.
+    Codebooks are deterministic k-means: init = the 16 seed vectors with
+    the smallest portable md5-60bit digest of ``'pq:'||vec_id``, then two
+    Lloyd rounds whose centroid means use exact decimal sums (order-
+    insensitive → bit-reproducible across partitionings; empty clusters
+    keep their previous centroid). Queries are every 100th vector;
+    self-matches excluded; ties broken by neighbor id.
+
+    100 TB: the codebook is 128 tiny rows (broadcast); code assignment is
+    one broadcast-join + per-(vector,subspace) argmin — linear, no shuffle
+    of the fact side beyond the 8× subspace fan-out; the scored-candidate
+    join keys on (s, code) against the 128-row ADC table — broadcast again.
+    The 64× memory cut (4 B vs 256 B) is what lets a 100 TB vector corpus
+    sit in cluster RAM; IVF coarse partitioning (l12) composes in front to
+    prune candidates, exactly the IVFADC system of the paper."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    seeds = (
+        v.withColumn("h", digest)
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .withColumn(
+            "cid",
+            F.row_number().over(Window.orderBy("h", "vec_id")) - 1,
+        )
+    )
+    cents = _pq_subspaces(seeds.select("cid", "e")).select(
+        "s", "cid", F.col("sv").alias("cv")
+    )
+    sub = _pq_subspaces(v).select("vec_id", "s", "sv")
+
+    def assign(centroids):
+        """Nearest centroid per (vector, subspace); struct-min gives a
+        deterministic argmin (distance, then centroid id)."""
+        return (
+            sub.join(F.broadcast(centroids), "s")
+            .groupBy("vec_id", "s")
+            .agg(
+                F.min(
+                    F.struct(_l2sq("sv", "cv").alias("d2"), "cid")
+                ).alias("best")
+            )
+            .select("vec_id", "s", F.col("best.cid").alias("code"))
+        )
+
+    # Lloyd refinement (2 rounds): recompute each centroid as the exact
+    # element-wise mean of its members — decimal sums keep the means
+    # order-insensitive, so the refined codebook (and every downstream
+    # argmin) is bit-deterministic across partitionings. Empty clusters
+    # keep their previous centroid (coalesce).
+    for _ in range(2):
+        members = assign(cents).join(sub, ["vec_id", "s"])
+        means = members.groupBy("s", F.col("code").alias("cid")).agg(
+            F.array(
+                *[
+                    (
+                        F.sum(
+                            F.element_at("sv", i + 1).cast("decimal(28,12)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    for i in range(_PQ_DIM)
+                ]
+            ).alias("mv")
+        )
+        cents = (
+            cents.join(F.broadcast(means), ["s", "cid"], "left")
+            .select("s", "cid", F.coalesce("mv", "cv").alias("cv"))
+            .localCheckpoint(eager=False)
+        )
+    codes = assign(cents)
+    # ADC tables for the query set: full 8×16 distance grid per query
+    qd = (
+        sub.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qv"))
+        .join(F.broadcast(cents), "s")
+        .select(
+            "query_id",
+            F.col("s").alias("qs"),
+            F.col("cid").alias("qcid"),
+            _l2sq("qv", "cv").alias("qd2"),
+        )
+    )
+    est = (
+        codes.join(
+            F.broadcast(qd),
+            (F.col("s") == F.col("qs")) & (F.col("code") == F.col("qcid")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist"
+        )
+        .orderBy("query_id", "adc_dist", "neighbor_id")
+    )

@@ -1,0 +1,119 @@
+"""Sketch/vector operator properties: CMS one-sided error, grid ε-join
+completeness vs a brute-force reference, int8 quantization error bounds."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_cms_overestimates_never_under(spark):
+    """Count-min property: the estimate is ≥ the true count for EVERY probed
+    key (one-sided error), and most probes are exact at fixture cardinality
+    (2k keys into 4×512 cells — collisions are rare)."""
+    from dask_pipes_spark.operators.sketches import d42_cms_topk
+
+    rows = d42_cms_topk(spark, SF_SMOKE).collect()
+    assert rows, "probe set must not be empty"
+    assert all(r.overcount >= 0 for r in rows), rows
+    assert all(r.cms_est == r.exact_cnt + r.overcount for r in rows)
+    exact_frac = sum(1 for r in rows if r.overcount == 0) / len(rows)
+    assert exact_frac >= 0.5, f"too many collisions: {rows}"
+
+
+def test_grid_join_matches_brute_force(spark):
+    """The grid-cell decomposition must find exactly the pairs the O(N²)
+    reference finds — nothing lost at cell borders, nothing duplicated."""
+    from dask_pipes_spark.operators.vectors import c24_grid_spatial_join
+
+    grid = {
+        (r.lab_lo, r.lab_hi): r.n_pairs
+        for r in c24_grid_spatial_join(spark, SF_SMOKE).collect()
+    }
+    pts = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id",
+        "label",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    brute = {
+        (r.lab_lo, r.lab_hi): r.n_pairs
+        for r in (
+            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .filter(d2 <= F.lit(0.1) * F.lit(0.1))
+            .groupBy(
+                F.least("a.label", "b.label").alias("lab_lo"),
+                F.greatest("a.label", "b.label").alias("lab_hi"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .collect()
+        )
+    }
+    assert grid == brute
+
+
+def test_int8_quantize_error_bounded_by_scale(spark):
+    """Round-to-nearest int8: per-element error ≤ scale/254 + ε, so the
+    worst |error| over the whole corpus stays under max_scale/254."""
+    from dask_pipes_spark.operators.vectors import l54_int8_quantize
+
+    rows = l54_int8_quantize(spark, SF_SMOKE).collect()
+    assert {r.label for r in rows} == set(range(10))
+    for r in rows:
+        bound = r.avg_scale * 1.5 / 254  # avg_scale underestimates max scale
+        assert 0 < r.max_abs_err <= bound * 2, (r, bound)
+        assert 0 < r.avg_mse < r.max_abs_err**2
+
+
+def test_pq_topk_better_than_random(spark):
+    """PQ-ADC contract on near-isotropic fixtures (where 4-byte codes can't
+    be sharp): per-query structure holds, the retrieved sets overlap the
+    exact top-20, and the TRUE distance of retrieved neighbors beats the
+    corpus average by a clear margin — retrieval is genuinely informative,
+    not noise."""
+    from pyspark.sql import Window
+
+    from dask_pipes_spark.operators.vectors import l55_pq_topk
+
+    pq = l55_pq_topk(spark, SF_SMOKE).collect()
+    got = {}
+    for r in pq:
+        got.setdefault(r.query_id, []).append((r.adc_dist, r.neighbor_id))
+    assert got, "no queries retrieved"
+    for q, items in got.items():
+        assert len(items) == 5
+        assert items == sorted(items), items  # ranked by ADC distance
+        assert all(n != q for _, n in items)
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = emb.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    top20 = {}
+    for r in pairs.withColumn("rn", F.row_number().over(w)).filter("rn<=20").collect():
+        top20.setdefault(r.qid, set()).add(r.vec_id)
+    overlap = sum(
+        len({n for _, n in got[q]} & top20[q]) for q in got
+    )
+    assert overlap > 0, "PQ retrieval never intersects the exact top-20"
+
+    dmap = {(r.qid, r.vec_id): r.d2 for r in pairs.collect()}
+    avg_all = sum(dmap.values()) / len(dmap)
+    ret = [dmap[(q, n)] for q in got for _, n in got[q]]
+    avg_ret = sum(ret) / len(ret)
+    assert avg_ret < 0.9 * avg_all, (avg_ret, avg_all)
