@@ -1823,3 +1823,177 @@ def x30_seasonal_r2(spark, sf_dir):
         q4(F.col("sr") / F.col("n")).alias("var_resid"),
         q4(1 - F.col("sr") / sstot).alias("r2"),
     )
+
+
+@query(
+    "c25_temporal_dim_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER w AS version,
+             value AS state_value,
+             ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to
+      FROM events WHERE event_type = 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           d.version, d.state_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+)
+def c25_temporal_dim_join(spark, sf_dir):
+    """Point-in-time (temporal) join of a fact stream to an SCD Type-2
+    dimension — the correctness rule every warehouse join to a versioned
+    dimension must obey: each purchase joins the click-state version whose
+    ``[valid_from, valid_to)`` interval contains the purchase timestamp,
+    never the current version (that leaks the future into training
+    features). The dimension is e16's interval build (ROW_NUMBER + LEAD in
+    one window pass); purchases with no prior version keep NULLs (LEFT
+    join — the honest "no state yet" answer). Intervals partition time per
+    user, so each purchase matches at most one version and row count is
+    exactly the purchase count (asserted by the oracle's row cardinality).
+
+    100 TB: the join is equi-keyed on user_id — the interval predicate
+    filters within a user's (small, bounded) version list after the hash
+    match, so this shuffles exactly like a plain user-keyed join; no
+    range-join blowup. If a single user's version count were pathological,
+    c11's as-of machinery (sort + last-value-before) is the drop-in
+    replacement with the same semantics for closed intervals."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("version"),
+            F.col("value").alias("state_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return p.join(dim, cond, "left").select(
+        "event_id", "user_id", "ts", "version", "state_value"
+    )
+
+
+@query(
+    "x31_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER w)) > 1800
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS session_id
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             FLOOR(EPOCH(MAX(ts))) - FLOOR(EPOCH(MIN(ts))) AS duration_s,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM sessioned GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           FLOOR(SUM(n_events) / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS avg_events,
+           FLOOR(CAST(SUM(CAST(duration_s AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS avg_duration_s,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           FLOOR(SUM(converted) / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS conversion_rate
+    FROM sess
+    """,
+)
+def x31_session_stats(spark, sf_dir):
+    """Gap-based sessionization + per-session product analytics: a new
+    session starts after a >30-minute silence (LAG + cumulative-sum
+    session-id assignment — the relational sessionizer, complementary to
+    k3's ``session_window``), then every session is scored (events, span,
+    value, bounce, conversion) and rolled up to the funnel numbers a
+    product team actually reads: average depth, dwell time, bounce count,
+    session→purchase conversion rate. LAG and the session-id cumsum share
+    one (user_id, ts) window ordering, so the whole assignment is one
+    shuffle + one sorted pass.
+
+    100 TB: sessionization shuffles each event exactly once (by user), the
+    per-session rollup reuses the same clustering (no second fact
+    shuffle), and the final funnel aggregate is bounded — the same plan a
+    warehouse sessionizer ships. The streaming twin is k10 (session window
+    with watermark state eviction)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessioned = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    sess = sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_s"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        q4(F.sum("n_events") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_events"
+        ),
+        q4(
+            F.sum(F.col("duration_s").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_duration_s"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        q4(F.sum("converted") / F.count(F.lit(1)).cast("double")).alias(
+            "conversion_rate"
+        ),
+    )

@@ -542,3 +542,109 @@ def l18_dup_components(spark, sf_dir):
         )
         .filter(F.col("cluster_size") >= 2)
     )
+
+
+def _l56_oracle(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
+    """DuckDB twin of l56: the l2 signature/banding SQL re-run over the
+    PLANTED corpus (originals ∪ '... planted'-suffixed copies of every 5th
+    doc), then rolled up into the retrieval-quality metrics."""
+    r = num_perm // bands
+    mins = ",\n             ".join(
+        f"MIN({sql_mh_hash(i, 'shingle')}) AS h{i}" for i in range(num_perm)
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.h{j * r + k} = b.h{j * r + k}" for k in range(r)) + ")"
+        for j in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' planted' FROM documents
+      WHERE doc_id % 5 = 0
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
+      FROM toks,
+           LATERAL (SELECT unnest(range(GREATEST(len(t) - 3, 0) + 1)) AS i)
+    ),
+    sig AS (SELECT doc_id, {mins}
+            FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ({matches}) / {num_perm}.0 AS est_jaccard
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {band_eq}
+    ),
+    planted AS (SELECT COUNT(*) AS n_planted FROM documents WHERE doc_id % 5 = 0)
+    SELECT CAST(p.n_planted AS BIGINT) AS n_planted,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN c.doc_b = c.doc_a + 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recovered,
+           FLOOR(SUM(CASE WHEN c.doc_b = c.doc_a + 1000000 THEN 1 ELSE 0 END)
+                 / CAST(p.n_planted AS DOUBLE) * 10000 + 0.5) / 10000
+             AS recall,
+           FLOOR(SUM(CASE WHEN c.doc_b = c.doc_a + 1000000 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS precision,
+           FLOOR(CAST(SUM(CASE WHEN c.doc_b = c.doc_a + 1000000
+                          THEN CAST(c.est_jaccard AS DECIMAL(18,10)) END)
+                      AS DOUBLE)
+                 / SUM(CASE WHEN c.doc_b = c.doc_a + 1000000 THEN 1 ELSE 0 END)
+                 * 10000 + 0.5) / 10000 AS avg_recovered_jaccard
+    FROM cand c CROSS JOIN planted p
+    GROUP BY p.n_planted
+    """
+
+
+@query("l56_minhash_eval", oracle=_l56_oracle())
+def l56_minhash_eval(spark, sf_dir):
+    """Dedup-quality evaluation harness, in-engine: plant a known near-dup
+    for every 5th document (text + one appended token — a 2-3 shingle
+    perturbation), run the PRODUCTION l2 MinHash-LSH machinery over the
+    planted corpus, and score it: recall (planted pairs recovered by the
+    banding), precision (recovered / all candidates), and the mean
+    signature-estimated Jaccard of the recovered pairs. This is the
+    acceptance test a pipeline runs whenever it retunes (num_perm, bands) —
+    the s-curve math predicts recall; this measures it on real text. The
+    whole evaluation — planting, signatures, banding, metrics — is
+    recomputed by the DuckDB oracle (portable mh_hash discipline), so the
+    quality numbers themselves are correctness-gated.
+
+    100 TB: the planted corpus is 1.2× the input (a fraction suffices in
+    production); the heavy steps are l2's own (shingle explode + one
+    groupBy + band equi-join), so evaluation cost tracks dedup cost, and
+    the metrics rollup is a single bounded aggregate. Short docs hit the
+    LSH s-curve's low end (few shingles → lower Jaccard → missed pairs):
+    that is signal, not noise — exactly what the recall number is for."""
+    d = load(spark, sf_dir, "documents")
+    planted = d.select("doc_id", "text").unionAll(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" planted")).alias("text"),
+        )
+    )
+    cand = lsh_candidates(minhash_signatures(planted))
+    n_planted = d.filter(F.col("doc_id") % 5 == 0).count()
+    rec = F.when(F.col("doc_b") == F.col("doc_a") + 1000000, 1).otherwise(0)
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return cand.agg(
+        F.lit(n_planted).cast("bigint").alias("n_planted"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(rec).cast("bigint").alias("n_recovered"),
+        q4(F.sum(rec) / F.lit(float(n_planted))).alias("recall"),
+        q4(F.sum(rec) / F.count(F.lit(1)).cast("double")).alias("precision"),
+        q4(
+            F.sum(
+                F.when(
+                    F.col("doc_b") == F.col("doc_a") + 1000000,
+                    F.col("est_jaccard").cast("decimal(18,10)"),
+                )
+            ).cast("double")
+            / F.sum(rec)
+        ).alias("avg_recovered_jaccard"),
+    )

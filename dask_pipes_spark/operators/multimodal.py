@@ -825,3 +825,124 @@ def m9_multiformat_dispatch(spark, sf_dir):
             yield pd.DataFrame(out)
 
     return media.mapInPandas(dispatch, schema)
+
+
+def synth_wav_media_periodic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like :func:`synth_wav_media`, but the square wave's HALF-PERIOD varies
+    per document (``half = 1 + doc_id % 4`` samples), so frequency-domain
+    features (zero-crossing counts) differ across files while staying
+    integer-exact: sign flips happen exactly at sample indices divisible by
+    ``half``, so crossings = ⌊(n_samples−1)/half⌋ — predictable from
+    (doc_id, n_chars) alone, which is what lets m10 carry a full SQL oracle
+    over genuinely decoded PCM."""
+
+    def synth(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n_samples = int(n_chars) * 8
+                amp = 1000 + int(doc_id) % 1000
+                half = 1 + int(doc_id) % 4
+                sgn = 1 - 2 * ((np.arange(n_samples) // half) % 2)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(_WAV_RATE)
+                    w.writeframes((amp * sgn).astype("<i2").tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .mapInPandas(synth, "media_id bigint, payload binary")
+    )
+
+
+@query(
+    "m10_audio_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(n_chars * 8 AS BIGINT) AS n_samples,
+           CAST({_WAV_RATE} AS INTEGER) AS sample_rate,
+           FLOOR(n_chars * 8 / {_WAV_RATE}.0 * 10000 + 0.5) / 10000
+             AS duration_s,
+           CAST(1000 + doc_id % 1000 AS DOUBLE) AS rms,
+           CAST(1000 + doc_id % 1000 AS DOUBLE) AS peak,
+           CAST(FLOOR((n_chars * 8 - 1) / (1 + doc_id % 4)) AS BIGINT)
+             AS zero_crossings
+    FROM documents
+    """,
+)
+def m10_audio_features(spark, sf_dir):
+    """REAL audio feature extraction over decoded PCM — the acoustic-
+    screening pass an audio training pipeline runs before transcription:
+    per file, sample count / rate / duration from the WAV container, and
+    RMS energy, peak amplitude, and zero-crossing count computed by numpy
+    on the decoded int16 samples. Payloads are spec-conformant WAVs whose
+    square wave varies in amplitude AND period per document
+    (:func:`synth_wav_media_periodic`), so every feature — including the
+    frequency-sensitive crossing count — is predicted exactly by the SQL
+    oracle from (doc_id, n_chars): a misparsed header, wrong byte order,
+    or off-by-one in the crossing logic diverges immediately.
+
+    100 TB: identical shape to m5 — binary payloads never shuffle, the
+    Arrow kernel is per-partition map work, output is a skinny scalar row
+    per file; swapping stdlib ``wave``+numpy for soundfile/torchaudio
+    changes only the kernel body."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+
+    def extract(batches):
+        import io
+        import math
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "n_samples", "sample_rate", "duration_s",
+                    "rms", "peak", "zero_crossings")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    assert w.getsampwidth() == 2 and w.getnchannels() == 1
+                    pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+                x = pcm.astype("float64")
+                out["media_id"].append(mid)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(rate)
+                out["duration_s"].append(
+                    math.floor(n / rate * 10000 + 0.5) / 10000
+                )
+                out["rms"].append(math.sqrt(float((x * x).mean())))
+                out["peak"].append(float(np.abs(x).max()))
+                out["zero_crossings"].append(
+                    int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return synth_wav_media_periodic(spark, sf_dir).mapInPandas(
+        schema=schema, func=extract
+    )

@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import dsum, query, sql_dsum
 from dask_pipes_spark.session import load, load_tables, scratch_path
-from dask_pipes_spark.streaming import read_events_stream, run_to_memory
+from dask_pipes_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    run_with_progress,
+    stage_events_dir_out_of_order,
+)
 
 _WINDOW_ORACLE = f"""
     SELECT CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
@@ -534,3 +539,62 @@ def k13_stream_checksum(spark, sf_dir):
         )
     )
     return run_to_memory(agg, "k13_checksum", "complete")
+
+
+@query("k14_stream_progress_audit")  # weak: the output is runtime
+# observability metadata (per-micro-batch watermark + state-churn counters),
+# not a SQL-expressible relation; contract-tested in tests/test_streaming.py.
+def k14_stream_progress_audit(spark, sf_dir):
+    """Watermark/state observability — the audit every watermarked pipeline
+    needs before anyone trusts its completeness: replay the events stream
+    with two time slices deliberately OUT OF ORDER (a newer slice first, so
+    an older slice arrives behind the advanced watermark), run a watermarked
+    windowed count in append mode, and report one row per micro-batch with
+    its input size, the watermark in effect, state rows created/evicted,
+    and ``numRowsDroppedByWatermark``.
+
+    Measured Spark 4.1.2 caveat (the reason this audit exists): the
+    out-of-order slice's rows are NOT hard-dropped — their windows were
+    never in state (evicted ⇒ unknown), so the runtime re-opens fresh state
+    and emits those windows LATE, with numRowsDroppedByWatermark = 0 (the
+    companion pytest pins this behavior and the watermark monotonicity /
+    input-conservation invariants). Completeness monitoring therefore
+    cannot rely on the drop counter alone: the late-emission signature is
+    a batch whose ``state_rows_updated`` is high while the watermark did
+    not advance — exactly what this audit surfaces per batch.
+
+    100 TB: progress metadata is O(batches), not O(rows) — the audit adds
+    zero data-path cost; in production the same numbers stream from
+    ``StreamingQueryListener`` into the metrics pipeline."""
+    path = stage_events_dir_out_of_order(spark, sf_dir, n_files=4, swap=(1, 2))
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    _, progresses = run_with_progress(agg, "k14_progress_audit", "append")
+    rows = []
+    for i, p in enumerate(progresses):
+        sos = p.get("stateOperators") or []
+        rows.append(
+            (
+                i,
+                int(p.get("numInputRows", 0)),
+                sum(int(so.get("numRowsUpdated", 0)) for so in sos),
+                sum(int(so.get("numRowsRemoved", 0)) for so in sos),
+                sum(int(so.get("numRowsDroppedByWatermark", 0)) for so in sos),
+                str((p.get("eventTime") or {}).get("watermark", "")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_id int, input_rows bigint, state_rows_updated bigint, "
+        "state_rows_evicted bigint, late_rows_dropped bigint, watermark string",
+    )

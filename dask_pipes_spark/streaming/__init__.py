@@ -13,7 +13,9 @@ tests/test_streaming.py:
 - a watermark of ``delay`` holds window state until watermark = max(event
   time seen) - delay passes the window end;
 - ``append`` mode emits a window exactly once, after that point;
-- rows older than the watermark are dropped (counted, not joined/aggregated).
+- late rows whose window state is GONE are re-opened and emitted late
+  (measured Spark 4.1.2 behavior — numRowsDroppedByWatermark stays 0 for
+  windowed aggregation; k14's progress audit surfaces this signature).
 """
 
 from __future__ import annotations
@@ -75,3 +77,48 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str, timeout: int = 300
     q.awaitTermination(timeout)
     spark = df.sparkSession
     return spark.table(name)
+
+
+def stage_events_dir_out_of_order(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, swap: tuple[int, int] = (1, 2)
+) -> str:
+    """Like :func:`stage_events_dir`, but two time slices arrive SWAPPED in
+    the replay order (mtime order ``f0, f2, f1, f3`` for the default swap):
+    the newer slice advances the watermark first, so the older slice's rows
+    arrive late — the staging that makes late-arrival behavior (state re-opens, late
+    emission, watermark stalls) observable. Used by k14's progress audit."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = scratch_path(f"dps_events_stream_ooo_{tag}_{n_files}_{swap[0]}{swap[1]}")
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        events = load(spark, sf_dir, "events")
+        events.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(out)
+        parts = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+        order = list(range(len(parts)))
+        a, b = swap
+        if a < len(order) and b < len(order):
+            order[a], order[b] = order[b], order[a]
+        base = 1_700_000_000
+        for mtime_rank, slice_idx in enumerate(order):
+            p = os.path.join(out, parts[slice_idx])
+            os.utime(p, (base + mtime_rank, base + mtime_rank))
+    return out
+
+
+def run_with_progress(
+    df: DataFrame, name: str, output_mode: str, timeout: int = 300
+) -> tuple[DataFrame, list]:
+    """:func:`run_to_memory`, but also return the per-micro-batch
+    StreamingQueryProgress dicts (input rows, watermark, state-operator
+    metrics such as ``numRowsDroppedByWatermark``)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    progresses = [p for p in q.recentProgress if p is not None]
+    spark = df.sparkSession
+    return spark.table(name), progresses

@@ -165,3 +165,29 @@ def test_k13_incremental_state_is_replay_invariant(spark, registry):
         for r in run_to_memory(agg, "k13_replay", "complete").collect()
     )
     assert replayed == one
+
+
+def test_k14_progress_audit_invariants(spark, registry):
+    """The progress audit's contract: batch input rows sum to the corpus,
+    the watermark never regresses, and the measured Spark 4.1.2 late-data
+    behavior holds — the out-of-order slice re-opens state (high
+    state_rows_updated while the watermark does not advance) instead of
+    being counted as dropped."""
+    queries, _ = registry
+    rows = sorted(
+        queries["k14_stream_progress_audit"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.batch_id,
+    )
+    assert sum(r.input_rows for r in rows) == 1000  # sf0.001 events
+    wms = [r.watermark for r in rows if r.watermark]
+    assert wms == sorted(wms), wms  # ISO strings: lexicographic == temporal
+    # the late batch: nonzero input, state re-opened, watermark stalled,
+    # and (pinned behavior) zero rows counted as watermark-dropped
+    stalls = [
+        r
+        for prev, r in zip(rows, rows[1:])
+        if r.input_rows > 0 and r.watermark == prev.watermark
+    ]
+    assert stalls, "out-of-order replay must produce a watermark stall"
+    assert all(r.state_rows_updated > 0 for r in stalls)
+    assert all(r.late_rows_dropped == 0 for r in rows)

@@ -65,6 +65,7 @@ ARROW_OK = {
     "m7_png_decode",
     "m8_png_resize",
     "m9_multiformat_dispatch",
+    "m10_audio_features",
     "p1_pipeline_fit_transform",
 }
 
@@ -119,6 +120,7 @@ SKIP = {
     "k8_stream_stream_join",
     "k10_stream_session",
     "k13_stream_checksum",
+    "k14_stream_progress_audit",
 }
 
 
