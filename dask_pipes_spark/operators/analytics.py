@@ -1997,3 +1997,84 @@ def x31_session_stats(spark, sf_dir):
             "conversion_rate"
         ),
     )
+
+
+@query(
+    "x32_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             FLOOR(EPOCH(MIN(a.mx)) - EPOCH(MAX(o_orderdate))) AS recency_s,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS monetary
+      FROM orders CROSS JOIN anchor a
+      GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY recency_s ASC, o_custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score,
+             monetary
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           FLOOR(CAST(SUM(CAST(monetary AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def x32_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation — the marketing-analytics staple: per
+    customer, Recency (seconds since last order, against the corpus-max
+    anchor date so the result is reproducible), Frequency (order count)
+    and Monetary (decimal-exact lifetime value), each quartiled with NTILE
+    into a 4×4×4 segment cube, rolled up to segment sizes and average
+    value. Every NTILE rides a (metric, custkey) total order so quartile
+    boundaries are deterministic; the recency anchor is a 1-row broadcast.
+
+    100 TB: the per-customer rollup is one fact shuffle; the three NTILEs
+    run over the CUSTOMER-grain table (orders-of-magnitude smaller), and
+    an unpartitioned NTILE at extreme customer counts swaps for the d7
+    percentile-bucket pattern (global quantile cutoffs + broadcast
+    thresholds) with identical segment semantics."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.unix_timestamp(F.min("mx"))
+                - F.unix_timestamp(F.max("o_orderdate"))
+            ).alias("recency_s"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_s").asc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        q4(
+            F.sum(F.col("monetary").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_monetary"),
+    )

@@ -448,3 +448,79 @@ def a13_rowgroup_stats(spark, sf_dir):
         "max_key bigint, null_count bigint"
     )
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "a14_csv_malformed_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN (l_orderkey + l_linenumber) % 7 = 0
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN (l_orderkey + l_linenumber) % 7 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+    FROM lineitem
+    """,
+)
+def a14_csv_malformed_audit(spark, sf_dir):
+    """Malformed-input accounting at the scan — the ingestion-robustness
+    contract: a CSV copy of lineitem is written with a DETERMINISTIC
+    corruption (rows where ``(l_orderkey+l_linenumber) % 7 = 0`` get a
+    non-numeric quantity field), then read back in PERMISSIVE mode with an
+    explicit schema and a ``_corrupt_record`` column; the audit reports
+    total / parsed / corrupt row counts. Because the corruption is planted
+    by rule, the oracle predicts every count from the clean fixture — the
+    parser's classification itself is what gets verified (a reader that
+    silently coerced or dropped rows would diverge). The malformed lines
+    are quarantined, not lost: PERMISSIVE keeps them as raw text for a
+    dead-letter sink, which is the 100 TB operational pattern (fail the
+    row, never the job).
+
+    100 TB: line synthesis and parsing are per-partition map work (text in,
+    text out — no shuffle); the audit is one partial+final count aggregate.
+    DROPMALFORMED equivalence (n_good) is asserted in tests/test_scans.py —
+    including the measured operational trap that a zero-column scan
+    (``count()``) skips parsing entirely, so DROPMALFORMED reports the RAW
+    line count there and only column-materializing queries actually drop —
+    one more reason PERMISSIVE + explicit corrupt-record accounting (this
+    audit) is the mode that tells the truth."""
+    out = scratch_path("dps_a14_csv")
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    bad = (F.col("l_orderkey") + F.col("l_linenumber")) % 7 == 0
+    lines = li.select(
+        F.concat_ws(
+            ",",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.when(bad, F.lit("NOT_A_NUMBER")).otherwise(
+                F.col("l_quantity").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    # Spark disallows queries that touch only the corrupt-record column of
+    # a raw CSV scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # one bounded cache materializes the parse, as the error's docs direct.
+    back = back.cache()
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_if(F.col("_corrupt_record").isNull())
+        .cast("bigint")
+        .alias("n_good"),
+        F.count_if(F.col("_corrupt_record").isNotNull())
+        .cast("bigint")
+        .alias("n_corrupt"),
+    )

@@ -547,3 +547,72 @@ def g13_checksum_drilldown(spark, sf_dir):
             F.col("n").cast("long").alias("n_drilled"),
         )
     )
+
+
+@query(
+    "g15_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM log
+    )
+    SELECT user_id, value AS state_value,
+           CAST(n_ops AS BIGINT) AS n_ops, ts AS last_ts
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def g15_cdc_apply(spark, sf_dir):
+    """Changelog compaction — apply a CDC stream (insert/update/delete ops)
+    to produce the current snapshot, latest-writer-wins with DELETE
+    tombstones: the merge rule behind Delta/Hudi/Iceberg MERGE and every
+    Kafka-compacted-topic materialization. The events stream becomes the
+    changelog (signup→I, error→D, everything else→U, totally ordered per
+    key by (ts, event_id)); a key's final state is its LAST op's value —
+    unless that op is a tombstone, in which case the key leaves the
+    snapshot entirely. One window pass computes both the survivor row and
+    the per-key op count (shared partition spec → single shuffle + sort).
+
+    100 TB: compaction shuffles the changelog once by key — identical cost
+    to g4's dedup-keep-latest — and composes incrementally: yesterday's
+    snapshot (each row re-tagged 'U' at its snapshot time) unioned with
+    today's delta re-compacts under the same rule, so only the delta is
+    ever re-read (p5's incremental pattern, row-level instead of
+    aggregate-level)."""
+    e = load(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = log.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n_ops"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("value").alias("state_value"),
+        F.col("n_ops").cast("bigint").alias("n_ops"),
+        F.col("ts").alias("last_ts"),
+    )

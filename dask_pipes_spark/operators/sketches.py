@@ -97,7 +97,14 @@ def d42_cms_topk(spark, sf_dir):
     partial sketches merge associatively (the d22 merge pattern applies
     unchanged)."""
     li = load(spark, sf_dir, "lineitem")
-    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    # the per-key count feeds BOTH the cell build and the probe set; pin it
+    # so the fact-table aggregate runs once, not once per consumer (lineage
+    # truncation — the l18/l55 discipline)
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     ds = F.explode(F.array(*[F.lit(i) for i in range(_D)])).alias("d")
     keyed = exact.select("l_partkey", "cnt", ds)
     cells = (

@@ -469,3 +469,72 @@ def f17_systematic_sample(spark, sf_dir):
             "o_totalprice",
         )
     )
+
+
+@query(
+    "f19_balanced_class_sample",
+    oracle="""
+    WITH sized AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ),
+    target AS (SELECT MIN(n) AS k FROM sized),
+    ranked AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY CAST(('0x' || substr(md5('bal:' ||
+                              CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        vec_id
+             ) AS rk
+      FROM embeddings
+    )
+    SELECT r.label, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(t.k) AS BIGINT) AS target_per_class,
+           CAST(SUM(r.vec_id) AS BIGINT) AS kept_id_sum
+    FROM ranked r CROSS JOIN target t
+    WHERE r.rk <= t.k
+    GROUP BY r.label
+    """,
+)
+def f19_balanced_class_sample(spark, sf_dir):
+    """Class-balanced downsampling for training: every label keeps exactly
+    min-class-count rows, chosen by a SEEDED CONTENT-HASH rank within the
+    class (the f7/f8 discipline — partitioning-independent and replayable,
+    where ``rand()`` would resample on every retry). The per-class
+    row_number rides one shuffle by label; the minority count is a 10-row
+    broadcast scalar. Output proves the balance (n_kept per class) and the
+    exact membership (kept_id_sum — a checksum of WHICH rows survived,
+    so the oracle verifies the selection itself, not just its size).
+
+    100 TB: one shuffle by class + a broadcast threshold — same cost as
+    e10's top-k-per-group; per-class ranks stream through a single sorted
+    pass (WindowGroupLimit prunes rank > k where supported). For extreme
+    class skew the hash rank can be replaced by a per-class reservoir
+    (f10's A-Res) with identical determinism."""
+    e = load(spark, sf_dir, "embeddings")
+    k = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("k"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("label").orderBy(h.asc(), F.col("vec_id").asc())
+    ranked = e.select("vec_id", "label", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.min("k").cast("bigint").alias("target_per_class"),
+            F.sum("vec_id").cast("bigint").alias("kept_id_sum"),
+        )
+    )

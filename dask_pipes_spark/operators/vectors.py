@@ -32,6 +32,56 @@ from dask_pipes_spark.session import load
 _EPS = 0.1  # ε for the spatial join, in coordinate units
 
 
+def grid_epsilon_pairs(pts, eps):
+    """Grid-cell ε-join core: all pairs of ``pts`` (vec_id, label, x, y)
+    with Euclidean distance ≤ eps, each pair exactly once (l_id < r_id).
+
+    Home cell = (⌊x/eps⌋, ⌊y/eps⌋); the left side fans out to its 3×3 cell
+    neighborhood, the right side stays on its home cell, so a qualifying
+    pair (|Δx|,|Δy| ≤ eps ⇒ cell delta ≤ 1) meets on exactly one
+    (offset, home) combination — no post-join dedup. Property-tested vs
+    the O(N²) reference on hypothesis-generated points (negative coords,
+    cell-boundary sitters) in tests/test_vectors.py."""
+    cell = lambda c: F.floor(c / eps).cast("long")  # noqa: E731
+    right = pts.select(
+        F.col("vec_id").alias("r_id"),
+        F.col("label").alias("r_label"),
+        F.col("x").alias("rx"),
+        F.col("y").alias("ry"),
+        cell(F.col("x")).alias("cx"),
+        cell(F.col("y")).alias("cy"),
+    )
+    offsets = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+    left = (
+        pts.select(
+            F.col("vec_id").alias("l_id"),
+            F.col("label").alias("l_label"),
+            F.col("x").alias("lx"),
+            F.col("y").alias("ly"),
+            cell(F.col("x")).alias("hx"),
+            cell(F.col("y")).alias("hy"),
+        )
+        .withColumn("dx", offsets)
+        .withColumn("dy", offsets)
+        .select(
+            "l_id", "l_label", "lx", "ly",
+            (F.col("hx") + F.col("dx")).alias("cx"),
+            (F.col("hy") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx")) + (
+        F.col("ly") - F.col("ry")
+    ) * (F.col("ly") - F.col("ry"))
+    return (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("l_id") < F.col("r_id"))
+        .filter(d2 <= F.lit(eps) * F.lit(eps))
+        .select(
+            "l_id", "r_id", "l_label", "r_label", F.sqrt(d2).alias("dist")
+        )
+    )
+
+
 @query(
     "c24_grid_spatial_join",
     oracle="""
@@ -74,45 +124,10 @@ def c24_grid_spatial_join(spark, sf_dir):
         F.element_at("embedding", 1).cast("double").alias("x"),
         F.element_at("embedding", 2).cast("double").alias("y"),
     )
-    cell = lambda c: F.floor(c / _EPS).cast("long")  # noqa: E731
-    right = pts.select(
-        F.col("vec_id").alias("r_id"),
-        F.col("label").alias("r_label"),
-        F.col("x").alias("rx"),
-        F.col("y").alias("ry"),
-        cell(F.col("x")).alias("cx"),
-        cell(F.col("y")).alias("cy"),
-    )
-    offsets = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
-    left = (
-        pts.select(
-            F.col("vec_id").alias("l_id"),
-            F.col("label").alias("l_label"),
-            F.col("x").alias("lx"),
-            F.col("y").alias("ly"),
-            cell(F.col("x")).alias("hx"),
-            cell(F.col("y")).alias("hy"),
-        )
-        .withColumn("dx", offsets)
-        .withColumn("dy", offsets)
-        .select(
-            "l_id", "l_label", "lx", "ly",
-            (F.col("hx") + F.col("dx")).alias("cx"),
-            (F.col("hy") + F.col("dy")).alias("cy"),
-        )
-    )
-    d2 = (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx")) + (
-        F.col("ly") - F.col("ry")
-    ) * (F.col("ly") - F.col("ry"))
-    pairs = (
-        left.join(right, ["cx", "cy"])
-        .filter(F.col("l_id") < F.col("r_id"))
-        .filter(d2 <= F.lit(0.1) * F.lit(0.1))
-        .select(
-            F.least("l_label", "r_label").alias("lab_lo"),
-            F.greatest("l_label", "r_label").alias("lab_hi"),
-            F.sqrt(d2).alias("dist"),
-        )
+    pairs = grid_epsilon_pairs(pts, _EPS).select(
+        F.least("l_label", "r_label").alias("lab_lo"),
+        F.greatest("l_label", "r_label").alias("lab_hi"),
+        "dist",
     )
     return pairs.groupBy("lab_lo", "lab_hi").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),

@@ -183,3 +183,44 @@ def test_a13_rowgroup_stats_match_duckdb_at_smoke_sf(spark, registry):
         .collect()[0]
     )
     assert min(r[2] for r in got) == lo and max(r[3] for r in got) == hi
+
+
+def test_a14_dropmalformed_equals_good_count(spark):
+    """DROPMALFORMED must keep exactly the rows PERMISSIVE classifies as
+    good — the two modes agree on what 'malformed' means."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dask_pipes_spark.operators.scans import a14_csv_malformed_audit
+    from dask_pipes_spark.session import scratch_path
+
+    audit = a14_csv_malformed_audit(spark, SF_SMOKE).collect()[0]
+    assert audit.n_corrupt > 0 and audit.n_good > 0
+    assert audit.n_rows == audit.n_good + audit.n_corrupt
+
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    # Measured trap (documented in a14): a zero-column scan — count() —
+    # never parses fields, so DROPMALFORMED detects nothing and reports the
+    # RAW line count; only a query that materializes columns drops rows.
+    dropped = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .csv(scratch_path("dps_a14_csv"))
+    )
+    assert dropped.count() == audit.n_rows  # pinned: count() sees raw lines
+    assert dropped.agg(F.count("l_quantity")).collect()[0][0] == audit.n_good
+    assert len(dropped.collect()) == audit.n_good
+    # and the surviving rows are exactly the non-planted ones (collect
+    # forces the full parse, so the malformed lines are really gone)
+    planted = [
+        r
+        for r in dropped.collect()
+        if (r.l_orderkey + r.l_linenumber) % 7 == 0
+    ]
+    assert planted == []

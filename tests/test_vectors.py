@@ -117,3 +117,52 @@ def test_pq_topk_better_than_random(spark):
     ret = [dmap[(q, n)] for q in got for _, n in got[q]]
     avg_ret = sum(ret) / len(ret)
     assert avg_ret < 0.9 * avg_all, (avg_ret, avg_all)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_coord = st.floats(
+    min_value=-3.0, max_value=3.0, allow_nan=False, allow_infinity=False
+)
+# points that often sit exactly ON cell boundaries (multiples of eps) mixed
+# with arbitrary coords — the floor()-at-negative-values edge the grid
+# decomposition must get right
+_pt = st.tuples(
+    st.one_of(_coord, st.integers(-6, 6).map(lambda k: k * 0.25)),
+    st.one_of(_coord, st.integers(-6, 6).map(lambda k: k * 0.25)),
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    pts=st.lists(_pt, min_size=2, max_size=25),
+    eps=st.sampled_from([0.25, 0.5, 1.0]),
+)
+def test_grid_epsilon_pairs_equals_brute_force_property(spark, pts, eps):
+    """For ARBITRARY points (including negative coords and exact
+    cell-boundary sitters) and several cell widths, the grid decomposition
+    finds exactly the brute-force pair set with identical distances."""
+    from dask_pipes_spark.operators.vectors import grid_epsilon_pairs
+
+    pdf = spark.createDataFrame(
+        [(i, i % 3, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "vec_id long, label int, x double, y double",
+    )
+    got = {
+        (r.l_id, r.r_id): r.dist
+        for r in grid_epsilon_pairs(pdf, eps).collect()
+    }
+    import math
+
+    want = {}
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    for i, xi, yi in rows:
+        for j, xj, yj in rows:
+            if i < j and (xi - xj) ** 2 + (yi - yj) ** 2 <= eps * eps:
+                want[(i, j)] = math.sqrt((xi - xj) ** 2 + (yi - yj) ** 2)
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12

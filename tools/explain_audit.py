@@ -109,6 +109,10 @@ CARTESIAN_OK = {
     "p14_drift_monitor",
     # 1-row drilled-row-count broadcast onto the (typically 1-row) diff set.
     "g13_checksum_drilldown",
+    # 1-row minority-class-count broadcast onto the ranked class table.
+    "f19_balanced_class_sample",
+    # 1-row recency-anchor (MAX(o_orderdate)) broadcast onto orders.
+    "x32_rfm_segmentation",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
