@@ -1038,6 +1038,9 @@ def l37_containment(spark, sf_dir):
             ).alias("shingle"),
         )
         .distinct()
+        # sh feeds sizes AND both self-join sides — pin it so the
+        # explode+distinct runs once, not three times (l18/l55 discipline)
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -1125,7 +1128,15 @@ def l40_bm25(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    # dl feeds the corpus stats AND the per-doc join; tf feeds df AND the
+    # scoring join — pin both so each explode+aggregate runs once (l18/l55
+    # lineage-truncation discipline; was 7 exchanges, recomputing the
+    # token explode for every consumer)
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dlen"))
+        .localCheckpoint(eager=False)
+    )
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -1134,6 +1145,7 @@ def l40_bm25(spark, sf_dir):
         toks.filter(F.col("tok").isin(*_BM25_QUERY))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
     k1, b = _BM25_K1, _BM25_B
@@ -1364,9 +1376,13 @@ def l47_source_overlap(spark, sf_dir):
     hot token touches S rows, not |corpus|.
     """
     docs = load(spark, sf_dir, "documents")
-    vocab = docs.select(
-        "source", F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
+    # vocab feeds sizes AND both self-join sides — pin it (l18/l55
+    # discipline) so the explode+distinct runs once
+    vocab = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vs"))
     a = vocab.select(F.col("source").alias("src_a"), "tok")
     b = vocab.select(F.col("source").alias("src_b"), "tok")

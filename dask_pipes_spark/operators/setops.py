@@ -527,10 +527,21 @@ def g13_checksum_drilldown(spark, sf_dir):
     da, db = digest(o), digest(b)
     ca = da.groupBy("bucket").agg(F.expr("bit_xor(d)").alias("xa"))
     cb = db.groupBy("bucket").agg(F.expr("bit_xor(d)").alias("xb"))
-    hot = ca.join(cb, "bucket").filter(F.col("xa") != F.col("xb")).select("bucket")
+    # hot feeds BOTH drilldown sides and ra feeds both the count and the
+    # compare join — pin them (tiny: hot ≤64 rows, ra = hot-bucket rows
+    # only) so the bucket-checksum aggregates run once, not once per
+    # consumer; the full digest frames da/db stay recomputable on purpose
+    # (at scale the drilldown re-READS only hot partitions, it does not
+    # materialize the whole digest table)
+    hot = (
+        ca.join(cb, "bucket")
+        .filter(F.col("xa") != F.col("xb"))
+        .select("bucket")
+        .localCheckpoint(eager=False)
+    )
     ra = da.join(F.broadcast(hot), "bucket").select(
         "bucket", "o_orderkey", F.col("d").alias("digest_a")
-    )
+    ).localCheckpoint(eager=False)
     rb = db.join(F.broadcast(hot), "bucket").select(
         "o_orderkey", F.col("d").alias("digest_b")
     )
