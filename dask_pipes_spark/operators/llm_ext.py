@@ -1251,7 +1251,11 @@ def l42_bigram_xent(spark, sf_dir):
                 ),
             )
         ).alias("bg"),
-    ).select("doc_id", "lang", "bg.prev", "bg.cur")
+    ).select("doc_id", "lang", "bg.prev", "bg.cur").localCheckpoint(
+        eager=False
+    )  # the bigram stream feeds uni, bi, vocab AND the scored join — pin
+    # it so the tokenize+explode runs once, not four times (the
+    # "materialize the tokenized view" call every corpus pipeline makes)
     uni = bigrams.groupBy("prev").agg(
         F.count(F.lit(1)).cast("double").alias("c_prev")
     )
