@@ -946,3 +946,127 @@ def m10_audio_features(spark, sf_dir):
     return synth_wav_media_periodic(spark, sf_dir).mapInPandas(
         schema=schema, func=extract
     )
+
+
+def synth_framestream_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame containers: 4-byte BE frame count, then per frame a
+    4-byte BE length prefix + a complete, spec-conformant PNG
+    (:func:`_png_encode`) — the MJPEG-style "stream of stills" layout.
+    Frame f of doc d: width=(d+f)%8+1, height=(n_chars+f)%8+1,
+    gray(x,y)=(d+f+x+y)%256, n_frames=2+d%4 — every decoded quantity is
+    predictable from (doc_id, n_chars), which is what lets m11 carry a
+    full SQL oracle over genuinely container-parsed, PNG-decoded frames."""
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                frames = []
+                for f in range(2 + d % 4):
+                    png = _png_encode(
+                        (d + f) % 8 + 1,
+                        (nc + f) % 8 + 1,
+                        lambda x, y, f=f: (d + f + x + y) % 256,
+                    )
+                    frames.append(struct.pack(">I", len(png)) + png)
+                payloads.append(
+                    struct.pack(">I", len(frames)) + b"".join(frames)
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .mapInPandas(synth, "media_id bigint, payload binary")
+    )
+
+
+@query(
+    "m11_framestream_decode",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id AS media_id, n_chars,
+             UNNEST(range(2 + doc_id % 4)) AS fi
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id, fi,
+             CAST((media_id + fi) % 8 + 1 AS INTEGER) AS width,
+             CAST((n_chars + fi) % 8 + 1 AS INTEGER) AS height
+      FROM f WHERE fi % 2 = 0
+    ),
+    px AS (
+      SELECT media_id, fi, width, height,
+             (media_id + fi + (i % width) + CAST(FLOOR(i / width) AS BIGINT))
+               % 256 AS val
+      FROM dims, LATERAL (SELECT unnest(range(width * height)) AS i)
+    )
+    SELECT media_id, CAST(fi AS BIGINT) AS frame_idx, width, height,
+           FLOOR(AVG(val) * 1000000 + 0.5) / 1000000 AS mean_gray
+    FROM px GROUP BY media_id, fi, width, height
+    """,
+)
+def m11_framestream_decode(spark, sf_dir):
+    """REAL frame sampling + decode — m3's stub made real end-to-end: the
+    payload is a genuine multi-frame container (length-prefixed stream of
+    spec-conformant PNGs, the MJPEG layout), the kernel PARSES the
+    container structure, samples every 2nd frame, and runs the real
+    CRC-verified PNG decode (:func:`_png_decode_gray`) on each sampled
+    frame — one output row per (media, frame) with true dimensions and
+    mean gray. The SQL oracle predicts every value from (doc_id, n_chars)
+    arithmetic: a mis-parsed length prefix, wrong frame offset, or decode
+    fault diverges immediately. With m7 (decode), m8 (resize), m10
+    (audio DSP) and m9 (format dispatch), every step of the multimodal
+    path now runs a REAL codec under full oracles.
+
+    100 TB: container parsing is sequential per payload but payloads are
+    row-parallel across partitions (binary column never shuffles); frame
+    sampling bounds decode cost to sampled frames only — exactly how a
+    video pipeline keeps ffmpeg cost sublinear in footage; output is
+    skinny scalar rows."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_gray", T.DoubleType()),
+        ]
+    )
+
+    def decode(batches):
+        import math
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "frame_idx", "width", "height", "mean_gray")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                (n_frames,) = struct.unpack(">I", raw[:4])
+                off = 4
+                for fi in range(n_frames):
+                    (ln,) = struct.unpack(">I", raw[off : off + 4])
+                    frame = raw[off + 4 : off + 4 + ln]
+                    off += 4 + ln
+                    if fi % 2:
+                        continue
+                    width, height, pix = _png_decode_gray(frame)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(width)
+                    out["height"].append(height)
+                    out["mean_gray"].append(
+                        math.floor(sum(pix) / len(pix) * 1e6 + 0.5) / 1e6
+                    )
+                assert off == len(raw), "container trailer mismatch"
+            yield pd.DataFrame(out)
+
+    return synth_framestream_media(spark, sf_dir).mapInPandas(decode, schema)

@@ -66,6 +66,7 @@ ARROW_OK = {
     "m8_png_resize",
     "m9_multiformat_dispatch",
     "m10_audio_features",
+    "m11_framestream_decode",
     "p1_pipeline_fit_transform",
 }
 
