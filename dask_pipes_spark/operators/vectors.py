@@ -1,5 +1,7 @@
 """Vector/embedding operators beyond the ANN family (l3/l11/l12/l17):
-grid-partitioned spatial ε-join and int8 embedding quantization.
+grid-partitioned spatial ε-join (c24), int8 quantization (l54),
+product-quantization ANN (l55), and linear projection / ``DataFrame.dot``
+(l57).
 
 Published grounding: grid-file spatial partitioning — Nievergelt et al. 1984
 (the grid file); the ε-join-by-cell-neighborhood pattern is the standard
@@ -407,4 +409,92 @@ def l55_pq_topk(spark, sf_dir):
             "query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist"
         )
         .orderBy("query_id", "adc_dist", "neighbor_id")
+    )
+
+
+@query(
+    "l57_embedding_project",
+    oracle="""
+    WITH basis AS (
+      SELECT j, LIST_TRANSFORM(range(64),
+                               i -> CAST(((i * 37 + j * 101) % 17 - 8)
+                                         AS DOUBLE) / 8.0) AS bv
+      FROM (SELECT UNNEST(range(4)) AS j)
+    ),
+    v AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT v.label, b.j,
+             LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.e, b.bv),
+                                     p -> p[1] * p[2])) AS c
+      FROM v CROSS JOIN basis b
+    )
+    SELECT label, CAST(j AS INTEGER) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           FLOOR(CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+                 * 1000000 + 0.5) / 1000000 AS mean_proj,
+           FLOOR(MAX(c) * 1000000 + 0.5) / 1000000 AS max_proj
+    FROM proj GROUP BY label, j
+    """,
+)
+def l57_embedding_project(spark, sf_dir):
+    """Distributed matrix product — Dask ``DataFrame.dot`` re-expressed
+    Spark-first: project every 64-d embedding onto a 4-vector deterministic
+    basis (entries ((i·37+j·101) mod 17 − 8)/8, generated by the same
+    integer arithmetic in both engines), then roll the projected
+    components up per label. This is the tall-×-small matmul every
+    embedding pipeline runs (PCA/whitening transforms, SemDeDup's
+    dimensionality cut before l49's centroid pass, linear probes): the
+    tall side stays distributed, the small matrix is a broadcast constant,
+    each dot product is a codegen ``zip_with``+``aggregate`` with NO
+    Python, and per-row element order makes the double sums IEEE-identical
+    cross-engine (decimal sums for the per-label mean).
+
+    100 TB: row-local map (zero shuffle) + one bounded label rollup; a
+    wide-×-wide matmul instead decomposes into block outer products
+    (shuffle by block id), which l8's embedding-mean machinery already
+    sketches — not needed for the projection shapes training pipelines
+    use."""
+    basis = [
+        [((i * 37 + j * 101) % 17 - 8) / 8.0 for i in range(64)]
+        for j in range(4)
+    ]
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    comps = v.select(
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("component"),
+                        F.aggregate(
+                            F.zip_with(
+                                "e",
+                                F.array(*[F.lit(x) for x in basis[j]]),
+                                lambda a, b: a * b,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, t: acc + t,
+                        ).alias("c"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("label", "p.component", "p.c")
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return comps.groupBy("label", "component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        q6(
+            F.sum(F.col("c").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_proj"),
+        q6(F.max("c")).alias("max_proj"),
     )
