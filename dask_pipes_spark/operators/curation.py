@@ -217,16 +217,16 @@ def l22_seq_pack(spark, sf_dir):
     oracle="""
     WITH scored AS (
       SELECT doc_id, lang,
-             -- identical composite to l14, rounded once through DECIMAL so
-             -- both engines round HALF_UP on exact midpoints
-             CAST(ROUND(CAST(
+             -- identical composite to l14, FLOOR-quantized (section 7.6.2):
+             -- exact 1e-6 midpoints flip between engines under ROUND
+             FLOOR((
                  LEAST(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.4
                  + (1.0 - CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
                                    t -> t IN ('a', 'the'))) AS DOUBLE)
                          / LEN(STRING_SPLIT(text, ' '))) * 0.3
                  + CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
                          / LEN(STRING_SPLIT(text, ' ')) * 0.3
-               AS DECIMAL(18,12)), 6) AS DOUBLE) AS quality
+               ) * 1000000 + 0.5) / 1000000 AS quality
       FROM documents
     ), ranked AS (
       SELECT doc_id, lang, quality,
@@ -252,7 +252,16 @@ def l23_quality_filter(spark, sf_dir):
     stop_raw = F.size(F.filter(toks, lambda t: t.isin("a", "the"))).cast("double") / n_tok
     ttr_raw = F.size(F.array_distinct(toks)).cast("double") / n_tok
     len_norm = F.least(F.col("n_chars").cast("double") / 200.0, F.lit(1.0))
-    quality = F.round(len_norm * 0.4 + (1.0 - stop_raw) * 0.3 + ttr_raw * 0.3, 6)
+    # FLOOR quantizer, not round() — see l14: exact 1e-6 midpoints flip
+    # between engines under round(); identical under FLOOR(x*1e6+0.5)
+    quality = (
+        F.floor(
+            (len_norm * 0.4 + (1.0 - stop_raw) * 0.3 + ttr_raw * 0.3)
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
     scored = d.select("doc_id", "lang", quality.alias("quality"))
     w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
     ranked = scored.select(

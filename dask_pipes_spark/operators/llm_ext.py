@@ -442,15 +442,15 @@ def l13_language_id(spark, sf_dir):
              LEAST(CAST(n_chars AS DOUBLE) / 200.0, 1.0) AS len_norm
       FROM documents
     )
-    -- rounding goes through DECIMAL so both engines round HALF_UP: DuckDB's
-    -- double ROUND is half-even, Spark's is half-up, and ratios with
-    -- power-of-two denominators (e.g. 1/128) land exactly on midpoints
+    -- FLOOR quantizer (section 7.6.2): round()-family calls disagree across
+    -- engines on the exact 1e-6 midpoints these power-of-two-denominator
+    -- ratios produce; FLOOR(x*1e6+0.5) on identical doubles cannot
     SELECT doc_id, n_tokens,
-           CAST(ROUND(CAST(atl AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_token_len,
-           CAST(ROUND(CAST(ttr_raw AS DECIMAL(18,12)), 6) AS DOUBLE) AS ttr,
-           CAST(ROUND(CAST(stop_raw AS DECIMAL(18,12)), 6) AS DOUBLE) AS stopword_ratio,
-           CAST(ROUND(CAST(len_norm * 0.4 + (1.0 - stop_raw) * 0.3
-                           + ttr_raw * 0.3 AS DECIMAL(18,12)), 6) AS DOUBLE) AS quality
+           FLOOR(atl * 1000000 + 0.5) / 1000000 AS avg_token_len,
+           FLOOR(ttr_raw * 1000000 + 0.5) / 1000000 AS ttr,
+           FLOOR(stop_raw * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+           FLOOR((len_norm * 0.4 + (1.0 - stop_raw) * 0.3 + ttr_raw * 0.3)
+                 * 1000000 + 0.5) / 1000000 AS quality
     FROM raw
     """,
 )
@@ -468,13 +468,18 @@ def l14_quality_score(spark, sf_dir):
     stop_raw = F.size(F.filter(toks, lambda t: t.isin("a", "the"))).cast("double") / n_tok
     ttr_raw = F.size(F.array_distinct(toks)).cast("double") / n_tok
     len_norm = F.least(F.col("n_chars").cast("double") / 200.0, F.lit(1.0))
+    # FLOOR quantizer, not round(): power-of-two-denominator ratios land
+    # exactly on 1e-6 midpoints, where Spark's double round and DuckDB's
+    # decimal ROUND disagree (first observed at sf0.1: 8/5000 docs) —
+    # FLOOR(x*1e6+0.5) on identical doubles is identical everywhere (§7.6.2)
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     return d.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
-        F.round(F.col("n_chars").cast("double") / n_tok, 6).alias("avg_token_len"),
-        F.round(ttr_raw, 6).alias("ttr"),
-        F.round(stop_raw, 6).alias("stopword_ratio"),
-        F.round(len_norm * 0.4 + (1.0 - stop_raw) * 0.3 + ttr_raw * 0.3, 6).alias(
+        q6(F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        q6(ttr_raw).alias("ttr"),
+        q6(stop_raw).alias("stopword_ratio"),
+        q6(len_norm * 0.4 + (1.0 - stop_raw) * 0.3 + ttr_raw * 0.3).alias(
             "quality"
         ),
     )

@@ -695,8 +695,9 @@ def e18_interpolate(spark, sf_dir):
     "e19_pct_change",
     oracle="""
     SELECT event_id, user_id, ts,
-           ROUND((value - LAG(value) OVER w)
-                 / NULLIF(LAG(value) OVER w, 0.0), 6) AS pct_change
+           FLOOR((value - LAG(value) OVER w)
+                 / NULLIF(LAG(value) OVER w, 0.0) * 1000000 + 0.5) / 1000000
+             AS pct_change
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -714,9 +715,15 @@ def e19_pct_change(spark, sf_dir):
         "event_id",
         "user_id",
         "ts",
-        F.round((F.col("value") - prev) / F.nullif(prev, F.lit(0.0)), 6).alias(
-            "pct_change"
-        ),
+        # FLOOR quantizer, not round(): a midpoint pct (observed at sf0.1)
+        # flips between Spark round and DuckDB ROUND; FLOOR is engine-exact
+        (
+            F.floor(
+                (F.col("value") - prev) / F.nullif(prev, F.lit(0.0)) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("pct_change"),
     )
 
 
