@@ -524,3 +524,70 @@ def a14_csv_malformed_audit(spark, sf_dir):
         .cast("bigint")
         .alias("n_corrupt"),
     )
+
+
+@query("a15_sorted_write_zonemap")  # weak: the metric derives from the
+# footer metadata of files written to a session-scratch path, which a
+# literal-path SQL oracle cannot address; the sorted-vs-unsorted contract
+# is asserted in tests/test_scans.py.
+def a15_sorted_write_zonemap(spark, sf_dir):
+    """Write-side layout quality, quantified — the producer-side twin of
+    a13's zone-map introspection: lineitem is written twice (key-sorted vs
+    arrival order) into multi-row-group parquet, and each layout is scored
+    by its o v e r l a p  f a c t o r — for every row group, how many row
+    groups' [min,max] key ranges intersect it (1.0 = perfectly disjoint =
+    every point predicate prunes to one group; N = zone maps useless).
+    This is the number that decides whether a 100 TB table supports
+    min/max skipping BEFORE anyone runs a query against it — the write-
+    side acceptance test for f16-style layout jobs.
+
+    100 TB: the sort is one range-exchange (what any sorted write costs);
+    scoring reads ONLY footers (a13's posture — KBs per file) and the
+    row-group count is bounded by layout config, so the overlap matrix is
+    tiny. The same score generalizes to Z-order by scoring each z-dimension
+    column's ranges."""
+    import pyarrow.parquet as pq
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_partkey", "l_quantity"
+    )
+    out_sorted = scratch_path("dps_a15_sorted")
+    out_arrival = scratch_path("dps_a15_arrival")
+    (
+        li.repartitionByRange(4, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(out_sorted)
+    )
+    li.repartition(4).write.mode("overwrite").parquet(out_arrival)
+
+    def overlap_factor(path: str) -> tuple[int, float]:
+        ranges = []
+        for fname in sorted(os.listdir(path)):
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(path, fname)).metadata
+            idx = next(
+                i
+                for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == "l_partkey"
+            )
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(idx).statistics
+                ranges.append((st.min, st.max))
+        n = len(ranges)
+        total = sum(
+            sum(1 for lo2, hi2 in ranges if lo <= hi2 and lo2 <= hi)
+            for lo, hi in ranges
+        )
+        return n, total / n
+
+    ns, fs = overlap_factor(out_sorted)
+    na, fa = overlap_factor(out_arrival)
+    return spark.createDataFrame(
+        [
+            ("sorted", ns, round(fs, 4)),
+            ("arrival", na, round(fa, 4)),
+        ],
+        "layout string, n_row_groups int, overlap_factor double",
+    )

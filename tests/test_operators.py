@@ -474,3 +474,30 @@ def test_g13_drilldown_finds_the_planted_row_only(spark, registry):
     n_total = orders.count()
     n_bucket = orders.filter(F.col("o_orderkey") % 64 == r.bucket).count()
     assert r.n_drilled == n_bucket < n_total
+
+
+def test_g15_cdc_apply_is_idempotent_compaction(spark):
+    """Latest-writer-wins compaction must be idempotent: re-applying the
+    compacted snapshot (as all-'U' changelog at its own timestamps) yields
+    the identical snapshot — the property that makes incremental
+    re-compaction safe."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.setops import g15_cdc_apply
+
+    snap = g15_cdc_apply(spark, SF_SMOKE)
+    # re-compact the snapshot under the same rule (every row is a 'U' op)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_ts").desc(), F.col("state_value").desc()
+    )
+    again = (
+        snap.select("user_id", "state_value", "last_ts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    a = {(r.user_id, r.state_value, r.last_ts) for r in snap.select(
+        "user_id", "state_value", "last_ts").collect()}
+    b = {(r.user_id, r.state_value, r.last_ts) for r in again.collect()}
+    assert a == b

@@ -224,3 +224,15 @@ def test_a14_dropmalformed_equals_good_count(spark):
         if (r.l_orderkey + r.l_linenumber) % 7 == 0
     ]
     assert planted == []
+
+
+def test_a15_sorted_layout_beats_arrival_order(spark):
+    """The write-side zone-map contract: a key-sorted multi-group write
+    must score a strictly lower overlap factor than arrival order, and a
+    range-partitioned sort must be perfectly disjoint (factor 1.0)."""
+    from dask_pipes_spark.operators.scans import a15_sorted_write_zonemap
+
+    rows = {r.layout: r for r in a15_sorted_write_zonemap(spark, SF_SMOKE).collect()}
+    assert rows["sorted"].n_row_groups >= 2
+    assert rows["sorted"].overlap_factor == 1.0
+    assert rows["arrival"].overlap_factor > rows["sorted"].overlap_factor
