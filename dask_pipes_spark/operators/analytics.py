@@ -1146,6 +1146,9 @@ def x21_dominant_suppliers(spark, sf_dir):
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("qty"))
+        # shipped feeds the part totals AND the dominant join — pin it so
+        # the fact filter+aggregate runs once (l18/l55 discipline)
+        .localCheckpoint(eager=False)
     )
     part_total = shipped.groupBy("l_partkey").agg(
         F.sum("qty").alias("total_qty")
@@ -1313,10 +1316,14 @@ def x24_event_funnel(spark, sf_dir):
     SQL-oracle-checkable.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
+    # each stage frame feeds the next stage AND the final count join — pin
+    # them (user-grain, small) so the event filters run once per stage, not
+    # once per consumer (l18/l55 lineage-truncation discipline)
     s1 = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     s2 = (
         e.filter(F.col("event_type") == "click")
@@ -1324,6 +1331,7 @@ def x24_event_funnel(spark, sf_dir):
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")
