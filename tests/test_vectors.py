@@ -191,3 +191,40 @@ def test_portable_bloom_no_false_negatives_textbook_fpr(spark):
     assert r.n_positives >= r.n_members
     predicted = (1 - math.exp(-3 * r.n_members / 4096)) ** 3
     assert r.fpr <= max(4 * predicted, 0.02), (r.fpr, predicted)
+
+
+def test_hll_rho_expression_cross_engine_edges(spark):
+    """The bin()-length leading-zero rank must agree between Spark and
+    DuckDB on crafted edge hashes the fixtures never produce: rest = 0
+    (all 54 bits zero → ρ = 55), rest = 1 (ρ = 54), the max 54-bit value
+    (ρ = 1), and single-bit values across the whole range."""
+    import duckdb
+
+    hvs = [0, 1, 63, 64, 65, 2**60 - 1] + [1 << k for k in range(6, 60)]
+    sdf = spark.createDataFrame([(h,) for h in hvs], "hv long")
+    got = {
+        r.hv: (r.b, r.r)
+        for r in sdf.selectExpr(
+            "hv",
+            "hv % 64 AS b",
+            "CASE WHEN shiftright(hv, 6) = 0 THEN 55 "
+            "ELSE 55 - length(bin(shiftright(hv, 6))) END AS r",
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        h: (b, r)
+        for h, b, r in con.execute(
+            "SELECT hv, hv % 64, CASE WHEN (hv >> 6) = 0 THEN 55 "
+            "ELSE 55 - LENGTH(bin(hv >> 6)) END "
+            "FROM (SELECT UNNEST(?) AS hv)",
+            [hvs],
+        ).fetchall()
+    }
+    assert got == want
+    # and the pure-math reference: ρ = leading-zero count of the 54-bit
+    # window + 1
+    for h in hvs:
+        rest = h >> 6
+        rho = 55 if rest == 0 else 55 - rest.bit_length()
+        assert got[h][1] == rho, (h, got[h], rho)
