@@ -828,3 +828,82 @@ def p14_drift_monitor(spark, sf_dir):
         .select("metric", "value", "n_fit", "n_serve")
     )
     return zrow.unionByName(psirow)
+
+
+@query("p16_plan_governance")  # weak: the output derives from physical-plan
+# strings (engine-version-dependent formatting); the structural contract is
+# asserted in tests/test_pipeline.py.
+def p16_plan_governance(spark, sf_dir):
+    """The engine inspecting its own plans, as a queryable surface — plan
+    governance the way a platform team consumes it: for a representative
+    operator per family, build the DataFrame, parse the physical plan, and
+    emit shuffle-exchange count, join strategies, Python-boundary presence,
+    and whether the plan sits within its RECORDED exchange budget
+    (tools/plan_budget.json — the plan-regression gate CI enforces). This
+    is a13/a15's layout-governance idea applied to QUERY PLANS: regressions
+    (a lost broadcast, a new shuffle, Python leaking into a relational
+    pipeline) surface as rows in a table any dashboard can read, before
+    they surface as cluster bills.
+
+    100 TB: pure driver-side metadata (plan strings, KBs); the governed
+    queries are built but never executed — zero data-path cost."""
+    import json
+    import os as _os
+    import re as _re
+
+    from dask_pipes_spark.registry import QUERIES
+
+    sample = [
+        "d3_groupby_multi",
+        "c1_join_inner",
+        "e1_row_number",
+        "f2_topk",
+        "l2_minhash_lsh",
+        "d42_cms_topk",
+        "x1_shipping_priority",
+    ]
+    budget_path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        "tools",
+        "plan_budget.json",
+    )
+    budgets = {}
+    if _os.path.exists(budget_path):
+        with open(budget_path) as fh:
+            budgets = json.load(fh)
+    rows = []
+    for key in sample:
+        plan = QUERIES[key](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        nex = len(_re.findall(r"Exchange (?:hash|range|Single)", plan))
+        joins = "+".join(
+            sorted(
+                set(
+                    _re.findall(
+                        r"(\w*?(?:HashJoin|MergeJoin|NestedLoopJoin|CartesianProduct))",
+                        plan,
+                    )
+                )
+            )
+        )
+        has_python = bool(
+            _re.search(
+                r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|MapInArrow",
+                plan,
+            )
+        )
+        budget = budgets.get(key)
+        rows.append(
+            (
+                key,
+                nex,
+                joins or None,
+                has_python,
+                budget,
+                (nex <= budget) if budget is not None else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "key string, n_exchanges int, join_strategies string, "
+        "python_boundary boolean, exchange_budget int, within_budget boolean",
+    )

@@ -266,3 +266,17 @@ def test_p14_drift_monitor_contract(spark, registry):
         assert r.n_fit > 0 and r.n_serve > 0
         assert math.isfinite(r.value)
     assert rows["priority_psi"].value >= 0.0
+
+
+def test_p16_plan_governance_all_within_budget(spark):
+    """The governed sample must carry recorded budgets, sit within them,
+    and show no Python boundary in relational plans (l2's Arrow-free
+    relational form included)."""
+    from dask_pipes_spark.operators.pipeline_ops import p16_plan_governance
+
+    rows = p16_plan_governance(spark, SF_SMOKE).collect()
+    assert len(rows) >= 5
+    for r in rows:
+        assert r.exchange_budget is not None, r.key
+        assert r.within_budget is True, r
+        assert r.python_boundary is False, r
