@@ -240,6 +240,11 @@ def ivf_assign(
     The prior shape (broadcast-join + row_number window) cost one shuffle
     per assignment pass; at 100 TB that was 2 corpus-wide exchanges this
     version simply does not have."""
+    if not cent_rows:
+        # empty corpus → empty codebook: a zero-element F.array() is
+        # VOID-typed and breaks the lambda analysis; the assignment of
+        # nothing to nothing is the empty frame (empty-input sweep contract)
+        return vectors.withColumn("bucket", F.lit(None).cast("int")).limit(0)
     cent_lit = F.array(
         *[
             F.struct(

@@ -348,8 +348,10 @@ def p6_observe_metrics(spark, sf_dir):
     out = scratch_path(f"dps_p6_sink_{tag}")
     e.write.mode("overwrite").parquet(out)
     m = obs.get
+    # SUM over zero rows observes NULL — report 0.0, the metric a monitor
+    # expects from an empty batch (empty-input sweep contract)
     return spark.createDataFrame(
-        [(m["n_rows"], m["n_big"], float(m["s"]))],
+        [(m["n_rows"], m["n_big"], float(m["s"]) if m["s"] is not None else 0.0)],
         "n_rows bigint, n_big bigint, sum_value double",
     )
 
@@ -379,6 +381,12 @@ def p7_ml_pipeline_interop(spark, sf_dir):
     from pyspark.ml.functions import vector_to_array
 
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    if c.isEmpty():
+        # pyspark.ml Estimators refuse a zero-row fit; the transform of
+        # nothing is nothing (empty-input sweep contract)
+        return spark.createDataFrame(
+            [], "c_custkey bigint, acctbal_scaled double"
+        )
     pipe = MlPipeline(
         stages=[
             VectorAssembler(inputCols=["c_acctbal"], outputCol="feat"),
@@ -589,6 +597,11 @@ def p11_hashing_tfidf(spark, sf_dir):
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    if docs.isEmpty():
+        # IDF.fit refuses a zero-row corpus; empty in → empty out
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_tokens int, nnz int, l2_norm double"
+        )
     pipe_in = Tokenizer(inputCol="text", outputCol="toks").transform(docs)
     tf = HashingTF(inputCol="toks", outputCol="tf", numFeatures=256).transform(
         pipe_in
@@ -794,9 +807,14 @@ def p14_drift_monitor(spark, sf_dir):
     )
     zrow = sstat.select(
         F.lit("price_mean_shift_z").alias("metric"),
+        # n_serve = 0 (empty serving slice) → no z to report (NULL), not an
+        # ANSI divide-by-zero (empty-input sweep contract)
         quant(
-            (F.col("mean_s") - F.lit(mean_f))
-            / (F.lit(std_f) / F.sqrt(F.col("n_serve")))
+            F.when(
+                F.col("n_serve") > 0,
+                (F.col("mean_s") - F.lit(mean_f))
+                / (F.lit(std_f) / F.sqrt(F.col("n_serve"))),
+            )
         ).alias("value"),
         F.lit(n_fit).cast("bigint").alias("n_fit"),
         F.col("n_serve").cast("bigint").alias("n_serve"),

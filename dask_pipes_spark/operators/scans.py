@@ -73,7 +73,10 @@ def a3_sink_parquet_roundtrip(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out)
+    # schema-explicit read-back: an empty write leaves no part files, so
+    # inference fails — the schema is known, declare it (100 TB posture:
+    # never infer; also the empty-input sweep contract)
+    back = spark.read.schema(li.schema).parquet(out)
     return (
         back.filter(F.col("l_returnflag") == "A")
         .groupBy("l_returnflag")
@@ -254,7 +257,10 @@ def a8_partition_pruned_scan(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     if not os.path.exists(done):
         ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    back = spark.read.parquet(out)
+    # schema-explicit read-back (see a3): empty writes leave nothing to infer
+    back = spark.read.schema(
+        load(spark, sf_dir, "events").schema
+    ).parquet(out)
     return (
         back.filter(F.col("event_type").isin("click", "purchase"))
         .groupBy("event_type")
@@ -567,6 +573,8 @@ def a15_sorted_write_zonemap(spark, sf_dir):
             if not fname.endswith(".parquet"):
                 continue
             meta = pq.ParquetFile(os.path.join(path, fname)).metadata
+            if meta.num_row_groups == 0:  # empty write → nothing to score
+                continue
             idx = next(
                 i
                 for i in range(meta.num_columns)
@@ -576,6 +584,8 @@ def a15_sorted_write_zonemap(spark, sf_dir):
                 st = meta.row_group(g).column(idx).statistics
                 ranges.append((st.min, st.max))
         n = len(ranges)
+        if n == 0:
+            return 0, 0.0
         total = sum(
             sum(1 for lo2, hi2 in ranges if lo <= hi2 and lo2 <= hi)
             for lo, hi in ranges

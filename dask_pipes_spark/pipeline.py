@@ -110,15 +110,24 @@ _DEC = "decimal(28,6)"
 
 
 def _exact_mean_std(df: DataFrame, col: str) -> tuple[float, float]:
+    """Exact decimal-sum mean/std. Empty (or single-row) input fits the
+    IDENTITY transform (mean 0, std 1): a cold-start pipeline run over an
+    empty partition must produce a usable fitted state, not a TypeError —
+    scaling then passes values through unchanged, which is the neutral
+    choice (asserted in tests/test_pipeline.py)."""
     x = F.col(col)
     row = df.agg(
         F.sum(x.cast(_DEC)).cast("double").alias("sx"),
         F.sum((x * x).cast(_DEC)).cast("double").alias("sxx"),
         F.count(x).alias("n"),
     ).collect()[0]
+    if row.n == 0:
+        return 0.0, 1.0
     mean = row.sx / row.n
+    if row.n == 1:
+        return mean, 1.0
     var = (row.sxx - row.sx * row.sx / row.n) / (row.n - 1)
-    return mean, math.sqrt(var)
+    return mean, math.sqrt(var) if var > 0 else 1.0
 
 
 # --- concrete nodes (the reference's tabular-preprocessing utility set) ------
@@ -186,6 +195,10 @@ class CategoryEncoder(Node):
 
     def transform(self, df: DataFrame, params: Params) -> DataFrame:
         vocab: list[str] = params["vocab"]  # type: ignore[assignment]
+        if not vocab:
+            # empty fitted vocabulary (cold-start fit on an empty frame):
+            # every value is unseen → the unseen code, not a VOID-typed map
+            return df.withColumn(f"{self.col}_code", F.lit(-1).cast("int"))
         mapping = F.create_map(
             *[x for i, v in enumerate(vocab) for x in (F.lit(v), F.lit(i))]
         )
