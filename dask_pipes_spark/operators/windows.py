@@ -1186,3 +1186,88 @@ def e28_twap(spark, sf_dir):
         )
         .filter(F.col("span_us") > 0)
     )
+
+
+@query(
+    "e29_autocorr",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, value AS x,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT user_id,
+             COUNT(y) AS n,
+             CAST(SUM(CASE WHEN y IS NOT NULL
+                  THEN CAST(x AS DECIMAL(28,6)) END) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CASE WHEN y IS NOT NULL
+                  THEN CAST(x * x AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      FROM lagged GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           FLOOR((sxy - sx * sy / n)
+                 / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n))
+                 * 1000000 + 0.5) / 1000000 AS lag1_autocorr
+    FROM m
+    WHERE n >= 10
+      AND (sxx - sx * sx / n) * (syy - sy * sy / n) > 0
+    """,
+)
+def e29_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation per key (pandas/Dask ``Series.autocorr``) —
+    the is-this-series-random screen monitoring runs before fitting any
+    forecaster (x10) or alerting on drift (p14): Pearson correlation of
+    each user's click-value series against itself shifted by one, from one
+    LAG window pass + one-pass decimal moments (the e17/d11 discipline, so
+    every correlation matches DuckDB exactly after FLOOR quantization).
+    Keys need ≥10 lag pairs and nonzero variance on both sides — the same
+    guard any statistics package applies before quoting a correlation.
+
+    100 TB: one shuffle by key (the LAG window), then a keyed one-pass
+    aggregate — identical cost profile to e4/e17; higher lags reuse the
+    same plan with LAG(value, k)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("value").alias("x"),
+            F.lag("value").over(w).alias("y"),
+        )
+    )
+    has_y = F.col("y").isNotNull()
+    m = lagged.groupBy("user_id").agg(
+        F.count("y").alias("n"),
+        F.sum(F.when(has_y, F.col("x").cast("decimal(28,6)")))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.when(has_y, (F.col("x") * F.col("x")).cast("decimal(28,6)")))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    return (
+        m.filter((F.col("n") >= 10) & (varx * vary > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            (
+                F.floor(cov / F.sqrt(varx * vary) * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("lag1_autocorr"),
+        )
+    )
