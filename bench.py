@@ -78,6 +78,20 @@ SQL = {
     "q_events_session": """select user_id, event_type, count(*) c, sum(value) s
       from events group by 1,2 order by 1,2""",
     "q_text_stats": "select lang, count(*) c, avg(n_chars) a from documents group by 1 order by 1",
+    # north-star curation composite (p3's shape): lang+quality filter ->
+    # exact dedup (keyed window over content hash) -> token accounting.
+    # Portable SQL (md5/replace/row_number only) so DuckDB runs the SAME
+    # text for its BASELINE.md twin.
+    "q_curation": """select lang, source, count(*) n_docs, sum(n_tokens) sum_tokens,
+      avg(n_chars) avg_chars from (
+        select lang, source, n_chars, n_tokens,
+               row_number() over (partition by h order by doc_id) rn
+        from (select doc_id, lang, source, n_chars,
+                     md5(text) h,
+                     length(text) - length(replace(text, ' ', '')) + 1 n_tokens
+              from documents
+              where lang in ('en','fr','es') and n_chars >= 50) f
+      ) d where rn = 1 group by 1,2 order by 1,2""",
 }
 
 
@@ -157,6 +171,36 @@ def q_text_stats(spark, t):
     )
 
 
+def q_curation(spark, t):
+    from pyspark.sql import Window
+
+    base = (
+        t["documents"]
+        .filter(F.col("lang").isin("en", "fr", "es") & (F.col("n_chars") >= 50))
+        .select(
+            "doc_id", "lang", "source", "n_chars",
+            F.md5("text").alias("h"),
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            ).alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 DF_QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_join3_topn": q_join3_topn,
@@ -165,6 +209,7 @@ DF_QUERIES = {
     "q_distinct": q_distinct,
     "q_events_session": q_events_session,
     "q_text_stats": q_text_stats,
+    "q_curation": q_curation,
 }
 
 
@@ -277,6 +322,13 @@ def main() -> None:
             .repartition(min(1 * scale, maxpart), "user_id")
             .cache(),
         },
+        # the curation window shuffles by content hash; the projection keeps
+        # text (hashed per row) but drops nothing else documents carries
+        "q_curation": {
+            "documents": tables["documents"]
+            .repartition(min(2 * scale, maxpart))
+            .cache(),
+        },
     }
     for over in projections.values():
         for proj in over.values():
@@ -299,6 +351,7 @@ def main() -> None:
         "q_distinct": 8,
         "q_events_session": 1,
         "q_text_stats": 1,
+        "q_curation": 2,
     }
     noscale = {"q_pricing_summary", "q_join3_topn", "q_text_stats"}
     # per-query broadcast threshold: q_join3_topn must NOT broadcast the

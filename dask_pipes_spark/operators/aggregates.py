@@ -167,7 +167,9 @@ def d6_group_stats(spark, sf_dir):
     n = F.count(F.lit(1))
     sx = F.sum(q).cast("double")
     sxx = F.sum(qq).cast("double")
-    var = (sxx - sx * sx / n) / (n - 1)
+    # try_divide: a 1-row group has (n-1)=0; DuckDB's x/0 is NULL, ANSI
+    # Spark would throw (1-row sweep, round 3) — NULL matches the oracle
+    var = F.try_divide(sxx - sx * sx / n, n - 1)
     rowkey = (F.col("l_orderkey") * 100 + F.col("l_linenumber")) * 100000000 + F.round(
         F.col("l_extendedprice") * 100
     ).cast("long")
@@ -290,10 +292,14 @@ def d11_corr_cov(spark, sf_dir):
     sxy = F.sum((x * y).cast(dec)).cast("double")
     sxx = F.sum((x * x).cast(dec)).cast("double")
     syy = F.sum((y * y).cast(dec)).cast("double")
-    cov = (sxy - sx * sy / n) / (n - 1)
+    cov = F.try_divide(sxy - sx * sy / n, n - 1)  # NULL on 1-row groups (DuckDB x/0 parity)
     # rounded(8): the final divide/sqrt chain differs by ~2 ulp across engines
     corr = F.round(
-        (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 8
+        F.try_divide(
+            sxy - sx * sy / n,
+            F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+        ),
+        8,
     )
     return li.groupBy("l_returnflag").agg(
         cov.alias("cov_qty_price"), corr.alias("corr_qty_price")
@@ -600,10 +606,11 @@ def d23_regr_ols(spark, sf_dir):
     sxy = F.sum((x * y).cast(dec)).cast("double")
     sxx = F.sum((x * x).cast(dec)).cast("double")
     syy = F.sum((y * y).cast(dec)).cast("double")
-    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    slope = F.try_divide(sxy - sx * sy / n, sxx - sx * sx / n)  # NULL when x is constant
     intercept = sy / n - slope * sx / n
-    r2 = F.pow(sxy - sx * sy / n, F.lit(2)) / (
-        (sxx - sx * sx / n) * (syy - sy * sy / n)
+    r2 = F.try_divide(
+        F.pow(sxy - sx * sy / n, F.lit(2)),
+        (sxx - sx * sx / n) * (syy - sy * sy / n),
     )
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
@@ -789,8 +796,8 @@ def d27_skew_kurt(spark, sf_dir):
     m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
-        F.round(m3 / F.pow(m2, F.lit(1.5)), 8).alias("skew"),
-        F.round(m4 / F.pow(m2, F.lit(2)) - 3, 8).alias("kurt"),
+        F.round(F.try_divide(m3, F.pow(m2, F.lit(1.5))), 8).alias("skew"),
+        F.round(F.try_divide(m4, F.pow(m2, F.lit(2))) - 3, 8).alias("kurt"),
     )
 
 
@@ -871,7 +878,11 @@ def d29_product_sem(spark, sf_dir):
     s1 = F.sum(x.cast(dec)).cast("double")
     s2 = F.sum((x * x).cast(dec)).cast("double")
     prod = F.exp(F.sum(F.log(F.lit(1.0) - F.col("l_discount"))))
-    sem = F.sqrt((s2 / n - F.pow(s1 / n, F.lit(2))) * n / (n - 1) / n)
+    sem = F.sqrt(
+        F.try_divide(
+            F.try_divide((s2 / n - F.pow(s1 / n, F.lit(2))) * n, n - 1), n
+        )
+    )
     return (
         li.groupBy("l_orderkey")
         .agg(
@@ -1053,10 +1064,12 @@ def d33_corr_matrix(spark, sf_dir):
     )
     n = F.col("n")
     corr = F.round(
-        (F.col("p.sxy") - F.col("p.sx") * F.col("p.sy") / n)
-        / F.sqrt(
-            (F.col("p.sxx") - F.col("p.sx") * F.col("p.sx") / n)
-            * (F.col("p.syy") - F.col("p.sy") * F.col("p.sy") / n)
+        F.try_divide(
+            F.col("p.sxy") - F.col("p.sx") * F.col("p.sy") / n,
+            F.sqrt(
+                (F.col("p.sxx") - F.col("p.sx") * F.col("p.sx") / n)
+                * (F.col("p.syy") - F.col("p.sy") * F.col("p.sy") / n)
+            ),
         ),
         8,
     )

@@ -1829,7 +1829,7 @@ def x30_seasonal_r2(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_events"),
         q4(sstot / F.col("n")).alias("var_total"),
         q4(F.col("sr") / F.col("n")).alias("var_resid"),
-        q4(1 - F.col("sr") / sstot).alias("r2"),
+        q4(1 - F.try_divide(F.col("sr"), sstot)).alias("r2"),  # sstot=0 on 1-row input
     )
 
 

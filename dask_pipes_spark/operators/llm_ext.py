@@ -290,15 +290,76 @@ def ivf_assign(
     )
 
 
-@query("l12_ivf_topk")  # weak: probe-bounded ANN, recall is data-dependent
+_L12_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))) AS nrm
+      FROM v
+    ),
+    ex AS (
+      SELECT label, i, e[i] AS val
+      FROM v, LATERAL (SELECT UNNEST(range(1, len(e) + 1)) AS i) t
+    ),
+    cm AS (
+      SELECT label, i,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+      FROM ex GROUP BY 1, 2
+    ),
+    cn AS (
+      SELECT bucket, ce,
+             SQRT(LIST_SUM(LIST_TRANSFORM(ce, x -> x * x))) AS cnrm
+      FROM (SELECT label AS bucket, LIST(cv ORDER BY i) AS ce
+            FROM cm GROUP BY label)
+    ),
+    scored AS (
+      SELECT n.vec_id, n.e, n.nrm, c.bucket,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(n.e, c.ce),
+                            p -> p[1] * p[2])) / (n.nrm * c.cnrm), 6) AS sim
+      FROM n CROSS JOIN cn c
+    ),
+    indexed AS (
+      SELECT vec_id, e, nrm, bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, bucket) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, bucket) AS rn
+        FROM scored WHERE vec_id % 20 = 0) WHERE rn <= 3
+    ),
+    pairs AS (
+      SELECT q.query_id, i.vec_id AS neighbor_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qe, i.e),
+                            p -> p[1] * p[2])) / (q.qn * i.nrm), 6) AS cos_sim
+      FROM indexed i JOIN queries q USING (bucket)
+      WHERE i.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 5
+    """
+
+
+@query("l12_ivf_topk", oracle=_L12_ORACLE)
 def l12_ivf_topk(spark, sf_dir):
     """IVF-style approximate top-k (Jégou et al. 2011): coarse centroids =
     per-label mean vectors (the l8 computation), every vector indexed into
     its nearest bucket, queries probe their nprobe=3 nearest buckets only —
-    the crossJoin shrinks by ~bucket_count/nprobe. Mechanism correctness
-    (exact top-k *within probed buckets*) is asserted in tests; absolute
-    recall vs brute force is reported there too (low on these isotropic
-    fixtures, by construction)."""
+    the crossJoin shrinks by ~bucket_count/nprobe. FULL SQL oracle since
+    round 3: decimal-summed centroid means make the codebook (and thus
+    every bucket assignment, probe set, and ranked similarity, all already
+    round(6)-quantized with total-order tie-breaks) bit-reproducible, so
+    the DuckDB twin re-runs the ENTIRE index build + probe + re-rank and
+    must agree pair-for-pair. Absolute recall vs brute force stays
+    asserted in tests (low on isotropic fixtures, by construction)."""
     e = load(spark, sf_dir, "embeddings")
     dbl = e.select(
         "vec_id",
@@ -308,11 +369,20 @@ def l12_ivf_topk(spark, sf_dir):
     n = dbl.withColumn(
         "nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x))
     )
-    # coarse quantizer: per-label centroids, normalized
+    # coarse quantizer: per-label centroids, normalized. The element means
+    # use exact DECIMAL sums (d6 discipline): order-insensitive partial
+    # aggregation → a bit-deterministic codebook, which is what lets this
+    # key carry a full DuckDB oracle (round 3; previously F.avg made the
+    # centroid — and thus bucket assignment — ULP-unstable across runs).
     cent = (
         dbl.select("label", F.posexplode("e").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.avg("val").alias("cv"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
         .select(
@@ -596,14 +666,64 @@ def lsh_bucket(vec_col, planes) -> "F.Column":
     return bucket
 
 
-@query("l17_vector_lsh_topk")  # weak: probe-bounded ANN, recall data-dependent
+def _l17_oracle(nbits: int = 6, dim: int = 64) -> str:
+    """DuckDB twin of l17: the fixed seeded hyperplanes are inlined as list
+    literals (they are 6-decimal-rounded, so the SQL literals parse to the
+    identical doubles), bucket bits re-derive from the same left-fold dot
+    products, and the probe/re-rank stages mirror the Spark plan."""
+    planes = _hyperplanes(nbits, dim)
+    bits = " + ".join(
+        "(CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP(e, ["
+        + ", ".join(repr(p) for p in plane)
+        + "]), p -> p[1] * p[2])) >= 0 THEN {} ELSE 0 END)".format(1 << j)
+        for j, plane in enumerate(planes)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(nbits)]
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))) AS nrm
+      FROM v
+    ),
+    idx AS (
+      SELECT vec_id, e, nrm, ({bits}) AS bucket FROM n
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, e AS qe, nrm AS qn,
+             UNNEST([{probes}]) AS bucket
+      FROM idx WHERE vec_id % 20 = 0
+    ),
+    pairs AS (
+      SELECT q.query_id, i.vec_id AS neighbor_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qe, i.e),
+                            p -> p[1] * p[2])) / (q.qn * i.nrm), 6) AS cos_sim
+      FROM idx i JOIN probes q USING (bucket)
+      WHERE i.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 5
+    """
+
+
+@query("l17_vector_lsh_topk", oracle=_l17_oracle())
 def l17_vector_lsh_topk(spark, sf_dir):
     """Approximate top-k cosine neighbors via random-hyperplane LSH — the
     third ANN scale path next to brute force (l3) and IVF (l12): vectors
     bucket by 6 sign bits (zero shuffle), queries probe their own bucket
     plus all Hamming-distance-1 buckets (multi-probe), candidates join on
     the bucket id — an equi-join, never a cross join — and exact cosine
-    re-ranks within candidates. At 100 TB the candidate volume per query is
+    re-ranks within candidates. FULL SQL oracle since round 3: the seeded
+    hyperplanes are fixed 6-decimal literals, so the DuckDB twin re-derives
+    every sign bit, probe set, and ranked similarity and must agree
+    pair-for-pair. At 100 TB the candidate volume per query is
     n/2^nbits × (nbits+1), tuned by nbits; recall vs l3 is measured in
     tests/test_llm_ext.py."""
     nbits = 6

@@ -544,6 +544,11 @@ def l18_dup_components(spark, sf_dir):
     )
 
 
+_PLANT_OFFSET = 1 << 40  # planted-dup id offset: 2**40 sits above any real doc_id
+# (ADVICE r2: the old 1e6 offset collides once a corpus has doc_ids >= 1M);
+# the oracle SQL hard-codes the same 1099511627776 constant
+
+
 def _l56_oracle(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
     """DuckDB twin of l56: the l2 signature/banding SQL re-run over the
     PLANTED corpus (originals ∪ '... planted'-suffixed copies of every 5th
@@ -563,7 +568,7 @@ def _l56_oracle(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, text || ' planted' FROM documents
+      SELECT doc_id + 1099511627776, text || ' planted' FROM documents
       WHERE doc_id % 5 = 0
     ),
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
@@ -583,18 +588,18 @@ def _l56_oracle(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
     planted AS (SELECT COUNT(*) AS n_planted FROM documents WHERE doc_id % 5 = 0)
     SELECT CAST(p.n_planted AS BIGINT) AS n_planted,
            CAST(COUNT(*) AS BIGINT) AS n_candidates,
-           CAST(SUM(CASE WHEN c.doc_b = c.doc_a + 1000000 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN c.doc_b = c.doc_a + 1099511627776 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_recovered,
-           FLOOR(SUM(CASE WHEN c.doc_b = c.doc_a + 1000000 THEN 1 ELSE 0 END)
+           FLOOR(SUM(CASE WHEN c.doc_b = c.doc_a + 1099511627776 THEN 1 ELSE 0 END)
                  / CAST(p.n_planted AS DOUBLE) * 10000 + 0.5) / 10000
              AS recall,
-           FLOOR(SUM(CASE WHEN c.doc_b = c.doc_a + 1000000 THEN 1 ELSE 0 END)
+           FLOOR(SUM(CASE WHEN c.doc_b = c.doc_a + 1099511627776 THEN 1 ELSE 0 END)
                  / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5) / 10000
              AS precision,
-           FLOOR(CAST(SUM(CASE WHEN c.doc_b = c.doc_a + 1000000
+           FLOOR(CAST(SUM(CASE WHEN c.doc_b = c.doc_a + 1099511627776
                           THEN CAST(c.est_jaccard AS DECIMAL(18,10)) END)
                       AS DOUBLE)
-                 / SUM(CASE WHEN c.doc_b = c.doc_a + 1000000 THEN 1 ELSE 0 END)
+                 / SUM(CASE WHEN c.doc_b = c.doc_a + 1099511627776 THEN 1 ELSE 0 END)
                  * 10000 + 0.5) / 10000 AS avg_recovered_jaccard
     FROM cand c CROSS JOIN planted p
     GROUP BY p.n_planted
@@ -624,13 +629,13 @@ def l56_minhash_eval(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     planted = d.select("doc_id", "text").unionAll(
         d.filter(F.col("doc_id") % 5 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
+            (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
             F.concat("text", F.lit(" planted")).alias("text"),
         )
     )
     cand = lsh_candidates(minhash_signatures(planted))
     n_planted = d.filter(F.col("doc_id") % 5 == 0).count()
-    rec = F.when(F.col("doc_b") == F.col("doc_a") + 1000000, 1).otherwise(0)
+    rec = F.when(F.col("doc_b") == F.col("doc_a") + _PLANT_OFFSET, 1).otherwise(0)
     q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
     return cand.agg(
         F.lit(n_planted).cast("bigint").alias("n_planted"),
@@ -641,7 +646,7 @@ def l56_minhash_eval(spark, sf_dir):
         q4(
             F.sum(
                 F.when(
-                    F.col("doc_b") == F.col("doc_a") + 1000000,
+                    F.col("doc_b") == F.col("doc_a") + _PLANT_OFFSET,
                     F.col("est_jaccard").cast("decimal(18,10)"),
                 )
             ).cast("double")

@@ -517,15 +517,17 @@ def a14_csv_malformed_audit(spark, sf_dir):
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(out)
     )
-    # Spark disallows queries that touch only the corrupt-record column of
-    # a raw CSV scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
-    # one bounded cache materializes the parse, as the error's docs direct.
-    back = back.cache()
+    # Spark disallows queries whose only referenced scan column is the
+    # corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    # COLUMN). Rather than cache() the parse (leaks storage across repeated
+    # invocations — ADVICE r2), reference a data column: the planted
+    # corruption hits exactly the quantity field, so PERMISSIVE nulls
+    # l_quantity on precisely the corrupt rows and n_good = count(l_quantity)
+    # — cross-verified against the _corrupt_record classification by the
+    # oracle's n_good + n_corrupt = n_rows arithmetic.
     return back.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.count_if(F.col("_corrupt_record").isNull())
-        .cast("bigint")
-        .alias("n_good"),
+        F.count(F.col("l_quantity")).cast("bigint").alias("n_good"),
         F.count_if(F.col("_corrupt_record").isNotNull())
         .cast("bigint")
         .alias("n_corrupt"),

@@ -456,8 +456,13 @@ def d45_histogram_quantile(spark, sf_dir):
         .select(
             F.least(
                 F.floor(
-                    (F.col("l_extendedprice") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / 256)
+                    # try_divide: a 1-row (or constant-column) input has
+                    # hi == lo -> zero bin width; NULL bin (DuckDB x/0
+                    # semantics) instead of an ANSI crash
+                    F.try_divide(
+                        F.col("l_extendedprice") - F.col("lo"),
+                        (F.col("hi") - F.col("lo")) / 256,
+                    )
                 ).cast("bigint"),
                 F.lit(255).cast("bigint"),
             ).alias("bin")

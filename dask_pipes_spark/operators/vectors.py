@@ -12,11 +12,19 @@ Symmetric linear int8 quantization is the scheme used by FAISS'
 Scale notes (100 TB):
 - c24: each point lands in ONE home cell; only the left side fans out to
   its 3×3 neighborhood, so the join is a plain equi-shuffle on cell id with
-  9× fan-out on one side — never an all-pairs product. Cell width = ε makes
-  the neighborhood sufficient (|Δcoord| ≤ ε ⇒ cell delta ≤ 1), and each
-  qualifying pair matches on exactly one (neighbor-offset, home) combination
-  so no post-join dedup is needed. Skewed cells (dense regions) are ordinary
-  join skew — AQE skew-join or salting applies.
+  ~9× fan-out on one side — never an all-pairs product. Cell width = ε makes
+  the neighborhood sufficient in exact arithmetic (|Δcoord| ≤ ε ⇒ cell
+  delta ≤ 1), but the fp predicate d² ≤ ε² can pass while fp cell ids sit
+  2 apart when BOTH coordinates lie within a few ULPs of a cell boundary
+  (round-2 verdict finding). The fix is a GUARDED fan-out: an axis widens
+  to offset ±2 only when its x/ε fraction falls inside a magnitude-aware
+  guard band (1e-8·max(1,|x/ε|)) of a boundary, so the expected fan-out
+  stays ~9× (the band triggers with probability ~2e-8 per axis on real
+  data) while boundary straddlers are still caught. Each qualifying pair
+  still matches on exactly one (neighbor-offset, home) combination — the
+  offset equals the unique cell delta — so no post-join dedup is needed.
+  Skewed cells (dense regions) are ordinary join skew — AQE skew-join or
+  salting applies.
 - l54: pure per-row array HOFs — zero shuffle until the final per-label
   rollup (10 groups). The quantized codes are what a vector store would
   persist: 4× smaller than float32, which is the lever that makes the
@@ -34,16 +42,39 @@ from dask_pipes_spark.session import load
 _EPS = 0.1  # ε for the spatial join, in coordinate units
 
 
+def _axis_offsets(q):
+    """Neighbor-cell offsets for one axis given the pre-floor ratio
+    ``q = coord/eps``: the base {-1,0,1}, widened to ±2 ONLY when the
+    fractional part of q sits inside a magnitude-aware guard band of a
+    cell boundary.  In exact arithmetic |Δcoord| ≤ eps bounds the cell
+    delta by 1, but fp division can make two predicate-passing points
+    land 2 cells apart — and that requires BOTH fracs within a few ULPs
+    of a boundary (one near 0, the other near 1), so a band of
+    1e-8·max(1,|q|) (≥ 7 orders above the 2⁻⁵²·|q| ULP slack) is both
+    sufficient and almost never triggered."""
+    frac = q - F.floor(q)
+    band = F.lit(1e-8) * F.greatest(F.lit(1.0), F.abs(q))
+    return F.filter(
+        F.array(*[F.lit(i) for i in (-2, -1, 0, 1, 2)]),
+        lambda o: (F.abs(o) <= F.lit(1))
+        | ((o == F.lit(-2)) & (frac < band))
+        | ((o == F.lit(2)) & (frac > F.lit(1.0) - band)),
+    )
+
+
 def grid_epsilon_pairs(pts, eps):
     """Grid-cell ε-join core: all pairs of ``pts`` (vec_id, label, x, y)
-    with Euclidean distance ≤ eps, each pair exactly once (l_id < r_id).
+    with (fp-computed) Euclidean distance ≤ eps, each pair exactly once
+    (l_id < r_id).
 
     Home cell = (⌊x/eps⌋, ⌊y/eps⌋); the left side fans out to its 3×3 cell
-    neighborhood, the right side stays on its home cell, so a qualifying
-    pair (|Δx|,|Δy| ≤ eps ⇒ cell delta ≤ 1) meets on exactly one
-    (offset, home) combination — no post-join dedup. Property-tested vs
-    the O(N²) reference on hypothesis-generated points (negative coords,
-    cell-boundary sitters) in tests/test_vectors.py."""
+    neighborhood — guarded-widened to ±2 on an axis only for within-band
+    boundary sitters (see ``_axis_offsets``) — the right side stays on its
+    home cell, so a qualifying pair meets on exactly one (offset, home)
+    combination (the offset is the unique cell delta) — no post-join
+    dedup. Property-tested vs the O(N²) reference on hypothesis-generated
+    points (negative coords, exact cell-boundary sitters, denormal
+    straddlers) in tests/test_vectors.py."""
     cell = lambda c: F.floor(c / eps).cast("long")  # noqa: E731
     right = pts.select(
         F.col("vec_id").alias("r_id"),
@@ -53,7 +84,6 @@ def grid_epsilon_pairs(pts, eps):
         cell(F.col("x")).alias("cx"),
         cell(F.col("y")).alias("cy"),
     )
-    offsets = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
     left = (
         pts.select(
             F.col("vec_id").alias("l_id"),
@@ -63,8 +93,8 @@ def grid_epsilon_pairs(pts, eps):
             cell(F.col("x")).alias("hx"),
             cell(F.col("y")).alias("hy"),
         )
-        .withColumn("dx", offsets)
-        .withColumn("dy", offsets)
+        .withColumn("dx", F.explode(_axis_offsets(F.col("lx") / eps)))
+        .withColumn("dy", F.explode(_axis_offsets(F.col("ly") / eps)))
         .select(
             "l_id", "l_label", "lx", "ly",
             (F.col("hx") + F.col("dx")).alias("cx"),
@@ -289,9 +319,91 @@ def _l2sq(a, b):
     )
 
 
-@query("l55_pq_topk")  # weak: argmin code assignment over float distances is
-# not portably SQL-expressible; contract-tested in tests/test_vectors.py
-# (recall vs brute force, ADC self-distance, code-table shape).
+def _l55_oracle() -> str:
+    """DuckDB twin of l55 — the ENTIRE IVFADC-style pipeline re-derived in
+    SQL: digest-seeded codebook init, two CTE-unrolled Lloyd rounds with
+    decimal-exact centroid means, struct-min code assignment (ROW_NUMBER
+    over (d2, cid)), per-query ADC tables, and the decimal-summed 8-lookup
+    distance estimate. Every float op is either a deterministic left fold
+    (LIST_SUM == F.aggregate) or decimal-exact, so the twin must agree
+    pair-for-pair with the Spark plan."""
+    d2 = (
+        "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sb.sv, c.cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    mean_list = ", ".join(
+        f"CAST(SUM(CAST(sb.sv[{i}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)"
+        for i in range(1, 9)
+    )
+
+    def assign(cents: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sb.vec_id, sb.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
+                 ORDER BY {d2}, c.cid) AS rn
+        FROM sub sb JOIN {cents} c USING (s)
+      ) WHERE rn = 1
+    )"""
+
+    def lloyd(a: str, prev: str, nxt: str, m: str) -> str:
+        return f"""{m} AS (
+      SELECT {a}.s, {a}.code AS cid, [{mean_list}] AS mv
+      FROM {a} JOIN sub sb USING (vec_id, s)
+      GROUP BY {a}.s, {a}.code
+    ),
+    {nxt} AS (
+      SELECT c.s, c.cid, COALESCE(m.mv, c.cv) AS cv
+      FROM {prev} c LEFT JOIN {m} m ON m.s = c.s AND m.cid = c.cid
+    )"""
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid
+      FROM (SELECT vec_id, e,
+              ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))
+                ::BIGINT AS h
+            FROM v)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16
+    ),
+    sub AS (
+      SELECT vec_id, s, e[s * 8 + 1 : s * 8 + 8] AS sv
+      FROM v, LATERAL (SELECT UNNEST(range(8)) AS s) t
+    ),
+    cents0 AS (
+      SELECT sb.s, sd.cid, sb.sv AS cv
+      FROM seeds sd JOIN sub sb ON sb.vec_id = sd.vec_id
+    ),
+    {assign('cents0', 'a0')},
+    {lloyd('a0', 'cents0', 'cents1', 'm0')},
+    {assign('cents1', 'a1')},
+    {lloyd('a1', 'cents1', 'cents2', 'm1')},
+    {assign('cents2', 'codes')},
+    qd AS (
+      SELECT sb.vec_id AS query_id, sb.s AS qs, c.cid AS qcid, {d2} AS qd2
+      FROM sub sb JOIN cents2 c USING (s)
+      WHERE sb.vec_id % 100 = 0
+    ),
+    est AS (
+      SELECT q.query_id, codes.vec_id,
+             ROUND(CAST(SUM(CAST(q.qd2 AS DECIMAL(28,12))) AS DOUBLE), 6)
+               AS adc_dist
+      FROM codes JOIN qd q ON q.qs = codes.s AND q.qcid = codes.code
+      WHERE codes.vec_id <> q.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, vec_id) AS rn
+      FROM est) WHERE rn <= 5
+    """
+
+
+@query("l55_pq_topk", oracle=_l55_oracle())
 def l55_pq_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou/Douze/Schmid 2011, "Product
     quantization for nearest neighbor search"): split each 64-d embedding
@@ -399,7 +511,14 @@ def l55_pq_topk(spark, sf_dir):
         )
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("qd2"), 6).alias("adc_dist"))
+        # decimal-summed ADC accumulation (8 lookups/pair): exact and
+        # order-insensitive, so the estimated distance — and the top-5 cut
+        # it ranks — is bit-reproducible by the DuckDB twin
+        .agg(
+            F.round(
+                F.sum(F.col("qd2").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
     return (

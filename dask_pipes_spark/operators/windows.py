@@ -793,11 +793,11 @@ def e21_group_transform(spark, sf_dir):
     sx = F.sum(x.cast("decimal(28,6)")).over(w).cast("double")
     sx2 = F.sum((x * x).cast("decimal(28,6)")).over(w).cast("double")
     mean = sx / n
-    var = (sx2 - mean * mean * n) / (n - 1)
+    var = F.try_divide(sx2 - mean * mean * n, n - 1)  # NULL for 1-row keys (DuckDB x/0 parity)
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round((x - mean) / F.sqrt(var), 6).alias("z_price"),
+        F.round(F.try_divide(x - mean, F.sqrt(var)), 6).alias("z_price"),
     )
 
 

