@@ -11,6 +11,19 @@ path this repo's ``queries()`` surface uses) are kept below and
 cross-checked against the SQL results at startup — one engine, two
 front-ends, same Catalyst plan underneath.
 
+Floor accounting (round 3, deep-warm, BASELINE.md "floor decomposition"):
+the submit-execute-fetch cycle costs ~34 ms per job on this box even for a
+cached 5-row count, plus ~7 ms of parse per fresh SQL text — so any DuckDB
+query under ~20 ms cannot be met at 2x through the same-SQL-text protocol
+no matter the plan. Those entries are floor-bound by construction; the sf1
+harness (SCALING.md) is where the throughput term dominates and the
+comparison is engine-vs-engine rather than floor-vs-floor.
+
+``q_curation`` (round 3) is the north-star curation composite — lang +
+quality filter -> md5 exact-dedup window -> token accounting — written in
+portable SQL (md5/replace/row_number) so DuckDB executes the IDENTICAL
+text for its BASELINE.md twin.
+
 Bench-scale configs, applied here and not in ``get_session`` defaults:
   - Per-table cache partitioning sized to the data (~≥50k rows per task):
     each fixture is ONE small parquet file, so without an explicit
@@ -284,7 +297,7 @@ def main() -> None:
         "q_distinct": {
             "lineitem": tables["lineitem"]
             .select("l_partkey")
-            .repartition(min(8 * scale, maxpart), "l_partkey")
+            .repartition(min(4 * scale, maxpart), "l_partkey")
             .cache(),
         },
         # column-pruned wide-scan projection: the Q1-shape aggregate touches
@@ -323,10 +336,14 @@ def main() -> None:
             .cache(),
         },
         # the curation window shuffles by content hash; the projection keeps
-        # text (hashed per row) but drops nothing else documents carries
+        # text (hashed per row) but drops nothing else documents carries.
+        # ONE slice + ONE shuffle partition (below) collapses the plan to
+        # two stages: the single-partition hash output satisfies the final
+        # aggregate's clustering AND the order-by, so window+agg+sort fuse
+        # into the post-exchange stage (measured 106 ms vs 151 ms @2p2s).
         "q_curation": {
             "documents": tables["documents"]
-            .repartition(min(2 * scale, maxpart))
+            .repartition(min(1 * scale, maxpart))
             .cache(),
         },
     }
@@ -348,10 +365,10 @@ def main() -> None:
         "q_join3_topn": 1,
         "q_window_rank": 4,
         "q_sort": 8,
-        "q_distinct": 8,
+        "q_distinct": 4,
         "q_events_session": 1,
         "q_text_stats": 1,
-        "q_curation": 2,
+        "q_curation": 1,
     }
     noscale = {"q_pricing_summary", "q_join3_topn", "q_text_stats"}
     # per-query broadcast threshold: q_join3_topn must NOT broadcast the

@@ -1435,3 +1435,270 @@ def d41_gini(spark, sf_dir):
         ).alias("gini"),
         F.min("n").cast("bigint").alias("n_customers"),
     )
+
+
+@query(
+    "d46_mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS c_xy
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, SUM(c_xy) AS c_x FROM joint GROUP BY x),
+    my AS (SELECT y, SUM(c_xy) AS c_y FROM joint GROUP BY y),
+    tot AS (SELECT SUM(c_xy) AS n, COUNT(DISTINCT x) AS rx,
+                   COUNT(DISTINCT y) AS ry
+            FROM joint),
+    terms AS (
+      SELECT t.n, t.rx, t.ry,
+             ROUND(CAST(j.c_xy AS DOUBLE) / t.n
+                   * LN(CAST(j.c_xy AS DOUBLE) * t.n
+                        / (CAST(m1.c_x AS DOUBLE) * m2.c_y)), 6) AS mi_term,
+             ROUND(POW(j.c_xy - CAST(m1.c_x AS DOUBLE) * m2.c_y / t.n, 2)
+                   / (CAST(m1.c_x AS DOUBLE) * m2.c_y / t.n), 6) AS chi_term
+      FROM joint j
+      JOIN mx m1 USING (x) JOIN my m2 USING (y) CROSS JOIN tot t
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n,
+           FLOOR(CAST(SUM(CAST(mi_term AS DECIMAL(38,18))) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS mi_nats,
+           FLOOR(CAST(SUM(CAST(chi_term AS DECIMAL(38,18))) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS chi2,
+           FLOOR(SQRT(CAST(SUM(CAST(chi_term AS DECIMAL(38,18))) AS DOUBLE)
+                      / (MIN(n) * (LEAST(MIN(rx), MIN(ry)) - 1)))
+                 * 1000000 + 0.5) / 1000000 AS cramers_v
+    FROM terms
+    """,
+)
+def d46_mutual_information(spark, sf_dir):
+    """Categorical association between two columns — mutual information
+    (nats), Pearson chi-square, and Cramér's V over the
+    (l_returnflag, l_linestatus) contingency table. The categorical twin
+    of d11's numeric corr: the signal a curation pipeline uses for label
+    leakage / feature-association audits. Per-cell MI and chi-square terms
+    are ROUND(6)-quantized before an exact DECIMAL sum (l13's LN
+    discipline — libm last-ULP differences cannot survive the quantizer,
+    and the decimal sum is partial-aggregation-order-proof), so the DuckDB
+    twin reproduces all three statistics bit-for-bit. Zero cells never
+    enter (the contingency table holds observed cells only — the
+    0·ln 0 = 0 convention on both engines); a single-level column makes
+    Cramér's V NULL via try_divide (DuckDB x/0 parity, 1-row sweep safe).
+
+    100 TB: the fact table reduces to the contingency grain in ONE
+    partial+final aggregate; margins and totals are re-aggregates of that
+    tiny table (broadcast back) — nothing downstream of the first shuffle
+    exceeds |X|·|Y| rows."""
+    li = load(spark, sf_dir, "lineitem")
+    # pin the contingency table (l18/l55 discipline): margins and totals
+    # are three re-aggregates of it — without the pin each branch re-runs
+    # the fact-table aggregate (4 scans instead of 1)
+    joint = li.groupBy(
+        F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c_xy")).localCheckpoint(eager=False)
+    mx = joint.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    my = joint.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    tot = joint.agg(
+        F.sum("c_xy").alias("n"),
+        F.count_distinct("x").alias("rx"),
+        F.count_distinct("y").alias("ry"),
+    )
+    e_xy = F.col("c_x").cast("double") * F.col("c_y") / F.col("n")
+    terms = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n", "rx", "ry",
+            F.round(
+                F.col("c_xy").cast("double") / F.col("n")
+                * F.log(
+                    F.col("c_xy").cast("double") * F.col("n")
+                    / (F.col("c_x").cast("double") * F.col("c_y"))
+                ),
+                6,
+            ).alias("mi_term"),
+            F.round(
+                F.pow(F.col("c_xy") - e_xy, F.lit(2)) / e_xy, 6
+            ).alias("chi_term"),
+        )
+    )
+    chi2 = F.sum(F.col("chi_term").cast("decimal(38,18)")).cast("double")
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return terms.agg(
+        F.min("n").cast("bigint").alias("n"),
+        q6(
+            F.sum(F.col("mi_term").cast("decimal(38,18)")).cast("double")
+        ).alias("mi_nats"),
+        (F.floor(chi2 * 10000 + F.lit(0.5)) / 10000).alias("chi2"),
+        q6(
+            F.sqrt(
+                F.try_divide(
+                    chi2,
+                    F.min("n") * (F.least(F.min("rx"), F.min("ry")) - 1),
+                )
+            )
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "d47_ks_test",
+    oracle="""
+    WITH grouped AS (
+      SELECT o_totalprice AS v,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cf,
+             SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS co
+      FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1
+    ),
+    cum AS (
+      SELECT SUM(cf) OVER (ORDER BY v) AS cum_f,
+             SUM(co) OVER (ORDER BY v) AS cum_o,
+             SUM(cf) OVER () AS n_f,
+             SUM(co) OVER () AS n_o
+      FROM grouped
+    )
+    SELECT CAST(MIN(n_f) AS BIGINT) AS n_f,
+           CAST(MIN(n_o) AS BIGINT) AS n_o,
+           FLOOR(MAX(ABS(CAST(cum_f AS DOUBLE) / n_f
+                         - CAST(cum_o AS DOUBLE) / n_o))
+                 * 1000000 + 0.5) / 1000000 AS ks_stat,
+           CAST(MAX(ABS(CAST(cum_f AS DOUBLE) / n_f
+                        - CAST(cum_o AS DOUBLE) / n_o))
+                > 1.358 * SQRT((CAST(MIN(n_f) AS DOUBLE) + MIN(n_o))
+                               / (CAST(MIN(n_f) AS DOUBLE) * MIN(n_o)))
+                AS BOOLEAN) AS reject_95
+    FROM cum
+    """,
+)
+def d47_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between the o_totalprice
+    distributions of finished ('F') vs open ('O') orders, with the
+    large-sample 5% rejection verdict (c(0.05) = 1.358 — Smirnov 1948).
+    The distribution-drift primitive a training pipeline runs between data
+    snapshots (p14's drift z-scores are per-moment; KS is whole-CDF). The
+    sup is taken at every DISTINCT value after a value-grain pre-aggregate:
+    integer cumulative counts make both empirical CDFs exact, so the only
+    float ops are one division and one subtraction per distinct value —
+    engine-identical, FLOOR(1e6)-quantized.
+
+    100 TB: the value-grain reduce is one shuffle; the unpartitioned
+    ordered window over distinct values is the honest cost of a global CDF
+    (x26's discipline — one task at dimension-like cardinality). For
+    billion-distinct-value columns, pre-bin to a fixed lattice (b12/d45)
+    first: the binned KS lower-bounds the exact one at bin resolution."""
+    o = load(spark, sf_dir, "orders")
+    grouped = (
+        o.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("cf"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).alias("co"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wa = Window.partitionBy()
+    cum = grouped.select(
+        F.sum("cf").over(w).alias("cum_f"),
+        F.sum("co").over(w).alias("cum_o"),
+        F.sum("cf").over(wa).alias("n_f"),
+        F.sum("co").over(wa).alias("n_o"),
+    )
+    # try_divide: an input where one sample is EMPTY has n=0 — NULL stat
+    # (DuckDB x/0 parity), not an ANSI crash (1-row sweep contract)
+    d = F.abs(
+        F.try_divide(F.col("cum_f").cast("double"), F.col("n_f"))
+        - F.try_divide(F.col("cum_o").cast("double"), F.col("n_o"))
+    )
+    stat = F.max(d)
+    crit = F.lit(1.358) * F.sqrt(
+        F.try_divide(
+            F.min("n_f").cast("double") + F.min("n_o"),
+            F.min("n_f").cast("double") * F.min("n_o"),
+        )
+    )
+    return cum.agg(
+        F.min("n_f").cast("bigint").alias("n_f"),
+        F.min("n_o").cast("bigint").alias("n_o"),
+        (F.floor(stat * 1000000 + F.lit(0.5)) / 1000000).alias("ks_stat"),
+        (stat > crit).cast("boolean").alias("reject_95"),
+    )
+
+
+@query(
+    "d48_group_entropy",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, SUM(c) AS n FROM cnt GROUP BY user_id),
+    terms AS (
+      SELECT c.user_id, t.n,
+             ROUND(-(CAST(c.c AS DOUBLE) / t.n)
+                   * LN(CAST(c.c AS DOUBLE) / t.n), 6) AS h_term
+      FROM cnt c JOIN tot t USING (user_id)
+    ),
+    ent AS (
+      SELECT user_id, CAST(MIN(n) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CAST(h_term AS DECIMAL(38,18))) AS DOUBLE) AS h
+      FROM terms GROUP BY user_id
+    )
+    SELECT n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR(CAST(SUM(CAST(h AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+                 * 1000000 + 0.5) / 1000000 AS avg_entropy_nats,
+           FLOOR(MAX(h) * 1000000 + 0.5) / 1000000 AS max_entropy_nats
+    FROM ent GROUP BY n_types
+    """,
+)
+def d48_group_entropy(spark, sf_dir):
+    """Per-key categorical (Shannon) entropy of the event_type mix, rolled
+    up by distinct-type count — the behavioral-diversity profile of an
+    event stream (users whose events are all one type have H=0; uniform
+    mixes approach ln(k)). The group-level categorical twin of l36's
+    character entropy, and the diversity signal a curation pipeline uses
+    next to l25's sampling weights (over-sample diverse interaction
+    histories). Per-cell -p·ln p terms are ROUND(6)-quantized before exact
+    DECIMAL sums at BOTH rollup levels (l13/d46 LN discipline), so the
+    DuckDB twin agrees bit-for-bit.
+
+    100 TB: one partial+final aggregate to (user, type) grain, the
+    per-user total as a keyed WINDOW over that grain (one exchange on
+    user_id, which the user-grain aggregate then reuses — no join, no
+    second scan), one bounded rollup by type count. Nothing wider than
+    the contingency grain ever shuffles."""
+    e = load(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    wu = Window.partitionBy("user_id")
+    terms = cnt.select(
+        "user_id",
+        F.sum("c").over(wu).alias("n"),
+        F.col("c").alias("c"),
+    ).select(
+        "user_id",
+        "n",
+        F.round(
+            -(F.col("c").cast("double") / F.col("n"))
+            * F.log(F.col("c").cast("double") / F.col("n")),
+            6,
+        ).alias("h_term"),
+    )
+    ent = terms.groupBy("user_id").agg(
+        F.min("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("h_term").cast("decimal(38,18)")).cast("double").alias("h"),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return ent.groupBy("n_types").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        q6(
+            F.sum(F.col("h").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_entropy_nats"),
+        q6(F.max("h")).alias("max_entropy_nats"),
+    )

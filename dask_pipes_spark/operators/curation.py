@@ -902,3 +902,84 @@ def l50_dsir_weights(spark, sf_dir):
         q(F.min("logw")).alias("min_logw"),
         q(F.max("logw")).alias("max_logw"),
     )
+
+
+@query(
+    "l58_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS g
+      FROM toks,
+           LATERAL (SELECT UNNEST(range(GREATEST(len(t) - 3, 0) + 1)) AS i)
+      WHERE len(t) >= 3
+    ),
+    first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           FLOOR(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS novelty
+    FROM sh s JOIN first_seen f USING (g)
+    GROUP BY s.doc_id
+    """,
+)
+def l58_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty — the fraction of a document's DISTINCT
+    word 3-grams it is the FIRST (lowest doc_id) to contribute to the
+    corpus. The incremental-value signal behind curriculum ordering and
+    ingest-time novelty filters (a batch twin of l48's incremental dedup:
+    l48 asks "is this exact content new", this asks "how much of this
+    content is new"); documents full of already-seen phrasing score near 0
+    and are downsampling candidates (composes with l25's weights).
+    Deterministic end to end: distinct shingles, an integer MIN per
+    n-gram, integer counts, one FLOOR-quantized division.
+
+    100 TB: one explode to 3-gram grain, one n-gram-grain aggregate
+    (MIN doc_id — partial+final, order-free), one equi-join back at
+    n-gram grain (corpus-sized, NOT broadcast — l32's discipline), one
+    per-doc aggregate. At scale the n-gram key would be xxhash64-packed to
+    shrink shuffle payloads; kept as text so both engines group on
+    identical keys. Docs under 3 tokens contribute no rows (novelty is
+    undefined without an n-gram — same rows absent on both engines)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.array_join(F.slice("t", i, 3), " "),
+                )
+            )
+        ).alias("g"),
+    )
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("novelty"),
+        )
+    )

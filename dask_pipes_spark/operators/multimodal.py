@@ -1070,3 +1070,106 @@ def m11_framestream_decode(spark, sf_dir):
             yield pd.DataFrame(out)
 
     return synth_framestream_media(spark, sf_dir).mapInPandas(decode, schema)
+
+
+@query(
+    "m12_scene_cuts",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id AS media_id, n_chars,
+             UNNEST(range(2 + doc_id % 4 - 1)) AS fi
+      FROM documents
+      WHERE 2 + doc_id % 4 >= 2
+    ),
+    dims AS (
+      SELECT media_id, fi,
+             LEAST(CAST((media_id + fi) % 8 + 1 AS INTEGER),
+                   CAST((media_id + fi + 1) % 8 + 1 AS INTEGER)) AS ow,
+             LEAST(CAST((n_chars + fi) % 8 + 1 AS INTEGER),
+                   CAST((n_chars + fi + 1) % 8 + 1 AS INTEGER)) AS oh
+      FROM f
+    ),
+    px AS (
+      SELECT media_id, fi, ow, oh,
+             ABS(CAST((media_id + fi + (i % ow)
+                       + CAST(FLOOR(i / ow) AS BIGINT)) % 256 AS DOUBLE)
+                 - (media_id + fi + 1 + (i % ow)
+                    + CAST(FLOOR(i / ow) AS BIGINT)) % 256) AS d
+      FROM dims, LATERAL (SELECT unnest(range(ow * oh)) AS i)
+    )
+    SELECT media_id, CAST(fi AS BIGINT) AS frame_idx, ow AS overlap_w,
+           oh AS overlap_h,
+           FLOOR(AVG(d) * 1000000 + 0.5) / 1000000 AS mean_abs_diff,
+           CAST(AVG(d) > 8.0 AS BOOLEAN) AS is_cut
+    FROM px GROUP BY media_id, fi, ow, oh
+    """,
+)
+def m12_scene_cuts(spark, sf_dir):
+    """Scene-cut (shot-boundary) detection over the REAL frame containers —
+    the selection step a video-training pipeline runs to pick keyframes:
+    every consecutive frame pair is compared by mean absolute pixel
+    difference over the overlapping top-left region (frames in the fixture
+    stream legitimately change dimensions, as real transcoded footage
+    does), and pairs whose difference exceeds the threshold are flagged as
+    cuts. Unlike m11 this decodes EVERY frame (pairing needs both sides)
+    and does genuine two-frame array work in the kernel; the SQL oracle
+    predicts each overlap region and every pixel delta from the
+    (doc_id, n_chars) lattice, so a mis-aligned pair, wrong overlap, or
+    decode fault diverges immediately.
+
+    100 TB: container parsing and pairwise diffs are per-payload map work
+    (frames of one media never leave their row — no shuffle); cut rows are
+    skinny scalars. Real footage would subsample first (m11's every-Nth
+    discipline) and diff at thumbnail resolution (m8's resize) to bound
+    decode cost; the pipeline shape is identical."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("overlap_w", T.IntegerType()),
+            T.StructField("overlap_h", T.IntegerType()),
+            T.StructField("mean_abs_diff", T.DoubleType()),
+            T.StructField("is_cut", T.BooleanType()),
+        ]
+    )
+
+    def cuts(batches):
+        import math
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "frame_idx", "overlap_w", "overlap_h",
+                    "mean_abs_diff", "is_cut")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                (n_frames,) = struct.unpack(">I", raw[:4])
+                off = 4
+                frames = []
+                for _ in range(n_frames):
+                    (ln,) = struct.unpack(">I", raw[off : off + 4])
+                    frames.append(_png_decode_gray(raw[off + 4 : off + 4 + ln]))
+                    off += 4 + ln
+                assert off == len(raw), "container trailer mismatch"
+                for fi in range(len(frames) - 1):
+                    w1, h1, p1 = frames[fi]
+                    w2, h2, p2 = frames[fi + 1]
+                    ow, oh = min(w1, w2), min(h1, h2)
+                    tot = 0
+                    for y in range(oh):
+                        for x in range(ow):
+                            tot += abs(p1[y * w1 + x] - p2[y * w2 + x])
+                    mad = tot / (ow * oh)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["overlap_w"].append(ow)
+                    out["overlap_h"].append(oh)
+                    out["mean_abs_diff"].append(
+                        math.floor(mad * 1e6 + 0.5) / 1e6
+                    )
+                    out["is_cut"].append(mad > 8.0)
+            yield pd.DataFrame(out)
+
+    return synth_framestream_media(spark, sf_dir).mapInPandas(cuts, schema)

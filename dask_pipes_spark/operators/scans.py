@@ -294,7 +294,16 @@ def a9_scan_orc(spark, sf_dir):
     )
 
 
-@query("a10_scan_binary")  # weak: file-metadata source, no relational oracle
+@query(
+    "a10_scan_binary",
+    oracle="""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           CAST(size AS BIGINT) AS meta_bytes,
+           CAST(OCTET_LENGTH(content) AS BIGINT) AS content_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    ORDER BY 1
+    """,
+)
 def a10_scan_binary(spark, sf_dir):
     """Raw-file ingestion via the ``binaryFile`` source — the entry point for
     multimodal corpora (images/audio arrive as whole files, not rows): each
@@ -304,7 +313,12 @@ def a10_scan_binary(spark, sf_dir):
     listing time (no bytes read for filtered files), and content is only
     materialized for rows that survive. Per-file sizes are re-derived from
     ``length`` AND from ``content`` to pin the contract that both agree
-    (asserted in tests against the on-disk sizes)."""
+    (asserted in tests against the on-disk sizes).
+
+    FULL oracle since round 3 via DuckDB ``read_blob`` over the same files.
+    Like a13, the oracle path is pinned to the driver's contractual sf0.01
+    fixture dir (an oracle string cannot receive the sf_dir parameter), so
+    multi-SF parity sweeps report a known-benign diff here at other SFs."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")

@@ -67,6 +67,7 @@ ARROW_OK = {
     "m9_multiformat_dispatch",
     "m10_audio_features",
     "m11_framestream_decode",
+    "m12_scene_cuts",
     "p1_pipeline_fit_transform",
 }
 
@@ -119,6 +120,9 @@ CARTESIAN_OK = {
     # 1-row (min,max,n) stats broadcast onto the fact scan + the ≤256-row
     # cumulative-bin theta join for the quantile hit search.
     "d45_histogram_quantile",
+    # 1-row (n, rx, ry) totals broadcast onto the |X|·|Y|-row contingency
+    # table for the MI/chi-square terms.
+    "d46_mutual_information",
 }
 
 # Streaming live variants build a streaming plan; skip the batch-plan audit.
