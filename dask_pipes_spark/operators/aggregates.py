@@ -116,14 +116,35 @@ def d4_group_count_distinct(spark, sf_dir):
     )
 
 
-@query("d5_approx_count_distinct")  # weak: sketch-dependent value
+@query(
+    "d5_approx_count_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_10pct
+    FROM lineitem
+    """,
+)
 def d5_approx_count_distinct(spark, sf_dir):
-    """HLL approx nunique (Dask ``nunique_approx``). Weak-checked: HLL registers
-    are engine-specific; the value is asserted to be within rsd locally."""
+    """HLL approx nunique (Dask ``nunique_approx``). Full oracle since
+    round 4 via the tolerance-verdict contract (the d42-d45 discipline
+    applied to the engine-internal sketch): the HLL++ estimate itself is
+    engine-specific and NOT emitted; instead the frame emits the exact
+    count plus a data-derived verdict that the estimate landed within 5x
+    the configured rsd (0.02 → 10%). The oracle recomputes the exact count
+    and pins the verdict TRUE — if Spark's sketch ever drifted out of
+    tolerance the hash check goes red, so the accuracy claim is itself
+    correctness-gated (previously only a local test)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
+    agg = li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        ).alias("within_10pct"),
     )
 
 
@@ -501,23 +522,49 @@ def d19_grouping_sets(spark, sf_dir):
     )
 
 
-@query("d20_approx_quantile")  # weak: sketch-dependent values
+@query(
+    "d20_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS exact_p50,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def d20_approx_quantile(spark, sf_dir):
     """Approximate percentiles via Spark's mergeable quantile sketch
     (``percentile_approx``, Greenwald-Khanna) — the scale path Dask's own
-    ``quantile`` (t-digest) takes; d7 is the exact twin. Weak-checked: the
-    sketch is engine-specific; the local test asserts each approximation
-    lands within the accuracy bound of d7's exact answer. The three
-    percentiles are emitted as scalar double columns (not an array) so the
-    harness canonicalizer — which sorts rows via pandas and cannot hash
-    ndarray cells — always sees hashable scalars (d10's discipline)."""
+    ``quantile`` (t-digest) takes; d7 is the exact twin. Full oracle since
+    round 4 via the tolerance-verdict contract: the GK values are
+    engine-specific and not emitted; the frame carries the exact p50 plus
+    per-quantile verdicts that each sketch value lies between the exact
+    values at q ∓ 0.001 (10x GK's guaranteed rank error at accuracy=10000).
+    The oracle recomputes exact_p50 and pins the verdicts TRUE, so the
+    sketch's accuracy contract is hash-gated on every run. Scalar double
+    columns, not arrays (d10's canonicalizer discipline)."""
     li = load(spark, sf_dir, "lineitem")
     pcts = F.percentile_approx("l_quantity", [0.5, 0.9, 0.99], 10000)
-    return li.groupBy("l_returnflag").agg(
+    qcol = F.col("l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
         F.element_at(pcts, 1).alias("approx_p50"),
         F.element_at(pcts, 2).alias("approx_p90"),
         F.element_at(pcts, 3).alias("approx_p99"),
-        F.percentile("l_quantity", F.lit(0.5)).alias("exact_p50"),
+        F.round(F.percentile(qcol, F.lit(0.5)), 4).alias("exact_p50"),
+        *[
+            F.percentile(qcol, F.lit(q)).alias(f"lo_{tag}")
+            for q, tag in [(0.499, "p50"), (0.899, "p90"), (0.989, "p99")]
+        ],
+        *[
+            F.percentile(qcol, F.lit(q)).alias(f"hi_{tag}")
+            for q, tag in [(0.501, "p50"), (0.901, "p90"), (0.991, "p99")]
+        ],
+    )
+    ok = lambda tag: (  # noqa: E731
+        (F.col(f"approx_{tag}") >= F.col(f"lo_{tag}"))
+        & (F.col(f"approx_{tag}") <= F.col(f"hi_{tag}"))
+    ).alias(f"{tag}_ok")
+    return agg.select(
+        "l_returnflag", "exact_p50", ok("p50"), ok("p90"), ok("p99")
     )
 
 
@@ -546,31 +593,63 @@ def d21_count_if(spark, sf_dir):
     )
 
 
-@query("d22_hll_merge")  # weak: sketch-dependent values (merge-invariance tested)
+@query(
+    "d22_hll_merge",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct, TRUE AS merge_consistent
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           TRUE, TRUE
+    FROM events
+    """,
+)
 def d22_hll_merge(spark, sf_dir):
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
     ``hll_sketch_agg``/``hll_union_agg``) — the 100 TB aggregation pattern:
     per-shard partial sketches are tiny binary blobs that union associatively,
     so a global distinct count never reshuffles raw keys. Per-event_type
     sketches here stand in for per-day/per-shard partials; the ALL row is
-    their union. Sketches are hash-deterministic: the merged estimate equals
-    sketching the whole column directly (asserted in tests)."""
+    their union. Full oracle since round 4 via the tolerance-verdict
+    contract: sketch registers are engine-specific and not emitted; each
+    row carries the exact distinct count plus (a) a verdict that the
+    estimate is within 5% (lgK=12 → rsd ≈ 1.6%, 3σ margin) and (b) a
+    merge-consistency verdict — for the ALL row, that estimating the UNION
+    of per-type sketches equals sketching the whole column directly (the
+    associativity the 100 TB pattern rests on; previously only a local
+    test). The oracle recomputes the exacts and pins both verdicts TRUE."""
     ev = load(spark, sf_dir, "events")
     partials = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", 12).alias("sk"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= 0.05 * exact
+    ).alias("within_5pct")
     per_type = partials.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("est_users"),
         "exact_users",
+        within(F.hll_sketch_estimate("sk"), F.col("exact_users")),
+        F.lit(True).alias("merge_consistent"),
     )
-    merged = partials.agg(F.hll_union_agg("sk").alias("msk")).select(
-        F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate("msk").alias("est_users"),
+    whole = ev.agg(
+        F.hll_sketch_agg("user_id", 12).alias("wsk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
-    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_users"))
-    return per_type.unionByName(merged.crossJoin(exact_all))
+    merged = (
+        partials.agg(F.hll_union_agg("sk").alias("msk"))
+        .crossJoin(whole)  # 1-row x 1-row
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_users",
+            within(F.hll_sketch_estimate("msk"), F.col("exact_users")),
+            (
+                F.hll_sketch_estimate("msk") == F.hll_sketch_estimate("wsk")
+            ).alias("merge_consistent"),
+        )
+    )
+    return per_type.unionByName(merged)
 
 
 @query(
@@ -1244,7 +1323,24 @@ def d37_percentile_disc(spark, sf_dir):
     )
 
 
-@query("d38_hll_cumulative")  # weak: sketch estimates (accuracy bound in tests)
+@query(
+    "d38_hll_cumulative",
+    oracle="""
+    WITH days AS (SELECT DISTINCT event_type, DATE_TRUNC('day', ts) AS day
+                  FROM events),
+    firsts AS (SELECT event_type, user_id, MIN(DATE_TRUNC('day', ts)) AS fday
+               FROM events GROUP BY event_type, user_id),
+    daily AS (SELECT event_type, fday AS day, COUNT(*) AS new_users
+              FROM firsts GROUP BY event_type, fday)
+    SELECT d.event_type, d.day,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+                PARTITION BY d.event_type ORDER BY d.day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_cum_users,
+           TRUE AS within_5pct
+    FROM days d LEFT JOIN daily n
+      ON d.event_type = n.event_type AND d.day = n.day
+    """,
+)
 def d38_hll_cumulative(spark, sf_dir):
     """Cumulative distinct users per (event_type, day), APPROXIMATE — the
     mergeable-sketch twin of d25's exact first-seen rewrite: one HLL
@@ -1258,6 +1354,14 @@ def d38_hll_cumulative(spark, sf_dir):
     user once to find first-seen days; this never shuffles users at all
     beyond the daily partial — the win once user cardinality ×
     retention-window count dwarfs sketch size.
+
+    Full oracle since round 4 via the tolerance-verdict contract: the
+    per-day estimates are engine-specific and not emitted; each row
+    carries the EXACT cumulative distinct count (d25's first-seen rewrite,
+    running-summed over all event days) plus a verdict that the sketch
+    estimate is within 5% of it (lgK=12 → rsd ≈ 1.6%, 3σ margin). The
+    oracle recomputes the exacts and pins the verdict TRUE, so the sketch
+    accuracy claim is hash-gated per (event_type, day).
     """
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -1268,12 +1372,39 @@ def d38_hll_cumulative(spark, sf_dir):
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return daily.select(
+    est = daily.select(
         "event_type",
         "day",
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
             "cum_est_users"
         ),
+    )
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day")
+    )
+    new_daily = firsts.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    exact = (
+        est.select("event_type", "day")
+        .join(new_daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.sum(F.coalesce("new_users", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("exact_cum_users"),
+        )
+    )
+    return est.join(exact, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        "exact_cum_users",
+        (
+            F.abs(F.col("cum_est_users") - F.col("exact_cum_users"))
+            <= 0.05 * F.col("exact_cum_users")
+        ).alias("within_5pct"),
     )
 
 
@@ -1485,42 +1616,46 @@ def d46_mutual_information(spark, sf_dir):
     Cramér's V NULL via try_divide (DuckDB x/0 parity, 1-row sweep safe).
 
     100 TB: the fact table reduces to the contingency grain in ONE
-    partial+final aggregate; margins and totals are re-aggregates of that
-    tiny table (broadcast back) — nothing downstream of the first shuffle
-    exceeds |X|·|Y| rows."""
+    partial+final aggregate; everything downstream runs on that tiny
+    (|X|·|Y|-row, categorical-levels-bounded) table, eager-checkpointed
+    and coalesced to a single partition so margins, totals and level
+    counts come from zero-exchange windows (SinglePartition satisfies any
+    clustering) — the whole statistic costs exactly one shuffle (round-4
+    plan trim: was 5 exchanges via three re-aggregates + broadcast joins)."""
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem")
-    # pin the contingency table (l18/l55 discipline): margins and totals
-    # are three re-aggregates of it — without the pin each branch re-runs
-    # the fact-table aggregate (4 scans instead of 1)
-    joint = li.groupBy(
-        F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
-    ).agg(F.count(F.lit(1)).alias("c_xy")).localCheckpoint(eager=False)
-    mx = joint.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
-    my = joint.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
-    tot = joint.agg(
-        F.sum("c_xy").alias("n"),
-        F.count_distinct("x").alias("rx"),
-        F.count_distinct("y").alias("ry"),
+    joint = (
+        li.groupBy(
+            F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=True)
+        .coalesce(1)
+    )
+    wx, wy, wg = Window.partitionBy("x"), Window.partitionBy("y"), Window.partitionBy()
+    enriched = joint.select(
+        "c_xy",
+        F.sum("c_xy").over(wx).alias("c_x"),
+        F.sum("c_xy").over(wy).alias("c_y"),
+        F.sum("c_xy").over(wg).alias("n"),
+        F.size(F.collect_set("x").over(wg)).alias("rx"),
+        F.size(F.collect_set("y").over(wg)).alias("ry"),
     )
     e_xy = F.col("c_x").cast("double") * F.col("c_y") / F.col("n")
-    terms = (
-        joint.join(F.broadcast(mx), "x")
-        .join(F.broadcast(my), "y")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "n", "rx", "ry",
-            F.round(
-                F.col("c_xy").cast("double") / F.col("n")
-                * F.log(
-                    F.col("c_xy").cast("double") * F.col("n")
-                    / (F.col("c_x").cast("double") * F.col("c_y"))
-                ),
-                6,
-            ).alias("mi_term"),
-            F.round(
-                F.pow(F.col("c_xy") - e_xy, F.lit(2)) / e_xy, 6
-            ).alias("chi_term"),
-        )
+    terms = enriched.select(
+        "n", "rx", "ry",
+        F.round(
+            F.col("c_xy").cast("double") / F.col("n")
+            * F.log(
+                F.col("c_xy").cast("double") * F.col("n")
+                / (F.col("c_x").cast("double") * F.col("c_y"))
+            ),
+            6,
+        ).alias("mi_term"),
+        F.round(
+            F.pow(F.col("c_xy") - e_xy, F.lit(2)) / e_xy, 6
+        ).alias("chi_term"),
     )
     chi2 = F.sum(F.col("chi_term").cast("decimal(38,18)")).cast("double")
     q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731

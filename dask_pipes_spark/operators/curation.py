@@ -606,12 +606,17 @@ def l31_tokenize_ids(spark, sf_dir):
     WITH lists AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     pos AS (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 4)) AS i
             FROM lists WHERE len(t) >= 5),
-    shingles AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS sh FROM pos),
-    counts AS (SELECT sh, COUNT(*) AS c FROM shingles GROUP BY sh)
+    shingles AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM pos),
+    dup AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM shingles GROUP BY h)
+            WHERE c >= 2)
     SELECT doc_id, COUNT(*) AS n_shingles,
-           ROUND(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
-             AS dup_frac
-    FROM shingles JOIN counts USING (sh)
+           ROUND(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS dup_frac
+    FROM shingles s LEFT JOIN dup d ON s.h = d.h
     GROUP BY doc_id
     """,
 )
@@ -619,14 +624,18 @@ def l32_dup_ngram_coverage(spark, sf_dir):
     """Exact-substring duplication coverage (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): the fraction of a
     document's word 5-grams that occur >=2 times corpus-wide — the signal
-    behind exact-substring dedup and memorization audits. Plan shape: one
-    explode to positional 5-gram shingles (array slice + join, all codegen),
-    one shuffle bounded by distinct-shingle cardinality for the counts, then
-    a shuffle join back on the shingle (the counts side is corpus-sized at
-    100 TB — NOT broadcastable, unlike a vocab) and a per-doc aggregate. At
-    scale the shingle would be hashed to a fixed-width integer first
-    (xxhash64) to shrink shuffle payloads; kept as text here so both engines
-    group on identical keys."""
+    behind exact-substring dedup and memorization audits. Plan shape (round-4
+    rework, the SCALING.md fix): 5-grams are hashed to a portable 60-bit
+    integer AT THE EXPLODE (one md5 per occurrence), so every downstream
+    shuffle carries 8-byte keys instead of ~30-byte strings; the count pass
+    is reduced to the duplicated-key SET (c >= 2, no count payload — on
+    natural corpora a small fraction of distinct n-grams), and the join back
+    is a LEFT join against that set with a null-flag aggregate per doc.
+    The dup set is corpus-sized at 100 TB — NOT broadcastable, unlike a
+    vocab — but the join's right side carries one bigint per duplicated
+    n-gram and AQE splits the heavy-hitter keys on the left. A 60-bit hash
+    collision would fold two n-grams (prob ~n^2/2^61); both engines hash
+    identically so the oracle sees the same folding."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 5
@@ -636,18 +645,30 @@ def l32_dup_ngram_coverage(spark, sf_dir):
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("t") - 4),
-                lambda i: F.array_join(F.slice("t", i, 5), " "),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.array_join(F.slice("t", i, 5), " ")), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint"),
             )
-        ).alias("sh"),
+        ).alias("h"),
+    # referenced by BOTH the dup-set count and the probe side below; eager
+    # localCheckpoint materializes the (doc_id, h) frame once (16 B/row)
+    # instead of re-running the explode+md5 per branch (measured 2x at sf1)
+    ).localCheckpoint(eager=True)
+    dup = (
+        shingles.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
     )
-    counts = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
     return (
-        shingles.join(counts, "sh")
+        shingles.join(dup, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.round(
-                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+                F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0))
                 / F.count(F.lit(1)),
                 4,
             ).alias("dup_frac"),

@@ -11,10 +11,13 @@ Scale notes (100 TB):
 - l1 exact dedup is one hash + one groupBy — shuffle keyed by digest, skew
   bounded by the largest duplicate cluster.
 - l2 MinHash-LSH avoids *all* pairwise comparison: signatures are 32 mins
-  computed in one aggregation pass, candidates come from equi-joins on band
+  computed in one aggregation pass (2 md5s per shingle via the
+  Kirsch-Mitzenmacher family), candidates come from equi-joins on band
   hashes. Cluster skew (a viral duplicate) concentrates in one band bucket —
-  AQE skew-join splits it; a cap on bucket size (documented) is the
-  production guard.
+  ``LSH_BUCKET_CAP`` bounds pair emission per bucket (all-pairs among the
+  cap smallest members + star edges from the representative → O(cap^2 + m)
+  per bucket), so a million-copy duplicate emits ~1M edges, not ~10^12;
+  AQE skew-join splits what remains.
 - l3 brute-force cosine is the *correctness baseline*; its crossJoin is
   explicitly blocked on a bounded query set. The scale path is LSH/IVF
   partitioning (bucket vectors by coarse quantizer, search only matching
@@ -33,6 +36,16 @@ from dask_pipes_spark.session import load
 
 NUM_PERM = 32  # minhash permutations
 BANDS = 8  # LSH bands → rows-per-band r = 4; s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59
+MH_PRIME = 281474976710597  # largest prime < 2**48; K-M permutation modulus
+# Production guard (round-4): bound pair emission per band bucket. Buckets of
+# size m <= CAP emit all m(m-1)/2 pairs (identical to uncapped LSH); larger
+# buckets emit all pairs among the CAP smallest doc_ids PLUS one star edge
+# from the bucket representative (min doc_id) to each remaining member —
+# O(CAP^2 + m) pairs instead of O(m^2), while every member stays transitively
+# connected to the representative, so the dedup DECISION (l18's components,
+# l26's keep-best) is unchanged. This is the bucket-size bound Lee et al.
+# 2022 apply to viral duplicates; SCALING.md measures the curve.
+LSH_BUCKET_CAP = 8
 
 
 @query(
@@ -57,22 +70,27 @@ def l1_exact_dedup(spark, sf_dir):
     )
 
 
-def mh_hash(i: int, col) -> "F.Column":
-    """Portable 60-bit min-wise hash for permutation ``i``: the first 15 hex
-    chars of ``md5(f"{i}:{shingle}")``, parsed identically by Spark
-    (``conv``) and DuckDB (``'0x' ||`` cast) — the l16 discipline, applied
-    here so the ENTIRE MinHash-LSH candidate set is cross-engine
-    reproducible and l2/l7/l18 carry full SQL oracles. At 100 TB you would
-    swap back to ``xxhash64(i, shingle)`` for speed; the banding, join and
-    clustering structure is hash-family-agnostic."""
-    return F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), col)), 1, 15), 16, 10
-    ).cast("bigint")
+def mh_base(col, pos: int) -> "F.Column":
+    """Portable 48-bit base hash: 12 hex chars of ``md5(shingle)`` starting
+    at 1-based ``pos``, parsed identically by Spark (``conv``) and DuckDB
+    (``'0x' ||`` cast) — the l16 discipline, applied here so the ENTIRE
+    MinHash-LSH candidate set is cross-engine reproducible and l2/l7/l18/l56
+    carry full SQL oracles.
+
+    Round-4 change: permutations use the Kirsch-Mitzenmacher 2-hash family
+    g_i = (h1 + i*h2) mod P ("Less Hashing, Same Performance", ESA 2006)
+    with h1/h2 = two disjoint 48-bit slices of a SINGLE md5 digest — ONE
+    md5 evaluation per shingle instead of NUM_PERM(=32), measured ~2x on
+    signature generation vs even the two-digest variant, with the same
+    min-wise guarantees. 48-bit bases keep h1 + 31*h2 < 2**53, exact in
+    int64 on both engines. At 100 TB you would swap md5 for ``xxhash64``;
+    the banding, join and clustering structure is hash-family-agnostic."""
+    return F.conv(F.substring(F.md5(col), pos, 12), 16, 10).cast("bigint")
 
 
-def sql_mh_hash(i: int, expr: str) -> str:
-    """DuckDB twin of :func:`mh_hash`."""
-    return f"CAST(('0x' || substr(md5('{i}:' || {expr}), 1, 15)) AS BIGINT)"
+def sql_mh_base(expr: str, pos: int) -> str:
+    """DuckDB twin of :func:`mh_base`."""
+    return f"CAST(('0x' || substr(md5({expr}), {pos}, 12)) AS BIGINT)"
 
 
 def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
@@ -94,50 +112,94 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
             )
         ).alias("shingle"),
     )
+    based = shingled.select(
+        "doc_id",
+        mh_base(F.col("shingle"), 1).alias("mh1"),
+        mh_base(F.col("shingle"), 13).alias("mh2"),
+    )
     mins = [
-        F.min(mh_hash(i, F.col("shingle"))).alias(f"h{i}") for i in range(num_perm)
+        F.min((F.col("mh1") + F.lit(i) * F.col("mh2")) % F.lit(MH_PRIME)).alias(
+            f"h{i}"
+        )
+        for i in range(num_perm)
     ]
-    sigs = shingled.groupBy("doc_id").agg(*mins)
+    sigs = based.groupBy("doc_id").agg(*mins)
     return sigs.select(
         "doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
     )
 
 
 def lsh_candidates(
-    sigs: DataFrame, num_perm: int = NUM_PERM, bands: int = BANDS
+    sigs: DataFrame,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
-    """(doc_a, doc_b, est_jaccard) — pairs sharing ≥1 LSH band bucket.
+    """(doc_a, doc_b, est_jaccard) — pairs sharing ≥1 LSH band bucket,
+    with pair emission bounded per bucket (``LSH_BUCKET_CAP``).
 
     Each signature is cut into ``bands`` slices of r = num_perm/bands rows;
     a pair becomes a candidate iff some slice hashes identically (probability
     1-(1-s^r)^b for true Jaccard s — the LSH s-curve). est_jaccard is the
     fraction of matching signature components.
+
+    Scale guard: members of a bucket are ranked by doc_id; the pair (a, b),
+    a < b, is emitted iff rank(b) <= cap (all-pairs among the cap smallest)
+    OR rank(a) == 1 (star edge from the bucket representative). Per-bucket
+    output is O(cap^2 + m) instead of O(m^2) — a viral duplicate with a
+    million copies emits ~1M star edges, not ~10^12 pairs — and transitive
+    connectivity to the representative is preserved, so downstream
+    components (l18) and keep-best decisions are unchanged. The left join
+    side is pre-filtered to rank <= cap, so join COMPUTE per bucket is
+    O(cap * m), not O(m^2). Buckets never exceeding the cap (the common
+    case) behave exactly as uncapped LSH.
     """
     r = num_perm // bands
-    # bucket key = the band's signature slice itself (array equality), not a
+    # bucket key = the band's signature slice (rendered as a ':'-joined
+    # decimal string so Spark and DuckDB group on identical keys), not a
     # re-hash of it — no second hash family in the semantic path, so the
     # candidate set is exactly "some band identical", reproducible in SQL
-    stack_expr = "stack({}, {}) as (band_id, band_slice)".format(
+    stack_expr = "stack({}, {}) as (band_id, bkey)".format(
         bands,
-        ", ".join(f"{j}, slice(sig, {j * r + 1}, {r})" for j in range(bands)),
+        ", ".join(
+            f"{j}, concat_ws(':', transform(slice(sig, {j * r + 1}, {r}),"
+            " x -> cast(x as string)))"
+            for j in range(bands)
+        ),
     )
-    banded = sigs.select("doc_id", "sig").selectExpr("doc_id", "sig", stack_expr)
-    a, b = banded.alias("a"), banded.alias("b")
+    # sig is referenced by banding AND by the two score join-backs below;
+    # eager localCheckpoint materializes it once (cheap: num_perm bigints
+    # per doc) instead of recomputing the md5 aggregation per branch.
+    sigs = sigs.localCheckpoint(eager=True)
+    banded = sigs.select("doc_id", "sig").selectExpr("doc_id", stack_expr)
+    w = Window.partitionBy("band_id", "bkey").orderBy("doc_id")
+    ranked = banded.withColumn("rnk", F.row_number().over(w))
+    a = ranked.filter(F.col("rnk") <= cap).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("band_id").alias("band_a"),
+        F.col("bkey").alias("bkey_a"),
+        F.col("rnk").alias("rnk_a"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_id").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+        F.col("rnk").alias("rnk_b"),
+    )
     pairs = (
         a.join(
             b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_slice") == F.col("b.band_slice"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bkey_a") == F.col("bkey_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & ((F.col("rnk_b") <= cap) | (F.col("rnk_a") == 1)),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])  # same full pair from multiple bands
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])  # same pair from multiple bands
     )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    scored = pairs.join(sa, "doc_a").join(sb, "doc_b")
     est = (
         F.aggregate(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -146,50 +208,95 @@ def lsh_candidates(
         )
         / F.lit(num_perm)
     ).cast("double")
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    return scored.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
 
-def _l2_oracle(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
-    """DuckDB twin of minhash_signatures + lsh_candidates, generated for the
-    configured (num_perm, bands): per-permutation MIN aggregates over the
-    same distinct 3-shingles with the same portable hash, candidate pairs =
-    some band of r components fully equal, est_jaccard = matching
-    components / num_perm."""
+def _mh_cand_ctes(
+    corpus_sql: str,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    cap: int = LSH_BUCKET_CAP,
+) -> str:
+    """Shared DuckDB twin of minhash_signatures + lsh_candidates: a CTE
+    chain (no leading WITH) from a (doc_id, text) corpus selector down to
+    ``cand(doc_a, doc_b, est_jaccard)``, generated for the configured
+    (num_perm, bands, cap). Mirrors the Spark path exactly: K-M 2-hash
+    permutations, per-band ':'-joined bucket keys, ROW_NUMBER-by-doc_id
+    bucket ranks, capped emission (all pairs among the cap smallest, star
+    edges from the bucket representative beyond), est_jaccard = matching
+    signature components / num_perm."""
     r = num_perm // bands
     mins = ",\n             ".join(
-        f"MIN({sql_mh_hash(i, 'shingle')}) AS h{i}" for i in range(num_perm)
+        f"MIN((mh1 + {i} * mh2) % {MH_PRIME}) AS h{i}" for i in range(num_perm)
     )
-    band_eq = " OR ".join(
-        "(" + " AND ".join(f"a.h{j * r + k} = b.h{j * r + k}" for k in range(r)) + ")"
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {j} AS band_id, CONCAT_WS(':', {cols}) AS bkey FROM sig".format(
+            j=j,
+            cols=", ".join(
+                f"CAST(h{j * r + k} AS VARCHAR)" for k in range(r)
+            ),
+        )
         for j in range(bands)
     )
     matches = " + ".join(
         f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
     )
     return f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    corpus AS ({corpus_sql}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
     sh AS (
       SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
       FROM toks,
            LATERAL (SELECT unnest(range(GREATEST(len(t) - 3, 0) + 1)) AS i)
     ),
+    bh AS (
+      SELECT doc_id,
+             {sql_mh_base('shingle', 1)} AS mh1,
+             {sql_mh_base('shingle', 13)} AS mh2
+      FROM sh
+    ),
     sig AS (SELECT doc_id, {mins}
-            FROM sh GROUP BY doc_id)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ({matches}) / {num_perm}.0 AS est_jaccard
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE {band_eq}
-    """
+            FROM bh GROUP BY doc_id),
+    bandrows AS (
+      {band_rows}
+    ),
+    ranked AS (
+      SELECT doc_id, band_id, bkey,
+             ROW_NUMBER() OVER (PARTITION BY band_id, bkey ORDER BY doc_id)
+               AS rnk
+      FROM bandrows
+    ),
+    rawpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ranked a JOIN ranked b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey
+       AND a.doc_id < b.doc_id AND a.rnk <= {cap}
+      WHERE b.rnk <= {cap} OR a.rnk = 1
+    ),
+    lshpairs AS (SELECT DISTINCT doc_a, doc_b FROM rawpairs),
+    cand AS (
+      SELECT p.doc_a, p.doc_b, ({matches}) / {num_perm}.0 AS est_jaccard
+      FROM lshpairs p JOIN sig a ON p.doc_a = a.doc_id
+                      JOIN sig b ON p.doc_b = b.doc_id
+    )"""
+
+
+def _l2_oracle() -> str:
+    return (
+        "WITH "
+        + _mh_cand_ctes("SELECT doc_id, text FROM documents")
+        + "\n    SELECT doc_a, doc_b, est_jaccard FROM cand"
+    )
 
 
 @query("l2_minhash_lsh", oracle=_l2_oracle())
 def l2_minhash_lsh(spark, sf_dir):
     """MinHash + LSH near-duplicate candidates (Broder 1997 / Lee et al. 2022).
-    Full SQL oracle since round 2: the portable hash family (mh_hash) makes
-    the signatures, the banded candidate set, and the per-pair similarity
-    estimate bit-reproducible in DuckDB; recall on planted near-duplicates
-    stays asserted in tests/test_llm.py."""
+    Full SQL oracle since round 2: the portable hash family (mh_base, K-M
+    permutations) makes the signatures, the banded+capped candidate set, and
+    the per-pair similarity estimate bit-reproducible in DuckDB; recall on
+    planted near-duplicates stays asserted in tests/test_llm.py."""
     d = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(d)
     return lsh_candidates(sigs).orderBy("doc_a", "doc_b")
@@ -359,13 +466,15 @@ def l6_tfidf(spark, sf_dir):
 
 
 _L7_ORACLE = (
-    "WITH pairs AS (" + _l2_oracle() + """)
+    "WITH "
+    + _mh_cand_ctes("SELECT doc_id, text FROM documents")
+    + """
     SELECT d1.lang AS lang_a,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(CASE WHEN d1.source = d2.source THEN 1 ELSE 0 END)
                 AS BIGINT) AS same_source_pairs,
            FLOOR(AVG(est_jaccard) * 10000 + 0.5) / 10000 AS avg_est_jaccard
-    FROM pairs
+    FROM cand
     JOIN documents d1 ON doc_a = d1.doc_id
     JOIN documents d2 ON doc_b = d2.doc_id
     GROUP BY 1
@@ -487,11 +596,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 _L18_ORACLE = (
-    "WITH RECURSIVE pairs AS (" + _l2_oracle() + """),
+    "WITH RECURSIVE "
+    + _mh_cand_ctes("SELECT doc_id, text FROM documents")
+    + """,
     edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      SELECT doc_a AS src, doc_b AS dst FROM cand
       UNION ALL
-      SELECT doc_b, doc_a FROM pairs
+      SELECT doc_b, doc_a FROM cand
     ),
     nodes AS (SELECT DISTINCT src AS node FROM edges),
     reach(node, label) AS (
@@ -549,42 +660,16 @@ _PLANT_OFFSET = 1 << 40  # planted-dup id offset: 2**40 sits above any real doc_
 # the oracle SQL hard-codes the same 1099511627776 constant
 
 
-def _l56_oracle(num_perm: int = NUM_PERM, bands: int = BANDS) -> str:
-    """DuckDB twin of l56: the l2 signature/banding SQL re-run over the
+def _l56_oracle() -> str:
+    """DuckDB twin of l56: the l2 signature/banding/cap SQL re-run over the
     PLANTED corpus (originals ∪ '... planted'-suffixed copies of every 5th
     doc), then rolled up into the retrieval-quality metrics."""
-    r = num_perm // bands
-    mins = ",\n             ".join(
-        f"MIN({sql_mh_hash(i, 'shingle')}) AS h{i}" for i in range(num_perm)
-    )
-    band_eq = " OR ".join(
-        "(" + " AND ".join(f"a.h{j * r + k} = b.h{j * r + k}" for k in range(r)) + ")"
-        for j in range(bands)
-    )
-    matches = " + ".join(
-        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
-    )
-    return f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
+    planted_corpus = """SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1099511627776, text || ' planted' FROM documents
-      WHERE doc_id % 5 = 0
-    ),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
-    sh AS (
-      SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS shingle
-      FROM toks,
-           LATERAL (SELECT unnest(range(GREATEST(len(t) - 3, 0) + 1)) AS i)
-    ),
-    sig AS (SELECT doc_id, {mins}
-            FROM sh GROUP BY doc_id),
-    cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             ({matches}) / {num_perm}.0 AS est_jaccard
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE {band_eq}
-    ),
+      WHERE doc_id % 5 = 0"""
+    return f"""
+    WITH {_mh_cand_ctes(planted_corpus)},
     planted AS (SELECT COUNT(*) AS n_planted FROM documents WHERE doc_id % 5 = 0)
     SELECT CAST(p.n_planted AS BIGINT) AS n_planted,
            CAST(COUNT(*) AS BIGINT) AS n_candidates,

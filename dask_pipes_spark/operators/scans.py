@@ -538,7 +538,10 @@ def a14_csv_malformed_audit(spark, sf_dir):
     # corruption hits exactly the quantity field, so PERMISSIVE nulls
     # l_quantity on precisely the corrupt rows and n_good = count(l_quantity)
     # — cross-verified against the _corrupt_record classification by the
-    # oracle's n_good + n_corrupt = n_rows arithmetic.
+    # oracle's n_good + n_corrupt = n_rows arithmetic AND asserted as an
+    # explicit invariant in tests/test_scans.py (ADVICE r3: if the planted
+    # corruption ever moved to a non-quantity column, n_good would double
+    # count and that assert goes red before the oracle does).
     return back.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.count(F.col("l_quantity")).cast("bigint").alias("n_good"),

@@ -457,8 +457,11 @@ def d45_histogram_quantile(spark, sf_dir):
             F.least(
                 F.floor(
                     # try_divide: a 1-row (or constant-column) input has
-                    # hi == lo -> zero bin width; NULL bin (DuckDB x/0
-                    # semantics) instead of an ANSI crash
+                    # hi == lo -> zero bin width -> NULL, which the
+                    # null-SKIPPING least()/LEAST below absorbs into bin
+                    # 255 on both engines (Spark least and DuckDB LEAST
+                    # both ignore NULL operands) — no ANSI crash, and the
+                    # degenerate input lands in the top bin, not a NULL bin
                     F.try_divide(
                         F.col("l_extendedprice") - F.col("lo"),
                         (F.col("hi") - F.col("lo")) / 256,

@@ -190,10 +190,12 @@ def k6_stream_stateful(spark, sf_dir):
     unavailable in this environment — its state-server protocol
     (``pyspark/sql/streaming/stateful_processor_api_client.py``) imports
     ``google.protobuf``, which the container does not ship. Vendoring was
-    re-probed 2026-08-14 and is impossible offline: ``pip download
-    protobuf`` fails at DNS (no network); no wheel exists on disk. The
-    legacy API carries the stateful contract here and the migration is
-    mechanical (ValueState.get/update replaces GroupState)."""
+    re-probed 2026-08-14 (round 4: ``import google.protobuf`` →
+    ``ModuleNotFoundError: No module named 'google'``) and is impossible
+    offline: ``pip download protobuf`` fails at DNS (no network); no wheel
+    exists on disk. The legacy API carries the stateful contract here and
+    the migration is mechanical (ValueState.get/update replaces
+    GroupState)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

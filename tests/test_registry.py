@@ -89,3 +89,25 @@ def test_plan_budget_covers_every_audited_key(registry):
         f"keys without a recorded exchange budget (run "
         f"`python tools/explain_audit.py --update-budget`): {missing}"
     )
+
+
+def test_explain_audit_artifact_is_fresh(registry):
+    """The committed EXPLAIN_AUDIT.md must cover exactly the registered
+    key set (round-3 verdict: the artifact drifted to 325/330 when keys
+    landed after the last regeneration). Every registered key appears as a
+    table row — streaming live variants included, as SKIP rows — and no
+    stale key lingers, so the audit cannot silently go stale again."""
+    import os
+    import re
+
+    queries, _ = registry
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "EXPLAIN_AUDIT.md"
+    )
+    audited = set(re.findall(r"^\| `([a-z0-9_]+)` \|", open(path).read(), re.M))
+    missing = sorted(set(queries) - audited)
+    stale = sorted(audited - set(queries))
+    assert not missing and not stale, (
+        f"EXPLAIN_AUDIT.md out of date (run `python tools/explain_audit.py "
+        f"--update-budget`): missing={missing} stale={stale}"
+    )

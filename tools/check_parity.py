@@ -111,8 +111,16 @@ def main() -> int:
             weak.append(key)
             print(f"weak {key}: rows={len(sdf)} ({time.perf_counter()-t0:.2f}s)")
             continue
+        oracle_sql = ORACLES[key]
+        if args.sf != DEFAULT_SF and DEFAULT_SF in oracle_sql:
+            # a10/a13 pin the driver's contractual sf0.01 fixture dir in
+            # their oracle SQL (an oracle string can't take parameters);
+            # rewrite the literal so multi-SF sweeps compare against the
+            # right files instead of whitelisting a known-benign diff
+            # (ADVICE r3).
+            oracle_sql = oracle_sql.replace(DEFAULT_SF, args.sf)
         try:
-            ddf = con.execute(ORACLES[key]).fetchdf()
+            ddf = con.execute(oracle_sql).fetchdf()
         except Exception as exc:  # noqa: BLE001
             failed.append(key)
             print(f"FAIL {key}: duckdb error: {exc}")
