@@ -1372,32 +1372,29 @@ def d38_hll_cumulative(spark, sf_dir):
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    est = daily.select(
-        "event_type",
-        "day",
-        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
-            "cum_est_users"
-        ),
-    )
     firsts = ev.groupBy("event_type", "user_id").agg(
         F.min(F.date_trunc("day", "ts")).alias("day")
     )
     new_daily = firsts.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    exact = (
-        est.select("event_type", "day")
-        .join(new_daily, ["event_type", "day"], "left")
-        .select(
-            "event_type",
-            "day",
-            F.sum(F.coalesce("new_users", F.lit(0)))
-            .over(w)
-            .cast("long")
-            .alias("exact_cum_users"),
-        )
+    # one LEFT join at day grain (both sides already hash-partitioned on
+    # the join keys by their aggregates), then BOTH running windows — the
+    # sketch union and the exact running sum — over the same frame, so the
+    # est/exact comparison costs no second join and one window pass
+    joined = daily.join(new_daily, ["event_type", "day"], "left")
+    both = joined.select(
+        "event_type",
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "cum_est_users"
+        ),
+        F.sum(F.coalesce("new_users", F.lit(0)))
+        .over(w)
+        .cast("long")
+        .alias("exact_cum_users"),
     )
-    return est.join(exact, ["event_type", "day"]).select(
+    return both.select(
         "event_type",
         "day",
         "exact_cum_users",

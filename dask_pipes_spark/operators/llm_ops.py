@@ -129,6 +129,28 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     )
 
 
+def lsh_bandrows(
+    sigs: DataFrame, num_perm: int = NUM_PERM, bands: int = BANDS
+) -> DataFrame:
+    """(doc_id, band_id, bkey) — one row per (document, LSH band).
+
+    bucket key = the band's signature slice (rendered as a ':'-joined
+    decimal string so Spark and DuckDB group on identical keys), not a
+    re-hash of it — no second hash family in the semantic path, so the
+    candidate set is exactly "some band identical", reproducible in SQL.
+    Shared by lsh_candidates (pair generation) and l59 (bucket audit)."""
+    r = num_perm // bands
+    stack_expr = "stack({}, {}) as (band_id, bkey)".format(
+        bands,
+        ", ".join(
+            f"{j}, concat_ws(':', transform(slice(sig, {j * r + 1}, {r}),"
+            " x -> cast(x as string)))"
+            for j in range(bands)
+        ),
+    )
+    return sigs.select("doc_id", "sig").selectExpr("doc_id", stack_expr)
+
+
 def lsh_candidates(
     sigs: DataFrame,
     num_perm: int = NUM_PERM,
@@ -154,24 +176,11 @@ def lsh_candidates(
     O(cap * m), not O(m^2). Buckets never exceeding the cap (the common
     case) behave exactly as uncapped LSH.
     """
-    r = num_perm // bands
-    # bucket key = the band's signature slice (rendered as a ':'-joined
-    # decimal string so Spark and DuckDB group on identical keys), not a
-    # re-hash of it — no second hash family in the semantic path, so the
-    # candidate set is exactly "some band identical", reproducible in SQL
-    stack_expr = "stack({}, {}) as (band_id, bkey)".format(
-        bands,
-        ", ".join(
-            f"{j}, concat_ws(':', transform(slice(sig, {j * r + 1}, {r}),"
-            " x -> cast(x as string)))"
-            for j in range(bands)
-        ),
-    )
     # sig is referenced by banding AND by the two score join-backs below;
     # eager localCheckpoint materializes it once (cheap: num_perm bigints
     # per doc) instead of recomputing the md5 aggregation per branch.
     sigs = sigs.localCheckpoint(eager=True)
-    banded = sigs.select("doc_id", "sig").selectExpr("doc_id", stack_expr)
+    banded = lsh_bandrows(sigs, num_perm, bands)
     w = Window.partitionBy("band_id", "bkey").orderBy("doc_id")
     ranked = banded.withColumn("rnk", F.row_number().over(w))
     a = ranked.filter(F.col("rnk") <= cap).select(
@@ -737,4 +746,74 @@ def l56_minhash_eval(spark, sf_dir):
             ).cast("double")
             / F.sum(rec)
         ).alias("avg_recovered_jaccard"),
+    )
+
+
+def _l59_oracle(cap: int = LSH_BUCKET_CAP) -> str:
+    """DuckDB twin of l59: bucket sizes from the shared banding CTEs, then
+    one aggregate computing the uncapped/capped pair-emission accounting
+    with the same LEAST/GREATEST formula and integer division."""
+    unc = "(m * (m - 1)) // 2"
+    capd = (
+        f"(LEAST(m, {cap}) * (LEAST(m, {cap}) - 1)) // 2"
+        f" + GREATEST(m - {cap}, 0)"
+    )
+    return f"""
+    WITH {_mh_cand_ctes('SELECT doc_id, text FROM documents')},
+    bsz AS (SELECT band_id, bkey, COUNT(*) AS m FROM bandrows GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_buckets,
+           CAST(MAX(m) AS BIGINT) AS max_bucket,
+           CAST(SUM({unc}) AS BIGINT) AS pairs_uncapped,
+           CAST(SUM({capd}) AS BIGINT) AS pairs_capped,
+           FLOOR(CAST(SUM({capd}) AS DOUBLE) / SUM({unc}) * 10000 + 0.5)
+             / 10000 AS emit_ratio
+    FROM bsz
+    """
+
+
+@query("l59_lsh_bucket_audit", oracle=_l59_oracle())
+def l59_lsh_bucket_audit(spark, sf_dir):
+    """LSH bucket-skew audit — the observability twin of the round-4
+    production guard: per band bucket sizes rolled into one row of
+    pair-emission accounting (bucket count, multi-member buckets, the
+    largest bucket, pairs an UNCAPPED all-pairs emission would produce vs
+    pairs the ``LSH_BUCKET_CAP`` policy actually emits, and their ratio).
+    This is the dashboard number a dedup pipeline watches for viral
+    duplicates: a plummeting emit_ratio means some bucket went quadratic
+    and the cap is earning its keep (Lee et al. 2022 §4 monitor the same
+    quantity as "cluster size distribution"). Fully SQL-oracled — the
+    DuckDB twin re-derives signatures, banding, bucket sizes and both
+    pair-count formulas, so the audit itself is correctness-gated.
+
+    100 TB: one groupBy at (band, bucket) grain — the same shuffle
+    lsh_candidates already pays — then a single bounded aggregate; no
+    pair materialization at all, so the audit is strictly cheaper than
+    the dedup it monitors."""
+    cap = LSH_BUCKET_CAP
+    d = load(spark, sf_dir, "documents")
+    buckets = (
+        lsh_bandrows(minhash_signatures(d))
+        .groupBy("band_id", "bkey")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    unc = F.expr("(m * (m - 1)) DIV 2")
+    capd = F.expr(
+        f"(least(m, {cap}) * (least(m, {cap}) - 1)) DIV 2"
+        f" + greatest(m - {cap}, 0)"
+    )
+    return buckets.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.count_if(F.col("m") >= 2).cast("bigint").alias("n_multi_buckets"),
+        F.max("m").cast("bigint").alias("max_bucket"),
+        F.sum(unc).cast("bigint").alias("pairs_uncapped"),
+        F.sum(capd).cast("bigint").alias("pairs_capped"),
+        (
+            F.floor(
+                F.try_divide(F.sum(capd).cast("double"), F.sum(unc)) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("emit_ratio"),
     )

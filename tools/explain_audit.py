@@ -264,6 +264,12 @@ def audit(keys: list[str]) -> int:
                 m = re.match(r"exchanges=(\d+)", info)
                 if verdict == "ok" and m:
                     counts[key] = int(m.group(1))
+                elif verdict == "VIOLATION" and key in PLAN_BUDGET:
+                    # an over-budget key keeps its OLD budget: dropping it
+                    # would silently disable its regression gate. To accept
+                    # an intentional plan change, delete the stale entry
+                    # from plan_budget.json and re-run --update-budget.
+                    counts[key] = PLAN_BUDGET[key]
             with open(_BUDGET_PATH, "w") as fh:
                 json.dump(counts, fh, indent=0, sort_keys=True)
             print(f"recorded {len(counts)} exchange budgets -> {_BUDGET_PATH}")
