@@ -616,9 +616,13 @@ def d22_hll_merge(spark, sf_dir):
     row carries the exact distinct count plus (a) a verdict that the
     estimate is within 5% (lgK=12 → rsd ≈ 1.6%, 3σ margin) and (b) a
     merge-consistency verdict — for the ALL row, that estimating the UNION
-    of per-type sketches equals sketching the whole column directly (the
-    associativity the 100 TB pattern rests on; previously only a local
-    test). The oracle recomputes the exacts and pins both verdicts TRUE."""
+    of per-type sketches agrees with sketching the whole column directly
+    to within 5% of exact (the associativity the 100 TB pattern rests on;
+    previously only a local test). NOT exact equality: DataSketches HLL
+    promotes small partials from exact coupon mode to dense registers on
+    union, so merged-vs-direct can differ slightly once cardinality leaves
+    coupon range — the sf0.1 parity sweep caught exactly that. The oracle
+    recomputes the exacts and pins both verdicts TRUE."""
     ev = load(spark, sf_dir, "events")
     partials = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", 12).alias("sk"),
@@ -645,7 +649,10 @@ def d22_hll_merge(spark, sf_dir):
             "exact_users",
             within(F.hll_sketch_estimate("msk"), F.col("exact_users")),
             (
-                F.hll_sketch_estimate("msk") == F.hll_sketch_estimate("wsk")
+                F.abs(
+                    F.hll_sketch_estimate("msk") - F.hll_sketch_estimate("wsk")
+                )
+                <= 0.05 * F.col("exact_users")
             ).alias("merge_consistent"),
         )
     )

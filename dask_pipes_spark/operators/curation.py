@@ -1004,3 +1004,95 @@ def l58_ngram_novelty(spark, sf_dir):
             ).alias("novelty"),
         )
     )
+
+
+_L60_TOPK = 1000  # Zipf fit over the top-K frequency ranks (standard practice)
+
+
+def _l60_oracle(k: int = _L60_TOPK) -> str:
+    """DuckDB twin of l60: same tokenization, same total-order ranking, the
+    same ROUND(6)-quantized log-log terms and decimal sums (d23/d46 OLS
+    discipline), so the slope/r2 match bitwise."""
+    q6 = lambda e: f"FLOOR(({e}) * 1000000 + 0.5) / 1000000"  # noqa: E731
+    dsum = lambda e: f"CAST(SUM(CAST({e} AS DECIMAL(38,12))) AS DOUBLE)"  # noqa: E731
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r, c FROM vocab
+    ),
+    pts AS (
+      SELECT {q6('LN(r)')} AS x, {q6('LN(c)')} AS y
+      FROM ranked WHERE r <= {k}
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             {dsum('x')} AS sx, {dsum('y')} AS sy,
+             {dsum('x * y')} AS sxy, {dsum('x * x')} AS sxx,
+             {dsum('y * y')} AS syy
+      FROM pts
+    ),
+    tot AS (SELECT COUNT(*) AS vocab_size FROM vocab)
+    SELECT CAST(t.vocab_size AS BIGINT) AS vocab_size,
+           CAST(s.n AS BIGINT) AS n_ranks,
+           FLOOR((s.sxy - s.sx * s.sy / s.n)
+                 / (s.sxx - s.sx * s.sx / s.n) * 1000000 + 0.5) / 1000000
+             AS zipf_slope,
+           FLOOR(POW(s.sxy - s.sx * s.sy / s.n, 2)
+                 / ((s.sxx - s.sx * s.sx / s.n)
+                    * (s.syy - s.sy * s.sy / s.n)) * 1000000 + 0.5) / 1000000
+             AS r2
+    FROM sums s CROSS JOIN tot t
+    """
+
+
+@query("l60_zipf_slope", oracle=_l60_oracle())
+def l60_zipf_slope(spark, sf_dir):
+    """Corpus-level Zipf-law audit: OLS slope of log(frequency) on log(rank)
+    over the top-1000 token ranks. Natural language sits near slope -1
+    (Zipf 1949; Piantadosi 2014 review); template/boilerplate-heavy or
+    machine-generated corpora flatten or steepen the curve, making this a
+    one-row drift signal a curation pipeline tracks per ingest batch next
+    to l5's raw frequency table. Fully SQL-oracled: log terms are
+    ROUND(6)-quantized before exact decimal sums (d23/d46 OLS discipline),
+    so both engines agree bitwise on slope and r2.
+
+    100 TB: the vocab count is one hash aggregate (shuffle bounded by |V|);
+    the top-1000 cut is a TakeOrdered (no global sort materialization), and
+    the window ranking runs on 1000 rows. A 1-token corpus yields a zero
+    denominator -> NULL slope via try_divide (DuckDB x/0 parity)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = vocab.localCheckpoint(eager=True)  # reused: top-K cut + size
+    top = vocab.orderBy(F.col("c").desc(), "tok").limit(_L60_TOPK)
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    q6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    pts = top.withColumn("r", F.row_number().over(w)).select(
+        q6(F.log(F.col("r"))).alias("x"), q6(F.log(F.col("c"))).alias("y")
+    )
+    dec = "decimal(38,12)"
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("x").cast(dec)).cast("double")
+    sy = F.sum(F.col("y").cast(dec)).cast("double")
+    sxy = F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double")
+    syy = F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double")
+    sums = pts.agg(
+        n.cast("bigint").alias("n_ranks"),
+        q6(
+            F.try_divide(sxy - sx * sy / n, sxx - sx * sx / n)
+        ).alias("zipf_slope"),
+        q6(
+            F.try_divide(
+                F.pow(sxy - sx * sy / n, F.lit(2)),
+                (sxx - sx * sx / n) * (syy - sy * sy / n),
+            )
+        ).alias("r2"),
+    )
+    size = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
+    return size.crossJoin(sums).select(  # 1-row x 1-row
+        "vocab_size", "n_ranks", "zipf_slope", "r2"
+    )

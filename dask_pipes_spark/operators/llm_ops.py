@@ -817,3 +817,67 @@ def l59_lsh_bucket_audit(spark, sf_dir):
             / 10000
         ).alias("emit_ratio"),
     )
+
+
+_L61_CAPS = (2, 4, 8, 16, 32, 64)
+
+
+def _l61_oracle(caps=_L61_CAPS) -> str:
+    """DuckDB twin of l61: bucket sizes from the shared banding CTEs CROSS
+    JOINed with the cap grid, same LEAST/GREATEST capped-pair formula."""
+    values = ", ".join(f"({c})" for c in caps)
+    capd = (
+        "(LEAST(m, cap) * (LEAST(m, cap) - 1)) // 2"
+        " + GREATEST(m - cap, 0)"
+    )
+    return f"""
+    WITH {_mh_cand_ctes('SELECT doc_id, text FROM documents')},
+    bsz AS (SELECT band_id, bkey, COUNT(*) AS m FROM bandrows GROUP BY 1, 2),
+    grid AS (SELECT * FROM (VALUES {values}) AS t(cap))
+    SELECT CAST(cap AS INT) AS cap,
+           CAST(SUM({capd}) AS BIGINT) AS pairs_capped,
+           FLOOR(CAST(SUM({capd}) AS DOUBLE)
+                 / SUM((m * (m - 1)) // 2) * 10000 + 0.5) / 10000
+             AS emit_ratio
+    FROM bsz CROSS JOIN grid
+    GROUP BY cap
+    """
+
+
+@query("l61_cap_sensitivity", oracle=_l61_oracle())
+def l61_cap_sensitivity(spark, sf_dir):
+    """Cap-tuning table for the LSH production guard: for each candidate
+    ``LSH_BUCKET_CAP`` value (2..64), how many pairs the capped emission
+    policy would produce and what fraction of the uncapped pair volume that
+    is — the one-query answer to "what cap should THIS corpus run with".
+    Read with l59 (the current cap's accounting) and l56 (recall under the
+    current cap); together they are the tuning loop Lee et al. 2022 run
+    when sizing dedup for a new crawl. Fully SQL-oracled via the shared
+    banding CTEs.
+
+    100 TB: same (band, bucket) groupBy lsh_candidates already pays, then
+    a 6-row cap grid joined onto the bounded bucket-histogram frame — the
+    sensitivity sweep costs one aggregate, not six dedup runs."""
+    d = load(spark, sf_dir, "documents")
+    buckets = (
+        lsh_bandrows(minhash_signatures(d))
+        .groupBy("band_id", "bkey")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    grid = buckets.withColumn(
+        "cap", F.explode(F.array(*[F.lit(c) for c in _L61_CAPS]))
+    )
+    capd = F.expr(
+        "(least(m, cap) * (least(m, cap) - 1)) DIV 2 + greatest(m - cap, 0)"
+    )
+    unc = F.expr("(m * (m - 1)) DIV 2")
+    return grid.groupBy("cap").agg(
+        F.sum(capd).cast("bigint").alias("pairs_capped"),
+        (
+            F.floor(
+                F.try_divide(F.sum(capd).cast("double"), F.sum(unc)) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("emit_ratio"),
+    )

@@ -92,3 +92,40 @@ def test_connected_components_match_union_find(spark):
 
     got = {r.node: r.label for r in connected_components(edges).collect()}
     assert got == want
+
+
+def test_l59_l61_cap_accounting_invariants(spark, registry):
+    """The bucket-audit accounting must be internally consistent: capped
+    pairs never exceed uncapped, the emit ratio is in (0, 1], l61's curve
+    is nondecreasing in cap, and at the largest grid cap (>= the fixture's
+    max bucket) the capped count equals the uncapped count."""
+    queries, _ = registry
+    a = queries["l59_lsh_bucket_audit"](spark, SF_SMOKE).collect()[0]
+    assert a.n_multi_buckets <= a.n_buckets
+    assert a.pairs_capped <= a.pairs_uncapped
+    if a.pairs_uncapped:
+        assert 0 < a.emit_ratio <= 1
+    rows = sorted(
+        queries["l61_cap_sensitivity"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.cap,
+    )
+    counts = [r.pairs_capped for r in rows]
+    assert counts == sorted(counts)  # monotone in cap
+    if a.max_bucket <= rows[-1].cap:
+        assert rows[-1].pairs_capped == a.pairs_uncapped
+    # the registered cap's row agrees with l59's accounting
+    from dask_pipes_spark.operators.llm_ops import LSH_BUCKET_CAP
+
+    by_cap = {r.cap: r for r in rows}
+    if LSH_BUCKET_CAP in by_cap:
+        assert by_cap[LSH_BUCKET_CAP].pairs_capped == a.pairs_capped
+
+
+def test_l60_zipf_slope_is_zipfian_on_fixture(spark, registry):
+    """Natural-ish fixture text must fit a negative log-log slope with a
+    meaningful r2; the rank cut never exceeds the vocabulary size."""
+    queries, _ = registry
+    r = queries["l60_zipf_slope"](spark, SF_SMOKE).collect()[0]
+    assert r.n_ranks <= r.vocab_size
+    assert r.zipf_slope < 0
+    assert 0 <= r.r2 <= 1

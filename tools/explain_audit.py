@@ -86,6 +86,8 @@ CARTESIAN_OK = {
     "h16_levenshtein_pairs",
     # 1×1 crossJoin attaching the global exact count to the merged-sketch row.
     "d22_hll_merge",
+    # 1×1 crossJoin attaching the vocab size to the one-row OLS sums.
+    "l60_zipf_slope",
     # scalar token-total broadcast onto the vocab-bounded prob table (1×|V|).
     "l30_unigram_xent",
     # 1-row global-average broadcast cross join fanned onto customer (1×N).
