@@ -252,6 +252,14 @@ def main() -> None:
     width = lambda base: str(min(base * scale, maxpart))  # noqa: E731
     spark.conf.set("spark.sql.shuffle.partitions", width(8))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # Cache format: the bench reads every cached projection many times and
+    # never under memory pressure (pruned projections are <<1% of heap), so
+    # trade cache size for scan speed — no per-batch decompression and
+    # bigger codegen batches. Measured on the isolated pricing projection
+    # at sf0.1: 46.0 -> 34.7 ms median. Set BEFORE any .cache() below:
+    # the format is captured at cache build time.
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "100000")
     # the join query's broadcastable side (orders⋈customer⋈nation collapsed
     # to two columns) grows linearly with data volume; scale the threshold
     # the same way so the fact side keeps its zero-shuffle broadcast plan
