@@ -539,9 +539,16 @@ def d20_approx_quantile(spark, sf_dir):
     engine-specific and not emitted; the frame carries the exact p50 plus
     per-quantile verdicts that each sketch value lies between the exact
     values at q ∓ 0.001 (10x GK's guaranteed rank error at accuracy=10000).
-    The oracle recomputes exact_p50 and pins the verdicts TRUE, so the
-    sketch's accuracy contract is hash-gated on every run. Scalar double
-    columns, not arrays (d10's canonicalizer discipline)."""
+    Round-5 soundness fix (ADVICE): the interpolated q∓0.001 band can be
+    NARROWER than one element gap in small or gappy groups (median of
+    [1,2,3,4]: sketch returns the element 2, interpolated band is
+    [2.497, 2.503] — a correct sketch would fail the verdict), so groups
+    with n < 2000 rows (where 2/n > 0.001) fall back to the [min, max]
+    bound — always sound for an element-valued sketch, and GK at
+    accuracy=10000 is exact below 10k rows anyway. The oracle recomputes
+    exact_p50 and pins the verdicts TRUE, so the sketch's accuracy contract
+    is hash-gated on every run. Scalar double columns, not arrays (d10's
+    canonicalizer discipline)."""
     li = load(spark, sf_dir, "lineitem")
     pcts = F.percentile_approx("l_quantity", [0.5, 0.9, 0.99], 10000)
     qcol = F.col("l_quantity")
@@ -550,6 +557,9 @@ def d20_approx_quantile(spark, sf_dir):
         F.element_at(pcts, 2).alias("approx_p90"),
         F.element_at(pcts, 3).alias("approx_p99"),
         F.round(F.percentile(qcol, F.lit(0.5)), 4).alias("exact_p50"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(qcol).alias("g_min"),
+        F.max(qcol).alias("g_max"),
         *[
             F.percentile(qcol, F.lit(q)).alias(f"lo_{tag}")
             for q, tag in [(0.499, "p50"), (0.899, "p90"), (0.989, "p99")]
@@ -559,9 +569,16 @@ def d20_approx_quantile(spark, sf_dir):
             for q, tag in [(0.501, "p50"), (0.901, "p90"), (0.991, "p99")]
         ],
     )
+    small = F.col("n_rows") < 2000  # 2/n > 0.001: interpolated band unsound
     ok = lambda tag: (  # noqa: E731
-        (F.col(f"approx_{tag}") >= F.col(f"lo_{tag}"))
-        & (F.col(f"approx_{tag}") <= F.col(f"hi_{tag}"))
+        F.when(
+            small,
+            (F.col(f"approx_{tag}") >= F.col("g_min"))
+            & (F.col(f"approx_{tag}") <= F.col("g_max")),
+        ).otherwise(
+            (F.col(f"approx_{tag}") >= F.col(f"lo_{tag}"))
+            & (F.col(f"approx_{tag}") <= F.col(f"hi_{tag}"))
+        )
     ).alias(f"{tag}_ok")
     return agg.select(
         "l_returnflag", "exact_p50", ok("p50"), ok("p90"), ok("p99")
@@ -1634,6 +1651,12 @@ def d46_mutual_information(spark, sf_dir):
             F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
         )
         .agg(F.count(F.lit(1)).alias("c_xy"))
+        # eager: downstream windows/joins branch off this tiny table within
+        # one job (lazy would risk concurrent recompute of the corpus-scale
+        # aggregate); not fault-tolerant — llm_ops lsh_candidates has the
+        # full 100 TB tradeoff note. explain_audit flags this key
+        # "post-checkpoint plan only": the one real upstream shuffle is
+        # hidden from the exchange budget by design.
         .localCheckpoint(eager=True)
         .coalesce(1)
     )

@@ -654,7 +654,11 @@ def l32_dup_ngram_coverage(spark, sf_dir):
         ).alias("h"),
     # referenced by BOTH the dup-set count and the probe side below; eager
     # localCheckpoint materializes the (doc_id, h) frame once (16 B/row)
-    # instead of re-running the explode+md5 per branch (measured 2x at sf1)
+    # instead of re-running the explode+md5 per branch (measured 2x at sf1).
+    # Eager on purpose — the two consumers are concurrent stages of one job
+    # (lazy would let both recompute before the persisted block lands); not
+    # fault-tolerant — at 100 TB use reliable checkpoint() (see llm_ops
+    # lsh_candidates for the full tradeoff note).
     ).localCheckpoint(eager=True)
     dup = (
         shingles.groupBy("h")
@@ -1066,7 +1070,9 @@ def l60_zipf_slope(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    vocab = vocab.localCheckpoint(eager=True)  # reused: top-K cut + size
+    # reused by the top-K cut AND the size count — concurrent stages of one
+    # job, so eager (see lsh_candidates note; not fault-tolerant)
+    vocab = vocab.localCheckpoint(eager=True)
     top = vocab.orderBy(F.col("c").desc(), "tok").limit(_L60_TOPK)
     w = Window.orderBy(F.col("c").desc(), "tok")
     q6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731

@@ -42,8 +42,8 @@ MH_PRIME = 281474976710597  # largest prime < 2**48; K-M permutation modulus
 # buckets emit all pairs among the CAP smallest doc_ids PLUS one star edge
 # from the bucket representative (min doc_id) to each remaining member —
 # O(CAP^2 + m) pairs instead of O(m^2), while every member stays transitively
-# connected to the representative, so the dedup DECISION (l18's components,
-# l26's keep-best) is unchanged. This is the bucket-size bound Lee et al.
+# connected to the representative, so the dedup DECISION (l18's connected
+# components — the consumer of these pairs) is unchanged. This is the bucket-size bound Lee et al.
 # 2022 apply to viral duplicates; SCALING.md measures the curve.
 LSH_BUCKET_CAP = 8
 
@@ -81,8 +81,12 @@ def mh_base(col, pos: int) -> "F.Column":
     g_i = (h1 + i*h2) mod P ("Less Hashing, Same Performance", ESA 2006)
     with h1/h2 = two disjoint 48-bit slices of a SINGLE md5 digest — ONE
     md5 evaluation per shingle instead of NUM_PERM(=32), measured ~2x on
-    signature generation vs even the two-digest variant, with the same
-    min-wise guarantees. 48-bit bases keep h1 + 31*h2 < 2**53, exact in
+    signature generation vs even the two-digest variant. Caveat: the 32
+    permutations share 96 bits of per-shingle randomness and are pairwise
+    correlated, so est_jaccard variance is somewhat higher than 32
+    independent hashes would give; the actual evidence that recall holds is
+    the empirical l56 recall gate (oracle-pinned), not a min-wise
+    independence theorem. 48-bit bases keep h1 + 31*h2 < 2**53, exact in
     int64 on both engines. At 100 TB you would swap md5 for ``xxhash64``;
     the banding, join and clustering structure is hash-family-agnostic."""
     return F.conv(F.substring(F.md5(col), pos, 12), 16, 10).cast("bigint")
@@ -179,6 +183,18 @@ def lsh_candidates(
     # sig is referenced by banding AND by the two score join-backs below;
     # eager localCheckpoint materializes it once (cheap: num_perm bigints
     # per doc) instead of recomputing the md5 aggregation per branch.
+    # Eager (not lazy) on purpose: the three consumers are independent
+    # shuffle-map stages of ONE downstream job and can be scheduled
+    # concurrently — a lazy checkpoint would let each compute the signature
+    # aggregation before the persisted partitions land (the measured
+    # double-execution this guard exists for). Known costs, accepted:
+    # (a) building this DataFrame runs a Spark job at construction time,
+    # so plan-only tooling pays it too (explain_audit marks such keys
+    # "post-checkpoint plan only"); (b) localCheckpoint blocks are NOT
+    # fault-tolerant — on executor loss the job fails and is re-run from
+    # source; at 100 TB use reliable checkpoint() to cluster storage, or
+    # persist the signature table explicitly (it is the natural
+    # materialization boundary of the dedup pipeline anyway).
     sigs = sigs.localCheckpoint(eager=True)
     banded = lsh_bandrows(sigs, num_perm, bands)
     w = Window.partitionBy("band_id", "bkey").orderBy("doc_id")

@@ -224,6 +224,15 @@ def audit(keys: list[str]) -> int:
             notes.append(
                 f"exchange budget regression: {nex} > recorded {budget}"
             )
+        # A localCheckpoint truncates lineage to a LogicalRDD ("Scan
+        # ExistingRDD" in the physical plan), hiding every exchange the
+        # operator pays upstream of the checkpoint — annotate so a recorded
+        # budget of N is read as "post-checkpoint only" and a regression
+        # ABOVE the checkpoint is known to be invisible to this gate
+        # (ADVICE round 4). Detection is mechanical from the plan string,
+        # so the annotation can never go stale against the code.
+        if "Scan ExistingRDD" in plan:
+            notes.append("post-checkpoint plan only (upstream exchanges hidden by localCheckpoint)")
         info = f"exchanges={nex}" + (f" joins={joins}" if joins else "")
         if notes:
             info += " | " + "; ".join(notes)
