@@ -214,6 +214,68 @@ def q_curation(spark, t):
     )
 
 
+def q_dedup_chain(spark, t):
+    """North-star dedup workload (round 5): MinHash signatures → capped LSH
+    candidate pairs → connected components → duplicate-cluster size
+    histogram — the l2→l18 operator chain end-to-end on the documents
+    table. This is the one headline query timed through the DataFrame
+    front-end instead of a shared SQL text: the chain is not expressible in
+    engine-portable SQL (shingling needs string_split in DuckDB vs split in
+    Spark), so the DuckDB twin is the l18 oracle CTE chain
+    (``llm_ops._mh_cand_ctes`` — verified row-identical by check_parity at
+    three SFs) and results are cross-checked against it at bench startup.
+    Timing includes signature materialization and the label-propagation
+    rounds (each round is a real job) — nothing is pre-staged."""
+    from dask_pipes_spark.operators.llm_ops import (
+        connected_components,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = t["documents"]
+    cand = lsh_candidates(minhash_signatures(docs))
+    comp = connected_components(cand, "doc_a", "doc_b")
+    sizes = (
+        comp.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def dedup_chain_duckdb_sql() -> str:
+    """The DuckDB twin of :func:`q_dedup_chain` — same CTE chain the l18
+    parity oracle runs (K-M minhash, capped LSH, recursive-CTE components),
+    rolled up to the same size histogram."""
+    from dask_pipes_spark.operators.llm_ops import _mh_cand_ctes
+
+    return (
+        "WITH RECURSIVE "
+        + _mh_cand_ctes("SELECT doc_id, text FROM documents")
+        + """,
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+    sizes AS (SELECT label, COUNT(*) AS cluster_size
+              FROM comp GROUP BY label HAVING COUNT(*) >= 2)
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
+    )
+
+
 DF_QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_join3_topn": q_join3_topn,
@@ -224,6 +286,9 @@ DF_QUERIES = {
     "q_text_stats": q_text_stats,
     "q_curation": q_curation,
 }
+
+# timed through the DataFrame front-end; DuckDB twin above (see docstring)
+DF_ONLY_QUERIES = {"q_dedup_chain": q_dedup_chain}
 
 
 def _data_scale(sf_dir: str) -> int:
@@ -354,6 +419,17 @@ def main() -> None:
             .repartition(min(1 * scale, maxpart))
             .cache(),
         },
+        # the dedup chain's first stage fans every document into ~200
+        # shingle rows before the signature groupBy — the one headline
+        # stage that is compute-bound at ANY scale, so the projection's job
+        # is purely to parallelize the explode+md5 (a 1-slice cache runs it
+        # on one task: measured 6.3 s chain → 3.3 s at 8 slices, sf0.1)
+        "q_dedup_chain": {
+            "documents": tables["documents"]
+            .select("doc_id", "text")
+            .repartition(min(8 * scale, maxpart))
+            .cache(),
+        },
     }
     for over in projections.values():
         for proj in over.values():
@@ -377,6 +453,9 @@ def main() -> None:
         "q_events_session": 1,
         "q_text_stats": 1,
         "q_curation": 1,
+        # the shingle explode fans documents out ~200x before the signature
+        # groupBy; row-scaled width
+        "q_dedup_chain": 8,
     }
     noscale = {"q_pricing_summary", "q_join3_topn", "q_text_stats"}
     # per-query broadcast threshold: q_join3_topn must NOT broadcast the
@@ -413,6 +492,29 @@ def main() -> None:
         rb = sorted(tuple(f"{v:.4f}" if isinstance(v, float) else str(v) for v in r) for r in b.itertuples(index=False))
         assert ra == rb, f"front-end mismatch on {name}"
 
+    # q_dedup_chain cross-check: Spark operator chain vs the DuckDB l18
+    # oracle CTE chain, exact rowset equality (this IS the engine-vs-engine
+    # twin the timed comparison relies on)
+    import duckdb
+
+    bind_views("q_dedup_chain")
+    chain_tables = {**tables, **projections.get("q_dedup_chain", {})}
+    chain_rows = sorted(
+        (int(r["cluster_size"]), int(r["n_clusters"]))
+        for r in q_dedup_chain(spark, chain_tables).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    duck_rows = sorted(
+        (int(a), int(b)) for a, b in con.execute(dedup_chain_duckdb_sql()).fetchall()
+    )
+    assert chain_rows == duck_rows, (
+        f"dedup-chain twin mismatch: spark={chain_rows[:5]} duck={duck_rows[:5]}"
+    )
+
     # second warmup pass: codegen cache, JIT tiers, Arrow fetch path
     for name, sql in SQL.items():
         bind_views(name)
@@ -437,6 +539,56 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         results[name] = round(statistics.median(times), 4)
 
+    # DataFrame-front-end queries (the dedup chain): the full operator
+    # build + every label-propagation job runs inside the timed region.
+    # median of 3 (DuckDB's own estimator) — these are second-scale, the
+    # dispatch-floor noise the 9-sample median guards against is irrelevant
+    for name, fn in DF_ONLY_QUERIES.items():
+        bind_views(name)
+        bound = {**tables, **projections.get(name, {})}
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, bound).collect()
+            times.append(time.perf_counter() - t0)
+        results[name] = round(statistics.median(times), 4)
+
+    # Drift calibration (round 5): BENCH_rN numbers are compared against
+    # static BASELINE.md figures, but this box drifts ±30% between windows
+    # (round 4's "+17% regression" was pure window — proven by a controlled
+    # revert run). Emit two fixed-cost probes measured in THIS window so any
+    # future round can attribute shifts mechanically:
+    #   spark_floor_ms — deep-warm job floor (count over a cached 5-row
+    #     frame): the submit-execute-fetch cost every Spark query pays;
+    #   duckdb_pricing_ms — DuckDB re-run of q_pricing_summary on the same
+    #     files, same window: rescales BASELINE.md's published 89.1 ms
+    #     (sf0.1) to current ambient conditions.
+    floor_df = spark.createDataFrame([(i,) for i in range(5)], "i int").cache()
+    floor_df.count()
+    floor_times = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        floor_df.count()
+        floor_times.append(time.perf_counter() - t0)
+    import duckdb as _duck
+
+    dcon = _duck.connect()
+    dcon.execute(
+        "create view lineitem as select * from "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    duck_pricing_sql = SQL["q_pricing_summary"].replace("timestamp_ntz", "timestamp")
+    dcon.execute(duck_pricing_sql).fetchall()  # warm
+    duck_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dcon.execute(duck_pricing_sql).fetchall()
+        duck_times.append(time.perf_counter() - t0)
+    calibration = {
+        "spark_floor_ms": round(statistics.median(floor_times) * 1000, 1),
+        "duckdb_pricing_ms": round(statistics.median(duck_times) * 1000, 1),
+    }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: object = float(sf)
@@ -450,6 +602,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf_val,
+                "calibration": calibration,
             }
         )
     )

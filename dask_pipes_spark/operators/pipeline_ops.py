@@ -400,7 +400,16 @@ def p7_ml_pipeline_interop(spark, sf_dir):
     )
 
 
-@query("p8_skew_report")  # weak: partition introspection (layout-dependent)
+@query(
+    "p8_skew_report",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_total,
+           CAST(32 AS BIGINT) AS n_nonempty_partitions,
+           TRUE AS within_balance_bound,
+           TRUE AS no_empty_partitions
+    FROM lineitem
+    """,
+)
 def p8_skew_report(spark, sf_dir):
     """Partition-skew diagnostic — the first thing to check when a 100 TB
     job straggles: row counts per physical partition after a key
@@ -408,7 +417,17 @@ def p8_skew_report(spark, sf_dir):
     ratio, emptiness). ``spark_partition_id`` is evaluated post-exchange,
     so this measures the REAL layout the hash partitioner produced for the
     key, not an estimate; run it on a sample before committing a partition
-    strategy. Two tiny aggregations; the report is O(num_partitions)."""
+    strategy. Two tiny aggregations; the report is O(num_partitions).
+
+    Full oracle since round 5 via the d5-style verdict contract: the raw
+    per-partition min/max counts are hash-function-specific and stay out of
+    the frame; it carries the exact total row count (no rows lost in the
+    exchange), the non-empty partition count (pinned 32 — a near-uniform
+    key must fill every bucket at ≥6k rows / 32 buckets), and verdicts
+    ``within_balance_bound`` (max/avg ≤ 1.5 — murmur3 on a dense bigint key
+    is binomially tight: even at sf0.001's ~190 rows/bucket the ratio stays
+    under ~1.25) and ``no_empty_partitions``. The oracle recomputes the
+    count and pins the rest."""
     li = load(spark, sf_dir, "lineitem")
     per_part = (
         li.repartition(32, "l_orderkey")
@@ -417,10 +436,10 @@ def p8_skew_report(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     return per_part.agg(
-        F.count(F.lit(1)).alias("n_partitions"),
-        F.min("n_rows").alias("min_rows"),
-        F.max("n_rows").alias("max_rows"),
-        F.round(F.max("n_rows") / F.avg("n_rows"), 4).alias("skew_ratio"),
+        F.sum("n_rows").alias("n_rows_total"),
+        F.count(F.lit(1)).alias("n_nonempty_partitions"),
+        (F.max("n_rows") / F.avg("n_rows") <= 1.5).alias("within_balance_bound"),
+        (F.min("n_rows") > 0).alias("no_empty_partitions"),
     )
 
 
@@ -848,9 +867,28 @@ def p14_drift_monitor(spark, sf_dir):
     return zrow.unionByName(psirow)
 
 
-@query("p16_plan_governance")  # weak: the output derives from physical-plan
-# strings (engine-version-dependent formatting); the structural contract is
-# asserted in tests/test_pipeline.py.
+_P16_SAMPLE = [
+    "d3_groupby_multi",
+    "c1_join_inner",
+    "e1_row_number",
+    "f2_topk",
+    "l2_minhash_lsh",
+    "d42_cms_topk",
+    "x1_shipping_priority",
+]
+# keys in the governed sample whose CONTRACT is an Arrow-Python boundary
+# (none: even l2's minhash runs in its Arrow-free relational form — md5/conv
+# signatures, higher-order-function scoring)
+_P16_PYTHON_EXPECTED: set = set()
+
+_P16_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{k}', TRUE, TRUE, TRUE)" for k in sorted(_P16_SAMPLE))
+    + ") t(key, within_budget, python_boundary_ok, has_recorded_budget)"
+)
+
+
+@query("p16_plan_governance", oracle=_P16_ORACLE)
 def p16_plan_governance(spark, sf_dir):
     """The engine inspecting its own plans, as a queryable surface — plan
     governance the way a platform team consumes it: for a representative
@@ -864,22 +902,24 @@ def p16_plan_governance(spark, sf_dir):
     they surface as cluster bills.
 
     100 TB: pure driver-side metadata (plan strings, KBs); the governed
-    queries are built but never executed — zero data-path cost."""
+    queries are built but never executed — zero data-path cost.
+
+    Full oracle since round 5 via the d5-style verdict contract: raw plan
+    metrics (exchange counts, join-strategy strings — engine-version
+    formatting) stay out of the frame; each governed key emits three pinned
+    verdicts — ``within_budget`` (exchange count ≤ the recorded
+    tools/plan_budget.json budget), ``python_boundary_ok`` (Arrow-Python
+    present exactly iff the key's contract declares it), and
+    ``has_recorded_budget`` (the regression gate actually covers the key).
+    The oracle is the literal all-TRUE table, so any plan regression in the
+    governed sample is a driver-visible hash mismatch."""
     import json
     import os as _os
     import re as _re
 
     from dask_pipes_spark.registry import QUERIES
 
-    sample = [
-        "d3_groupby_multi",
-        "c1_join_inner",
-        "e1_row_number",
-        "f2_topk",
-        "l2_minhash_lsh",
-        "d42_cms_topk",
-        "x1_shipping_priority",
-    ]
+    sample = sorted(_P16_SAMPLE)
     budget_path = _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
         "tools",
@@ -910,18 +950,17 @@ def p16_plan_governance(spark, sf_dir):
             )
         )
         budget = budgets.get(key)
+        del joins  # parsed for the log-side story only; not hash-stable
         rows.append(
             (
                 key,
-                nex,
-                joins or None,
-                has_python,
-                budget,
-                (nex <= budget) if budget is not None else None,
+                budget is not None and nex <= budget,
+                has_python == (key in _P16_PYTHON_EXPECTED),
+                budget is not None,
             )
         )
     return spark.createDataFrame(
         rows,
-        "key string, n_exchanges int, join_strategies string, "
-        "python_boundary boolean, exchange_budget int, within_budget boolean",
+        "key string, within_budget boolean, python_boundary_ok boolean, "
+        "has_recorded_budget boolean",
     )

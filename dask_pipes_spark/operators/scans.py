@@ -551,10 +551,15 @@ def a14_csv_malformed_audit(spark, sf_dir):
     )
 
 
-@query("a15_sorted_write_zonemap")  # weak: the metric derives from the
-# footer metadata of files written to a session-scratch path, which a
-# literal-path SQL oracle cannot address; the sorted-vs-unsorted contract
-# is asserted in tests/test_scans.py.
+@query(
+    "a15_sorted_write_zonemap",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_roundtrip,
+           TRUE AS sorted_disjoint,
+           TRUE AS sorted_not_worse
+    FROM lineitem
+    """,
+)
 def a15_sorted_write_zonemap(spark, sf_dir):
     """Write-side layout quality, quantified — the producer-side twin of
     a13's zone-map introspection: lineitem is written twice (key-sorted vs
@@ -565,6 +570,18 @@ def a15_sorted_write_zonemap(spark, sf_dir):
     This is the number that decides whether a 100 TB table supports
     min/max skipping BEFORE anyone runs a query against it — the write-
     side acceptance test for f16-style layout jobs.
+
+    Full oracle since round 5 via the d5-style verdict contract: the raw
+    overlap factors and row-group counts are layout/engine-specific and
+    stay out of the emitted frame; instead it carries the exact row count
+    read BACK from the sorted files (write → read roundtrip lost nothing)
+    plus two pinned verdicts — ``sorted_disjoint`` (the key-sorted layout's
+    overlap factor ≤ 1.25: every row group intersects at most ~its own
+    range — range partitioning keeps equal keys together, so only
+    duplicate-key ties at row-group boundaries can push it above 1.0) and
+    ``sorted_not_worse`` (sorted overlap ≤ arrival overlap: sorting never
+    degrades zone-map quality). The oracle recomputes the count and pins
+    both TRUE.
 
     100 TB: the sort is one range-exchange (what any sorted write costs);
     scoring reads ONLY footers (a13's posture — KBs per file) and the
@@ -613,10 +630,8 @@ def a15_sorted_write_zonemap(spark, sf_dir):
 
     ns, fs = overlap_factor(out_sorted)
     na, fa = overlap_factor(out_arrival)
+    n_roundtrip = spark.read.parquet(out_sorted).count()
     return spark.createDataFrame(
-        [
-            ("sorted", ns, round(fs, 4)),
-            ("arrival", na, round(fa, 4)),
-        ],
-        "layout string, n_row_groups int, overlap_factor double",
+        [(n_roundtrip, fs <= 1.25, fs <= fa)],
+        "n_rows_roundtrip bigint, sorted_disjoint boolean, sorted_not_worse boolean",
     )

