@@ -228,12 +228,12 @@ def q_dedup_chain(spark, t):
     rounds (each round is a real job) — nothing is pre-staged."""
     from dask_pipes_spark.operators.llm_ops import (
         connected_components,
-        lsh_candidates,
+        lsh_candidate_pairs,
         minhash_signatures,
     )
 
     docs = t["documents"]
-    cand = lsh_candidates(minhash_signatures(docs))
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
     comp = connected_components(cand, "doc_a", "doc_b")
     sizes = (
         comp.groupBy("label")

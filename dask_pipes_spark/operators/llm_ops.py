@@ -155,19 +155,27 @@ def lsh_bandrows(
     return sigs.select("doc_id", "sig").selectExpr("doc_id", stack_expr)
 
 
-def lsh_candidates(
+def lsh_candidate_pairs(
     sigs: DataFrame,
     num_perm: int = NUM_PERM,
     bands: int = BANDS,
     cap: int = LSH_BUCKET_CAP,
+    _checkpoint: bool = True,
 ) -> DataFrame:
-    """(doc_a, doc_b, est_jaccard) — pairs sharing ≥1 LSH band bucket,
-    with pair emission bounded per bucket (``LSH_BUCKET_CAP``).
+    """(doc_a, doc_b) — candidate pairs sharing ≥1 LSH band bucket,
+    with pair emission bounded per bucket (``LSH_BUCKET_CAP``) — the
+    un-scored candidate set. Consumers that only need connectivity
+    (l18's components, the bench dedup chain) take this frame and skip
+    the two signature join-backs ``lsh_candidates`` adds for
+    ``est_jaccard``: the joins never change cardinality (both endpoints
+    come from the signature table by construction) but Catalyst cannot
+    prove that, so on the scored frame they execute — two shuffle joins
+    against the full signature table that a connectivity consumer pays
+    for nothing. At sf10 that is 2 × (millions of pairs ⋈ 500k sigs).
 
     Each signature is cut into ``bands`` slices of r = num_perm/bands rows;
     a pair becomes a candidate iff some slice hashes identically (probability
-    1-(1-s^r)^b for true Jaccard s — the LSH s-curve). est_jaccard is the
-    fraction of matching signature components.
+    1-(1-s^r)^b for true Jaccard s — the LSH s-curve).
 
     Scale guard: members of a bucket are ranked by doc_id; the pair (a, b),
     a < b, is emitted iff rank(b) <= cap (all-pairs among the cap smallest)
@@ -180,9 +188,12 @@ def lsh_candidates(
     O(cap * m), not O(m^2). Buckets never exceeding the cap (the common
     case) behave exactly as uncapped LSH.
     """
-    # sig is referenced by banding AND by the two score join-backs below;
-    # eager localCheckpoint materializes it once (cheap: num_perm bigints
-    # per doc) instead of recomputing the md5 aggregation per branch.
+    # sig is referenced by the ranked window's two branches (and, in the
+    # scored wrapper, by the two score join-backs); eager localCheckpoint
+    # materializes it once (cheap: num_perm bigints per doc) instead of
+    # recomputing the md5 aggregation per branch. The scored wrapper
+    # checkpoints BEFORE calling here and passes _checkpoint=False so the
+    # same materialization feeds both the banding and the join-backs.
     # Eager (not lazy) on purpose: the three consumers are independent
     # shuffle-map stages of ONE downstream job and can be scheduled
     # concurrently — a lazy checkpoint would let each compute the signature
@@ -195,7 +206,8 @@ def lsh_candidates(
     # source; at 100 TB use reliable checkpoint() to cluster storage, or
     # persist the signature table explicitly (it is the natural
     # materialization boundary of the dedup pipeline anyway).
-    sigs = sigs.localCheckpoint(eager=True)
+    if _checkpoint:
+        sigs = sigs.localCheckpoint(eager=True)
     banded = lsh_bandrows(sigs, num_perm, bands)
     w = Window.partitionBy("band_id", "bkey").orderBy("doc_id")
     ranked = banded.withColumn("rnk", F.row_number().over(w))
@@ -211,7 +223,7 @@ def lsh_candidates(
         F.col("bkey").alias("bkey_b"),
         F.col("rnk").alias("rnk_b"),
     )
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("band_a") == F.col("band_b"))
@@ -222,6 +234,22 @@ def lsh_candidates(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])  # same pair from multiple bands
     )
+
+
+def lsh_candidates(
+    sigs: DataFrame,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) — :func:`lsh_candidate_pairs` plus the
+    signature-agreement score: est_jaccard = matching components /
+    num_perm, computed by joining each endpoint back to the (checkpointed)
+    signature table. The scored frame is what threshold-filtering
+    consumers (l2's registry output, l7's cluster stats) want; pure
+    connectivity consumers should take the pairs frame directly."""
+    sigs = sigs.localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sigs, num_perm, bands, cap, _checkpoint=False)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     scored = pairs.join(sa, "doc_a").join(sb, "doc_b")
@@ -676,7 +704,9 @@ def l18_dup_components(spark, sf_dir):
     with a recursive-CTE transitive closure over the same (portable-hash)
     candidate pairs."""
     d = load(spark, sf_dir, "documents")
-    pairs = lsh_candidates(minhash_signatures(d)).select(
+    # pairs-only frame: components need connectivity, not est_jaccard —
+    # skips the two signature join-backs (round-5 plan trim)
+    pairs = lsh_candidate_pairs(minhash_signatures(d)).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(pairs)
