@@ -1,0 +1,122 @@
+"""Avro container codec (a16): wire-format conformance the SQL oracle
+can't see — nullable unions, logical timestamps, arrays, deflate blocks,
+sync-marker integrity, empty-input header-only files."""
+
+import datetime as dt
+import os
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dask_pipes_spark.operators import avro_io
+from dask_pipes_spark.session import load, scratch_path
+from tests.conftest import SF_SMOKE
+
+MIXED_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("arr", T.ArrayType(T.LongType())),
+    ]
+)
+
+MIXED_ROWS = [
+    Row(
+        k=1,
+        i=-7,
+        x=3.5,
+        s="héllo",
+        flag=True,
+        ts=dt.datetime(2020, 1, 2, 3, 4, 5, 123456),
+        arr=[1, 2, 3],
+    ),
+    Row(k=-(2**40), i=0, x=-0.0, s="", flag=False, ts=None, arr=[]),
+    Row(
+        k=2**62,
+        i=2**31 - 1,
+        x=1e300,
+        s=None,
+        flag=None,
+        ts=dt.datetime(1969, 12, 31, 23, 59, 59),
+        arr=None,
+    ),
+]
+
+
+def test_mixed_types_roundtrip_exact(spark):
+    out = scratch_path("test_avro_mixed")
+    df = spark.createDataFrame(MIXED_ROWS, MIXED_SCHEMA)
+    avro_io.write_avro(df, out)
+    back = avro_io.read_avro(spark, out)
+    assert back.schema == MIXED_SCHEMA or [
+        (f.name, f.dataType) for f in back.schema.fields
+    ] == [(f.name, f.dataType) for f in MIXED_SCHEMA.fields]
+    got = sorted(back.collect(), key=lambda r: r.k)
+    want = sorted(df.collect(), key=lambda r: r.k)
+    assert got == want
+
+
+def test_customer_roundtrip_equals_source(spark):
+    out = scratch_path("test_avro_cust")
+    cust = load(spark, SF_SMOKE, "customer")
+    n_files = avro_io.write_avro(cust, out)
+    assert n_files >= 1
+    back = avro_io.read_avro(spark, out)
+    assert back.count() == cust.count()
+    # exact content equality via anti-joins both ways
+    assert back.exceptAll(cust).count() == 0
+    assert cust.exceptAll(back).count() == 0
+
+
+def test_files_are_spec_conformant_deflate_containers(spark):
+    out = scratch_path("test_avro_cust")  # written by previous test or now
+    if not any(f.endswith(".avro") for f in os.listdir(out)):
+        avro_io.write_avro(load(spark, SF_SMOKE, "customer"), out)
+    fname = sorted(f for f in os.listdir(out) if f.endswith(".avro"))[0]
+    with open(os.path.join(out, fname), "rb") as fh:
+        content = fh.read()
+    assert content[:4] == b"Obj\x01"
+    schema_json, blocks = avro_io._read_container(content)
+    assert '"type": "record"' in schema_json
+    assert sum(n for n, _ in blocks) > 0
+
+
+def test_corrupt_sync_marker_detected(spark):
+    out = scratch_path("test_avro_corrupt")
+    avro_io.write_avro(
+        spark.createDataFrame(MIXED_ROWS, MIXED_SCHEMA), out, codec="null"
+    )
+    fname = sorted(f for f in os.listdir(out) if f.endswith(".avro"))[0]
+    path = os.path.join(out, fname)
+    blob = bytearray(open(path, "rb").read())
+    blob[-1] ^= 0xFF  # flip last sync byte
+    with pytest.raises(ValueError, match="sync marker"):
+        avro_io._read_container(bytes(blob))
+
+
+def test_empty_input_writes_header_only_file(spark):
+    out = scratch_path("test_avro_empty")
+    df = spark.createDataFrame([], MIXED_SCHEMA)
+    avro_io.write_avro(df, out)
+    back = avro_io.read_avro(spark, out)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == [
+        f.name for f in MIXED_SCHEMA.fields
+    ]
+
+
+def test_null_codec_roundtrip(spark):
+    out = scratch_path("test_avro_nullcodec")
+    df = spark.createDataFrame(MIXED_ROWS, MIXED_SCHEMA)
+    avro_io.write_avro(df, out, codec="null")
+    back = avro_io.read_avro(spark, out)
+    assert sorted(back.collect(), key=lambda r: r.k) == sorted(
+        df.collect(), key=lambda r: r.k
+    )

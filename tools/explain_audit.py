@@ -69,6 +69,7 @@ ARROW_OK = {
     "m11_framestream_decode",
     "m12_scene_cuts",
     "p1_pipeline_fit_transform",
+    "a16_scan_avro",
 }
 
 # Unbounded-product shapes that are *declared*: c9 is the cartesian operator
