@@ -2,8 +2,10 @@
 ``binary`` columns with typed metadata, decoded / feature-extracted through
 Arrow-batched ``mapInPandas``.
 
-Four keys run REAL stdlib-only codecs (round 2): m5 decodes spec-conformant
-RIFF/WAVE containers (``wave``), m7 decodes spec-conformant PNGs
+Four keys run REAL stdlib-only codecs (round 2; round 5 adds a fifth,
+baseline JPEG, in :mod:`dask_pipes_spark.operators.jpeg`): m5 decodes
+spec-conformant RIFF/WAVE containers (``wave``), m7 decodes spec-conformant
+PNGs
 (``struct``/``zlib`` with CRC-32 verification), m8 resizes those PNGs
 through an actual decode → nearest-neighbor raster pipeline, and m9 routes
 a MIXED png/wav payload stream to the right decoder by magic-byte sniffing

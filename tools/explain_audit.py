@@ -70,6 +70,8 @@ ARROW_OK = {
     "m12_scene_cuts",
     "p1_pipeline_fit_transform",
     "a16_scan_avro",
+    "m13_jpeg_decode",
+    "m14_mjpeg_decode",
 }
 
 # Unbounded-product shapes that are *declared*: c9 is the cartesian operator
