@@ -118,10 +118,18 @@ class _BitWriter:
             if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
                 self.out.append(0x00)
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # 1-padding per spec
+
+    def restart(self, m: int) -> None:
+        """Byte-align and emit RSTm (T.81 F.1.2.3 — marker bytes raw)."""
+        self.pad_to_byte()
+        self.out += bytes((0xFF, 0xD0 + (m & 7)))
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -156,6 +164,20 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def consume_restart(self) -> int:
+        """Discard padding bits, read a raw RSTm marker, return m."""
+        self.acc = 0
+        self.nbits = 0
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError(
+                f"expected restart marker at scan offset {self.pos}"
+            )
+        m = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return m
+
 
 def _extend(v: int, size: int) -> int:
     """T.81 F.12: map `size`-bit amplitude to signed value."""
@@ -171,9 +193,47 @@ def _category(v: int) -> int:
 # --- encoder ----------------------------------------------------------------
 
 
+def _encode_block(bw, zz, prev_dc, dc_codes, ac_codes) -> int:
+    """Entropy-encode one zigzag coefficient block; returns its DC."""
+    diff = int(zz[0]) - prev_dc
+    size = _category(diff)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        amp = diff if diff >= 0 else diff + (1 << size) - 1
+        bw.write(amp, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            if run == 16:
+                c, ln = ac_codes[0xF0]  # ZRL
+                bw.write(c, ln)
+                run = 0
+            continue
+        s = _category(v)
+        c, ln = ac_codes[(run << 4) | s]
+        bw.write(c, ln)
+        amp = v if v >= 0 else v + (1 << s) - 1
+        bw.write(amp, s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return int(zz[0])
+
+
+def _quantized_zigzag(block8: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    coef = np.round(_fdct(block8.astype(np.float64) - 128.0) / qtable)
+    return coef.astype(np.int64).flatten()[ZIGZAG]
+
+
 def jpeg_encode(
     img: np.ndarray,
     qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
     _coeff_override: list[np.ndarray] | None = None,
 ) -> bytes:
     """REAL baseline grayscale JPEG: 8-bit, single component, dimensions
@@ -203,53 +263,94 @@ def jpeg_encode(
     )  # SOF0: precision, dims, 1 component, 1x1 sampling, qtable 0
     out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
     out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
 
     bw = _BitWriter()
     prev_dc = 0
     block_no = 0
+    rst = 0
     for by in range(h // 8):
         for bx in range(w // 8):
+            if restart_interval and block_no and block_no % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                prev_dc = 0
             if _coeff_override is not None:
                 zz = np.asarray(_coeff_override[block_no], dtype=np.int64)
             else:
-                block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
-                    np.float64
+                zz = _quantized_zigzag(
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qtable
                 )
-                coef = np.round(_fdct(block - 128.0) / qtable).astype(np.int64)
-                zz = coef.flatten()[ZIGZAG]
             block_no += 1
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size = _category(diff)
-            code, length = dc_codes[size]
-            bw.write(code, length)
-            if size:
-                amp = diff if diff >= 0 else diff + (1 << size) - 1
-                bw.write(amp, size)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    if run == 16:
-                        c, ln = ac_codes[0xF0]  # ZRL
-                        bw.write(c, ln)
-                        run = 0
-                    continue
-                s = _category(v)
-                c, ln = ac_codes[(run << 4) | s]
-                bw.write(c, ln)
-                amp = v if v >= 0 else v + (1 << s) - 1
-                bw.write(amp, s)
-                run = 0
-            if last_nz < 63:
-                c, ln = ac_codes[0x00]  # EOB
-                bw.write(c, ln)
+            prev_dc = _encode_block(bw, zz, prev_dc, dc_codes, ac_codes)
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def jpeg_encode_color(
+    ycbcr: np.ndarray,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """REAL baseline interleaved 4:4:4 color JPEG: input is (h, w, 3)
+    YCbCr planes (integer 0-255), three components with 1x1 sampling, one
+    shared quantization/Huffman table set, MCU = (Y, Cb, Cr) block triple
+    in component order — the T.81 interleaved-scan layout."""
+    h, w, nc = ycbcr.shape
+    assert nc == 3 and h % 8 == 0 and w % 8 == 0
+    if qtable is None:
+        qtable = np.full((8, 8), 8, dtype=np.int64)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(int(qtable.flat[z]) for z in ZIGZAG))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
+    )  # 3 components, all 1x1 sampling, all qtable 0
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    mcu_no = 0
+    rst = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                prev = [0, 0, 0]
+            for c in range(3):
+                zz = _quantized_zigzag(
+                    ycbcr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c], qtable
+                )
+                prev[c] = _encode_block(bw, zz, prev[c], dc_codes, ac_codes)
+            mcu_no += 1
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+#: ITU-R BT.601 YCbCr -> RGB (the JFIF convention); FLOOR(x+0.5) rounding
+#: so the SQL oracle reproduces every pixel bit-for-bit.
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.int64)
 
 
 def jpeg_reference_reconstruction(
@@ -276,17 +377,23 @@ def jpeg_reference_reconstruction(
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """General single-component baseline decoder: tables come from the
-    file (any DQT/DHT, 8- or 16-bit quant precision), entropy decode with
-    unstuffing, dequantize, inverse zigzag, IDCT, level shift, clip."""
+    """General baseline decoder: tables come from the file (any DQT/DHT,
+    8- or 16-bit quant precision, per-component table selectors), restart
+    intervals (DRI/RSTn with DC-predictor reset), entropy decode with
+    unstuffing, dequantize, inverse zigzag, IDCT, level shift, clip.
+    Single-component returns an (h, w) grayscale array; three components
+    with 1x1 sampling return an (h, w, 3) RGB array (BT.601/JFIF
+    conversion, FLOOR(x+0.5) rounding). Subsampled (non-1x1) layouts
+    raise — the honest boundary of this stdlib implementation."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     dims: tuple[int, int] | None = None
-    comp_q = 0
-    comp_dc, comp_ac = 0, 0
+    comp_qs: list[int] = []
+    sos_sel: list[tuple[int, int]] = []
+    restart_interval = 0
     scan_start = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -313,13 +420,18 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 qtables[tid] = q.reshape(8, 8)
         elif marker == 0xC0:  # SOF0 baseline
             _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "this decoder handles single-component baseline JPEG; "
-                    "color (multi-component) needs sampling-factor assembly"
-                )
+            if ncomp not in (1, 3):
+                raise NotImplementedError("1 or 3 components only")
             dims = (h, w)
-            comp_q = body[8]
+            comp_qs = []
+            for ci in range(ncomp):
+                sampling = body[6 + 3 * ci + 1]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "subsampled (non-1x1) layouts need sampling-factor "
+                        "assembly; this decoder covers 4:4:4 / grayscale"
+                    )
+                comp_qs.append(body[6 + 3 * ci + 2])
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("non-baseline SOF")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -334,18 +446,24 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     for sym, (code, lnth) in _canonical_codes(bits, vals).items()
                 }
                 b += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
-            comp_dc = body[2] >> 4
-            comp_ac = body[2] & 0x0F
+            ns = body[0]
+            sos_sel = [
+                (body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 0x0F)
+                for ci in range(ns)
+            ]
             scan_start = pos + ln
             break
         pos += ln
     if dims is None or scan_start is None:
         raise ValueError("missing SOF/SOS")
     h, w = dims
-    qt = qtables[comp_q]
-    dc_tab = huff[(0, comp_dc)]
-    ac_tab = huff[(1, comp_ac)]
+    ncomp = len(comp_qs)
+    qts = [qtables[q] for q in comp_qs]
+    dc_tabs = [huff[(0, d)] for d, _ in sos_sel]
+    ac_tabs = [huff[(1, a)] for _, a in sos_sel]
 
     def read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
         code, length = 0, 0
@@ -357,35 +475,50 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         raise ValueError("invalid Huffman code in scan")
 
     br = _BitReader(data[scan_start:])
-    img = np.empty((h, w), dtype=np.int64)
-    prev_dc = 0
+    planes = [np.empty((h, w), dtype=np.int64) for _ in range(ncomp)]
+    prev = [0] * ncomp
+    mcu_no = 0
     for by in range(h // 8):
         for bx in range(w // 8):
-            zz = np.zeros(64, dtype=np.int64)
-            size = read_symbol(br, dc_tab)
-            prev_dc += _extend(br.read_bits(size), size)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = read_symbol(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, s = sym >> 4, sym & 0x0F
-                i += run
-                zz[i] = _extend(br.read_bits(s), s)
-                i += 1
-            coef = np.zeros(64, dtype=np.int64)
-            coef[ZIGZAG] = zz
-            rec = np.clip(
-                np.round(_idct(coef.reshape(8, 8).astype(np.float64) * qt) + 128.0),
-                0,
-                255,
-            )
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rec
-    return img
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                br.consume_restart()
+                prev = [0] * ncomp
+            for c in range(ncomp):
+                zz = np.zeros(64, dtype=np.int64)
+                size = read_symbol(br, dc_tabs[c])
+                prev[c] += _extend(br.read_bits(size), size)
+                zz[0] = prev[c]
+                i = 1
+                while i < 64:
+                    sym = read_symbol(br, ac_tabs[c])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, s = sym >> 4, sym & 0x0F
+                    i += run
+                    zz[i] = _extend(br.read_bits(s), s)
+                    i += 1
+                coef = np.zeros(64, dtype=np.int64)
+                coef[ZIGZAG] = zz
+                rec = np.clip(
+                    np.round(
+                        _idct(coef.reshape(8, 8).astype(np.float64) * qts[c])
+                        + 128.0
+                    ),
+                    0,
+                    255,
+                )
+                planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rec
+            mcu_no += 1
+    if ncomp == 1:
+        return planes[0]
+    return ycbcr_to_rgb(
+        planes[0].astype(np.float64),
+        planes[1].astype(np.float64),
+        planes[2].astype(np.float64),
+    )
 
 
 # --- planted fixture + operator --------------------------------------------
@@ -528,6 +661,9 @@ def mjpeg_split(raw: bytes) -> list[bytes]:
                 pos += 2 + ln
                 while True:  # scan entropy data for a real marker
                     if raw[pos] == 0xFF and raw[pos + 1] != 0x00:
+                        if 0xD0 <= raw[pos + 1] <= 0xD7:  # RSTn: stay in scan
+                            pos += 2
+                            continue
                         break
                     pos += 1
                 continue
@@ -642,4 +778,128 @@ def m14_mjpeg_decode(spark, sf_dir):
         decode,
         "media_id bigint, frame_idx bigint, width int, height int, "
         "mean_gray double",
+    )
+
+
+# --- interleaved 4:4:4 color ------------------------------------------------
+
+
+def synth_color_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real interleaved 4:4:4 color JPEGs with restart markers (DRI=2):
+    width 8*(doc_id%3+1), height 8*(n_chars%2+1); the 8x8 block (bx,by)
+    carries FLAT planted YCbCr values
+      Y  = (d   + 16*bx + 31*by)       % 256
+      Cb = (5*d + 11*bx +  3*by + 64)  % 256
+      Cr = (7*d +  5*bx + 13*by + 160) % 256
+    — exact under the q=8 table, so the decoded RGB of every pixel is the
+    BT.601 conversion of known integers, SQL-predictable."""
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                wb, hb = d % 3 + 1, nc % 2 + 1
+                ycc = np.empty((hb * 8, wb * 8, 3), dtype=np.int64)
+                for by in range(hb):
+                    for bx in range(wb):
+                        sl = (
+                            slice(by * 8, by * 8 + 8),
+                            slice(bx * 8, bx * 8 + 8),
+                        )
+                        ycc[sl[0], sl[1], 0] = (d + 16 * bx + 31 * by) % 256
+                        ycc[sl[0], sl[1], 1] = (
+                            5 * d + 11 * bx + 3 * by + 64
+                        ) % 256
+                        ycc[sl[0], sl[1], 2] = (
+                            7 * d + 5 * bx + 13 * by + 160
+                        ) % 256
+                payloads.append(jpeg_encode_color(ycc, restart_interval=2))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .mapInPandas(synth, "media_id bigint, payload binary")
+    )
+
+
+@query(
+    "m15_jpeg_color_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 3 + 1 AS INTEGER) AS wb,
+             CAST(n_chars % 2 + 1 AS INTEGER) AS hb
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id, wb, hb,
+             (media_id + 16 * (i % wb)
+              + 31 * CAST(FLOOR(i / wb) AS BIGINT)) % 256 AS y,
+             (5 * media_id + 11 * (i % wb)
+              + 3 * CAST(FLOOR(i / wb) AS BIGINT) + 64) % 256 AS cb,
+             (7 * media_id + 5 * (i % wb)
+              + 13 * CAST(FLOOR(i / wb) AS BIGINT) + 160) % 256 AS cr
+      FROM dims, LATERAL (SELECT unnest(range(wb * hb)) AS i)
+    ),
+    rgb AS (
+      SELECT media_id, wb, hb,
+             LEAST(GREATEST(FLOOR(y + 1.402 * (cr - 128) + 0.5), 0), 255) AS r,
+             LEAST(GREATEST(FLOOR(y - 0.344136 * (cb - 128)
+                                  - 0.714136 * (cr - 128) + 0.5), 0), 255) AS g,
+             LEAST(GREATEST(FLOOR(y + 1.772 * (cb - 128) + 0.5), 0), 255) AS b
+      FROM blocks
+    )
+    SELECT media_id,
+           CAST(MIN(wb) * 8 AS INTEGER) AS width,
+           CAST(MIN(hb) * 8 AS INTEGER) AS height,
+           FLOOR(AVG(r) * 1000000 + 0.5) / 1000000 AS mean_r,
+           FLOOR(AVG(g) * 1000000 + 0.5) / 1000000 AS mean_g,
+           FLOOR(AVG(b) * 1000000 + 0.5) / 1000000 AS mean_b
+    FROM rgb GROUP BY media_id
+    """,
+)
+def m15_jpeg_color_decode(spark, sf_dir):
+    """REAL interleaved color JPEG decode: three-component 4:4:4 scan with
+    per-component DC predictors, restart markers (DRI=2 in the fixture, so
+    RST handling sits INSIDE the oracle gate), and BT.601 YCbCr->RGB with
+    FLOOR(x+0.5) rounding — the oracle repeats the exact conversion in
+    SQL, so a wrong component order, predictor reset, restart alignment,
+    or conversion constant diverges the hashed channel means. Completes
+    the codec story: grayscale (m13), stream demux (m14), color (m15);
+    subsampled 4:2:0 stays an honest NotImplementedError (needs
+    sampling-factor assembly).
+
+    100 TB: identical posture to m13/m14 — row-parallel Arrow map,
+    payloads never shuffle, skinny scalar output rows."""
+    media = synth_color_jpeg_media(spark, sf_dir)
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+
+        def q6(x: float) -> float:
+            return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rgb = jpeg_decode(bytes(payload))
+                h, w, _ = rgb.shape
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(q6(rgb[:, :, 0].mean()))
+                out["mean_g"].append(q6(rgb[:, :, 1].mean()))
+                out["mean_b"].append(q6(rgb[:, :, 2].mean()))
+            yield pd.DataFrame(out, columns=list(cols))
+
+    return media.mapInPandas(
+        decode,
+        "media_id bigint, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
     )

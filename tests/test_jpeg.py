@@ -159,6 +159,48 @@ def test_mjpeg_split_rejects_garbage():
         J.mjpeg_split(b"\x00\x01\x02")
 
 
+def test_restart_markers_roundtrip_and_reset_dc():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(16, 32)).astype(np.int64)
+    enc = J.jpeg_encode(img, restart_interval=2)
+    assert any(bytes((0xFF, 0xD0 + m)) in enc for m in range(8))
+    assert np.array_equal(
+        J.jpeg_decode(enc), J.jpeg_reference_reconstruction(img)
+    )
+    # frames with restarts still split correctly in an MJPEG stream
+    parts = J.mjpeg_split(enc + enc)
+    assert len(parts) == 2 and parts[0] == enc
+
+
+def test_color_flat_blocks_decode_to_exact_bt601_rgb():
+    ycc = np.empty((16, 16, 3), dtype=np.int64)
+    for by in range(2):
+        for bx in range(2):
+            sl = (slice(by * 8, by * 8 + 8), slice(bx * 8, bx * 8 + 8))
+            ycc[sl[0], sl[1], 0] = (90 + 16 * bx + 31 * by) % 256
+            ycc[sl[0], sl[1], 1] = (120 + 11 * bx) % 256
+            ycc[sl[0], sl[1], 2] = (140 + 13 * by) % 256
+    rgb = J.jpeg_decode(J.jpeg_encode_color(ycc))
+    exp = J.ycbcr_to_rgb(
+        ycc[:, :, 0].astype(float),
+        ycc[:, :, 1].astype(float),
+        ycc[:, :, 2].astype(float),
+    )
+    assert rgb.shape == (16, 16, 3)
+    assert np.array_equal(rgb, exp)
+
+
+def test_color_random_content_with_restarts_matches_reference():
+    rng = np.random.RandomState(13)
+    ycc = rng.randint(0, 256, size=(16, 24, 3)).astype(np.int64)
+    rgb = J.jpeg_decode(J.jpeg_encode_color(ycc, restart_interval=3))
+    planes = [J.jpeg_reference_reconstruction(ycc[:, :, c]) for c in range(3)]
+    exp = J.ycbcr_to_rgb(
+        planes[0].astype(float), planes[1].astype(float), planes[2].astype(float)
+    )
+    assert np.array_equal(rgb, exp)
+
+
 def test_m13_operator_values_on_smoke_fixture(spark, registry):
     queries, oracles = registry
     assert "m13_jpeg_decode" in oracles

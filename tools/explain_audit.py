@@ -72,6 +72,7 @@ ARROW_OK = {
     "a16_scan_avro",
     "m13_jpeg_decode",
     "m14_mjpeg_decode",
+    "m15_jpeg_color_decode",
 }
 
 # Unbounded-product shapes that are *declared*: c9 is the cartesian operator
