@@ -183,6 +183,9 @@ def spark_schema_of_avro(schema_json: str) -> T.StructType:
 
 def _encode_value(out: bytearray, avro_type: object, v: object) -> None:
     if isinstance(avro_type, list):  # nullable union: index 0 = null
+        # NaN doubles encode as null: pandas represents SQL NULL as NaN in
+        # float columns, so the two are indistinguishable at this boundary
+        # (the same convention Spark's own pandas conversions use)
         if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
             out += _zigzag_encode(0)
             return
