@@ -290,21 +290,40 @@ def jpeg_encode(
     return bytes(out)
 
 
+def subsample_420(plane: np.ndarray) -> np.ndarray:
+    """2x2 chroma subsample: FLOOR(mean+0.5) of each 2x2 cell (exact when
+    the cell is flat — the planted-fixture case)."""
+    h, w = plane.shape
+    cells = plane.astype(np.float64).reshape(h // 2, 2, w // 2, 2)
+    return np.floor(cells.mean(axis=(1, 3)) + 0.5).astype(np.int64)
+
+
 def jpeg_encode_color(
     ycbcr: np.ndarray,
     qtable: np.ndarray | None = None,
     restart_interval: int = 0,
+    subsampling: str = "4:4:4",
 ) -> bytes:
-    """REAL baseline interleaved 4:4:4 color JPEG: input is (h, w, 3)
-    YCbCr planes (integer 0-255), three components with 1x1 sampling, one
-    shared quantization/Huffman table set, MCU = (Y, Cb, Cr) block triple
-    in component order — the T.81 interleaved-scan layout."""
+    """REAL baseline interleaved color JPEG: input is (h, w, 3) YCbCr
+    planes (integer 0-255), one shared quantization/Huffman table set,
+    T.81 interleaved-scan layout. ``subsampling`` picks the MCU shape:
+    "4:4:4" = 1x1 sampling everywhere, MCU = (Y, Cb, Cr) block triple;
+    "4:2:0" = luma 2x2 / chroma 1x1, MCU = 4 Y blocks (left-right,
+    top-bottom) + 1 Cb + 1 Cr over half-resolution chroma planes
+    (``subsample_420``), 16-aligned dimensions."""
     h, w, nc = ycbcr.shape
     assert nc == 3 and h % 8 == 0 and w % 8 == 0
     if qtable is None:
         qtable = np.full((8, 8), 8, dtype=np.int64)
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    if subsampling == "4:4:4":
+        y_samp = 0x11
+    elif subsampling == "4:2:0":
+        assert h % 16 == 0 and w % 16 == 0, "4:2:0 needs 16-aligned dims"
+        y_samp = 0x22
+    else:
+        raise ValueError(f"unsupported subsampling: {subsampling}")
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -315,8 +334,8 @@ def jpeg_encode_color(
     out += seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
-    )  # 3 components, all 1x1 sampling, all qtable 0
+        + bytes((1, y_samp, 0, 2, 0x11, 0, 3, 0x11, 0)),
+    )
     out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
     if restart_interval:
@@ -327,18 +346,54 @@ def jpeg_encode_color(
     prev = [0, 0, 0]
     mcu_no = 0
     rst = 0
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
-                bw.restart(rst)
-                rst = (rst + 1) & 7
-                prev = [0, 0, 0]
-            for c in range(3):
-                zz = _quantized_zigzag(
-                    ycbcr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c], qtable
-                )
-                prev[c] = _encode_block(bw, zz, prev[c], dc_codes, ac_codes)
-            mcu_no += 1
+    if subsampling == "4:4:4":
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                if (
+                    restart_interval
+                    and mcu_no
+                    and mcu_no % restart_interval == 0
+                ):
+                    bw.restart(rst)
+                    rst = (rst + 1) & 7
+                    prev = [0, 0, 0]
+                for c in range(3):
+                    zz = _quantized_zigzag(
+                        ycbcr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c],
+                        qtable,
+                    )
+                    prev[c] = _encode_block(bw, zz, prev[c], dc_codes, ac_codes)
+                mcu_no += 1
+    else:  # 4:2:0
+        yp = ycbcr[:, :, 0]
+        cbp = subsample_420(ycbcr[:, :, 1])
+        crp = subsample_420(ycbcr[:, :, 2])
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                if (
+                    restart_interval
+                    and mcu_no
+                    and mcu_no % restart_interval == 0
+                ):
+                    bw.restart(rst)
+                    rst = (rst + 1) & 7
+                    prev = [0, 0, 0]
+                for sy in range(2):  # 4 luma blocks, left-right top-bottom
+                    for sx in range(2):
+                        y0, x0 = my * 16 + sy * 8, mx * 16 + sx * 8
+                        zz = _quantized_zigzag(
+                            yp[y0 : y0 + 8, x0 : x0 + 8], qtable
+                        )
+                        prev[0] = _encode_block(
+                            bw, zz, prev[0], dc_codes, ac_codes
+                        )
+                for c, plane in ((1, cbp), (2, crp)):
+                    y0, x0 = my * 8, mx * 8
+                    zz = _quantized_zigzag(
+                        plane[y0 : y0 + 8, x0 : x0 + 8], qtable
+                    )
+                    prev[c] = _encode_block(bw, zz, prev[c], dc_codes, ac_codes)
+                mcu_no += 1
     out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -392,6 +447,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     dims: tuple[int, int] | None = None
     comp_qs: list[int] = []
+    samplings: list[int] = []
     sos_sel: list[tuple[int, int]] = []
     restart_interval = 0
     scan_start = None
@@ -424,14 +480,18 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise NotImplementedError("1 or 3 components only")
             dims = (h, w)
             comp_qs = []
+            samplings = []
             for ci in range(ncomp):
-                sampling = body[6 + 3 * ci + 1]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "subsampled (non-1x1) layouts need sampling-factor "
-                        "assembly; this decoder covers 4:4:4 / grayscale"
-                    )
+                samplings.append(body[6 + 3 * ci + 1])
                 comp_qs.append(body[6 + 3 * ci + 2])
+            if not (
+                all(s == 0x11 for s in samplings)
+                or samplings == [0x22, 0x11, 0x11]
+            ):
+                raise NotImplementedError(
+                    "supported layouts: 1x1 everywhere (grayscale / 4:4:4) "
+                    "and 4:2:0 (luma 2x2, chroma 1x1)"
+                )
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("non-baseline SOF")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -475,50 +535,68 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         raise ValueError("invalid Huffman code in scan")
 
     br = _BitReader(data[scan_start:])
-    planes = [np.empty((h, w), dtype=np.int64) for _ in range(ncomp)]
+    hfac = [s >> 4 for s in samplings]
+    vfac = [s & 0x0F for s in samplings]
+    hmax, vmax = max(hfac), max(vfac)
+    # component planes at their native (possibly subsampled) resolution
+    planes = [
+        np.empty((h * vfac[c] // vmax, w * hfac[c] // hmax), dtype=np.int64)
+        for c in range(ncomp)
+    ]
     prev = [0] * ncomp
     mcu_no = 0
-    for by in range(h // 8):
-        for bx in range(w // 8):
+
+    def decode_block(c: int) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        size = read_symbol(br, dc_tabs[c])
+        prev[c] += _extend(br.read_bits(size), size)
+        zz[0] = prev[c]
+        i = 1
+        while i < 64:
+            sym = read_symbol(br, ac_tabs[c])
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, s = sym >> 4, sym & 0x0F
+            i += run
+            zz[i] = _extend(br.read_bits(s), s)
+            i += 1
+        coef = np.zeros(64, dtype=np.int64)
+        coef[ZIGZAG] = zz
+        return np.clip(
+            np.round(
+                _idct(coef.reshape(8, 8).astype(np.float64) * qts[c]) + 128.0
+            ),
+            0,
+            255,
+        )
+
+    for my in range(h // (8 * vmax)):
+        for mx in range(w // (8 * hmax)):
             if restart_interval and mcu_no and mcu_no % restart_interval == 0:
                 br.consume_restart()
                 prev = [0] * ncomp
             for c in range(ncomp):
-                zz = np.zeros(64, dtype=np.int64)
-                size = read_symbol(br, dc_tabs[c])
-                prev[c] += _extend(br.read_bits(size), size)
-                zz[0] = prev[c]
-                i = 1
-                while i < 64:
-                    sym = read_symbol(br, ac_tabs[c])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, s = sym >> 4, sym & 0x0F
-                    i += run
-                    zz[i] = _extend(br.read_bits(s), s)
-                    i += 1
-                coef = np.zeros(64, dtype=np.int64)
-                coef[ZIGZAG] = zz
-                rec = np.clip(
-                    np.round(
-                        _idct(coef.reshape(8, 8).astype(np.float64) * qts[c])
-                        + 128.0
-                    ),
-                    0,
-                    255,
-                )
-                planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rec
+                for sy in range(vfac[c]):
+                    for sx in range(hfac[c]):
+                        y0 = (my * vfac[c] + sy) * 8
+                        x0 = (mx * hfac[c] + sx) * 8
+                        planes[c][y0 : y0 + 8, x0 : x0 + 8] = decode_block(c)
             mcu_no += 1
     if ncomp == 1:
         return planes[0]
-    return ycbcr_to_rgb(
-        planes[0].astype(np.float64),
-        planes[1].astype(np.float64),
-        planes[2].astype(np.float64),
-    )
+    # nearest-neighbor upsample subsampled chroma back to full resolution
+    full = []
+    for c in range(ncomp):
+        p = planes[c]
+        if vmax // vfac[c] > 1:
+            p = np.repeat(p, vmax // vfac[c], axis=0)
+        if hmax // hfac[c] > 1:
+            p = np.repeat(p, hmax // hfac[c], axis=1)
+        full.append(p.astype(np.float64))
+    return ycbcr_to_rgb(full[0], full[1], full[2])
 
 
 # --- planted fixture + operator --------------------------------------------
@@ -876,6 +954,121 @@ def m15_jpeg_color_decode(spark, sf_dir):
     100 TB: identical posture to m13/m14 — row-parallel Arrow map,
     payloads never shuffle, skinny scalar output rows."""
     media = synth_color_jpeg_media(spark, sf_dir)
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+
+        def q6(x: float) -> float:
+            return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rgb = jpeg_decode(bytes(payload))
+                h, w, _ = rgb.shape
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(q6(rgb[:, :, 0].mean()))
+                out["mean_g"].append(q6(rgb[:, :, 1].mean()))
+                out["mean_b"].append(q6(rgb[:, :, 2].mean()))
+            yield pd.DataFrame(out, columns=list(cols))
+
+    return media.mapInPandas(
+        decode,
+        "media_id bigint, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
+@query(
+    "m16_jpeg_420_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 2 + 1 AS INTEGER) AS mw,
+             CAST(n_chars % 2 + 1 AS INTEGER) AS mh
+      FROM documents
+    ),
+    mcus AS (
+      SELECT media_id, mw, mh,
+             (media_id + 16 * (i % mw)
+              + 31 * CAST(FLOOR(i / mw) AS BIGINT)) % 256 AS y,
+             (5 * media_id + 11 * (i % mw)
+              + 3 * CAST(FLOOR(i / mw) AS BIGINT) + 64) % 256 AS cb,
+             (7 * media_id + 5 * (i % mw)
+              + 13 * CAST(FLOOR(i / mw) AS BIGINT) + 160) % 256 AS cr
+      FROM dims, LATERAL (SELECT unnest(range(mw * mh)) AS i)
+    ),
+    rgb AS (
+      SELECT media_id, mw, mh,
+             LEAST(GREATEST(FLOOR(y + 1.402 * (cr - 128) + 0.5), 0), 255) AS r,
+             LEAST(GREATEST(FLOOR(y - 0.344136 * (cb - 128)
+                                  - 0.714136 * (cr - 128) + 0.5), 0), 255) AS g,
+             LEAST(GREATEST(FLOOR(y + 1.772 * (cb - 128) + 0.5), 0), 255) AS b
+      FROM mcus
+    )
+    SELECT media_id,
+           CAST(MIN(mw) * 16 AS INTEGER) AS width,
+           CAST(MIN(mh) * 16 AS INTEGER) AS height,
+           FLOOR(AVG(r) * 1000000 + 0.5) / 1000000 AS mean_r,
+           FLOOR(AVG(g) * 1000000 + 0.5) / 1000000 AS mean_g,
+           FLOOR(AVG(b) * 1000000 + 0.5) / 1000000 AS mean_b
+    FROM rgb GROUP BY media_id
+    """,
+)
+def m16_jpeg_420_decode(spark, sf_dir):
+    """REAL 4:2:0 chroma-subsampled JPEG decode — the layout virtually
+    every camera/web JPEG uses: luma sampled 2x2 per MCU (4 Y blocks +
+    1 Cb + 1 Cr over half-resolution chroma), restart markers (DRI=2),
+    nearest-neighbor chroma upsampling, BT.601 conversion. The fixture
+    plants FLAT 16x16 MCUs, so the 2x2 chroma subsample is lossless and
+    every decoded pixel is the conversion of known integers — full
+    exact-equality oracle over the complete sampling-factor assembly
+    path (a wrong luma block order, chroma plane size, upsample axis, or
+    predictor sequence diverges the hash). Generic-content 4:2:0 is
+    pinned in tests against an independently assembled reference
+    (per-plane quantized reconstruction + explicit np.repeat upsample).
+
+    100 TB: identical posture to m13-m15 — row-parallel Arrow map,
+    payloads never shuffle, skinny scalar output rows."""
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(doc_id), int(n_chars)
+                mw, mh = d % 2 + 1, nc % 2 + 1
+                ycc = np.empty((mh * 16, mw * 16, 3), dtype=np.int64)
+                for my in range(mh):
+                    for mx in range(mw):
+                        sl = (
+                            slice(my * 16, my * 16 + 16),
+                            slice(mx * 16, mx * 16 + 16),
+                        )
+                        ycc[sl[0], sl[1], 0] = (d + 16 * mx + 31 * my) % 256
+                        ycc[sl[0], sl[1], 1] = (
+                            5 * d + 11 * mx + 3 * my + 64
+                        ) % 256
+                        ycc[sl[0], sl[1], 2] = (
+                            7 * d + 5 * mx + 13 * my + 160
+                        ) % 256
+                payloads.append(
+                    jpeg_encode_color(
+                        ycc, restart_interval=2, subsampling="4:2:0"
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .mapInPandas(synth, "media_id bigint, payload binary")
+    )
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -201,6 +201,38 @@ def test_color_random_content_with_restarts_matches_reference():
     assert np.array_equal(rgb, exp)
 
 
+def test_420_flat_mcus_decode_to_exact_bt601_rgb():
+    ycc = np.empty((32, 32, 3), dtype=np.int64)
+    for my in range(2):
+        for mx in range(2):
+            sl = (slice(my * 16, my * 16 + 16), slice(mx * 16, mx * 16 + 16))
+            ycc[sl[0], sl[1], 0] = (60 + 16 * mx + 31 * my) % 256
+            ycc[sl[0], sl[1], 1] = (110 + 11 * mx) % 256
+            ycc[sl[0], sl[1], 2] = (150 + 13 * my) % 256
+    rgb = J.jpeg_decode(J.jpeg_encode_color(ycc, subsampling="4:2:0"))
+    exp = J.ycbcr_to_rgb(
+        ycc[:, :, 0].astype(float),
+        ycc[:, :, 1].astype(float),
+        ycc[:, :, 2].astype(float),
+    )
+    assert np.array_equal(rgb, exp)
+
+
+def test_420_generic_content_matches_independent_reference():
+    rng = np.random.RandomState(17)
+    ycc = rng.randint(0, 256, size=(32, 48, 3)).astype(np.int64)
+    rgb = J.jpeg_decode(
+        J.jpeg_encode_color(ycc, subsampling="4:2:0", restart_interval=2)
+    )
+    yr = J.jpeg_reference_reconstruction(ycc[:, :, 0])
+    cbr = J.jpeg_reference_reconstruction(J.subsample_420(ycc[:, :, 1]))
+    crr = J.jpeg_reference_reconstruction(J.subsample_420(ycc[:, :, 2]))
+    cbu = np.repeat(np.repeat(cbr, 2, axis=0), 2, axis=1)
+    cru = np.repeat(np.repeat(crr, 2, axis=0), 2, axis=1)
+    exp = J.ycbcr_to_rgb(yr.astype(float), cbu.astype(float), cru.astype(float))
+    assert np.array_equal(rgb, exp)
+
+
 def test_m13_operator_values_on_smoke_fixture(spark, registry):
     queries, oracles = registry
     assert "m13_jpeg_decode" in oracles

@@ -73,6 +73,7 @@ ARROW_OK = {
     "m13_jpeg_decode",
     "m14_mjpeg_decode",
     "m15_jpeg_color_decode",
+    "m16_jpeg_420_decode",
 }
 
 # Unbounded-product shapes that are *declared*: c9 is the cartesian operator
