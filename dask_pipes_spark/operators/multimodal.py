@@ -477,10 +477,13 @@ def m6_feature_extract(spark, sf_dir):
     )
 
 
-def _png_encode(width: int, height: int, pixel) -> bytes:
+def _png_encode(width: int, height: int, pixel, filter_type: int = 0) -> bytes:
     """Minimal REAL PNG encoder (stdlib only): 8-bit grayscale, no
-    interlace — signature, IHDR, one zlib IDAT of filter-0 scanlines, IEND,
-    each chunk CRC-32-stamped. Any external viewer/decoder reads these."""
+    interlace — signature, IHDR, one zlib IDAT, IEND, each chunk
+    CRC-32-stamped. Any external viewer/decoder reads these.
+    ``filter_type`` selects the per-scanline filter (0-4; fixtures use 0,
+    tests drive Sub/Up/Average/Paeth to pin the decoder's full filter
+    reconstruction)."""
     import struct
     import zlib
     from binascii import crc32
@@ -494,9 +497,35 @@ def _png_encode(width: int, height: int, pixel) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + bytes(pixel(x, y) for x in range(width)) for y in range(height)
-    )
+    rows = [
+        [pixel(x, y) & 0xFF for x in range(width)] for y in range(height)
+    ]
+    scanlines = []
+    for y in range(height):
+        cur = rows[y]
+        up = rows[y - 1] if y else [0] * width
+        filt = []
+        for x in range(width):
+            a = cur[x - 1] if x else 0
+            b = up[x]
+            c = up[x - 1] if x else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) // 2
+            elif filter_type == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            else:
+                raise ValueError(f"bad PNG filter type {filter_type}")
+            filt.append((cur[x] - pred) & 0xFF)
+        scanlines.append(bytes((filter_type,)) + bytes(filt))
+    raw = b"".join(scanlines)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -597,11 +626,13 @@ def m7_png_decode(spark, sf_dir):
 
 
 def _png_decode_gray(data: bytes) -> tuple[int, int, list]:
-    """REAL stdlib PNG decoder for 8-bit grayscale filter-0 images: walks
-    the chunk stream verifying every CRC-32, parses IHDR, inflates the
-    concatenated IDAT stream, strips per-scanline filter bytes. Returns
-    (width, height, row-major pixel list). Shared by m7 (decode audit) and
-    m8 (resize)."""
+    """REAL stdlib PNG decoder for 8-bit grayscale images with the FULL
+    filter set (None/Sub/Up/Average/Paeth — what libpng-written files
+    actually use; fixtures emit filter 0, tests drive 1-4): walks the
+    chunk stream verifying every CRC-32, parses IHDR, inflates the
+    concatenated IDAT stream, reconstructs each scanline per its filter
+    byte. Returns (width, height, row-major pixel list). Shared by m7
+    (decode audit) and m8 (resize)."""
     import struct
     import zlib
     from binascii import crc32
@@ -625,10 +656,33 @@ def _png_decode_gray(data: bytes) -> tuple[int, int, list]:
     raw = zlib.decompress(idat)
     pix: list = []
     stride = width + 1
+    prev_row = [0] * width
     for y in range(height):
         row = raw[y * stride : (y + 1) * stride]
-        assert row[0] == 0  # filter type 0
-        pix.extend(row[1:])
+        ftype, filt = row[0], row[1:]
+        recon: list = []
+        for x in range(width):
+            a = recon[x - 1] if x else 0  # left
+            b = prev_row[x]  # up
+            c = prev_row[x - 1] if x else 0  # upper-left
+            if ftype == 0:  # None
+                v = filt[x]
+            elif ftype == 1:  # Sub
+                v = filt[x] + a
+            elif ftype == 2:  # Up
+                v = filt[x] + b
+            elif ftype == 3:  # Average
+                v = filt[x] + (a + b) // 2
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                v = filt[x] + pred
+            else:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            recon.append(v & 0xFF)
+        pix.extend(recon)
+        prev_row = recon
     return width, height, pix
 
 

@@ -544,3 +544,24 @@ def test_m9_dispatch_routes_by_magic(spark, registry):
             assert r.n_units == d.n_chars * 8
             amp = 1000 + d.doc_id % 1000
             assert abs(r.level - amp / 32768.0) < 1e-6
+
+
+def test_png_all_filter_types_roundtrip():
+    """The decoder must reconstruct every standard scanline filter
+    (None/Sub/Up/Average/Paeth) — what libpng-written files actually
+    use; the fixtures only exercise filter 0."""
+    import random
+
+    from dask_pipes_spark.operators.multimodal import (
+        _png_decode_gray,
+        _png_encode,
+    )
+
+    rng = random.Random(4)
+    vals = [[rng.randrange(256) for _ in range(13)] for _ in range(9)]
+    flat = [v for row in vals for v in row]
+    for ft in range(5):
+        enc = _png_encode(13, 9, lambda x, y: vals[y][x], filter_type=ft)
+        w, h, pix = _png_decode_gray(enc)
+        assert (w, h) == (13, 9)
+        assert pix == flat, f"filter {ft} mis-reconstructed"
