@@ -335,17 +335,27 @@ def _read_container(content: bytes) -> tuple[str, list[tuple[int, bytes]]]:
 # --- DataFrame-level API ----------------------------------------------------
 
 
-def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
+def write_avro(
+    df: DataFrame,
+    path: str,
+    codec: str = "deflate",
+    prefix: str = "part",
+    clean: bool = True,
+) -> int:
     """Distributed Avro sink: one container file per partition, one data
     block per Arrow batch. Returns the number of files written. The only
     driver-side materialization is the per-file metadata frame (one row
     per partition — bounded). Empty partitions write nothing; if NO file
     results (empty input), a header-only container is written driver-side
-    so readers still see the schema — the spec-valid empty file."""
+    so readers still see the schema — the spec-valid empty file.
+    ``prefix``/``clean=False`` let several writer generations (different
+    schemas) coexist in one directory — the schema-evolution scenario
+    a17 exercises."""
     os.makedirs(path, exist_ok=True)
-    for old in os.listdir(path):
-        if old.endswith(".avro"):
-            os.remove(os.path.join(path, old))
+    if clean:
+        for old in os.listdir(path):
+            if old.endswith(".avro"):
+                os.remove(os.path.join(path, old))
     schema_json = avro_schema_json(df.schema)
     fields = json.loads(schema_json)["fields"]
     names = [f["name"] for f in fields]
@@ -354,7 +364,7 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        fname = os.path.join(path, f"{prefix}-{pid:05d}.avro")
         sync = _sync_marker(f"{path}:{pid}")
         handle = None
         n_rows = 0
@@ -379,7 +389,7 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
     meta = df.mapInPandas(_write_partition, schema="file string, n_rows long")
     written = meta.collect()  # bounded: ≤ 1 row per partition
     if not written:
-        with open(os.path.join(path, "part-00000.avro"), "wb") as out:
+        with open(os.path.join(path, f"{prefix}-00000.avro"), "wb") as out:
             out.write(
                 _container_header(schema_json, codec, _sync_marker(f"{path}:0"))
             )
@@ -391,7 +401,15 @@ def read_avro(
 ) -> DataFrame:
     """Distributed Avro source: ``binaryFile`` listing -> per-file block
     inflate + record decode inside ``mapInPandas``. Schema comes from ONE
-    file header unless passed explicitly (the cluster-safe path)."""
+    file header unless passed explicitly (the cluster-safe path).
+
+    Schema RESOLUTION (Avro spec "Schema Resolution"): each file decodes
+    with its own writer schema from its header; when an explicit reader
+    ``spark_schema`` is given, records align to it field-BY-NAME — fields
+    missing from a writer generation fill with null, extra writer fields
+    are dropped, and numeric promotions (int->long, float->double) ride
+    the Arrow cast. Mixed writer generations in one directory therefore
+    read as one evolved table, the a12 parquet-mergeSchema twin."""
     if spark_schema is None:
         first = sorted(
             f for f in os.listdir(path) if f.endswith(".avro")
@@ -433,7 +451,26 @@ def read_avro(
                     )
                     for f in fields
                 }
-                yield pd.DataFrame(cols, columns=[f["name"] for f in fields])
+                n = len(next(iter(cols.values()))) if cols else 0
+                # resolve to the reader schema by field name: drop extras,
+                # null-fill fields this writer generation didn't have
+                out_cols = {}
+                for tf in target.fields:
+                    if tf.name in cols:
+                        out_cols[tf.name] = cols[tf.name]
+                    else:
+                        out_cols[tf.name] = pd.Series(
+                            [None] * n,
+                            dtype="datetime64[us]"
+                            if isinstance(
+                                tf.dataType,
+                                (T.TimestampNTZType, T.TimestampType),
+                            )
+                            else object,
+                        )
+                yield pd.DataFrame(
+                    out_cols, columns=[tf.name for tf in target.fields]
+                )
 
     files = (
         spark.read.format("binaryFile")
@@ -479,4 +516,58 @@ def a16_scan_avro(spark, sf_dir):
         F.sum("c_custkey").alias("sum_key"),
         F.sum("c_nationkey").cast("long").alias("sum_nat"),
         F.min("c_name").alias("min_name"),
+    )
+
+
+@query(
+    "a17_avro_schema_evolution",
+    oracle="""
+    SELECT (c_custkey % 2 <> 0) AS has_nation,
+           COUNT(*) AS n_cust,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,
+           CAST(SUM(CASE WHEN c_custkey % 2 <> 0 THEN c_nationkey END)
+                AS BIGINT) AS sum_nat
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def a17_avro_schema_evolution(spark, sf_dir):
+    """Avro schema RESOLUTION across writer generations (the a12
+    parquet-mergeSchema twin, spec §"Schema Resolution"): generation v1
+    (even custkeys) is written with a 3-field schema, generation v2 (odd
+    custkeys) with the 5-field schema including ``c_nationkey`` — both
+    into ONE directory. The read binds an explicit 5-field reader schema
+    (``c_nationkey`` widened int->long, riding the promotion rule): v1
+    records null-fill the missing fields, so grouping by
+    ``c_nationkey IS NOT NULL`` exactly recovers the generation split,
+    and every aggregate is pinned by the oracle over the original table.
+    A wrong by-name alignment, null-fill, or promotion diverges the hash."""
+    out = scratch_path("dps_a17_avro_evo")
+    cust = load(spark, sf_dir, "customer")
+    v1 = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    v2 = cust.filter(F.col("c_custkey") % 2 != 0).select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment"
+    )
+    write_avro(v1, out, prefix="v1", clean=True)
+    write_avro(v2, out, prefix="v2", clean=False)
+    reader = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_nationkey", T.LongType()),  # int -> long
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = read_avro(spark, out, spark_schema=reader)
+    return back.groupBy(
+        F.col("c_nationkey").isNotNull().alias("has_nation")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("c_custkey").alias("sum_key"),
+        dsum("c_acctbal").alias("sum_bal"),
+        F.sum("c_nationkey").alias("sum_nat"),
     )

@@ -112,6 +112,48 @@ def test_empty_input_writes_header_only_file(spark):
     ]
 
 
+def test_schema_resolution_across_writer_generations(spark):
+    out = scratch_path("test_avro_evo")
+    v1_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    v2_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("i", T.IntegerType()),
+        ]
+    )
+    avro_io.write_avro(
+        spark.createDataFrame([Row(k=1, s="a"), Row(k=2, s="b")], v1_schema),
+        out,
+        prefix="v1",
+        clean=True,
+    )
+    avro_io.write_avro(
+        spark.createDataFrame([Row(k=3, s="c", i=7)], v2_schema),
+        out,
+        prefix="v2",
+        clean=False,
+    )
+    reader = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("i", T.LongType()),  # int -> long promotion
+        ]
+    )
+    got = sorted(
+        avro_io.read_avro(spark, out, spark_schema=reader).collect(),
+        key=lambda r: r.k,
+    )
+    assert [(r.k, r.s, r.i) for r in got] == [
+        (1, "a", None),
+        (2, "b", None),
+        (3, "c", 7),
+    ]
+
+
 def test_null_codec_roundtrip(spark):
     out = scratch_path("test_avro_nullcodec")
     df = spark.createDataFrame(MIXED_ROWS, MIXED_SCHEMA)

@@ -70,6 +70,7 @@ ARROW_OK = {
     "m12_scene_cuts",
     "p1_pipeline_fit_transform",
     "a16_scan_avro",
+    "a17_avro_schema_evolution",
     "m13_jpeg_decode",
     "m14_mjpeg_decode",
     "m15_jpeg_color_decode",
