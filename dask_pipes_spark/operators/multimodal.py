@@ -767,7 +767,7 @@ def m8_png_resize(spark, sf_dir):
       SELECT doc_id AS media_id,
              CAST(doc_id % 16 + 1 AS BIGINT) AS w,
              CAST(n_chars % 16 + 1 AS BIGINT) AS h
-      FROM documents WHERE doc_id % 2 = 0
+      FROM documents WHERE doc_id % 3 = 0
     ),
     png_px AS (
       SELECT media_id, w, h,
@@ -784,20 +784,41 @@ def m8_png_resize(spark, sf_dir):
              CAST(n_chars * 8 AS BIGINT) AS n_units,
              FLOOR((1000 + doc_id % 1000) / 32768.0 * 1000000 + 0.5) / 1000000
                AS level
-      FROM documents WHERE doc_id % 2 = 1
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    jpg AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 4 + 1 AS BIGINT) AS wb,
+             CAST(n_chars % 3 + 1 AS BIGINT) AS hb
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    jpg_blocks AS (
+      SELECT media_id, wb, hb,
+             (media_id + 16 * (i % wb) + 31 * CAST(FLOOR(i / wb) AS BIGINT))
+               % 256 AS g
+      FROM jpg, LATERAL (SELECT unnest(range(wb * hb)) AS i)
+    ),
+    jpg_rows AS (
+      SELECT media_id, 'jpeg' AS fmt,
+             CAST(MAX(wb * hb) * 64 AS BIGINT) AS n_units,
+             FLOOR(AVG(g) / 255.0 * 1000000 + 0.5) / 1000000 AS level
+      FROM jpg_blocks GROUP BY media_id
     )
-    SELECT * FROM png_rows UNION ALL SELECT * FROM wav_rows
+    SELECT * FROM png_rows
+    UNION ALL SELECT * FROM wav_rows
+    UNION ALL SELECT * FROM jpg_rows
     """,
 )
 def m9_multiformat_dispatch(spark, sf_dir):
     """REAL multi-format decode dispatch — the shape of an actual ingest
-    where one binary column carries MIXED media: even docs synthesize
-    spec-conformant PNGs, odd docs spec-conformant WAVs, interleaved in the
-    SAME payload stream, and the kernel routes each payload by sniffing its
-    magic bytes (``\\x89PNG`` vs ``RIFF``) to the matching REAL stdlib
-    decoder (m7's CRC-verified PNG walk; ``wave`` PCM parse). Output
-    normalizes both modalities to (fmt, n_units, level): pixels + mean
-    gray/255 for images, samples + RMS/full-scale for audio. Every value
+    where one binary column carries MIXED media: docs synthesize
+    spec-conformant PNGs (doc_id%3=0), WAVs (%3=1), and — since round 5 —
+    baseline JPEGs (%3=2), interleaved in the SAME payload stream, and the
+    kernel routes each payload by sniffing its magic bytes (``\\x89PNG`` /
+    ``RIFF`` / ``\\xff\\xd8``) to the matching REAL stdlib decoder (m7's
+    CRC-verified PNG walk; ``wave`` PCM parse; m13's T.81 Huffman+IDCT).
+    Output normalizes all modalities to (fmt, n_units, level): pixels +
+    mean gray/255 for images, samples + RMS/full-scale for audio. Every value
     is predicted by the SQL oracle from the planted patterns — a wrong
     sniff, a wrong decoder, or a wrong normalization fails parity.
 
@@ -813,16 +834,19 @@ def m9_multiformat_dispatch(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
+        from dask_pipes_spark.operators.jpeg import jpeg_encode
+
         for pdf in batches:
             payloads = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                if int(doc_id) % 2 == 0:
+                mod = int(doc_id) % 3
+                if mod == 0:
                     w = int(doc_id) % 16 + 1
                     h = int(n_chars) % 16 + 1
                     payloads.append(
                         _png_encode(w, h, lambda x, y: (int(doc_id) + x + y) % 256)
                     )
-                else:
+                elif mod == 1:
                     n_samples = int(n_chars) * 8
                     amp = 1000 + int(doc_id) % 1000
                     arr = np.where(
@@ -835,6 +859,16 @@ def m9_multiformat_dispatch(spark, sf_dir):
                         wv.setframerate(_WAV_RATE)
                         wv.writeframes(arr.tobytes())
                     payloads.append(buf.getvalue())
+                else:  # the m13 flat-block pattern, exact under q=8
+                    d, nc = int(doc_id), int(n_chars)
+                    wb, hb = d % 4 + 1, nc % 3 + 1
+                    img = np.empty((hb * 8, wb * 8), dtype=np.int64)
+                    for by in range(hb):
+                        for bx in range(wb):
+                            img[
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = (d + 16 * bx + 31 * by) % 256
+                    payloads.append(jpeg_encode(img))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.mapInPandas(synth_mixed, "media_id bigint, payload binary")
@@ -872,7 +906,13 @@ def m9_multiformat_dispatch(spark, sf_dir):
                     samples = np.frombuffer(frames, dtype="<i2").astype("float64")
                     fmt = "wav"
                     level = float(np.sqrt((samples * samples).mean())) / 32768.0
-                else:  # pragma: no cover - no third format synthesized
+                elif data[:2] == b"\xff\xd8":
+                    from dask_pipes_spark.operators.jpeg import jpeg_decode
+
+                    img = jpeg_decode(data)
+                    fmt, n_units = "jpeg", int(img.size)
+                    level = float(img.mean()) / 255.0
+                else:
                     raise ValueError(f"unknown magic: {data[:4]!r}")
                 out["media_id"].append(mid)
                 out["fmt"].append(fmt)

@@ -528,22 +528,28 @@ def test_m8_resize_samples_known_pixels(spark, registry):
 
 
 def test_m9_dispatch_routes_by_magic(spark, registry):
-    """Even docs must come back as png (pixel counts = w*h), odd docs as
-    wav (sample counts = n_chars*8), all from ONE mixed payload stream."""
+    """doc_id%3 picks the modality: png (pixel counts = w*h), wav (sample
+    counts = n_chars*8), jpeg (pixel counts = 64*blocks) — all routed by
+    magic bytes from ONE mixed payload stream."""
     rows = {r.media_id: r for r in registry[0]["m9_multiformat_dispatch"](spark, SF_SMOKE).collect()}
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
     assert len(rows) == len(docs)
+    assert {r.fmt for r in rows.values()} == {"png", "wav", "jpeg"}
     for d in docs:
         r = rows[d.doc_id]
-        if d.doc_id % 2 == 0:
+        if d.doc_id % 3 == 0:
             assert r.fmt == "png"
             assert r.n_units == (d.doc_id % 16 + 1) * (d.n_chars % 16 + 1)
             assert 0.0 <= r.level <= 1.0
-        else:
+        elif d.doc_id % 3 == 1:
             assert r.fmt == "wav"
             assert r.n_units == d.n_chars * 8
             amp = 1000 + d.doc_id % 1000
             assert abs(r.level - amp / 32768.0) < 1e-6
+        else:
+            assert r.fmt == "jpeg"
+            assert r.n_units == 64 * (d.doc_id % 4 + 1) * (d.n_chars % 3 + 1)
+            assert 0.0 <= r.level <= 1.0
 
 
 def test_png_all_filter_types_roundtrip():
