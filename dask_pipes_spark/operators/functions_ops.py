@@ -984,3 +984,112 @@ def h33_surrogate_key(spark, sf_dir):
         F.min("sk").alias("min_sk"),
         F.max("sk").alias("max_sk"),
     )
+
+
+@query(
+    "h34_jaro_winkler",
+    oracle="""
+    WITH top_tokens AS (
+      SELECT t AS token, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+      GROUP BY t ORDER BY cnt DESC, token LIMIT 30
+    )
+    SELECT a.token AS tok_a, b.token AS tok_b,
+           FLOOR(jaro_winkler_similarity(a.token, b.token) * 1000000 + 0.5)
+             / 1000000 AS jw
+    FROM top_tokens a JOIN top_tokens b ON a.token < b.token
+    WHERE FLOOR(jaro_winkler_similarity(a.token, b.token) * 1000000 + 0.5)
+            / 1000000 >= 0.70
+    """,
+)
+def h34_jaro_winkler(spark, sf_dir):
+    """Jaro-Winkler typo candidates (the record-linkage standard beside
+    h16's Levenshtein; Winkler 1990, p=0.1, prefix<=4, 0.7 boost gate —
+    the exact variant DuckDB's ``jaro_winkler_similarity`` implements,
+    fuzz-verified to 1e-12 over 3000 random pairs): the 30 most frequent
+    tokens, all ordered pairs scoring >= 0.70 — a cut that straddles the
+    boost-gate boundary, so the gate itself is hash-checked. Spark has no
+    JW builtin,
+    so the kernel is an Arrow-batched pandas UDF over the BOUNDED pair
+    set (top-k blocking, <=435 pairs — the h16 discipline, never
+    all-pairs over the raw vocabulary); similarity quantized to the 1e-6
+    grid on both engines."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _jaro(s1: str, s2: str) -> float:
+        if not s1 or not s2:
+            return 0.0
+        if s1 == s2:
+            return 1.0
+        l1, l2 = len(s1), len(s2)
+        window = max(l1, l2) // 2 - 1
+        m1, m2 = [False] * l1, [False] * l2
+        matches = 0
+        for i, c in enumerate(s1):
+            for j in range(max(0, i - window), min(l2, i + window + 1)):
+                if not m2[j] and s2[j] == c:
+                    m1[i] = m2[j] = True
+                    matches += 1
+                    break
+        if not matches:
+            return 0.0
+        t, k = 0, 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+    def _jw(s1: str, s2: str) -> float:
+        j = _jaro(s1, s2)
+        if j <= 0.7:  # Winkler boost gate (DuckDB-matching)
+            return j
+        pref = 0
+        for a, b in zip(s1, s2):
+            if a != b or pref == 4:
+                break
+            pref += 1
+        return j + pref * 0.1 * (1 - j)
+
+    def _jw_kernel(a, b):
+        import math
+
+        return pd.Series(
+            [
+                math.floor(_jw(x, y) * 1e6 + 0.5) / 1e6
+                for x, y in zip(a, b)
+            ]
+        )
+
+    # real annotation objects (the module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf cannot
+    # resolve against function-local imports)
+    _jw_kernel.__annotations__ = {
+        "a": pd.Series,
+        "b": pd.Series,
+        "return": pd.Series,
+    }
+    jw_udf = pandas_udf(_jw_kernel, "double")
+
+    d = load(spark, sf_dir, "documents")
+    top = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(30)
+        .select("token")
+    )
+    a = top.select(F.col("token").alias("tok_a"))
+    b = top.select(F.col("token").alias("tok_b"))
+    return (
+        a.join(b, F.col("tok_a") < F.col("tok_b"))
+        .withColumn("jw", jw_udf("tok_a", "tok_b"))
+        .filter(F.col("jw") >= 0.70)
+    )

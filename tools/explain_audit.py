@@ -75,6 +75,7 @@ ARROW_OK = {
     "m14_mjpeg_decode",
     "m15_jpeg_color_decode",
     "m16_jpeg_420_decode",
+    "h34_jaro_winkler",
 }
 
 # Unbounded-product shapes that are *declared*: c9 is the cartesian operator
@@ -90,6 +91,7 @@ CARTESIAN_OK = {
     "l12_ivf_topk",
     # theta self-join over a top-30 token block — 30×30 bounded by the limit.
     "h16_levenshtein_pairs",
+    "h34_jaro_winkler",  # same 30x30 bounded token block as h16
     # 1×1 crossJoin attaching the global exact count to the merged-sketch row.
     "d22_hll_merge",
     # 1×1 crossJoin attaching the vocab size to the one-row OLS sums.
