@@ -71,6 +71,7 @@ ARROW_OK = {
     "p1_pipeline_fit_transform",
     "a16_scan_avro",
     "a17_avro_schema_evolution",
+    "a18_avro_split_scan",
     "m13_jpeg_decode",
     "m14_mjpeg_decode",
     "m15_jpeg_color_decode",
