@@ -66,6 +66,22 @@ def test_random_images_decode_to_reference_reconstruction():
         assert np.array_equal(dec, ref)
 
 
+def test_fill_bytes_and_standalone_markers_tolerated():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker,
+    and TEM (0xFF01) is a standalone marker with no length field — real
+    camera/libjpeg output uses both (round-5 advice item)."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(16, 24)).astype(np.int64)
+    enc = J.jpeg_encode(img)
+    ref = J.jpeg_reference_reconstruction(img)
+    # TEM + fill byte after SOI, fill byte before EOI
+    hacked = enc[:2] + b"\xff\x01" + b"\xff" + enc[2:-2] + b"\xff" + enc[-2:]
+    assert np.array_equal(J.jpeg_decode(hacked), ref)
+    # multiple consecutive fill bytes before a header marker
+    hacked2 = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    assert np.array_equal(J.jpeg_decode(hacked2), ref)
+
+
 def test_smooth_gradient_small_error_with_std_qtable():
     img = (np.add.outer(np.arange(16) * 3, np.arange(32) * 2) % 256).astype(
         np.int64
