@@ -995,11 +995,11 @@ def h33_surrogate_key(spark, sf_dir):
       GROUP BY t ORDER BY cnt DESC, token LIMIT 30
     )
     SELECT a.token AS tok_a, b.token AS tok_b,
-           FLOOR(jaro_winkler_similarity(a.token, b.token) * 1000000 + 0.5)
-             / 1000000 AS jw
+           FLOOR(jaro_winkler_similarity(a.token, b.token) * 10000 + 0.5)
+             / 10000 AS jw
     FROM top_tokens a JOIN top_tokens b ON a.token < b.token
-    WHERE FLOOR(jaro_winkler_similarity(a.token, b.token) * 1000000 + 0.5)
-            / 1000000 >= 0.70
+    WHERE FLOOR(jaro_winkler_similarity(a.token, b.token) * 10000 + 0.5)
+            / 10000 >= 0.70
     """,
 )
 def h34_jaro_winkler(spark, sf_dir):
@@ -1012,8 +1012,10 @@ def h34_jaro_winkler(spark, sf_dir):
     JW builtin,
     so the kernel is an Arrow-batched pandas UDF over the BOUNDED pair
     set (top-k blocking, <=435 pairs — the h16 discipline, never
-    all-pairs over the raw vocabulary); similarity quantized to the 1e-6
-    grid on both engines."""
+    all-pairs over the raw vocabulary); similarity quantized to the 1e-4
+    grid on both engines (the house float-parity grid — coarse enough
+    that a last-ulp difference in the three-term Jaro average cannot
+    straddle a grid or 0.70-gate boundary; round-5 advice item)."""
     import pandas as pd
 
     from pyspark.sql.functions import pandas_udf
@@ -1062,7 +1064,7 @@ def h34_jaro_winkler(spark, sf_dir):
 
         return pd.Series(
             [
-                math.floor(_jw(x, y) * 1e6 + 0.5) / 1e6
+                math.floor(_jw(x, y) * 1e4 + 0.5) / 1e4
                 for x, y in zip(a, b)
             ]
         )

@@ -551,6 +551,43 @@ def a14_csv_malformed_audit(spark, sf_dir):
     )
 
 
+def zonemap_overlap_factor(
+    path: str, column: str = "l_partkey"
+) -> tuple[int, float]:
+    """Score a parquet layout's zone-map quality: (#row groups, average
+    number of row groups whose [min,max] range of ``column`` intersects
+    each row group — 1.0 = perfectly disjoint, N = zone maps useless).
+    Reads only footers. Module-level so tests can assert the STRICT raw
+    factors (sorted == 1.0, sorted < arrival) next to a15's threshold
+    verdicts — a Spark sampler/row-group-sizing drift then fails a
+    diagnosable assertion instead of an opaque hash (round-5 advice)."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(path, fname)).metadata
+        if meta.num_row_groups == 0:  # empty write → nothing to score
+            continue
+        idx = next(
+            i
+            for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == column
+        )
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(idx).statistics
+            ranges.append((st.min, st.max))
+    n = len(ranges)
+    if n == 0:
+        return 0, 0.0
+    total = sum(
+        sum(1 for lo2, hi2 in ranges if lo <= hi2 and lo2 <= hi)
+        for lo, hi in ranges
+    )
+    return n, total / n
+
+
 @query(
     "a15_sorted_write_zonemap",
     oracle="""
@@ -588,8 +625,6 @@ def a15_sorted_write_zonemap(spark, sf_dir):
     row-group count is bounded by layout config, so the overlap matrix is
     tiny. The same score generalizes to Z-order by scoring each z-dimension
     column's ranges."""
-    import pyarrow.parquet as pq
-
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
         "l_partkey", "l_quantity"
     )
@@ -603,33 +638,8 @@ def a15_sorted_write_zonemap(spark, sf_dir):
     )
     li.repartition(4).write.mode("overwrite").parquet(out_arrival)
 
-    def overlap_factor(path: str) -> tuple[int, float]:
-        ranges = []
-        for fname in sorted(os.listdir(path)):
-            if not fname.endswith(".parquet"):
-                continue
-            meta = pq.ParquetFile(os.path.join(path, fname)).metadata
-            if meta.num_row_groups == 0:  # empty write → nothing to score
-                continue
-            idx = next(
-                i
-                for i in range(meta.num_columns)
-                if meta.row_group(0).column(i).path_in_schema == "l_partkey"
-            )
-            for g in range(meta.num_row_groups):
-                st = meta.row_group(g).column(idx).statistics
-                ranges.append((st.min, st.max))
-        n = len(ranges)
-        if n == 0:
-            return 0, 0.0
-        total = sum(
-            sum(1 for lo2, hi2 in ranges if lo <= hi2 and lo2 <= hi)
-            for lo, hi in ranges
-        )
-        return n, total / n
-
-    ns, fs = overlap_factor(out_sorted)
-    na, fa = overlap_factor(out_arrival)
+    ns, fs = zonemap_overlap_factor(out_sorted)
+    na, fa = zonemap_overlap_factor(out_arrival)
     n_roundtrip = spark.read.parquet(out_sorted).count()
     return spark.createDataFrame(
         [(n_roundtrip, fs <= 1.25, fs <= fa)],

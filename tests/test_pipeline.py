@@ -90,6 +90,31 @@ def test_p8_skew_report_balance(spark, registry):
     assert row.within_balance_bound is True
 
 
+def test_p8_strict_raw_balance(spark):
+    """The STRICT numbers behind p8's pinned verdicts, kept diagnosable
+    (round-5 advice): recompute the per-partition histogram the operator
+    reduces away and assert the raw ratio/counts, so a hash-partitioner
+    or fixture change fails here with the measured skew instead of an
+    opaque oracle mismatch."""
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.session import load
+
+    li = load(spark, SF_SMOKE, "lineitem")
+    counts = [
+        r.n
+        for r in li.repartition(32, "l_orderkey")
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(counts) == 32, f"nonempty partitions: {len(counts)}"
+    assert min(counts) > 0
+    ratio = max(counts) / (sum(counts) / len(counts))
+    assert ratio <= 1.5, f"max/avg skew ratio {ratio:.3f} above bound"
+
+
 def test_dag_pipeline_cycle_and_missing_input_detection(spark):
     from dask_pipes_spark.pipeline import DagFn, DagPipeline
 

@@ -237,3 +237,24 @@ def test_a15_sorted_layout_beats_arrival_order(spark):
     assert row.sorted_not_worse is True
     expected = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").count()
     assert row.n_rows_roundtrip == expected
+
+
+def test_a15_strict_raw_overlap_factors(spark):
+    """The pre-promotion STRICT contract, kept as a diagnosable test next
+    to the oracle's threshold verdicts (round-5 advice): the key-sorted
+    layout must be PERFECTLY disjoint (factor == 1.0) and strictly better
+    than arrival order at this fixture. If a Spark upgrade changes the
+    range sampler or row-group sizing, this assertion names the factor
+    instead of flipping an opaque oracle hash."""
+    from dask_pipes_spark.operators.scans import (
+        a15_sorted_write_zonemap,
+        zonemap_overlap_factor,
+    )
+    from dask_pipes_spark.session import scratch_path
+
+    a15_sorted_write_zonemap(spark, SF_SMOKE).collect()  # writes layouts
+    ns, fs = zonemap_overlap_factor(scratch_path("dps_a15_sorted"))
+    na, fa = zonemap_overlap_factor(scratch_path("dps_a15_arrival"))
+    assert ns > 1 and na > 1, (ns, na)  # multi-row-group, or nothing scored
+    assert fs == 1.0, f"sorted layout no longer disjoint: factor={fs}"
+    assert fs < fa, f"sorted ({fs}) not strictly better than arrival ({fa})"
