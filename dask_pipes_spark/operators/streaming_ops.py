@@ -601,3 +601,168 @@ def k14_stream_progress_audit(spark, sf_dir):
         "batch_id int, input_rows bigint, state_rows_updated bigint, "
         "state_rows_evicted bigint, late_rows_dropped bigint, watermark string",
     )
+
+
+# --- k15: streaming incremental dedup (round 6) ------------------------------
+
+
+def stage_documents_dedup_stream(spark, sf_dir: str) -> str:
+    """Stage the l48 incremental-ingest scenario as a 2-file stream dir:
+    file 0 = the existing CORPUS slice (``doc_id % 5 = 0``, ts = T0), file 1
+    = the incoming BATCH slice (ts = T0+1h) with deterministic PLANTED
+    duplicates so the dedup is non-vacuous at every SF — a copy of every
+    batch doc with ``doc_id % 7 = 1`` (in-batch duplicate, id + 1000000)
+    and a copy of every corpus doc with ``doc_id % 6 = 0`` (duplicate
+    vs. the corpus state, id + 2000000). mtime order = replay order, the
+    stage_events_dir idiom; replaying the state table as micro-batch 0 is
+    how a streaming dedup job seeds its state from an existing corpus."""
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = scratch_path(f"dps_docs_dedup_stream_{tag}")
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        corpus = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+        )
+        batch = (
+            d.filter(F.col("doc_id") % 5 != 0)
+            .unionAll(
+                d.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 1))
+                .withColumn("doc_id", F.col("doc_id") + 1000000)
+            )
+            .unionAll(
+                d.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 6 == 0))
+                .withColumn("doc_id", F.col("doc_id") + 2000000)
+            )
+            .withColumn("ts", F.lit("2024-01-01 01:00:00").cast("timestamp"))
+        )
+        os.makedirs(out, exist_ok=True)
+        for old in os.listdir(out):
+            os.remove(os.path.join(out, old))
+        base = 1_700_000_000
+        for i, df in enumerate((corpus, batch)):
+            tmp = scratch_path(f"dps_docs_dedup_stage_{tag}_{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(out, f"slice-{i:05d}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            os.utime(dst, (base + i, base + i))
+        open(marker, "w").close()
+    return out
+
+
+@query(
+    "k15_stream_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 5 = 0
+    ),
+    batch AS (
+      SELECT doc_id, lang, sha256(text) AS h FROM documents
+      WHERE doc_id % 5 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, lang, sha256(text) FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+      UNION ALL
+      SELECT doc_id + 2000000, lang, sha256(text) FROM documents
+      WHERE doc_id % 5 = 0 AND doc_id % 6 = 0
+    ),
+    tagged AS (
+      SELECT b.doc_id, b.lang, b.h,
+             (c.h IS NOT NULL) AS in_corpus,
+             ROW_NUMBER() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+      FROM batch b LEFT JOIN corpus c ON b.h = c.h
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(COUNT(*) FILTER (WHERE in_corpus) AS BIGINT)
+             AS n_dropped_vs_corpus,
+           CAST(COUNT(*) FILTER (WHERE NOT in_corpus AND rn > 1) AS BIGINT)
+             AS n_dropped_in_batch,
+           CAST(COUNT(*) FILTER (WHERE NOT in_corpus AND rn = 1) AS BIGINT)
+             AS n_kept
+    FROM tagged GROUP BY lang
+    """,
+)
+def k15_stream_incremental_dedup(spark, sf_dir):
+    """l48's incremental corpus dedup run through the ACTUAL streaming
+    runtime (the round-5 verdict's #4 item — a 100 TB crawl ingests
+    continuously, it doesn't re-dedup daily): the corpus digest state is
+    SEEDED by replaying the state slice as micro-batch 0, then the
+    incoming batch (with planted in-batch and vs-corpus duplicates —
+    see ``stage_documents_dedup_stream``) arrives as micro-batch 1, and
+    ``dropDuplicatesWithinWatermark`` on the sha256 content digest keeps
+    exactly one row per digest across BOTH micro-batches (the watermark
+    delay out-spans the replay, so no state evicts mid-run).
+
+    The drained kept-set then feeds the same per-language accounting as
+    l48, with the survivor canonicalized batch-side (min-doc_id
+    representative per kept digest) so the result is deterministic even
+    though streaming keeps an arbitrary first arrival. The counts pin the
+    runtime's cross-micro-batch state: a digest wrongly re-kept from the
+    corpus inflates n_kept AND n_dropped_vs_corpus; a wrongly evicted
+    digest drains n_kept — either diverges the full l48-shape SQL oracle.
+
+    100 TB: state is one 32-byte digest per distinct doc, hash-partitioned
+    by the state store exactly like the batch join's shuffle; the
+    watermark bounds it to the dedup horizon, and RocksDB is the
+    production state knob. Seeding by replay costs one pass over the
+    digest table, not the corpus bytes."""
+    from pyspark.sql import Window
+
+    path = stage_documents_dedup_stream(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withColumn("h", F.sha2("text", 256))
+        .withColumn("is_corpus", F.col("ts") == F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    )
+    kept = run_to_memory(
+        stream.withWatermark("ts", "240 hours")
+        .dropDuplicatesWithinWatermark(["h"])
+        .select("h", "is_corpus"),
+        "k15_incremental_dedup",
+        "append",
+    )
+    corpus_set = kept.filter("is_corpus").select("h").withColumn(
+        "in_corpus", F.lit(True)
+    )
+    batch_kept = (
+        kept.filter(~F.col("is_corpus"))
+        .select("h")
+        .withColumn("kept_digest", F.lit(True))
+    )
+    # batch rows reconstructed batch-side (same planting as the staging)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    batch = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .unionAll(
+            d.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 1))
+            .withColumn("doc_id", F.col("doc_id") + 1000000)
+        )
+        .unionAll(
+            d.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 6 == 0))
+            .withColumn("doc_id", F.col("doc_id") + 2000000)
+        )
+        .select("doc_id", "lang", F.sha2("text", 256).alias("h"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    tagged = (
+        batch.join(corpus_set, "h", "left")
+        .join(batch_kept, "h", "left")
+        .withColumn("in_corpus", F.coalesce("in_corpus", F.lit(False)))
+        .withColumn("kept_digest", F.coalesce("kept_digest", F.lit(False)))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count_if(F.col("in_corpus")).alias("n_dropped_vs_corpus"),
+        F.count_if(F.col("kept_digest") & (F.col("rn") > 1)).alias(
+            "n_dropped_in_batch"
+        ),
+        F.count_if(F.col("kept_digest") & (F.col("rn") == 1)).alias("n_kept"),
+    )

@@ -191,3 +191,50 @@ def test_k14_progress_audit_invariants(spark, registry):
     assert stalls, "out-of-order replay must produce a watermark stall"
     assert all(r.state_rows_updated > 0 for r in stalls)
     assert all(r.late_rows_dropped == 0 for r in rows)
+
+
+def test_k15_dedup_state_crosses_microbatches(spark, registry):
+    """The k15 runtime contract the SQL oracle can't see directly: the
+    corpus slice replays as micro-batch 0, the ingest slice as micro-batch
+    1, and dropDuplicatesWithinWatermark's state carries ACROSS the batch
+    boundary — the drained output is exactly one row per distinct digest
+    while the planted duplicates (in-batch and vs-corpus) are shed."""
+    from dask_pipes_spark.operators.streaming_ops import (
+        stage_documents_dedup_stream,
+    )
+    from dask_pipes_spark.streaming import run_with_progress
+
+    path = stage_documents_dedup_stream(spark, SF_SMOKE)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withColumn("h", F.sha2("text", 256))
+    )
+    dedup = (
+        stream.withWatermark("ts", "240 hours")
+        .dropDuplicatesWithinWatermark(["h"])
+        .select("h")
+    )
+    out, progresses = run_with_progress(dedup, "k15_xbatch_test", "append")
+    assert len(progresses) >= 2  # corpus replay, then the ingest batch
+    staged = spark.read.parquet(path)
+    n_distinct = (
+        staged.select(F.sha2("text", 256).alias("h")).distinct().count()
+    )
+    assert out.count() == n_distinct  # one survivor per digest, no leaks
+    total_in = sum(int(p["numInputRows"]) for p in progresses)
+    assert total_in == staged.count()
+    assert total_in > n_distinct  # the planted duplicates actually existed
+    # and duplicates were shed across micro-batches, not only within one:
+    # every corpus digest seen again in the ingest batch must NOT re-emit
+    corpus_h = {
+        r.h
+        for r in staged.filter("doc_id % 5 = 0")
+        .select(F.sha2("text", 256).alias("h"))
+        .collect()
+    }
+    emitted = [r.h for r in out.collect()]
+    assert len(emitted) == len(set(emitted))  # globally unique emission
+    assert any(h in corpus_h for h in emitted)

@@ -146,6 +146,7 @@ SKIP = {
     "k10_stream_session",
     "k13_stream_checksum",
     "k14_stream_progress_audit",
+    "k15_stream_incremental_dedup",
 }
 
 
