@@ -595,6 +595,10 @@ def read_avro_split(
                 schema_json, codec, blocks = _index_container_blocks(local)
                 for offset, size, count in blocks:
                     rows.append((local, offset, size, count, schema_json, codec))
+                if not blocks:
+                    # header-only (empty) container: sentinel row so schema
+                    # inference still sees this file's writer schema
+                    rows.append((local, -1, 0, 0, schema_json, codec))
             if rows:
                 yield pd.DataFrame(
                     rows,
@@ -618,6 +622,8 @@ def read_avro_split(
     def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
+                if row.offset < 0:  # header-only sentinel: no data block
+                    continue
                 fields = json.loads(row.schema)["fields"]
                 with open(row.file, "rb") as fh:
                     fh.seek(row.offset)

@@ -190,11 +190,12 @@ def k6_stream_stateful(spark, sf_dir):
     unavailable in this environment — its state-server protocol
     (``pyspark/sql/streaming/stateful_processor_api_client.py``) imports
     ``google.protobuf``, which the container does not ship. Vendoring was
-    re-probed 2026-08-14 round 4 AND round 5 (``import google.protobuf``
-    and ``importlib.util.find_spec('google.protobuf')`` both →
-    ``ModuleNotFoundError: No module named 'google'``) and is impossible
-    offline: ``pip download protobuf`` fails at DNS (no network); no wheel
-    exists on disk. The legacy API carries the stateful contract here and
+    re-probed 2026-08-14 round 4, round 5 AND 2026-08-15 round 6
+    (``import google.protobuf`` and
+    ``importlib.util.find_spec('google.protobuf')`` both →
+    ``ModuleNotFoundError: No module named 'google'``; site-packages has
+    no protobuf dist) and is impossible offline: ``pip download
+    protobuf`` fails at DNS (no network); no wheel exists on disk. The legacy API carries the stateful contract here and
     the migration is mechanical (ValueState.get/update replaces
     GroupState)."""
     import pandas as pd

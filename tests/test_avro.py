@@ -213,6 +213,18 @@ def test_split_block_index_matches_container_walk(spark):
             assert raw == inflated
 
 
+def test_split_reader_handles_header_only_file(spark):
+    """Empty input writes a header-only container; the split reader must
+    infer the schema from its sentinel index row and return 0 rows."""
+    out = scratch_path("test_avro_split_empty")
+    avro_io.write_avro(spark.createDataFrame([], MIXED_SCHEMA), out)
+    back = avro_io.read_avro_split(spark, out)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == [
+        f.name for f in MIXED_SCHEMA.fields
+    ]
+
+
 def test_read_avro_empty_dir_raises_descriptive(spark):
     out = scratch_path("test_avro_nofiles")
     os.makedirs(out, exist_ok=True)
