@@ -821,10 +821,25 @@ def mjpeg_split(raw: bytes) -> list[bytes]:
     entropy data (where 0xFF is always stuffed with 0x00, so a bare
     0xFF<non-zero> is a real marker) to EOI. This is how real MJPEG
     demuxers find boundaries; m11's length-prefixed container is the
-    friendlier layout, this one has no side information at all."""
+    friendlier layout, this one has no side information at all.
+
+    Round 6: the entropy-region scan is vectorized — ONE numpy pass finds
+    every candidate true marker (0xFF followed by neither 0x00 stuffing
+    nor 0xFF fill) in the whole stream, and each SOS consults that index
+    via searchsorted instead of stepping per byte. Candidate positions
+    inside segment BODIES (e.g. a decoy EOI byte pair in a DQT table —
+    tests plant one) are never consulted, because bodies are skipped by
+    their length field exactly as before."""
     frames = []
     pos = 0
     n = len(raw)
+    arr = np.frombuffer(raw, np.uint8)
+    cand = np.nonzero(arr[: n - 1] == 0xFF)[0]
+    nxt = arr[cand + 1]
+    keep = (nxt != 0x00) & (nxt != 0xFF)
+    marks = cand[keep]  # true-marker candidates valid in entropy context
+    codes = nxt[keep].tolist()
+    marks_list = marks.tolist()
     while pos < n:
         if raw[pos : pos + 2] != b"\xff\xd8":
             raise ValueError(f"expected SOI at stream offset {pos}")
@@ -837,13 +852,14 @@ def mjpeg_split(raw: bytes) -> list[bytes]:
             if marker == 0xDA:  # SOS: header then entropy data
                 (ln,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
                 pos += 2 + ln
-                while True:  # scan entropy data for a real marker
-                    if raw[pos] == 0xFF and raw[pos + 1] != 0x00:
-                        if 0xD0 <= raw[pos + 1] <= 0xD7:  # RSTn: stay in scan
-                            pos += 2
-                            continue
-                        break
-                    pos += 1
+                # jump marker-to-marker through the entropy data: RSTn
+                # stays in the scan, anything else ends it
+                i = int(np.searchsorted(marks, pos))
+                while i < len(marks_list) and 0xD0 <= codes[i] <= 0xD7:
+                    i += 1
+                if i == len(marks_list):
+                    raise ValueError("unterminated entropy scan (no EOI)")
+                pos = marks_list[i]
                 continue
             if marker == 0xD9:  # EOI
                 pos += 2
