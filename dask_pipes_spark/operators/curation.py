@@ -27,7 +27,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import load
+from dask_pipes_spark.session import fanout, load
 
 #: fixed accent-fold table applied by l19 (both engines have ``translate``)
 _ACCENTS_FROM = "áéíóúüñàèìòùâêîôûç"
@@ -636,7 +636,7 @@ def l32_dup_ngram_coverage(spark, sf_dir):
     n-gram and AQE splits the heavy-hitter keys on the left. A 60-bit hash
     collision would fold two n-grams (prob ~n^2/2^61); both engines hash
     identically so the oracle sees the same folding."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))  # n-gram map on all cores
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 5
     )
@@ -782,7 +782,7 @@ def l48_incremental_dedup(spark, sf_dir):
     corpus bytes), bucketed by digest so each day's batch join is
     co-partitioned; the batch-internal dedup is one keyed window. Fully
     SQL-oracled end-to-end."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))  # digest map on all cores
     corpus = (
         d.filter(F.col("doc_id") % 5 == 0)
         .select(F.sha2("text", 256).alias("h"))

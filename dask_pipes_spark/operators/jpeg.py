@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T  # noqa: F401 (schema strings used)
 
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import load
+from dask_pipes_spark.session import fanout, load
 
 # --- zigzag order (T.81 Figure A.6) ----------------------------------------
 
@@ -726,11 +726,9 @@ def synth_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(jpeg_encode(img))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "n_chars")
-        .mapInPandas(synth, "media_id bigint, payload binary")
-    )
+    return fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ).mapInPandas(synth, "media_id bigint, payload binary")
 
 
 @query(
@@ -897,11 +895,9 @@ def synth_mjpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(b"".join(frames))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "n_chars")
-        .mapInPandas(synth, "media_id bigint, payload binary")
-    )
+    return fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ).mapInPandas(synth, "media_id bigint, payload binary")
 
 
 @query(
@@ -1013,11 +1009,9 @@ def synth_color_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(jpeg_encode_color(ycc, restart_interval=2))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "n_chars")
-        .mapInPandas(synth, "media_id bigint, payload binary")
-    )
+    return fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ).mapInPandas(synth, "media_id bigint, payload binary")
 
 
 @query(
@@ -1180,11 +1174,9 @@ def m16_jpeg_420_decode(spark, sf_dir):
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "n_chars")
-        .mapInPandas(synth, "media_id bigint, payload binary")
-    )
+    media = fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ).mapInPandas(synth, "media_id bigint, payload binary")
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd

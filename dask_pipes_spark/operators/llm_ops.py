@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import davg, dsum, query, sql_davg, sql_dsum
-from dask_pipes_spark.session import load
+from dask_pipes_spark.session import fanout, load
 
 NUM_PERM = 32  # minhash permutations
 BANDS = 8  # LSH bands → rows-per-band r = 4; s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59
@@ -61,8 +61,9 @@ LSH_BUCKET_CAP = 8
 def l1_exact_dedup(spark, sf_dir):
     """Exact content dedup: hash text, keep the min doc_id per digest — the
     deterministic survivor rule (Lee et al. 2022 exact-substring baseline).
-    One shuffle keyed by digest."""
-    d = load(spark, sf_dir, "documents")
+    One shuffle keyed by digest; the single-file scan fans out first so the
+    sha256 map stage uses every core (round 6)."""
+    d = fanout(load(spark, sf_dir, "documents"))
     return (
         d.withColumn("text_sha", F.sha2("text", 256))
         .groupBy("text_sha")
@@ -350,7 +351,7 @@ def l2_minhash_lsh(spark, sf_dir):
     permutations) makes the signatures, the banded+capped candidate set, and
     the per-pair similarity estimate bit-reproducible in DuckDB; recall on
     planted near-duplicates stays asserted in tests/test_llm.py."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))  # shingle map on all cores
     sigs = minhash_signatures(d)
     return lsh_candidates(sigs).orderBy("doc_a", "doc_b")
 
@@ -703,7 +704,7 @@ def l18_dup_components(spark, sf_dir):
     since round 2 a full SQL oracle re-derives the clustering in DuckDB
     with a recursive-CTE transitive closure over the same (portable-hash)
     candidate pairs."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))  # shingle map on all cores
     # pairs-only frame: components need connectivity, not est_jaccard —
     # skips the two signature join-backs (round-5 plan trim)
     pairs = lsh_candidate_pairs(minhash_signatures(d)).select(

@@ -32,14 +32,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import load
+from dask_pipes_spark.session import fanout, load
 
 
 def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table from the documents fixture: payload =
     utf-8 bytes of the text (a stand-in for image bytes), plus a typed
     metadata struct — the schema a real ingest would carry."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))
     return d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),  # binary column
@@ -318,11 +318,9 @@ def synth_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "n_chars")
-        .mapInPandas(synth, "media_id bigint, payload binary")
-    )
+    return fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ).mapInPandas(synth, "media_id bigint, payload binary")
 
 
 @query(
@@ -553,11 +551,9 @@ def synth_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "n_chars")
-        .mapInPandas(synth, "media_id bigint, payload binary")
-    )
+    return fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ).mapInPandas(synth, "media_id bigint, payload binary")
 
 
 @query(
@@ -825,7 +821,9 @@ def m9_multiformat_dispatch(spark, sf_dir):
     100 TB: the dispatch is per-row inside a per-partition Arrow map —
     no shuffle by format, no split pipelines; payload bytes stay columnar
     and never shuffle. Adding a codec = one more sniff branch."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
 
     def synth_mixed(batches):
         import io
@@ -957,11 +955,9 @@ def synth_wav_media_periodic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "n_chars")
-        .mapInPandas(synth, "media_id bigint, payload binary")
-    )
+    return fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ).mapInPandas(synth, "media_id bigint, payload binary")
 
 
 @query(
@@ -1075,11 +1071,9 @@ def synth_framestream_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "n_chars")
-        .mapInPandas(synth, "media_id bigint, payload binary")
-    )
+    return fanout(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ).mapInPandas(synth, "media_id bigint, payload binary")
 
 
 @query(

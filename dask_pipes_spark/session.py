@@ -143,3 +143,19 @@ def load_tables(
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a single fixture table (same conversions as :func:`load_tables`)."""
     return load_tables(spark, sf_dir, (name,))[name]
+
+
+def fanout(df: DataFrame) -> DataFrame:
+    """Spread a CPU-bound Arrow-map INPUT across all cores (round 6).
+
+    The fixture tables arrive as ONE parquet file → one scan partition →
+    every per-row Python codec kernel downstream would serialize onto a
+    single task (measured: the whole m13 JPEG synth+decode at sf0.1 ran
+    on 1 of 32 cores). The rows shuffled here are the tiny PRE-synthesis
+    keys (doc_id, n_chars, at most a text column) — generated media
+    payloads are produced after the exchange and never shuffle, keeping
+    the m-group's payload-locality contract. On a real 100 TB layout the
+    input arrives as many files and this exchange is a cheap safeguard;
+    the width follows the session's core count exactly like AQE would
+    coalesce it."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
