@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import load
+from dask_pipes_spark.session import fanout, load
 
 # --- SimHash -----------------------------------------------------------------
 
@@ -75,7 +75,7 @@ def l9_simhash(spark, sf_dir):
     distance ≤ 3 among same-source docs. Signatures are one HOF expression
     per row (no shuffle); the pair scan blocks on source to stay bounded.
     Hamming closeness of planted near-dups is asserted in tests/test_llm_ext.py."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))
     sigs = d.selectExpr(
         "doc_id", "source", f"{simhash_expr()} AS simhash"
     )
@@ -194,7 +194,7 @@ def l11_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (threshold 0.35 — the fixture
     vectors are near-isotropic, max pairwise ≈ 0.5). Exact all-pairs here;
     at scale the same predicate runs on LSH/IVF candidate pairs only."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     return cosine_pairs(e, threshold=0.35)
 
 
@@ -360,7 +360,7 @@ def l12_ivf_topk(spark, sf_dir):
     the DuckDB twin re-runs the ENTIRE index build + probe + re-rank and
     must agree pair-for-pair. Absolute recall vs brute force stays
     asserted in tests (low on isotropic fixtures, by construction)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     dbl = e.select(
         "vec_id",
         "label",
@@ -727,7 +727,7 @@ def l17_vector_lsh_topk(spark, sf_dir):
     n/2^nbits × (nbits+1), tuned by nbits; recall vs l3 is measured in
     tests/test_llm_ext.py."""
     nbits = 6
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     dbl = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     ).withColumn("nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)))
@@ -922,7 +922,7 @@ def l34_zipf_slope(spark, sf_dir):
     DECIMAL(18,10) before summing, so libm last-ulp differences cannot
     reach the hash. The rank window sorts only ~vocab-size rows per lang —
     negligible next to the token-count shuffle, which map-side combines."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))
     freq = (
         d.select("lang", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("lang", "token")
@@ -1069,7 +1069,7 @@ def l36_char_entropy(spark, sf_dir):
     would avoid the explode entirely but loses map-side combining of
     the (doc,char) space — at corpus scale the explode wins.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = fanout(load(spark, sf_dir, "documents"))
     dec = "decimal(28,6)"
     counts = (
         docs.select(
@@ -1509,7 +1509,7 @@ def l47_source_overlap(spark, sf_dir):
     never documents — with S sources the output is S·(S−1)/2 rows, and a
     hot token touches S rows, not |corpus|.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = fanout(load(spark, sf_dir, "documents"))
     # vocab feeds sizes AND both self-join sides — pin it (l18/l55
     # discipline) so the explode+distinct runs once
     vocab = (
@@ -1608,7 +1608,7 @@ def l49_semdedup_prune(spark, sf_dir):
     exactly k-partitionable. The quadratic pairwise SemDeDup variant is
     what l11/p4 cover; this is the linear centroid approximation the
     paper ships."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     v = e.select(
         "vec_id",
         "label",

@@ -392,7 +392,7 @@ def l3_cosine_topk(spark, sf_dir):
     assign each vector to coarse buckets, equi-join query buckets only
     (REPOSE-style partitioning); same scoring expressions apply unchanged.
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     dbl = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
@@ -543,7 +543,7 @@ def l7_dup_cluster_stats(spark, sf_dir):
     pipeline ships to operators. Full oracle since round 2 (l2's portable
     candidates; est_jaccard values are dyadic k/32 rationals, so both
     engines average them exactly before the FLOOR quantization)."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))
     pairs = l2_minhash_lsh(spark, sf_dir)
     da = d.select(
         F.col("doc_id").alias("doc_a"),
@@ -785,7 +785,7 @@ def l56_minhash_eval(spark, sf_dir):
     the metrics rollup is a single bounded aggregate. Short docs hit the
     LSH s-curve's low end (few shingles → lower Jaccard → missed pairs):
     that is signal, not noise — exactly what the recall number is for."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))
     planted = d.select("doc_id", "text").unionAll(
         d.filter(F.col("doc_id") % 5 == 0).select(
             (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
@@ -857,7 +857,7 @@ def l59_lsh_bucket_audit(spark, sf_dir):
     pair materialization at all, so the audit is strictly cheaper than
     the dedup it monitors."""
     cap = LSH_BUCKET_CAP
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))
     buckets = (
         lsh_bandrows(minhash_signatures(d))
         .groupBy("band_id", "bkey")
@@ -923,7 +923,7 @@ def l61_cap_sensitivity(spark, sf_dir):
     100 TB: same (band, bucket) groupBy lsh_candidates already pays, then
     a 6-row cap grid joined onto the bounded bucket-histogram frame — the
     sensitivity sweep costs one aggregate, not six dedup runs."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))
     buckets = (
         lsh_bandrows(minhash_signatures(d))
         .groupBy("band_id", "bkey")

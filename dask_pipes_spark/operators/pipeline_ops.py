@@ -20,7 +20,7 @@ from dask_pipes_spark.pipeline import (
     StandardScaler,
 )
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import load, load_tables, scratch_path
+from dask_pipes_spark.session import fanout, load, load_tables, scratch_path
 
 
 _P1_ORACLE = """
@@ -250,7 +250,7 @@ def p4_semantic_dedup(spark, sf_dir):
     from dask_pipes_spark.operators.llm_ext import cosine_pairs
     from dask_pipes_spark.operators.llm_ops import connected_components
 
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     pairs = cosine_pairs(e, threshold=0.30).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )

@@ -37,7 +37,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import load
+from dask_pipes_spark.session import fanout, load
 
 _EPS = 0.1  # ε for the spatial join, in coordinate units
 
@@ -149,7 +149,7 @@ def c24_grid_spatial_join(spark, sf_dir):
     (Sedona-style). Dense-cell skew is ordinary join skew — AQE/salting
     applies. Distance math stays in codegen; sums ride the decimal-sum
     discipline."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     pts = e.select(
         "vec_id",
         "label",
@@ -230,7 +230,7 @@ def l54_int8_quantize(spark, sf_dir):
     vector storage 4× vs float32, which is what keeps the ANN bucket scans
     (l12 IVF / l17 LSH) memory-resident at corpus scale; the error profile
     here is the acceptance gate for that compression."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     v = e.select(
         "vec_id",
         "label",
@@ -426,7 +426,7 @@ def l55_pq_topk(spark, sf_dir):
     The 64× memory cut (4 B vs 256 B) is what lets a 100 TB vector corpus
     sit in cluster RAM; IVF coarse partitioning (l12) composes in front to
     prune candidates, exactly the IVFADC system of the paper."""
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     v = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
@@ -581,7 +581,7 @@ def l57_embedding_project(spark, sf_dir):
         [((i * 37 + j * 101) % 17 - 8) / 8.0 for i in range(64)]
         for j in range(4)
     ]
-    e = load(spark, sf_dir, "embeddings")
+    e = fanout(load(spark, sf_dir, "embeddings"))
     v = e.select(
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
