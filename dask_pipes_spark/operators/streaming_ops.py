@@ -767,3 +767,59 @@ def k15_stream_incremental_dedup(spark, sf_dir):
         ),
         F.count_if(F.col("kept_digest") & (F.col("rn") == 1)).alias("n_kept"),
     )
+
+
+@query(
+    "k16_stream_avro_sink",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           {{dsum}} AS sum_value
+    FROM events GROUP BY event_type
+    """.format(dsum=sql_dsum("value")),
+)
+def k16_stream_avro_sink(spark, sf_dir):
+    """Streaming → Avro landing zone → split read-back, end-to-end (ties
+    the round-6 Avro tier into the streaming runtime): the events stream
+    drains through ``foreachBatch`` into the a16 container sink — one
+    writer GENERATION per micro-batch (``prefix=b{batch_id}``,
+    ``clean=False``, the a17 coexistence contract) — then the whole
+    landing directory is read back through the a18 split reader and
+    aggregated. The oracle is the same aggregate over the original events
+    table, so a dropped micro-batch, double-written generation, mis-split
+    block, or lossy value roundtrip (doubles are 8-byte IEEE on the wire)
+    diverges the hash.
+
+    100 TB: this is the standard continuous-ingest landing pattern —
+    micro-batches append immutable columnar container files, readers fan
+    out per data block (a18), compaction is a rewrite of old generations.
+    State lives in the files; the stream itself is stateless."""
+    import os
+
+    out = scratch_path("dps_k16_avro_sink")
+    os.makedirs(out, exist_ok=True)
+    for old in os.listdir(out):  # parity runs repeat: drop stale generations
+        if old.endswith(".avro"):
+            os.remove(os.path.join(out, old))
+    from dask_pipes_spark.operators.avro_io import read_avro_split, write_avro
+
+    stream = read_events_stream(
+        spark, sf_dir, n_files=2, max_files_per_trigger=1
+    ).select("event_id", "event_type", "value")
+
+    def sink(batch_df, batch_id: int) -> None:
+        write_avro(batch_df, out, prefix=f"b{batch_id:05d}", clean=False)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = read_avro_split(spark, out, target_splits=8)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_id"),
+        dsum("value").alias("sum_value"),
+    )

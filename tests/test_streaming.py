@@ -238,3 +238,22 @@ def test_k15_dedup_state_crosses_microbatches(spark, registry):
     emitted = [r.h for r in out.collect()]
     assert len(emitted) == len(set(emitted))  # globally unique emission
     assert any(h in corpus_h for h in emitted)
+
+
+def test_k16_avro_sink_writes_one_generation_per_microbatch(spark, registry):
+    """k16 runtime contract: the foreachBatch sink must land at least two
+    coexisting writer generations (one per micro-batch), all spec-valid
+    containers, and the split read-back must account for every event."""
+    import os
+
+    from dask_pipes_spark.session import scratch_path
+
+    queries, oracles = registry
+    assert "k16_stream_avro_sink" in oracles
+    out_rows = queries["k16_stream_avro_sink"](spark, SF_SMOKE).collect()
+    assert len(out_rows) > 0
+    landing = scratch_path("dps_k16_avro_sink")
+    gens = {f.split("-")[0] for f in os.listdir(landing) if f.endswith(".avro")}
+    assert len(gens) >= 2, gens  # one generation per micro-batch
+    n_events = load(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_events for r in out_rows) == n_events

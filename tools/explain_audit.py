@@ -147,6 +147,7 @@ SKIP = {
     "k13_stream_checksum",
     "k14_stream_progress_audit",
     "k15_stream_incremental_dedup",
+    "k16_stream_avro_sink",
 }
 
 
