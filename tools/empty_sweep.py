@@ -28,6 +28,7 @@ SKIP = {
     "k4_stream_tumbling", "k5_stream_dedup", "k6_stream_stateful",
     "k7_stream_static_join", "k8_stream_stream_join", "k10_stream_session",
     "k11_stream_sliding", "k13_stream_checksum", "k14_stream_progress_audit",
+    "k15_stream_incremental_dedup", "k16_stream_avro_sink",
     # introspects the REAL fixture parquet footers by design
     "a13_rowgroup_stats",
 }
