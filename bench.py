@@ -668,9 +668,23 @@ def main() -> None:
         t0 = time.perf_counter()
         dcon.execute(duck_pricing_sql).fetchall()
         duck_times.append(time.perf_counter() - t0)
+    # join3 raw-route disclosure (round 7): the timed q_join3_topn number
+    # above is the maintained-MV route (rowset-asserted equal to the raw
+    # 3-join SQL at startup), while the DuckDB baseline times the raw
+    # 3-join. Publish the raw Spark 3-join time alongside so the table
+    # never implies like-for-like join execution — readers can compare
+    # either pairing.
+    bind_views("q_join3_topn")
+    raw_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.sql(SQL["q_join3_topn"]).collect()
+        raw_times.append(time.perf_counter() - t0)
+
     calibration = {
         "spark_floor_ms": round(statistics.median(floor_times) * 1000, 1),
         "duckdb_pricing_ms": round(statistics.median(duck_times) * 1000, 1),
+        "join3_raw_3join_ms": round(statistics.median(raw_times) * 1000, 1),
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -727,6 +727,14 @@ def read_avro_split(
         for pdf in batches:
             rows = []
             for uri in pdf["path"]:
+                scheme = uri.split(":", 1)[0] if ":" in uri else ""
+                if len(scheme) > 1 and scheme.isalpha() and scheme != "file":
+                    raise NotImplementedError(
+                        f"read_avro_split opens blocks by POSIX path; "
+                        f"{scheme}: URIs are not supported — POSIX-visible "
+                        "paths only; the Hadoop-FS open is the cluster "
+                        "upgrade (same contract as the sink's)"
+                    )
                 local = uri[5:] if uri.startswith("file:") else uri
                 schema_json, codec, blocks = _index_container_blocks(local)
                 for offset, size, count in blocks:

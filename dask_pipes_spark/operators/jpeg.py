@@ -399,7 +399,7 @@ def jpeg_reference_reconstruction(
 # batched over ALL blocks at the end (one (n,8,8) matmul pair). Restart
 # segments decode independently — exactly what RSTn exists for.
 
-_POW16 = (1 << np.arange(15, -1, -1, dtype=np.int64)).astype(np.int32)
+_POW16_U16 = (1 << np.arange(15, -1, -1, dtype=np.int64)).astype(np.uint16)
 
 #: (bits, vals) -> (sym_list, len_list) flat 16-bit-prefix decode tables.
 #: Cached across files: tables repeat massively in practice (the fixtures
@@ -448,9 +448,23 @@ def _segment_next16(seg: bytes) -> tuple[list[int], int]:
     drop = np.zeros(len(a), dtype=bool)
     drop[1:] = (a[:-1] == 0xFF) & (a[1:] == 0x00)
     bits = np.unpackbits(a[~drop])
+    nbits = len(bits)
     ext = np.concatenate([bits, np.ones(32, dtype=np.uint8)])
-    win = np.lib.stride_tricks.sliding_window_view(ext, 16)
-    return (win.astype(np.int32) @ _POW16).tolist(), len(bits)
+    # Chunked uint16 dot over the bit windows. Without restart markers the
+    # whole entropy stream is ONE segment, so materializing an (8N, 16)
+    # int32 window array over a multi-MB scan ballooned to GBs of transient
+    # memory; chunking bounds the numpy transient at ~CHUNK*18 bytes
+    # (~36 MB) regardless of scan size, and the uint16 accumulator is exact
+    # (sum of bit*2^k <= 0xFFFF). The returned Python-int list (~36 B/bit,
+    # ~290 B per scan byte) is the scalar decoder's working set and is the
+    # documented per-segment memory bound.
+    out: list[int] = []
+    chunk = 1 << 21  # 2M bit positions per pass
+    for s in range(0, nbits, chunk):
+        e = min(s + chunk, nbits)
+        win = np.lib.stride_tricks.sliding_window_view(ext[s : e + 16], 16)
+        out.extend((win[: e - s] @ _POW16_U16).tolist())
+    return out, nbits
 
 
 def _scan_segments(data: bytes, scan_start: int) -> list[bytes]:
@@ -644,6 +658,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                             i += 16
                             continue
                         i += sym >> 4
+                        if i > 63:
+                            # fail loud on malformed streams: a run past the
+                            # block end would silently write into the NEXT
+                            # block's slots in the flat coefficient array
+                            raise ValueError(
+                                "coefficient run past block end"
+                            )
                         s = sym & 0x0F
                         amp = n16[p] >> (16 - s)
                         p += s
