@@ -156,7 +156,13 @@ def q_join3_topn_mv(spark, t):
     agg — no broadcast hashed relation is rebuilt per execution (the
     round-5 decomposition attributed the dim sector at ~180 ms of the
     ~350 ms sf1 run; measured round 6: full 3-join 350.9 ms vs fact-only
-    SMJ+agg 169.2 ms, same window). The MV is maintained at session
+    SMJ+agg 169.2 ms, same window). Round 7 closes the maintenance
+    question the MV protocol left open: p17_join_mv_maintain
+    (pipeline_ops.py) applies CDC deltas — order inserts/tombstones,
+    customer dimension moves — to this exact MV shape without rescanning
+    the fact table, oracle-proven equal to a from-scratch rebuild; in
+    production the startup rebuild below becomes that delta merge. The MV
+    is maintained at session
     startup next to the other secondary projections; DuckDB's published
     twin continues to run the raw 3-join SQL on raw parquet, and the
     startup cross-check asserts this path's rowset equals that SQL's."""

@@ -917,3 +917,86 @@ def a18_avro_split_scan(spark, sf_dir):
         F.min("c_name").alias("min_name"),
         F.max("c_name").alias("max_name"),
     )
+
+
+def compact_avro(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    block_rows: int | None = 1000,
+    target_files: int = 1,
+) -> None:
+    """Landing-zone compaction (round 7; the maintenance story k16's
+    docstring names): rewrite the N small container files under
+    ``src_dir`` — one per streaming micro-batch generation — into
+    ``target_files`` multi-block containers under ``dst_dir``. The read
+    side is the a18 split reader (block-parallel over every source
+    generation), the write side the a16 sink; ``block_rows`` keeps the
+    compacted container multi-block so the NEXT reader still fans out
+    per block. ``coalesce`` (not repartition) collapses the writer
+    partitioning without a shuffle — compaction is an IO rewrite, the
+    payload never needs to move between executors by key.
+
+    100 TB: small files are the first operational wall of continuous
+    ingest (every file costs a listing entry, an open, a header parse,
+    and a scheduler task); a compaction pass sized to
+    ``target_files = ceil(bytes / target_file_size)`` runs as a periodic
+    maintenance job over closed generations, and readers keep block-level
+    parallelism through a18 regardless of file count. Atomicity on a real
+    deployment comes from writing to a fresh directory and swapping the
+    table/view pointer — the same recipe as here (dst_dir is new), with
+    the swap left to the catalog."""
+    df = read_avro_split(spark, src_dir)
+    write_avro(df.coalesce(target_files), dst_dir, block_rows=block_rows)
+
+
+@query(
+    "k17_compact_generations",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def k17_compact_generations(spark, sf_dir):
+    """Avro landing-zone compaction end-to-end (r6 verdict item 2): stage
+    a k16-shaped landing directory — four writer GENERATIONS, one small
+    container each (the micro-batch output shape: ``prefix=g{i}``,
+    ``clean=False``, a17 coexistence) — then :func:`compact_avro` rewrites
+    them into ONE multi-block container, and the aggregate runs over the
+    a18 split read-back of the COMPACTED file only. The oracle is the same
+    events-table aggregate as k16: a generation dropped or doubled by the
+    rewrite, a mis-carried block, or a lossy value roundtrip diverges the
+    hash. tests/test_avro.py additionally pins the file-count collapse
+    (4 → 1), >1 data block in the compacted container, and a18 fan-out
+    over it.
+
+    100 TB: the generation files here stand in for hours of micro-batch
+    appends; the compaction job is the periodic rewrite that keeps the
+    landing zone's file count bounded while the block index keeps read
+    parallelism. See :func:`compact_avro` for the sizing/atomicity
+    contract."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    land = scratch_path(f"dps_k17_land_{tag}")
+    compacted = scratch_path(f"dps_k17_compacted_{tag}")
+    os.makedirs(land, exist_ok=True)
+    for old in os.listdir(land):  # parity runs repeat: drop stale generations
+        if old.endswith(".avro"):
+            os.remove(os.path.join(land, old))
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    for g in range(4):
+        write_avro(
+            ev.filter(F.col("event_id") % 4 == g).coalesce(1),
+            land,
+            prefix=f"g{g:02d}",
+            clean=False,
+        )
+    compact_avro(spark, land, compacted, block_rows=250)
+    back = read_avro_split(spark, compacted, target_splits=8)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_id"),
+        dsum("value").alias("sum_value"),
+    )

@@ -20,11 +20,13 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import fanout, load
+from dask_pipes_spark.session import ensure_index, fanout, load, scratch_path
 
 # --- SimHash -----------------------------------------------------------------
 
@@ -348,18 +350,13 @@ _L12_ORACLE = """
     """
 
 
-@query("l12_ivf_topk", oracle=_L12_ORACLE)
-def l12_ivf_topk(spark, sf_dir):
-    """IVF-style approximate top-k (Jégou et al. 2011): coarse centroids =
-    per-label mean vectors (the l8 computation), every vector indexed into
-    its nearest bucket, queries probe their nprobe=3 nearest buckets only —
-    the crossJoin shrinks by ~bucket_count/nprobe. FULL SQL oracle since
-    round 3: decimal-summed centroid means make the codebook (and thus
-    every bucket assignment, probe set, and ranked similarity, all already
-    round(6)-quantized with total-order tie-breaks) bit-reproducible, so
-    the DuckDB twin re-runs the ENTIRE index build + probe + re-rank and
-    must agree pair-for-pair. Absolute recall vs brute force stays
-    asserted in tests (low on isotropic fixtures, by construction)."""
+def _ivf_corpus_and_centroids(spark, sf_dir):
+    """Shared IVF build (l12 rebuild path == l62 persist path, by
+    construction): returns ``(vecs, cent)`` where ``vecs`` is the corpus as
+    (vec_id, e: array<double>, nrm) and ``cent`` the coarse codebook as
+    (bucket, ce, cnrm). Decimal-summed centroid means keep the codebook
+    bit-deterministic across partitionings — the property that lets both
+    the DuckDB oracle and the parquet-persisted index agree exactly."""
     e = fanout(load(spark, sf_dir, "embeddings"))
     dbl = e.select(
         "vec_id",
@@ -393,12 +390,13 @@ def l12_ivf_topk(spark, sf_dir):
             "cnrm", F.sqrt(F.aggregate("ce", F.lit(0.0), lambda acc, x: acc + x * x))
         )
     )
-    vecs = n.select("vec_id", "e", "nrm")
-    # codebook collect: bounded by label cardinality × dim (a coarse
-    # quantizer is small by design — this is the "train once, ship to every
-    # node" step, not a data-scale collect)
-    cent_rows = cent.collect()
-    indexed = ivf_assign(vecs, cent_rows, nprobe=1)
+    return n.select("vec_id", "e", "nrm"), cent
+
+
+def _ivf_probe_topk(vecs, indexed, cent_rows):
+    """Shared IVF probe (l12 == l62): queries = every 20th corpus vector
+    assigned to its nprobe=3 nearest buckets; candidates = bucket-join
+    against the nprobe=1 indexed corpus; exact cosine re-rank to top-5."""
     queries = ivf_assign(
         vecs.filter(F.col("vec_id") % 20 == 0), cent_rows, nprobe=3
     ).select(
@@ -429,6 +427,93 @@ def l12_ivf_topk(spark, sf_dir):
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .drop("rn")
+    )
+
+
+@query("l12_ivf_topk", oracle=_L12_ORACLE)
+def l12_ivf_topk(spark, sf_dir):
+    """IVF-style approximate top-k (Jégou et al. 2011): coarse centroids =
+    per-label mean vectors (the l8 computation), every vector indexed into
+    its nearest bucket, queries probe their nprobe=3 nearest buckets only —
+    the crossJoin shrinks by ~bucket_count/nprobe. FULL SQL oracle since
+    round 3: decimal-summed centroid means make the codebook (and thus
+    every bucket assignment, probe set, and ranked similarity, all already
+    round(6)-quantized with total-order tie-breaks) bit-reproducible, so
+    the DuckDB twin re-runs the ENTIRE index build + probe + re-rank and
+    must agree pair-for-pair. Absolute recall vs brute force stays
+    asserted in tests (low on isotropic fixtures, by construction)."""
+    vecs, cent = _ivf_corpus_and_centroids(spark, sf_dir)
+    # codebook collect: bounded by label cardinality × dim (a coarse
+    # quantizer is small by design — this is the "train once, ship to every
+    # node" step, not a data-scale collect)
+    cent_rows = cent.collect()
+    indexed = ivf_assign(vecs, cent_rows, nprobe=1)
+    return _ivf_probe_topk(vecs, indexed, cent_rows)
+
+
+def build_ivf_index(spark, sf_dir: str, index_dir: str) -> None:
+    """Materialize the l12 IVF index to parquet: ``centroids/`` (bucket,
+    ce, cnrm — the coarse codebook, label-cardinality rows) and
+    ``assignments/`` (vec_id, e, nrm, bucket — every corpus vector in its
+    nprobe=1 bucket). Both sides round-trip doubles exactly, so the
+    persisted index reproduces the rebuild path bit-for-bit."""
+    vecs, cent = _ivf_corpus_and_centroids(spark, sf_dir)
+    cent_rows = cent.collect()
+    cent.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    ivf_assign(vecs, cent_rows, nprobe=1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "assignments")
+    )
+
+
+@query("l62_ann_index_persist", oracle=_L12_ORACLE)
+def l62_ann_index_persist(spark, sf_dir):
+    """ANN index persistence + reuse (round 7): build-once → load → probe.
+
+    Every prior ANN key rebuilds its index per query; at 100 TB the index
+    BUILD is the expensive artifact (a full corpus pass + training) and
+    the probe is the cheap, repeated operation — reuse is the entire point
+    of IVF (Jégou et al. 2011's inverted file is an on-disk structure).
+    This key persists the l12 coarse codebook + bucket assignments to
+    parquet via :func:`build_ivf_index` under an :func:`ensure_index`
+    manifest, then answers the SAME probe spec (queries = every 20th
+    vector, nprobe=3, cosine top-5) purely from the persisted tables —
+    the returned plan contains NO centroid training (no posexplode /
+    decimal-mean aggregation; test-pinned), only two parquet scans, a
+    map-side literal-codebook assignment, and the bucket join.
+
+    Staleness/refresh: the manifest records an md5 over the source file
+    listing (size + mtime_ns) plus an index-format version; any source
+    change or format bump triggers a full rebuild — coarse codebooks are
+    tiny relative to the corpus, so rebuild-on-change is the right trade,
+    while incremental maintenance of assignments under CDC belongs to the
+    p5/g15 merge machinery. On a cluster the fingerprint becomes the
+    Iceberg/Delta snapshot id; the protocol is unchanged.
+
+    100 TB: the index build runs once per corpus version on the whole
+    cluster; probes read the (bucketed, columnar) assignments table and a
+    broadcast codebook — no training stage on the query path, which is the
+    difference between O(corpus) per query and O(corpus) per corpus
+    version. Full SQL oracle: same as l12 — the persisted path must equal
+    the rebuild path pair-for-pair."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx = ensure_index(
+        scratch_path(f"dps_l62_ivf_{tag}"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="ivf-v1",
+        build=lambda d: build_ivf_index(spark, sf_dir, d),
+    )
+    # schema-explicit read-back (a3 idiom): empty builds leave nothing to
+    # infer; bucket carries the label's int type
+    cent_rows = (
+        spark.read.schema("bucket int, ce array<double>, cnrm double")
+        .parquet(os.path.join(idx, "centroids"))
+        .collect()
+    )
+    indexed = spark.read.schema(
+        "vec_id bigint, e array<double>, nrm double, bucket int"
+    ).parquet(os.path.join(idx, "assignments"))
+    return _ivf_probe_topk(
+        indexed.select("vec_id", "e", "nrm"), indexed, cent_rows
     )
 
 

@@ -9,6 +9,8 @@ fit/transform contract is verified end-to-end, not just smoke-tested.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.pipeline import (
@@ -963,4 +965,154 @@ def p16_plan_governance(spark, sf_dir):
         rows,
         "key string, within_budget boolean, python_boundary_ok boolean, "
         "has_recorded_budget boolean",
+    )
+
+
+@query(
+    "p17_join_mv_maintain",
+    oracle="""
+    WITH customer_final AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 50 = 0
+                  THEN CAST((c_nationkey + 7) % 25 AS INTEGER)
+                  ELSE c_nationkey END AS c_nationkey
+      FROM customer
+    ),
+    orders_final AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 100 <> 4
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders_final o
+    JOIN customer_final c ON o.o_custkey = c.c_custkey
+    JOIN nation ON c.c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def p17_join_mv_maintain(spark, sf_dir):
+    """Incremental join-MV maintenance (r6 verdict item 3): the bench
+    join3 MV — orders⋈customer⋈nation as (o_orderkey, o_custkey, n_name)
+    — updated from CDC deltas WITHOUT rebuilding, p5's incremental-merge
+    algebra applied at join-view granularity with g15's upsert/tombstone
+    vocabulary.
+
+    Staged on-disk state (yesterday's world): the MV materialized from
+    orders-without-the-``%10==7``-slice, plus three CDC feeds — order
+    inserts (the held-out slice), order tombstones (``%100==4``), and
+    customer updates (``%50==0`` customers move nation:
+    ``(c_nationkey+7)%25``). The maintenance pass then reads ONLY the MV
+    and the delta feeds plus the broadcast dims — NEVER the orders fact
+    table (test-pinned: zero orders.parquet scans in the plan):
+
+    - kept   = MV  ⟕anti  (insert ∪ tombstone keys)  ⟕anti  changed-custkeys
+    - re-aim = (MV ⟕anti order-deltas) ⋈ changed-customers ⋈ nation —
+      the MV itself supplies (o_orderkey, o_custkey) for re-aimed rows,
+      so a dimension update costs |affected MV rows|, not an orders scan
+    - insert = order-insert feed ⋈ (customer ⟵ updates applied) ⋈ nation
+
+    The returned per-nation aggregate runs over kept ∪ re-aim ∪ insert;
+    the oracle computes the SAME final state from scratch (single-shot
+    3-way join over the mutated base tables), so any row dropped twice,
+    re-aimed to the wrong nation, or double-inserted by the merge algebra
+    diverges the hash — delta-maintained MV == rebuilt-from-scratch MV.
+
+    100 TB: this is the nightly MV-refresh pattern — the fact-side MV is
+    bucketed by o_orderkey (the bench MV is cached co-partitioned with
+    lineitem), deltas are broadcast (CDC batches are delta-sized, not
+    corpus-sized), and the three anti/inner joins are all map-side; the
+    only full pass is over the MV itself, which is the artifact being
+    maintained. Tombstone/upsert semantics follow g15; the aggregate
+    merge of p5 composes downstream unchanged."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p17_mv_{tag}")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    mv_path = os.path.join(base, "mv")
+    ins_path = os.path.join(base, "delta_order_ins")
+    del_path = os.path.join(base, "delta_order_del")
+    cust_path = os.path.join(base, "delta_cust")
+    if not os.path.exists(os.path.join(cust_path, "_SUCCESS")):
+        orders_old = orders.filter(F.col("o_orderkey") % 10 != 7)
+        (
+            orders_old.join(
+                F.broadcast(customer),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select("o_orderkey", "o_custkey", "n_name")
+            .write.mode("overwrite")
+            .parquet(mv_path)
+        )
+        orders.filter(F.col("o_orderkey") % 10 == 7).select(
+            "o_orderkey", "o_custkey"
+        ).write.mode("overwrite").parquet(ins_path)
+        orders_old.filter(F.col("o_orderkey") % 100 == 4).select(
+            "o_orderkey"
+        ).write.mode("overwrite").parquet(del_path)
+        customer.filter(F.col("c_custkey") % 50 == 0).select(
+            "c_custkey",
+            ((F.col("c_nationkey") + 7) % 25).cast("int").alias("new_nationkey"),
+        ).write.mode("overwrite").parquet(cust_path)
+    # --- maintenance: MV + deltas + broadcast dims only from here on ---
+    mv_old = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, n_name string"
+    ).parquet(mv_path)
+    d_ins = spark.read.schema("o_orderkey bigint, o_custkey bigint").parquet(
+        ins_path
+    )
+    d_del = spark.read.schema("o_orderkey bigint").parquet(del_path)
+    d_cust = spark.read.schema("c_custkey bigint, new_nationkey int").parquet(
+        cust_path
+    )
+    order_delta_keys = d_ins.select("o_orderkey").unionAll(
+        d_del.select("o_orderkey")
+    )
+    survivors = mv_old.join(
+        F.broadcast(order_delta_keys), "o_orderkey", "left_anti"
+    )
+    kept = survivors.join(
+        F.broadcast(d_cust),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    )
+    # dimension re-aim: the MV supplies the fact keys; only n_name changes
+    reaim = (
+        survivors.drop("n_name")
+        .join(
+            F.broadcast(d_cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("new_nationkey") == F.col("n_nationkey")
+        )
+        .select("o_orderkey", "o_custkey", "n_name")
+    )
+    cust_final = (
+        customer.join(F.broadcast(d_cust), "c_custkey", "left")
+        .withColumn(
+            "c_nationkey", F.coalesce("new_nationkey", "c_nationkey")
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    inserts = (
+        d_ins.join(
+            F.broadcast(cust_final), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("o_orderkey", "o_custkey", "n_name")
+    )
+    mv_new = kept.select("o_orderkey", "o_custkey", "n_name").unionAll(
+        reaim
+    ).unionAll(inserts)
+    return mv_new.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        F.sum("o_custkey").alias("sum_custkey"),
     )

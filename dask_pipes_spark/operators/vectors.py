@@ -37,7 +37,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import fanout, load
+from dask_pipes_spark.session import ensure_index, fanout, load, scratch_path
 
 _EPS = 0.1  # ε for the spatial join, in coordinate units
 
@@ -426,11 +426,44 @@ def l55_pq_topk(spark, sf_dir):
     The 64× memory cut (4 B vs 256 B) is what lets a 100 TB vector corpus
     sit in cluster RAM; IVF coarse partitioning (l12) composes in front to
     prune candidates, exactly the IVFADC system of the paper."""
+    v, sub = _pq_corpus(spark, sf_dir)
+    cents = _pq_train(v, sub)
+    codes = _pq_assign(sub, cents)
+    return _pq_probe_topk(
+        sub.filter(F.col("vec_id") % 100 == 0), cents, codes
+    )
+
+
+def _pq_corpus(spark, sf_dir):
+    """Shared PQ corpus prep (l55 rebuild == l63 persist): (v, sub) where
+    ``sub`` is the 8× subspace fan-out of every corpus vector."""
     e = fanout(load(spark, sf_dir, "embeddings"))
     v = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
+    return v, _pq_subspaces(v).select("vec_id", "s", "sv")
+
+
+def _pq_assign(sub, cents):
+    """Nearest centroid per (vector, subspace); struct-min gives a
+    deterministic argmin (distance, then centroid id)."""
+    return (
+        sub.join(F.broadcast(cents), "s")
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min(
+                F.struct(_l2sq("sv", "cv").alias("d2"), "cid")
+            ).alias("best")
+        )
+        .select("vec_id", "s", F.col("best.cid").alias("code"))
+    )
+
+
+def _pq_train(v, sub):
+    """Digest-seeded init + two decimal-exact Lloyd rounds (bit-
+    deterministic across partitionings); returns the codebook
+    (s, cid, cv)."""
     digest = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))), 1, 15
@@ -450,29 +483,13 @@ def l55_pq_topk(spark, sf_dir):
     cents = _pq_subspaces(seeds.select("cid", "e")).select(
         "s", "cid", F.col("sv").alias("cv")
     )
-    sub = _pq_subspaces(v).select("vec_id", "s", "sv")
-
-    def assign(centroids):
-        """Nearest centroid per (vector, subspace); struct-min gives a
-        deterministic argmin (distance, then centroid id)."""
-        return (
-            sub.join(F.broadcast(centroids), "s")
-            .groupBy("vec_id", "s")
-            .agg(
-                F.min(
-                    F.struct(_l2sq("sv", "cv").alias("d2"), "cid")
-                ).alias("best")
-            )
-            .select("vec_id", "s", F.col("best.cid").alias("code"))
-        )
-
     # Lloyd refinement (2 rounds): recompute each centroid as the exact
     # element-wise mean of its members — decimal sums keep the means
     # order-insensitive, so the refined codebook (and every downstream
     # argmin) is bit-deterministic across partitionings. Empty clusters
     # keep their previous centroid (coalesce).
     for _ in range(2):
-        members = assign(cents).join(sub, ["vec_id", "s"])
+        members = _pq_assign(sub, cents).join(sub, ["vec_id", "s"])
         means = members.groupBy("s", F.col("code").alias("cid")).agg(
             F.array(
                 *[
@@ -491,10 +508,16 @@ def l55_pq_topk(spark, sf_dir):
             .select("s", "cid", F.coalesce("mv", "cv").alias("cv"))
             .localCheckpoint(eager=False)
         )
-    codes = assign(cents)
+    return cents
+
+
+def _pq_probe_topk(qsub, cents, codes):
+    """Shared ADC probe (l55 rebuild == l63 persist): per-query 8×16
+    distance grid against the codebook, 8-lookup decimal-summed distance
+    estimate per candidate, top-5 by (adc_dist, vec_id)."""
     # ADC tables for the query set: full 8×16 distance grid per query
     qd = (
-        sub.filter(F.col("vec_id") % 100 == 0)
+        qsub
         .select(F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qv"))
         .join(F.broadcast(cents), "s")
         .select(
@@ -528,6 +551,66 @@ def l55_pq_topk(spark, sf_dir):
             "query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist"
         )
         .orderBy("query_id", "adc_dist", "neighbor_id")
+    )
+
+
+def build_pq_index(spark, sf_dir: str, index_dir: str) -> None:
+    """Materialize the l55 PQ index to parquet: ``codebooks/`` (s, cid,
+    cv — 8×16 trained subspace centroids) and ``codes/`` (vec_id, s,
+    code — 4-bit code per vector per subspace, the 64× compressed corpus
+    representation). Doubles round-trip exactly, so the persisted index
+    reproduces the rebuild path bit-for-bit."""
+    import os
+
+    v, sub = _pq_corpus(spark, sf_dir)
+    cents = _pq_train(v, sub)
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "codebooks"))
+    _pq_assign(sub, cents).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codes")
+    )
+
+
+@query("l63_pq_index_persist", oracle=_l55_oracle())
+def l63_pq_index_persist(spark, sf_dir):
+    """PQ index persistence + reuse (round 7, the l62 protocol applied to
+    product quantization): l55's trained codebooks and per-vector codes are
+    the expensive artifacts — training is two full-corpus Lloyd passes and
+    encoding touches every vector — while the ADC probe only needs the
+    128-row codebook and the 4-byte codes. This key persists both via
+    :func:`build_pq_index` under an :func:`ensure_index` manifest
+    (source-listing fingerprint + format version; stale → full rebuild,
+    the right trade for codebooks — incremental code maintenance under CDC
+    is p5/g15 territory), then answers the SAME probe spec (queries =
+    every 100th vector, ADC top-5) purely from the persisted tables plus
+    the query slice of the corpus. The returned plan contains NO Lloyd
+    stage (no localCheckpoint→ExistingRDD scan; test-pinned) and reads
+    embeddings ONLY for the query vectors.
+
+    100 TB: the codes table IS the RAM-resident corpus (4 B/vector/
+    subspace); re-encoding it per query — what the rebuild path implies —
+    costs a full corpus pass, so persistence is what makes PQ an index
+    rather than a query plan. Full SQL oracle: same as l55 — the persisted
+    path must equal the rebuild path pair-for-pair."""
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx = ensure_index(
+        scratch_path(f"dps_l63_pq_{tag}"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="pq-v1",
+        build=lambda d: build_pq_index(spark, sf_dir, d),
+    )
+    # schema-explicit read-back (a3 idiom): empty builds leave nothing to
+    # infer
+    cents = spark.read.schema("s int, cid int, cv array<double>").parquet(
+        os.path.join(idx, "codebooks")
+    )
+    codes = spark.read.schema("vec_id bigint, s int, code int").parquet(
+        os.path.join(idx, "codes")
+    )
+    _, sub = _pq_corpus(spark, sf_dir)
+    return _pq_probe_topk(
+        sub.filter(F.col("vec_id") % 100 == 0), cents, codes
     )
 
 

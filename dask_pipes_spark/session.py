@@ -62,6 +62,71 @@ def scratch_path(name: str) -> str:
         os.makedirs(_SCRATCH_ROOT, exist_ok=True)
     return os.path.join(_SCRATCH_ROOT, name)
 
+def dataset_fingerprint(path: str) -> str:
+    """Stable fingerprint of a source dataset (file or directory) for index
+    staleness checks: md5 over the sorted (relpath, size, mtime_ns) listing.
+
+    This is the offline stand-in for a table-format snapshot id — on a
+    cluster with Iceberg/Delta the fingerprint is the table's snapshot/
+    version and the same ensure-index protocol applies unchanged. Listing
+    metadata only (never reading payload bytes) keeps the staleness probe
+    O(files), which is what makes a per-query freshness check affordable
+    at 100 TB."""
+    import hashlib
+
+    entries: list[tuple[str, int, int]] = []
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for f in files:
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                entries.append(
+                    (os.path.relpath(fp, path), st.st_size, st.st_mtime_ns)
+                )
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    return hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
+
+
+def ensure_index(
+    index_dir: str, source_path: str, version: str, build
+) -> str:
+    """Build-once / load-many index lifecycle (round 7, ANN persistence).
+
+    If ``index_dir`` holds a ``MANIFEST.json`` whose source fingerprint and
+    index-format version both match, the persisted index is fresh and is
+    reused as-is; otherwise ``build(index_dir)`` runs and the manifest is
+    (re)written AFTER the build succeeds — a crash mid-build leaves no
+    manifest, so the next caller rebuilds rather than loading a torn index.
+
+    Staleness contract: any change to the source dataset's file listing
+    (new/removed/rewritten files) or a bump of ``version`` (index format
+    change) invalidates the index. Refresh is full rebuild — the right
+    trade for coarse quantizers and codebooks, which are tiny relative to
+    the corpus; incremental maintenance of the ASSIGNMENT side belongs to
+    the CDC/merge machinery (p5/g15), not here."""
+    import json
+
+    manifest = os.path.join(index_dir, "MANIFEST.json")
+    fp = dataset_fingerprint(source_path)
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as fh:
+                m = json.load(fh)
+            if m.get("fingerprint") == fp and m.get("version") == version:
+                return index_dir
+        except (OSError, ValueError):
+            pass  # unreadable manifest == stale
+    build(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    with open(manifest, "w") as fh:
+        json.dump(
+            {"fingerprint": fp, "version": version, "source": source_path}, fh
+        )
+    return index_dir
+
+
 # Runtime-settable SQL confs every query in this engine relies on.
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",

@@ -290,3 +290,55 @@ def test_compiled_decoder_matches_interpreter(spark):
         }
     )
     assert avro_io._compiled_decoder(arr_sj) is None  # interpreter fallback
+
+
+def test_compaction_collapses_generations_into_multiblock_file(spark):
+    """k17 contract: four generation files compact into ONE container that
+    (a) holds >1 data block, (b) carries the exact same rowset, and
+    (c) still fans out across tasks through the a18 split reader."""
+    from dask_pipes_spark.operators.avro_io import (
+        compact_avro,
+        k17_compact_generations,
+    )
+
+    # run the key once: it stages the landing dir + compacted dir
+    rows = {
+        r.event_type: (r.n_events, r.sum_id)
+        for r in k17_compact_generations(spark, SF_SMOKE).collect()
+    }
+    ev = load(spark, SF_SMOKE, "events")
+    want = {
+        r.event_type: (r.n, r.s)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    }
+    assert rows == want
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    land = scratch_path(f"dps_k17_land_{tag}")
+    compacted = scratch_path(f"dps_k17_compacted_{tag}")
+    land_files = [f for f in os.listdir(land) if f.endswith(".avro")]
+    out_files = [f for f in os.listdir(compacted) if f.endswith(".avro")]
+    assert len(land_files) == 4, land_files
+    assert len(out_files) == 1, out_files  # fewer files...
+    _, _, blocks = avro_io._index_container_blocks(
+        os.path.join(compacted, out_files[0])
+    )
+    assert len(blocks) > 1  # ...more blocks per file
+
+    # rowset equality landing vs compacted, and a18 fan-out over the result
+    before = avro_io.read_avro_split(spark, land)
+    after = avro_io.read_avro_split(spark, compacted, target_splits=8)
+    assert after.rdd.getNumPartitions() == 8
+    per_part = after.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert sum(1 for n in per_part if n > 0) > 1
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+
+    # idempotence: re-compacting the compacted dir is a no-op rowset-wise
+    recompacted = scratch_path(f"dps_k17_recompact_{tag}")
+    compact_avro(spark, compacted, recompacted, block_rows=250)
+    again = avro_io.read_avro_split(spark, recompacted)
+    assert again.exceptAll(after).count() == 0
+    assert after.exceptAll(again).count() == 0

@@ -305,3 +305,49 @@ def test_p16_plan_governance_all_within_budget(spark):
         assert r.has_recorded_budget is True, r.key
         assert r.within_budget is True, r
         assert r.python_boundary_ok is True, r
+
+
+def test_p17_maintenance_never_rescans_orders(spark):
+    """p17 contract: the delta-maintenance plan reads the MV, the CDC
+    feeds, and the broadcast dims — never the orders fact table — and its
+    result equals a from-scratch rebuild of the mutated final state."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.pipeline_ops import p17_join_mv_maintain
+    from dask_pipes_spark.session import load
+    from tests.conftest import SF_SMOKE
+
+    df = p17_join_mv_maintain(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    assert not re.search(r"orders\.parquet", plan), (
+        "maintenance must not rescan the fact table"
+    )
+    assert plan.count("dps_p17_mv") >= 3  # MV + delta feeds
+
+    orders = load(spark, SF_SMOKE, "orders")
+    customer = load(spark, SF_SMOKE, "customer")
+    nation = load(spark, SF_SMOKE, "nation")
+    cust_final = customer.withColumn(
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 50 == 0,
+            ((F.col("c_nationkey") + 7) % 25).cast("int"),
+        ).otherwise(F.col("c_nationkey")),
+    )
+    rebuilt = (
+        orders.filter(F.col("o_orderkey") % 100 != 4)
+        .join(F.broadcast(cust_final), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+            F.sum("o_custkey").alias("sum_custkey"),
+        )
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in rebuilt.collect())
+    assert got, "maintained MV aggregate must be non-empty at sf0.001"
+    assert got == want

@@ -72,6 +72,7 @@ ARROW_OK = {
     "a16_scan_avro",
     "a17_avro_schema_evolution",
     "a18_avro_split_scan",
+    "k17_compact_generations",  # a18 split reader (mapInPandas block decode)
     "m13_jpeg_decode",
     "m14_mjpeg_decode",
     "m15_jpeg_color_decode",
