@@ -190,7 +190,7 @@ def k6_stream_stateful(spark, sf_dir):
     unavailable in this environment — its state-server protocol
     (``pyspark/sql/streaming/stateful_processor_api_client.py``) imports
     ``google.protobuf``, which the container does not ship. Vendoring was
-    re-probed 2026-08-14 round 4, round 5 AND 2026-08-15 round 6
+    re-probed 2026-08-14 round 4, round 5, 2026-08-15 rounds 6 AND 7
     (``import google.protobuf`` and
     ``importlib.util.find_spec('google.protobuf')`` both →
     ``ModuleNotFoundError: No module named 'google'``; site-packages has
@@ -709,7 +709,11 @@ def k15_stream_incremental_dedup(spark, sf_dir):
     100 TB: state is one 32-byte digest per distinct doc, hash-partitioned
     by the state store exactly like the batch join's shuffle; the
     watermark bounds it to the dedup horizon, and RocksDB is the
-    production state knob. Seeding by replay costs one pass over the
+    production state knob — exercised, not just named: round 7's
+    tests/test_streaming.py runs k5/k10/k15 under
+    ``RocksDBStateStoreProvider`` (ships in Spark 4.1.2) with identical
+    rowsets, and pins provider engagement via the rocksdb* custom
+    metrics in the state-operator progress. Seeding by replay costs one pass over the
     digest table, not the corpus bytes."""
     from pyspark.sql import Window
 

@@ -257,3 +257,69 @@ def test_k16_avro_sink_writes_one_generation_per_microbatch(spark, registry):
     assert len(gens) >= 2, gens  # one generation per micro-batch
     n_events = load(spark, SF_SMOKE, "events").count()
     assert sum(r.n_events for r in out_rows) == n_events
+
+
+# --- RocksDB state-store provider (round 7, r6 verdict item 5) --------------
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def test_rocksdb_provider_engages(spark):
+    """The production state knob actually runs in this build: a stateful
+    drain under the RocksDB provider reports rocksdb* custom metrics in
+    every micro-batch's state-operator progress."""
+    import json
+
+    from dask_pipes_spark.streaming import run_with_progress
+
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    try:
+        stream = read_events_stream(spark, SF_SMOKE).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        dd = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id")
+        )
+        df, progs = run_with_progress(dd, "rocksdb_engage_probe", "append")
+        assert df.count() == load(spark, SF_SMOKE, "events").count()
+        assert progs, "drain produced no progress events"
+        seen = False
+        for p in progs:
+            d = json.loads(p.json)
+            for so in d.get("stateOperators", []):
+                metrics = so.get("customMetrics", {})
+                if any("rocksdb" in k.lower() for k in metrics):
+                    seen = True
+        assert seen, "no rocksdb custom metrics — provider did not engage"
+    finally:
+        spark.conf.unset(_PROVIDER_CONF)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["k5_stream_dedup", "k10_stream_session", "k15_stream_incremental_dedup"],
+)
+def test_stateful_keys_identical_under_rocksdb(spark, key):
+    """k5/k10/k15 under RocksDB state: exact same rowset as under the
+    default HDFS-backed provider — state-store choice is an operational
+    knob, never a semantics change (their SQL oracles hold unchanged)."""
+    from dask_pipes_spark.operators import streaming_ops
+
+    fn = getattr(streaming_ops, key)
+    default_rows = sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
+    assert default_rows, f"{key} empty at sf0.001"
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    try:
+        rocks_rows = sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
+    finally:
+        spark.conf.unset(_PROVIDER_CONF)
+    assert rocks_rows == default_rows
