@@ -123,3 +123,70 @@ def test_ensure_index_builds_once_and_detects_staleness(tmp_path):
     )
     ensure_index(idx, str(src), "v2", build)
     assert len(calls) == 5, "post-crash call must rebuild"
+
+
+def test_l64_equals_l17_rebuild(spark):
+    """The persisted LSH bucket table answers the multi-probe identically
+    to the bucket-per-query rebuild path."""
+    from dask_pipes_spark.operators.llm_ext import (
+        l17_vector_lsh_topk,
+        l64_lsh_index_persist,
+    )
+
+    a = _rowset(l17_vector_lsh_topk(spark, SF_SMOKE))
+    b = _rowset(l64_lsh_index_persist(spark, SF_SMOKE))
+    assert a, "probe result must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_l64_probe_plan_is_index_resident(spark):
+    from dask_pipes_spark.operators.llm_ext import l64_lsh_index_persist
+
+    plan = _plan(l64_lsh_index_persist(spark, SF_SMOKE))
+    assert plan.count("dps_l64_lsh") >= 1
+    assert not re.search(r"embeddings\.parquet", plan), (
+        "probe must not rescan the corpus (buckets and queries come from "
+        "the persisted index)"
+    )
+
+
+def test_l65_delta_maintained_equals_full_rebuild(spark):
+    """l65 contract: anti-join deletes + map-side delta assignment against
+    the fixed codebook produce the same index (and thus the same probe
+    answer) as re-assigning the entire final corpus from scratch."""
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        _ivf_probe_topk,
+        ivf_assign,
+        l65_ann_index_delta,
+    )
+
+    got = _rowset(l65_ann_index_delta(spark, SF_SMOKE))
+    assert got, "probe result must be non-empty at sf0.001"
+
+    # from-scratch twin: old-corpus codebook, final-corpus assignments
+    _, cent = _ivf_corpus_and_centroids(
+        spark, SF_SMOKE, pred=F.col("vec_id") % 9 != 5
+    )
+    cent_rows = cent.collect()
+    final_vecs, _ = _ivf_corpus_and_centroids(
+        spark,
+        SF_SMOKE,
+        pred=(F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3),
+    )
+    rebuilt = _ivf_probe_topk(
+        final_vecs, ivf_assign(final_vecs, cent_rows, nprobe=1), cent_rows
+    )
+    assert got == _rowset(rebuilt)
+
+
+def test_l65_maintenance_plan_reads_only_index_and_deltas(spark):
+    from dask_pipes_spark.operators.llm_ext import l65_ann_index_delta
+
+    plan = _plan(l65_ann_index_delta(spark, SF_SMOKE))
+    assert not re.search(r"embeddings\.parquet", plan)
+    assert "posexplode" not in plan
+    assert "decimal(28,12)" not in plan.lower()
+    assert plan.count("dps_l65_ivf_delta") >= 3  # assignments + both feeds
