@@ -1000,3 +1000,77 @@ def k17_compact_generations(spark, sf_dir):
         F.sum("event_id").alias("sum_id"),
         dsum("value").alias("sum_value"),
     )
+
+
+@query(
+    "k18_vacuum_generations",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def k18_vacuum_generations(spark, sf_dir):
+    """Landing-zone swap + retention (the atomicity half k17's compaction
+    defers to "the catalog"): generations compact into a FRESH scratch
+    directory (never in-place — a reader listing the landing zone mid-
+    rewrite must see either the old files or the new, not a torn mix),
+    then the swap is (1) move the compacted container INTO the landing
+    zone under a distinct prefix — ``os.replace``, atomic on one
+    filesystem, the rename-into-place every table format builds on —
+    (2) write a vacuum manifest recording what superseded what, and
+    (3) delete the superseded generation files. The aggregate then runs
+    over the POST-VACUUM landing zone through the a18 split reader, so a
+    generation deleted before its rows landed in the compacted container,
+    or a swap that left both copies, diverges the events-table oracle.
+
+    100 TB: retention is where compaction pays — the landing zone's file
+    count returns to O(compactions), directory listings stop scaling with
+    ingest history, and the manifest gives readers/auditors the
+    supersession chain. On object storage the os.replace step becomes the
+    table format's atomic metadata swap (Iceberg snapshot commit / Delta
+    log entry); the ordering discipline — new data durable BEFORE old
+    data deleted, manifest before vacuum — is exactly what this key
+    pins. tests/test_avro.py asserts the generation files are gone, the
+    manifest names them, and the rowset survived the vacuum."""
+    import json as _json
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    land = scratch_path(f"dps_k18_land_{tag}")
+    tmp = scratch_path(f"dps_k18_tmp_{tag}")
+    # fresh landing zone each run (the vacuum consumed last run's)
+    os.makedirs(land, exist_ok=True)
+    for old in os.listdir(land):
+        if old.endswith(".avro") or old == "VACUUM.json":
+            os.remove(os.path.join(land, old))
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    for g in range(4):
+        write_avro(
+            ev.filter(F.col("event_id") % 4 == g).coalesce(1),
+            land,
+            prefix=f"g{g:02d}",
+            clean=False,
+        )
+    gens = sorted(f for f in os.listdir(land) if f.endswith(".avro"))
+    # 1. compact into a FRESH directory (durable before any delete)
+    compact_avro(spark, land, tmp, block_rows=250)
+    compacted = [f for f in os.listdir(tmp) if f.endswith(".avro")]
+    # 2. atomic rename into the landing zone, manifest, THEN vacuum
+    final_names = []
+    for f in compacted:
+        os.replace(
+            os.path.join(tmp, f), os.path.join(land, f"compacted-{f}")
+        )
+        final_names.append(f"compacted-{f}")
+    with open(os.path.join(land, "VACUUM.json"), "w") as fh:
+        _json.dump({"superseded": gens, "by": final_names}, fh)
+    for f in gens:
+        os.remove(os.path.join(land, f))
+    back = read_avro_split(spark, land, target_splits=8)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_id"),
+        dsum("value").alias("sum_value"),
+    )

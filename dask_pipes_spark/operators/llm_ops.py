@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import davg, dsum, query, sql_davg, sql_dsum
-from dask_pipes_spark.session import fanout, load
+from dask_pipes_spark.session import ensure_index, fanout, load, scratch_path
 
 NUM_PERM = 32  # minhash permutations
 BANDS = 8  # LSH bands → rows-per-band r = 4; s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59
@@ -353,6 +353,66 @@ def l2_minhash_lsh(spark, sf_dir):
     planted near-duplicates stays asserted in tests/test_llm.py."""
     d = fanout(load(spark, sf_dir, "documents"))  # shingle map on all cores
     sigs = minhash_signatures(d)
+    return lsh_candidates(sigs).orderBy("doc_a", "doc_b")
+
+
+def build_minhash_index(spark, sf_dir: str, index_dir: str) -> None:
+    """Materialize the MinHash signature index to parquet: ``signatures/``
+    (doc_id, sig: array<bigint>) over the accepted-corpus slice
+    (``doc_id % 7 != 2`` — the held-out slice is l66's incoming batch).
+    Signatures are 64 x 8 B per document vs the full text — the compact
+    artifact a crawl pipeline keeps so no document is ever re-shingled."""
+    import os
+
+    old = fanout(load(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 7 != 2
+    )
+    minhash_signatures(old).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "signatures")
+    )
+
+
+@query("l66_minhash_index_persist", oracle=_l2_oracle())
+def l66_minhash_index_persist(spark, sf_dir):
+    """MinHash signature-index persistence + incremental update (the l62
+    lifecycle applied to the dedup tier — the highest-volume index a
+    training-data pipeline owns): the accepted corpus's signatures are
+    persisted once via :func:`build_minhash_index` under an
+    :func:`ensure_index` staleness manifest; an incoming batch (the
+    ``doc_id % 7 == 2`` slice) is shingled and signed IN ISOLATION, its
+    signatures appended to the loaded index, and banded LSH candidate
+    generation runs over the union — so the expensive stage (3-word
+    shingling + 64 K-M hash-mins over the text) runs on the DELTA ONLY,
+    while the corpus side contributes 512 B/doc of signatures from
+    parquet, never its text. The result is the IDENTICAL candidate set to
+    l2's full recompute (same oracle, pair-for-pair): persisting
+    signatures changes where bytes come from, never what the index means.
+
+    100 TB: re-shingling a petabyte-scale text corpus per crawl snapshot
+    is the cost that makes naive dedup inoperable; the signature table is
+    ~0.1% of corpus bytes, appends are delta-sized, and the banding/
+    pair-gen over the union touches only signatures. Retention of the
+    band-bucket cap discipline (l2/l59/l61) carries over unchanged
+    because the union feeds the same lsh_candidates machinery.
+    Staleness: source-listing fingerprint + format version (a corpus
+    rewrite invalidates the signature table wholesale; per-doc
+    invalidation under CDC composes via the p17 anti-join pattern)."""
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx = ensure_index(
+        scratch_path(f"dps_l66_mh_{tag}"),
+        os.path.join(sf_dir, "documents.parquet"),
+        version="mh-v1",
+        build=lambda d: build_minhash_index(spark, sf_dir, d),
+    )
+    old_sigs = spark.read.schema("doc_id bigint, sig array<bigint>").parquet(
+        os.path.join(idx, "signatures")
+    )
+    delta = fanout(load(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 7 == 2
+    )
+    sigs = old_sigs.unionAll(minhash_signatures(delta))
     return lsh_candidates(sigs).orderBy("doc_a", "doc_b")
 
 

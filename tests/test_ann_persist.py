@@ -190,3 +190,57 @@ def test_l65_maintenance_plan_reads_only_index_and_deltas(spark):
     assert "posexplode" not in plan
     assert "decimal(28,12)" not in plan.lower()
     assert plan.count("dps_l65_ivf_delta") >= 3  # assignments + both feeds
+
+
+def test_l66_equals_l2_full_recompute(spark):
+    """The delta-maintained signature index produces the identical banded
+    candidate set to l2's full recompute — persistence changes where bytes
+    come from, never what the index means."""
+    from dask_pipes_spark.operators.llm_ops import (
+        l2_minhash_lsh,
+        l66_minhash_index_persist,
+    )
+
+    a = _rowset(l2_minhash_lsh(spark, SF_SMOKE))
+    b = _rowset(l66_minhash_index_persist(spark, SF_SMOKE))
+    assert a, "candidate set must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_l66_shingles_only_the_delta(spark):
+    """The maintained signature frame reads document text exactly once —
+    for the incoming batch — and takes the corpus side from the persisted
+    signature parquet (the final candidate plan then consumes the eagerly
+    checkpointed union, so the pin targets the pre-checkpoint frame); the
+    signature table itself holds only accepted-corpus docs."""
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.llm_ops import (
+        l66_minhash_index_persist,
+        minhash_signatures,
+    )
+    from dask_pipes_spark.session import fanout, load, scratch_path
+
+    # run the key once so the index exists (and prove it answers)
+    assert l66_minhash_index_persist(spark, SF_SMOKE).count() > 0
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    sig_path = os.path.join(scratch_path(f"dps_l66_mh_{tag}"), "signatures")
+    old_sigs = spark.read.schema("doc_id bigint, sig array<bigint>").parquet(
+        sig_path
+    )
+    delta = fanout(load(spark, SF_SMOKE, "documents")).filter(
+        F.col("doc_id") % 7 == 2
+    )
+    maintained = old_sigs.unionAll(minhash_signatures(delta))
+    plan = _plan(maintained)
+    assert len(re.findall(r"documents\.parquet", plan)) == 1, (
+        "corpus text must be read only for the delta"
+    )
+    assert plan.count("dps_l66_mh") >= 1
+
+    n_sigs = old_sigs.count()
+    docs = load(spark, SF_SMOKE, "documents")
+    n_old = docs.filter(F.col("doc_id") % 7 != 2).count()
+    assert n_sigs == n_old
+    assert n_old < docs.count()  # the delta slice is non-vacuous

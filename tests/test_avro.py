@@ -342,3 +342,36 @@ def test_compaction_collapses_generations_into_multiblock_file(spark):
     again = avro_io.read_avro_split(spark, recompacted)
     assert again.exceptAll(after).count() == 0
     assert after.exceptAll(again).count() == 0
+
+
+def test_vacuum_swaps_atomically_and_preserves_rows(spark):
+    """k18 contract: after compact → rename-in → manifest → vacuum, the
+    landing zone holds ONLY the compacted container plus the manifest, the
+    manifest names every superseded generation, and the rowset equals the
+    source events slice exactly."""
+    import json
+
+    from dask_pipes_spark.operators.avro_io import k18_vacuum_generations
+
+    rows = {
+        r.event_type: (r.n_events, r.sum_id)
+        for r in k18_vacuum_generations(spark, SF_SMOKE).collect()
+    }
+    ev = load(spark, SF_SMOKE, "events")
+    want = {
+        r.event_type: (r.n, r.s)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    }
+    assert rows == want
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    land = scratch_path(f"dps_k18_land_{tag}")
+    files = sorted(f for f in os.listdir(land) if f.endswith(".avro"))
+    assert files and all(f.startswith("compacted-") for f in files), files
+    manifest = json.load(open(os.path.join(land, "VACUUM.json")))
+    assert len(manifest["superseded"]) == 4
+    assert manifest["by"] == files
+    # superseded generations are really gone
+    assert not any(f in files for f in manifest["superseded"])

@@ -73,6 +73,7 @@ ARROW_OK = {
     "a17_avro_schema_evolution",
     "a18_avro_split_scan",
     "k17_compact_generations",  # a18 split reader (mapInPandas block decode)
+    "k18_vacuum_generations",  # same a18 split-reader boundary post-vacuum
     "m13_jpeg_decode",
     "m14_mjpeg_decode",
     "m15_jpeg_color_decode",
