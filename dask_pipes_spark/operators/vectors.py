@@ -319,14 +319,21 @@ def _l2sq(a, b):
     )
 
 
-def _l55_oracle() -> str:
+def _l55_oracle(train_pred: str | None = None, corpus_pred: str | None = None) -> str:
     """DuckDB twin of l55 — the ENTIRE IVFADC-style pipeline re-derived in
     SQL: digest-seeded codebook init, two CTE-unrolled Lloyd rounds with
     decimal-exact centroid means, struct-min code assignment (ROW_NUMBER
     over (d2, cid)), per-query ADC tables, and the decimal-summed 8-lookup
     distance estimate. Every float op is either a deterministic left fold
     (LIST_SUM == F.aggregate) or decimal-exact, so the twin must agree
-    pair-for-pair with the Spark plan."""
+    pair-for-pair with the Spark plan.
+
+    ``train_pred``/``corpus_pred`` (l67): SQL predicates on vec_id
+    restricting the TRAINING slice (seeds + Lloyd membership + the
+    persisted code set) and the FINAL corpus (codes + queries) — the
+    codebook-trained-on-yesterday / codes-track-today split the delta key
+    maintains. With both None the generated SQL is byte-identical to
+    l55's original oracle."""
     d2 = (
         "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sb.sv, c.cv),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
@@ -336,13 +343,16 @@ def _l55_oracle() -> str:
         for i in range(1, 9)
     )
 
-    def assign(cents: str, name: str) -> str:
+    sub_t = "sub_train" if train_pred else "sub"
+    sub_f = "sub_final" if corpus_pred else "sub"
+
+    def assign(cents: str, name: str, sub_tbl: str = "sub") -> str:
         return f"""{name} AS (
       SELECT vec_id, s, cid AS code FROM (
         SELECT sb.vec_id, sb.s, c.cid,
                ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
                  ORDER BY {d2}, c.cid) AS rn
-        FROM sub sb JOIN {cents} c USING (s)
+        FROM {sub_tbl} sb JOIN {cents} c USING (s)
       ) WHERE rn = 1
     )"""
 
@@ -357,6 +367,16 @@ def _l55_oracle() -> str:
       FROM {prev} c LEFT JOIN {m} m ON m.s = c.s AND m.cid = c.cid
     )"""
 
+    seed_where = f" WHERE {train_pred}" if train_pred else ""
+    slice_ctes = ""
+    if train_pred:
+        slice_ctes += (
+            f"\n    sub_train AS (SELECT * FROM sub WHERE {train_pred}),"
+        )
+    if corpus_pred:
+        slice_ctes += (
+            f"\n    sub_final AS (SELECT * FROM sub WHERE {corpus_pred}),"
+        )
     return f"""
     WITH v AS (
       SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -367,25 +387,25 @@ def _l55_oracle() -> str:
       FROM (SELECT vec_id, e,
               ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))
                 ::BIGINT AS h
-            FROM v)
+            FROM v{seed_where})
       QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16
     ),
     sub AS (
       SELECT vec_id, s, e[s * 8 + 1 : s * 8 + 8] AS sv
       FROM v, LATERAL (SELECT UNNEST(range(8)) AS s) t
-    ),
+    ),{slice_ctes}
     cents0 AS (
       SELECT sb.s, sd.cid, sb.sv AS cv
       FROM seeds sd JOIN sub sb ON sb.vec_id = sd.vec_id
     ),
-    {assign('cents0', 'a0')},
+    {assign('cents0', 'a0', sub_t)},
     {lloyd('a0', 'cents0', 'cents1', 'm0')},
-    {assign('cents1', 'a1')},
+    {assign('cents1', 'a1', sub_t)},
     {lloyd('a1', 'cents1', 'cents2', 'm1')},
-    {assign('cents2', 'codes')},
+    {assign('cents2', 'codes', sub_f)},
     qd AS (
       SELECT sb.vec_id AS query_id, sb.s AS qs, c.cid AS qcid, {d2} AS qd2
-      FROM sub sb JOIN cents2 c USING (s)
+      FROM {sub_f} sb JOIN cents2 c USING (s)
       WHERE sb.vec_id % 100 = 0
     ),
     est AS (
@@ -434,10 +454,13 @@ def l55_pq_topk(spark, sf_dir):
     )
 
 
-def _pq_corpus(spark, sf_dir):
+def _pq_corpus(spark, sf_dir, pred=None):
     """Shared PQ corpus prep (l55 rebuild == l63 persist): (v, sub) where
-    ``sub`` is the 8× subspace fan-out of every corpus vector."""
+    ``sub`` is the 8× subspace fan-out of every corpus vector. ``pred``
+    restricts the corpus slice (l67's old/delta split)."""
     e = fanout(load(spark, sf_dir, "embeddings"))
+    if pred is not None:
+        e = e.filter(pred)
     v = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
@@ -612,6 +635,82 @@ def l63_pq_index_persist(spark, sf_dir):
     return _pq_probe_topk(
         sub.filter(F.col("vec_id") % 100 == 0), cents, codes
     )
+
+
+_L67_ORACLE = _l55_oracle(
+    train_pred="vec_id % 9 <> 5",
+    corpus_pred="(vec_id % 9 = 5 OR vec_id % 11 <> 3)",
+)
+
+
+@query("l67_pq_index_delta", oracle=_L67_ORACLE)
+def l67_pq_index_delta(spark, sf_dir):
+    """Incremental PQ code maintenance (l65's delta algebra on the l63
+    persisted index — the remaining half of the ANN maintenance story):
+    the persisted code table is updated from a CDC embedding delta —
+    inserts (``%9==5``) encoded by one map-side :func:`_pq_assign` of the
+    DELTA subvectors against the loaded (fixed) codebooks, deletes
+    (``%11==3``) removed by one broadcast anti-join — and the ADC probe
+    runs over the delta-maintained codes. The codebooks stay trained on
+    yesterday's corpus (the slow-cadence retrain contract; a retrain is
+    the l63 rebuild via the staleness manifest), exactly the regime the
+    oracle re-derives from scratch: seeds + Lloyd over the OLD slice,
+    codes + queries over the FINAL corpus — so a code surviving its
+    tombstone, an insert quantized against the wrong codebook generation,
+    or a missed append diverges the hash.
+
+    100 TB: the code table is the RAM-resident corpus representation
+    (4 B/vector/subspace); maintaining it by delta keeps the daily cost
+    at O(|delta|·M) quantizations + one anti-join, against the full
+    corpus re-encode every rebuild implies — the same O(delta)-vs-
+    O(corpus) argument as l65, at 64× the bytes saved."""
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l67_pq_delta_{tag}")
+
+    def _stage(d: str) -> None:
+        v_old, sub_old = _pq_corpus(
+            spark, sf_dir, pred=F.col("vec_id") % 9 != 5
+        )
+        cents = _pq_train(v_old, sub_old)
+        cents.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
+        _pq_assign(sub_old, cents).write.mode("overwrite").parquet(
+            os.path.join(d, "codes")
+        )
+        _, sub_new = _pq_corpus(spark, sf_dir, pred=F.col("vec_id") % 9 == 5)
+        sub_new.write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
+        v_old.filter(F.col("vec_id") % 11 == 3).select(
+            "vec_id"
+        ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
+
+    idx = ensure_index(
+        base,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="pq-delta-v1",
+        build=_stage,
+    )
+    cents = spark.read.schema("s int, cid int, cv array<double>").parquet(
+        os.path.join(idx, "codebooks")
+    )
+    codes_old = spark.read.schema("vec_id bigint, s int, code int").parquet(
+        os.path.join(idx, "codes")
+    )
+    d_ins = spark.read.schema("vec_id bigint, s int, sv array<double>").parquet(
+        os.path.join(idx, "delta_ins")
+    )
+    d_del = spark.read.schema("vec_id bigint").parquet(
+        os.path.join(idx, "delta_del")
+    )
+    codes = codes_old.join(
+        F.broadcast(d_del), "vec_id", "left_anti"
+    ).unionAll(_pq_assign(d_ins, cents))
+    _, sub = _pq_corpus(spark, sf_dir)
+    qsub = sub.filter(
+        (F.col("vec_id") % 100 == 0)
+        & ((F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3))
+    )
+    return _pq_probe_topk(qsub, cents, codes)
 
 
 @query(

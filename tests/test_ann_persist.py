@@ -244,3 +244,41 @@ def test_l66_shingles_only_the_delta(spark):
     n_old = docs.filter(F.col("doc_id") % 7 != 2).count()
     assert n_sigs == n_old
     assert n_old < docs.count()  # the delta slice is non-vacuous
+
+
+def test_l67_delta_maintained_codes_equal_full_reencode(spark):
+    """l67 contract: anti-join deletes + map-side delta encoding against
+    the fixed codebooks produce the same code table (and ADC answer) as
+    re-encoding the entire final corpus from scratch."""
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.vectors import (
+        _pq_assign,
+        _pq_corpus,
+        _pq_probe_topk,
+        _pq_train,
+        l67_pq_index_delta,
+    )
+
+    got = _rowset(l67_pq_index_delta(spark, SF_SMOKE))
+    assert got, "probe result must be non-empty at sf0.001"
+
+    v_old, sub_old = _pq_corpus(spark, SF_SMOKE, pred=F.col("vec_id") % 9 != 5)
+    cents = _pq_train(v_old, sub_old)
+    final_pred = (F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3)
+    _, sub_final = _pq_corpus(spark, SF_SMOKE, pred=final_pred)
+    rebuilt = _pq_probe_topk(
+        sub_final.filter(F.col("vec_id") % 100 == 0),
+        cents,
+        _pq_assign(sub_final, cents),
+    )
+    assert got == _rowset(rebuilt)
+
+
+def test_l67_maintenance_plan_has_no_lloyd(spark):
+    from dask_pipes_spark.operators.vectors import l67_pq_index_delta
+
+    plan = _plan(l67_pq_index_delta(spark, SF_SMOKE))
+    assert "ExistingRDD" not in plan, "Lloyd checkpoint leaked into the probe"
+    assert plan.count("dps_l67_pq_delta") >= 3  # codes + both delta feeds
+    assert len(re.findall(r"embeddings\.parquet", plan)) == 1  # query slice
