@@ -637,6 +637,229 @@ def l63_pq_index_persist(spark, sf_dir):
     )
 
 
+def _l68_oracle() -> str:
+    """DuckDB twin of l68 — the composed IVFADC pipeline: the l12 coarse-
+    quantizer CTEs (decimal-mean label centroids, cosine bucket assignment,
+    nprobe=3 probe sets) produce the candidate pairs, and the l55 PQ CTEs
+    (seeded codebooks, two Lloyd rounds, struct-min codes, per-query ADC
+    grids) score exactly those pairs. Every stage reuses the two parent
+    oracles' arithmetic verbatim, so the composition inherits their
+    bit-reproducibility."""
+    d2 = (
+        "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sb.sv, c.cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    mean_list = ", ".join(
+        f"CAST(SUM(CAST(sb.sv[{i}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)"
+        for i in range(1, 9)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))) AS nrm
+      FROM v
+    ),
+    ex AS (
+      SELECT label, i, e[i] AS val
+      FROM v, LATERAL (SELECT UNNEST(range(1, len(e) + 1)) AS i) t
+    ),
+    cm AS (
+      SELECT label, i,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+      FROM ex GROUP BY 1, 2
+    ),
+    cn AS (
+      SELECT bucket, ce,
+             SQRT(LIST_SUM(LIST_TRANSFORM(ce, x -> x * x))) AS cnrm
+      FROM (SELECT label AS bucket, LIST(cv ORDER BY i) AS ce
+            FROM cm GROUP BY label)
+    ),
+    bscored AS (
+      SELECT n.vec_id, c.bucket,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(n.e, c.ce),
+                            p -> p[1] * p[2])) / (n.nrm * c.cnrm), 6) AS sim
+      FROM n CROSS JOIN cn c
+    ),
+    indexed AS (
+      SELECT vec_id, bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, bucket) AS rn
+        FROM bscored) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, bucket) AS rn
+        FROM bscored WHERE vec_id % 100 = 0) WHERE rn <= 3
+    ),
+    cand AS (
+      SELECT q.query_id, i.vec_id
+      FROM probes q JOIN indexed i USING (bucket)
+      WHERE i.vec_id <> q.query_id
+    ),
+    seeds AS (
+      SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid
+      FROM (SELECT vec_id, e,
+              ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))
+                ::BIGINT AS h
+            FROM v)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16
+    ),
+    sub AS (
+      SELECT vec_id, s, e[s * 8 + 1 : s * 8 + 8] AS sv
+      FROM v, LATERAL (SELECT UNNEST(range(8)) AS s) t
+    ),
+    cents0 AS (
+      SELECT sb.s, sd.cid, sb.sv AS cv
+      FROM seeds sd JOIN sub sb ON sb.vec_id = sd.vec_id
+    ),
+    a0 AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sb.vec_id, sb.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
+                 ORDER BY {d2}, c.cid) AS rn
+        FROM sub sb JOIN cents0 c USING (s)
+      ) WHERE rn = 1
+    ),
+    m0 AS (
+      SELECT a0.s, a0.code AS cid, [{mean_list}] AS mv
+      FROM a0 JOIN sub sb USING (vec_id, s)
+      GROUP BY a0.s, a0.code
+    ),
+    cents1 AS (
+      SELECT c.s, c.cid, COALESCE(m.mv, c.cv) AS cv
+      FROM cents0 c LEFT JOIN m0 m ON m.s = c.s AND m.cid = c.cid
+    ),
+    a1 AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sb.vec_id, sb.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
+                 ORDER BY {d2}, c.cid) AS rn
+        FROM sub sb JOIN cents1 c USING (s)
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT a1.s, a1.code AS cid, [{mean_list}] AS mv
+      FROM a1 JOIN sub sb USING (vec_id, s)
+      GROUP BY a1.s, a1.code
+    ),
+    cents2 AS (
+      SELECT c.s, c.cid, COALESCE(m.mv, c.cv) AS cv
+      FROM cents1 c LEFT JOIN m1 m ON m.s = c.s AND m.cid = c.cid
+    ),
+    codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sb.vec_id, sb.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
+                 ORDER BY {d2}, c.cid) AS rn
+        FROM sub sb JOIN cents2 c USING (s)
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT sb.vec_id AS query_id, sb.s AS qs, c.cid AS qcid, {d2} AS qd2
+      FROM sub sb JOIN cents2 c USING (s)
+      WHERE sb.vec_id % 100 = 0
+    ),
+    est AS (
+      SELECT cd.query_id, cd.vec_id,
+             ROUND(CAST(SUM(CAST(q.qd2 AS DECIMAL(28,12))) AS DOUBLE), 6)
+               AS adc_dist
+      FROM cand cd
+      JOIN codes ON codes.vec_id = cd.vec_id
+      JOIN qd q ON q.query_id = cd.query_id
+             AND q.qs = codes.s AND q.qcid = codes.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, vec_id) AS rn
+      FROM est) WHERE rn <= 5
+    """
+
+
+@query("l68_ivfadc_topk", oracle=_l68_oracle())
+def l68_ivfadc_topk(spark, sf_dir):
+    """IVFADC — the composed system of Jégou/Douze/Schmid 2011 that l12
+    and l55 each implement half of (and l55's docstring promises): the
+    IVF coarse quantizer prunes candidates to the query's nprobe=3
+    buckets, and ADC scores ONLY those candidates with 8 table lookups
+    each — turning PQ's linear scan into bucket-local work. PQ here
+    quantizes raw vectors, not residuals (FAISS IndexIVFPQ's
+    ``by_residual=False`` mode) — the residual variant changes the
+    codebook input, not the composition, and is the documented upgrade.
+
+    Shape: corpus → IVF bucket (map-side literal codebook, l12) and PQ
+    codes (broadcast-join argmin, l55); queries (every 100th vector) →
+    3 probe buckets + an 8×16 ADC grid; candidates = bucket equi-join;
+    est = candidate pairs ⋈ codes ⋈ broadcast grid, decimal-summed.
+    Both parent pipelines are bit-deterministic, so the composition
+    carries a full SQL oracle that re-derives EVERY stage.
+
+    100 TB: candidates per query fall from N (l55's full scan) to
+    ~N·nprobe/buckets, which is the entire point of the inverted file;
+    the ADC join then touches 4-byte codes only. With the l62/l63
+    persisted indexes this probe runs against on-disk artifacts; the
+    recall/efficiency trade (nprobe, bucket count) is the operational
+    knob. Recall vs brute force is asserted in tests."""
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+
+    vecs, cent = _ivf_corpus_and_centroids(spark, sf_dir)
+    cent_rows = cent.collect()
+    indexed = ivf_assign(vecs, cent_rows, nprobe=1).select("vec_id", "bucket")
+    probes = ivf_assign(
+        vecs.filter(F.col("vec_id") % 100 == 0), cent_rows, nprobe=3
+    ).select(F.col("vec_id").alias("query_id"), "bucket")
+    cand = (
+        indexed.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    v, sub = _pq_corpus(spark, sf_dir)
+    cents = _pq_train(v, sub)
+    codes = _pq_assign(sub, cents)
+    qd = (
+        sub.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("qid"), "s", F.col("sv").alias("qv"))
+        .join(F.broadcast(cents), "s")
+        .select(
+            "qid",
+            F.col("s").alias("qs"),
+            F.col("cid").alias("qcid"),
+            _l2sq("qv", "cv").alias("qd2"),
+        )
+    )
+    est = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(qd),
+            (F.col("query_id") == F.col("qid"))
+            & (F.col("s") == F.col("qs"))
+            & (F.col("code") == F.col("qcid")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("qd2").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist")
+        .orderBy("query_id", "adc_dist", "neighbor_id")
+    )
+
+
 _L67_ORACLE = _l55_oracle(
     train_pred="vec_id % 9 <> 5",
     corpus_pred="(vec_id % 9 = 5 OR vec_id % 11 <> 3)",

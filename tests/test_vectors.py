@@ -261,3 +261,43 @@ def test_hll_rho_expression_cross_engine_edges(spark):
         rest = h >> 6
         rho = 55 if rest == 0 else 55 - rest.bit_length()
         assert got[h][1] == rho, (h, got[h], rho)
+
+
+def test_ivfadc_candidates_respect_buckets_and_adc_matches_l55(spark):
+    """l68 contract: every reported neighbor lies in one of its query's
+    nprobe=3 IVF buckets (the pruning is real), and for any (query,
+    neighbor) pair also present in l55's full-scan top-5 the ADC distance
+    is identical (the scoring is l55's, untouched by the composition)."""
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+    from dask_pipes_spark.operators.vectors import l55_pq_topk, l68_ivfadc_topk
+
+    rows = l68_ivfadc_topk(spark, SF_SMOKE).collect()
+    assert rows, "IVFADC result must be non-empty at sf0.001"
+
+    vecs, cent = _ivf_corpus_and_centroids(spark, SF_SMOKE)
+    cent_rows = cent.collect()
+    vec_bucket = {
+        r.vec_id: r.bucket
+        for r in ivf_assign(vecs, cent_rows, nprobe=1).collect()
+    }
+    probe_buckets = {}
+    for r in ivf_assign(
+        vecs.filter(F.col("vec_id") % 100 == 0), cent_rows, nprobe=3
+    ).collect():
+        probe_buckets.setdefault(r.vec_id, set()).add(r.bucket)
+    for r in rows:
+        assert vec_bucket[r.neighbor_id] in probe_buckets[r.query_id], r
+
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in l55_pq_topk(spark, SF_SMOKE).collect()
+    }
+    shared = [
+        r for r in rows if (r.query_id, r.neighbor_id) in full
+    ]
+    assert shared, "no overlap with the full-scan top-5 — fixture degenerate?"
+    for r in shared:
+        assert r.adc_dist == full[(r.query_id, r.neighbor_id)], r
