@@ -229,7 +229,8 @@ def cosine_pairs(vectors: "DataFrame", threshold: float) -> "DataFrame":
 
 
 def ivf_assign(
-    vectors: DataFrame, cent_rows: list, nprobe: int = 1
+    vectors: DataFrame, cent_rows: list, nprobe: int = 1,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest coarse centroids,
     entirely MAP-SIDE: the centroid table arrives as collected driver rows
@@ -237,7 +238,9 @@ def ivf_assign(
     small enough to train and ship to every node) and is inlined as a
     literal array-of-structs, so per-vector scoring + top-nprobe selection
     is one codegen'd expression with ZERO exchange — no crossJoin, no
-    per-vector window. Returns (vec_id, e, nrm, bucket).
+    per-vector window. Returns (vec_id, e, nrm, bucket), plus a 1-based
+    ``rank`` column (the bucket's probe position) when ``with_rank``
+    (l69's sensitivity sweep needs the position, not just membership).
 
     The prior shape (broadcast-join + row_number window) cost one shuffle
     per assignment pass; at 100 TB that was 2 corpus-wide exchanges this
@@ -246,7 +249,8 @@ def ivf_assign(
         # empty corpus → empty codebook: a zero-element F.array() is
         # VOID-typed and breaks the lambda analysis; the assignment of
         # nothing to nothing is the empty frame (empty-input sweep contract)
-        return vectors.withColumn("bucket", F.lit(None).cast("int")).limit(0)
+        empty = vectors.withColumn("bucket", F.lit(None).cast("int")).limit(0)
+        return empty.withColumn("rank", F.lit(None).cast("int")) if with_rank else empty
     cent_lit = F.array(
         *[
             F.struct(
@@ -281,6 +285,16 @@ def ivf_assign(
         .when(x["bucket"] > y["bucket"], 1)
         .otherwise(0),
     )
+    if with_rank:
+        return (
+            vectors.select(
+                "vec_id", "e", "nrm",
+                F.posexplode(
+                    F.transform(F.slice(ranked, 1, nprobe), lambda s: s["bucket"])
+                ).alias("pos", "bucket"),
+            )
+            .select("vec_id", "e", "nrm", "bucket", (F.col("pos") + 1).alias("rank"))
+        )
     return (
         vectors.withColumn(
             "bucket",
@@ -517,6 +531,174 @@ def l62_ann_index_persist(spark, sf_dir):
     ).parquet(os.path.join(idx, "assignments"))
     return _ivf_probe_topk(
         indexed.select("vec_id", "e", "nrm"), indexed, cent_rows
+    )
+
+
+_L69_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))) AS nrm
+      FROM v
+    ),
+    ex AS (
+      SELECT label, i, e[i] AS val
+      FROM v, LATERAL (SELECT UNNEST(range(1, len(e) + 1)) AS i) t
+    ),
+    cm AS (
+      SELECT label, i,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+      FROM ex GROUP BY 1, 2
+    ),
+    cn AS (
+      SELECT bucket, ce,
+             SQRT(LIST_SUM(LIST_TRANSFORM(ce, x -> x * x))) AS cnrm
+      FROM (SELECT label AS bucket, LIST(cv ORDER BY i) AS ce
+            FROM cm GROUP BY label)
+    ),
+    bscored AS (
+      SELECT n.vec_id, c.bucket,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(n.e, c.ce),
+                            p -> p[1] * p[2])) / (n.nrm * c.cnrm), 6) AS sim
+      FROM n CROSS JOIN cn c
+    ),
+    indexed AS (
+      SELECT vec_id, bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, bucket) AS rn
+        FROM bscored) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, bucket, rn AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, bucket) AS rn
+        FROM bscored WHERE vec_id % 100 = 0) WHERE rn <= 5
+    ),
+    cand AS (
+      SELECT q.query_id, i.vec_id, q.rank
+      FROM probes q JOIN indexed i USING (bucket)
+      WHERE i.vec_id <> q.query_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.e, c.e),
+                       p -> p[1] * p[2])) / (q.nrm * c.nrm), 6) DESC,
+                 c.vec_id) AS rn
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rn <= 5
+    ),
+    tagged AS (
+      SELECT c.rank,
+             CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM cand c LEFT JOIN truth t
+        ON t.query_id = c.query_id AND t.neighbor_id = c.vec_id
+    ),
+    tot AS (SELECT COUNT(*) AS n_truth FROM truth)
+    SELECT ks.k AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / MAX(tot.n_truth), 6)
+             AS recall_at_5
+    FROM tagged
+    JOIN (SELECT UNNEST(range(1, 6)) AS k) ks ON tagged.rank <= ks.k
+    CROSS JOIN tot
+    GROUP BY ks.k
+    """
+
+
+@query("l69_nprobe_sensitivity", oracle=_L69_ORACLE)
+def l69_nprobe_sensitivity(spark, sf_dir):
+    """IVF nprobe sensitivity table (the l61 cap-sensitivity pattern
+    applied to the ANN tier's operational knob): for each candidate
+    nprobe in {1..5}, the candidate volume the probe would generate and
+    the recall@5 of the TRUE cosine top-5 within it — the sizing loop an
+    operator runs before picking nprobe for a new corpus. One ranked
+    probe assignment (nprobe=5, rank kept) serves every row: a bucket at
+    probe rank r is counted for all k ≥ r, so the table costs one
+    assignment + one brute-force truth pass, not five probes.
+
+    Recall here is against the exact cosine ranking (the l3 ground
+    truth), so the table directly answers "what does dropping a probe
+    cost in neighbors"; candidate volume answers "what does adding one
+    cost in work" — together they are the recall/efficiency trade the
+    IVFADC docs (l68) defer to. Truth is bounded to the every-100th
+    query set, the same bound the ADC keys use.
+
+    100 TB: runs on a sample (queries are already a fixed batch; the
+    brute-force truth needs only that batch × corpus, the same cost as
+    one l3 evaluation) and the output is 5 rows — the cheap pre-flight
+    before committing a trillion-vector index to a bucket count/nprobe.
+    The 1-row truth-total broadcast is a declared bounded cross join."""
+    vecs, cent = _ivf_corpus_and_centroids(spark, sf_dir)
+    cent_rows = cent.collect()
+    indexed = ivf_assign(vecs, cent_rows, nprobe=1).select("vec_id", "bucket")
+    probes = ivf_assign(
+        vecs.filter(F.col("vec_id") % 100 == 0), cent_rows, nprobe=5,
+        with_rank=True,
+    ).select(F.col("vec_id").alias("query_id"), "bucket", "rank")
+    cand = (
+        indexed.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "rank")
+    )
+    q = vecs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "e", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    truth = (
+        vecs.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    c_al, t_al = cand.alias("c"), truth.alias("t")
+    tagged = c_al.join(
+        F.broadcast(t_al),
+        (F.col("c.query_id") == F.col("t.query_id"))
+        & (F.col("c.vec_id") == F.col("t.neighbor_id")),
+        "left",
+    ).select(
+        F.col("c.query_id"),
+        F.col("c.vec_id"),
+        F.col("c.rank"),
+        F.coalesce(F.col("t.hit"), F.lit(0)).alias("hit"),
+    )
+    tot = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        tagged.withColumn("k", F.explode(F.sequence("rank", F.lit(5))))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("hit").alias("n_hits"),
+            F.round(
+                F.sum("hit").cast("double") / F.max("n_truth"), 6
+            ).alias("recall_at_5"),
+        )
+        .select(
+            F.col("k").alias("nprobe"), "n_candidates", "n_hits",
+            "recall_at_5",
+        )
     )
 
 

@@ -571,3 +571,25 @@ def test_png_all_filter_types_roundtrip():
         w, h, pix = _png_decode_gray(enc)
         assert (w, h) == (13, 9)
         assert pix == flat, f"filter {ft} mis-reconstructed"
+
+
+def test_nprobe_sensitivity_is_monotone(spark):
+    """l69 contract: widening the probe set can only add candidates and
+    hits (monotone non-decreasing in nprobe), recall is bounded by 1, and
+    the nprobe=1 candidate volume equals the l12-style single-bucket
+    candidate count."""
+    from tests.conftest import SF_SMOKE
+
+    from dask_pipes_spark.operators.llm_ext import l69_nprobe_sensitivity
+
+    rows = sorted(
+        l69_nprobe_sensitivity(spark, SF_SMOKE).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 3, 4, 5]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.n_hits >= a.n_hits
+    for r in rows:
+        assert 0.0 <= r.recall_at_5 <= 1.0
+        assert r.n_hits <= r.n_candidates

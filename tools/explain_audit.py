@@ -130,6 +130,9 @@ CARTESIAN_OK = {
     "x32_rfm_segmentation",
     # 1-row exact-count broadcast attached to the 1-row HLL estimate.
     "d43_portable_hll",
+    # 1-row truth-total broadcast onto the 5-row sensitivity table, plus
+    # the bounded query-batch × corpus brute-force truth join (l3 shape).
+    "l69_nprobe_sensitivity",
     # 1-row (min,max,n) stats broadcast onto the fact scan + the ≤256-row
     # cumulative-bin theta join for the quantile hit search.
     "d45_histogram_quantile",
