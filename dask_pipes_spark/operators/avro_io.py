@@ -1056,7 +1056,10 @@ def k18_vacuum_generations(spark, sf_dir):
     gens = sorted(f for f in os.listdir(land) if f.endswith(".avro"))
     # 1. compact into a FRESH directory (durable before any delete)
     compact_avro(spark, land, tmp, block_rows=250)
-    compacted = [f for f in os.listdir(tmp) if f.endswith(".avro")]
+    # sorted: the manifest's file order must be deterministic, not
+    # os.listdir's (with target_files > 1 an arbitrary order would make
+    # the manifest — and any comparison against it — flaky)
+    compacted = sorted(f for f in os.listdir(tmp) if f.endswith(".avro"))
     # 2. atomic rename into the landing zone, manifest, THEN vacuum
     final_names = []
     for f in compacted:

@@ -22,7 +22,13 @@ from dask_pipes_spark.pipeline import (
     StandardScaler,
 )
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import fanout, load, load_tables, scratch_path
+from dask_pipes_spark.session import (
+    ensure_index,
+    fanout,
+    load,
+    load_tables,
+    scratch_path,
+)
 
 
 _P1_ORACLE = """
@@ -1034,7 +1040,7 @@ def p17_join_mv_maintain(spark, sf_dir):
     ins_path = os.path.join(base, "delta_order_ins")
     del_path = os.path.join(base, "delta_order_del")
     cust_path = os.path.join(base, "delta_cust")
-    if not os.path.exists(os.path.join(cust_path, "_SUCCESS")):
+    def _stage(d: str) -> None:
         orders_old = orders.filter(F.col("o_orderkey") % 10 != 7)
         (
             orders_old.join(
@@ -1047,18 +1053,28 @@ def p17_join_mv_maintain(spark, sf_dir):
             )
             .select("o_orderkey", "o_custkey", "n_name")
             .write.mode("overwrite")
-            .parquet(mv_path)
+            .parquet(os.path.join(d, "mv"))
         )
         orders.filter(F.col("o_orderkey") % 10 == 7).select(
             "o_orderkey", "o_custkey"
-        ).write.mode("overwrite").parquet(ins_path)
+        ).write.mode("overwrite").parquet(os.path.join(d, "delta_order_ins"))
         orders_old.filter(F.col("o_orderkey") % 100 == 4).select(
             "o_orderkey"
-        ).write.mode("overwrite").parquet(del_path)
+        ).write.mode("overwrite").parquet(os.path.join(d, "delta_order_del"))
         customer.filter(F.col("c_custkey") % 50 == 0).select(
             "c_custkey",
             ((F.col("c_nationkey") + 7) % 25).cast("int").alias("new_nationkey"),
-        ).write.mode("overwrite").parquet(cust_path)
+        ).write.mode("overwrite").parquet(os.path.join(d, "delta_cust"))
+
+    # staleness-guarded staging (round 8, advice item): the fingerprint on
+    # orders.parquet — not a bare _SUCCESS marker — invalidates the staged
+    # MV/delta state when the fixture is regenerated under the same sf tag
+    ensure_index(
+        base,
+        os.path.join(sf_dir, "orders.parquet"),
+        version="mv-v1",
+        build=_stage,
+    )
     # --- maintenance: MV + deltas + broadcast dims only from here on ---
     mv_old = spark.read.schema(
         "o_orderkey bigint, o_custkey bigint, n_name string"
@@ -1099,10 +1115,13 @@ def p17_join_mv_maintain(spark, sf_dir):
         )
         .select("c_custkey", "c_nationkey")
     )
+    # broadcast the DELTA, not the dimension (round-8 fix): a CDC batch is
+    # delta-sized by contract while the customer dimension can exceed
+    # broadcast limits at 100 TB; with d_ins broadcast the dimension side
+    # streams map-side and is pruned to the insert custkeys by the join
     inserts = (
-        d_ins.join(
-            F.broadcast(cust_final), F.col("o_custkey") == F.col("c_custkey")
-        )
+        F.broadcast(d_ins)
+        .join(cust_final, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
         )

@@ -105,25 +105,45 @@ def ensure_index(
     change) invalidates the index. Refresh is full rebuild — the right
     trade for coarse quantizers and codebooks, which are tiny relative to
     the corpus; incremental maintenance of the ASSIGNMENT side belongs to
-    the CDC/merge machinery (p5/g15), not here."""
+    the CDC/merge machinery (p5/g15), not here.
+
+    Concurrency (round 8): the check→build→manifest sequence holds an
+    exclusive ``fcntl`` lock on ``<index_dir>.lock``, so two sessions
+    sharing a scratch root (parity sweep + pytest) serialize instead of
+    both seeing a missing manifest and interleaving parquet overwrites
+    in the same directory; the second locker re-reads the manifest and
+    skips its build. On a cluster the lock becomes the table format's
+    commit protocol (optimistic snapshot CAS), same shape."""
+    import fcntl
     import json
 
     manifest = os.path.join(index_dir, "MANIFEST.json")
     fp = dataset_fingerprint(source_path)
-    if os.path.exists(manifest):
+
+    def _fresh() -> bool:
+        if not os.path.exists(manifest):
+            return False
         try:
             with open(manifest) as fh:
                 m = json.load(fh)
-            if m.get("fingerprint") == fp and m.get("version") == version:
-                return index_dir
+            return m.get("fingerprint") == fp and m.get("version") == version
         except (OSError, ValueError):
-            pass  # unreadable manifest == stale
-    build(index_dir)
-    os.makedirs(index_dir, exist_ok=True)
-    with open(manifest, "w") as fh:
-        json.dump(
-            {"fingerprint": fp, "version": version, "source": source_path}, fh
-        )
+            return False  # unreadable manifest == stale
+
+    if _fresh():
+        return index_dir
+    os.makedirs(os.path.dirname(index_dir) or ".", exist_ok=True)
+    with open(index_dir + ".lock", "w") as lockfh:
+        fcntl.flock(lockfh, fcntl.LOCK_EX)
+        if _fresh():  # a concurrent holder built it while we waited
+            return index_dir
+        build(index_dir)
+        os.makedirs(index_dir, exist_ok=True)
+        with open(manifest, "w") as fh:
+            json.dump(
+                {"fingerprint": fp, "version": version, "source": source_path},
+                fh,
+            )
     return index_dir
 
 

@@ -325,6 +325,16 @@ def test_p17_maintenance_never_rescans_orders(spark):
         "maintenance must not rescan the fact table"
     )
     assert plan.count("dps_p17_mv") >= 3  # MV + delta feeds
+    # broadcast-side pin (round-8 fix): the insert branch must build the
+    # hash relation from the CDC delta (BuildLeft on d_ins⋈cust_final),
+    # never from the full customer dimension — at 100 TB the dimension can
+    # exceed broadcast limits while a CDC batch never does
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert re.search(
+        r"BroadcastHashJoin \[o_custkey#\d+L?\], \[c_custkey#\d+L?\], "
+        r"Inner, BuildLeft",
+        phys,
+    ), "insert branch must broadcast the order-insert delta"
 
     orders = load(spark, SF_SMOKE, "orders")
     customer = load(spark, SF_SMOKE, "customer")
