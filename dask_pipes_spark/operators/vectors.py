@@ -936,6 +936,95 @@ def l67_pq_index_delta(spark, sf_dir):
     return _pq_probe_topk(qsub, cents, codes)
 
 
+@query("l72_pq_index_checkpoint", oracle=_L67_ORACLE)
+def l72_pq_index_checkpoint(spark, sf_dir):
+    """PQ code-table write-back (round 8 — l70's protocol on the l67
+    state): the delta-maintained code table is checkpointed as a fresh
+    index generation via :func:`checkpoint_index_generation` (compact →
+    atomic swap → vacuum manifest → delete superseded), so ADC probes
+    stop re-paying the anti-join + union merge and the CDC feeds stop
+    accumulating. Staging is exactly l67's: codebooks trained on the
+    ``%9!=5`` slice, codes for that slice, insert feed = the held-out
+    slice's subvectors, tombstones = ``%11==3``. The maintenance pass
+    (broadcast anti-join deletes + map-side delta encoding against the
+    FIXED codebooks) runs once inside the build, and its output is
+    rewritten as ``codes-g002`` with the old codes table and both feeds
+    vacuumed.
+
+    The returned probe reads the compacted generation + the persisted
+    codebooks + the query slice of the corpus only: no anti-join, no
+    union, no Lloyd stage (test-pinned with the vacuum layout), and the
+    oracle — l67's parameterized from-scratch twin (train on yesterday,
+    encode today) — must agree pair-for-pair.
+
+    100 TB: the code table is the RAM-resident corpus (4 B/vector/
+    subspace); checkpointing converts l67's per-probe O(|delta|) merge
+    into one O(index IO) rewrite per maintenance window — the economics
+    that keep a trillion-vector PQ index serving while it churns."""
+    import os
+
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l72_pq_ckpt_{tag}")
+
+    def _stage(d: str) -> None:
+        v_old, sub_old = _pq_corpus(
+            spark, sf_dir, pred=F.col("vec_id") % 9 != 5
+        )
+        cents0 = _pq_train(v_old, sub_old)
+        cents0.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
+        _pq_assign(sub_old, cents0).write.mode("overwrite").parquet(
+            os.path.join(d, "codes")
+        )
+        _, sub_new = _pq_corpus(spark, sf_dir, pred=F.col("vec_id") % 9 == 5)
+        sub_new.write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
+        v_old.filter(F.col("vec_id") % 11 == 3).select(
+            "vec_id"
+        ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
+        # l67's maintenance algebra over the persisted state only
+        cents = spark.read.schema("s int, cid int, cv array<double>").parquet(
+            os.path.join(d, "codebooks")
+        )
+        codes_old = spark.read.schema(
+            "vec_id bigint, s int, code int"
+        ).parquet(os.path.join(d, "codes"))
+        d_ins = spark.read.schema(
+            "vec_id bigint, s int, sv array<double>"
+        ).parquet(os.path.join(d, "delta_ins"))
+        d_del = spark.read.schema("vec_id bigint").parquet(
+            os.path.join(d, "delta_del")
+        )
+        maintained = codes_old.join(
+            F.broadcast(d_del), "vec_id", "left_anti"
+        ).unionAll(_pq_assign(d_ins, cents))
+        checkpoint_index_generation(
+            d,
+            maintained,
+            superseded=["codes", "delta_ins", "delta_del"],
+            generation="codes-g002",
+        )
+
+    idx = ensure_index(
+        base,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="pq-ckpt-v1",
+        build=_stage,
+    )
+    cents = spark.read.schema("s int, cid int, cv array<double>").parquet(
+        os.path.join(idx, "codebooks")
+    )
+    codes = spark.read.schema("vec_id bigint, s int, code int").parquet(
+        os.path.join(idx, "codes-g002")
+    )
+    _, sub = _pq_corpus(spark, sf_dir)
+    qsub = sub.filter(
+        (F.col("vec_id") % 100 == 0)
+        & ((F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3))
+    )
+    return _pq_probe_topk(qsub, cents, codes)
+
+
 @query(
     "l57_embedding_project",
     oracle="""

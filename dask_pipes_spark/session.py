@@ -147,6 +147,51 @@ def ensure_index(
     return index_dir
 
 
+def checkpoint_index_generation(
+    index_dir: str,
+    maintained,
+    superseded: list[str],
+    generation: str,
+    target_files: int = 1,
+) -> str:
+    """Write-back half of the ANN index lifecycle (round 8): persist a
+    delta-maintained index table as a fresh GENERATION and vacuum the
+    state it supersedes — the k17/k18 compact→swap→manifest→vacuum
+    protocol applied to index state instead of Avro landing files.
+
+    Without this, every probe over a delta-maintained index re-pays the
+    anti-join + union merge (l65/l67) and the delta feeds accumulate
+    unboundedly. The ordering discipline is the one k18 pins: (1) the
+    compacted generation is durable in a scratch directory FIRST,
+    (2) ``os.replace`` renames it into the index atomically (a reader
+    listing the index mid-checkpoint sees old state or new, never a torn
+    mix), (3) a vacuum manifest records the supersession chain, (4) only
+    THEN are the superseded tables deleted. A crash between (2) and (4)
+    leaves both copies plus the manifest — recoverable, never lossy.
+    ``coalesce`` (not repartition) collapses to ``target_files`` — the
+    write-back is an IO rewrite; rows never move between executors by key.
+
+    100 TB: this is the nightly index compaction — cost O(index) IO once,
+    against the per-probe merge tax and unbounded delta growth it
+    retires; on object storage step (2) becomes the table format's atomic
+    metadata swap (Iceberg snapshot / Delta log commit). Returns the
+    final generation path."""
+    import json
+    import shutil
+
+    tmp = os.path.join(index_dir, generation + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)  # torn prior checkpoint
+    maintained.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    final = os.path.join(index_dir, generation)
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    with open(os.path.join(index_dir, "VACUUM.json"), "w") as fh:
+        json.dump({"superseded": sorted(superseded), "by": generation}, fh)
+    for name in superseded:
+        shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+    return final
+
+
 # Runtime-settable SQL confs every query in this engine relies on.
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",

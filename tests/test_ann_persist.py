@@ -282,3 +282,104 @@ def test_l67_maintenance_plan_has_no_lloyd(spark):
     assert "ExistingRDD" not in plan, "Lloyd checkpoint leaked into the probe"
     assert plan.count("dps_l67_pq_delta") >= 3  # codes + both delta feeds
     assert len(re.findall(r"embeddings\.parquet", plan)) == 1  # query slice
+
+
+def test_l70_checkpoint_equals_l65_merge(spark):
+    """l70 contract: the checkpointed generation answers the probe
+    identically to l65's per-probe merge path (both equal the
+    from-scratch rebuild via the shared oracle)."""
+    from dask_pipes_spark.operators.llm_ext import (
+        l65_ann_index_delta,
+        l70_ivf_index_checkpoint,
+    )
+
+    a = _rowset(l65_ann_index_delta(spark, SF_SMOKE))
+    b = _rowset(l70_ivf_index_checkpoint(spark, SF_SMOKE))
+    assert a, "probe result must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_l70_probe_plan_is_pure_generation_scan(spark):
+    """After the write-back the probe plan must carry NO maintenance
+    residue: no anti-join, no union, no training stage, no embeddings
+    scan — only the compacted generation and the persisted codebook."""
+    from dask_pipes_spark.operators.llm_ext import l70_ivf_index_checkpoint
+
+    plan = _plan(l70_ivf_index_checkpoint(spark, SF_SMOKE))
+    assert "LeftAnti" not in plan, "anti-join residue in checkpointed probe"
+    assert "Union" not in plan, "union residue in checkpointed probe"
+    assert "posexplode" not in plan
+    assert "decimal(28,12)" not in plan.lower()
+    assert not re.search(r"embeddings\.parquet", plan)
+    assert plan.count("assignments-g002") >= 1
+
+
+def test_l70_vacuum_layout(spark):
+    """File-count collapse: the superseded assignment table and both CDC
+    feeds are deleted, the generation is ONE compacted parquet file, and
+    VACUUM.json records the supersession chain."""
+    import json
+
+    from dask_pipes_spark.operators.llm_ext import l70_ivf_index_checkpoint
+    from dask_pipes_spark.session import scratch_path
+
+    assert l70_ivf_index_checkpoint(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l70_ivf_ckpt_{tag}")
+    names = set(os.listdir(base))
+    assert "assignments-g002" in names and "centroids" in names
+    for gone in ("assignments", "delta_ins", "delta_del",
+                 "assignments-g002.tmp"):
+        assert gone not in names, f"superseded state survived vacuum: {gone}"
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert manifest["superseded"] == ["assignments", "delta_del", "delta_ins"]
+    assert manifest["by"] == "assignments-g002"
+    datafiles = [
+        f
+        for f in os.listdir(os.path.join(base, "assignments-g002"))
+        if f.endswith(".parquet")
+    ]
+    assert len(datafiles) == 1, "generation must be one compacted file"
+
+
+def test_l72_checkpoint_equals_l67_merge(spark):
+    from dask_pipes_spark.operators.vectors import (
+        l67_pq_index_delta,
+        l72_pq_index_checkpoint,
+    )
+
+    a = _rowset(l67_pq_index_delta(spark, SF_SMOKE))
+    b = _rowset(l72_pq_index_checkpoint(spark, SF_SMOKE))
+    assert a, "probe result must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_l72_probe_plan_is_pure_generation_scan(spark):
+    """No maintenance residue: no anti-join/union/Lloyd; embeddings read
+    exactly once (the query slice); codes come from the generation."""
+    from dask_pipes_spark.operators.vectors import l72_pq_index_checkpoint
+
+    plan = _plan(l72_pq_index_checkpoint(spark, SF_SMOKE))
+    assert "LeftAnti" not in plan
+    assert "ExistingRDD" not in plan, "Lloyd checkpoint leaked into probe"
+    assert "Union" not in plan
+    assert len(re.findall(r"embeddings\.parquet", plan)) == 1
+    assert plan.count("codes-g002") >= 1
+
+
+def test_l72_vacuum_layout(spark):
+    import json
+
+    from dask_pipes_spark.operators.vectors import l72_pq_index_checkpoint
+    from dask_pipes_spark.session import scratch_path
+
+    assert l72_pq_index_checkpoint(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l72_pq_ckpt_{tag}")
+    names = set(os.listdir(base))
+    assert "codes-g002" in names and "codebooks" in names
+    for gone in ("codes", "delta_ins", "delta_del", "codes-g002.tmp"):
+        assert gone not in names, f"superseded state survived vacuum: {gone}"
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert manifest["superseded"] == ["codes", "delta_del", "delta_ins"]
+    assert manifest["by"] == "codes-g002"
