@@ -1135,3 +1135,158 @@ def p17_join_mv_maintain(spark, sf_dir):
         F.sum("o_orderkey").alias("sum_orderkey"),
         F.sum("o_custkey").alias("sum_custkey"),
     )
+
+
+@query(
+    "p18_agg_mv_maintain",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def p18_agg_mv_maintain(spark, sf_dir):
+    """Fact-side aggregate IVM (round 8 — composing p17's CDC vocabulary
+    with p5's partial-merge algebra at the grain the bench actually
+    serves): LINEITEM deltas maintain the per-nation revenue aggregate MV
+    without rescanning the fact table. This is the nightly-refresh
+    pattern a 100 TB warehouse runs most — the fact table churns, the
+    aggregate must stay current, and a rebuild is a full fact scan.
+
+    Staged state (yesterday's world, under an ensure_index fingerprint
+    on lineitem.parquet):
+
+    - ``agg_mv`` — MERGEABLE partials per n_name (count, decimal revenue
+      sum, decimal quantity sum) over lineitem-without-the-``%10==7``
+      slice, through the orders⋈customer⋈nation bridge;
+    - ``bridge`` — the o_orderkey→n_name join MV (exactly what p17
+      maintains; order/dimension churn is p17's job, so it is static
+      here);
+    - ``delta_ins`` — the held-out lineitem slice (CDC inserts);
+    - ``delta_del`` — tombstones for ``l_orderkey%100==4``, carrying the
+      BEFORE-IMAGE measure columns (the Debezium delete shape) — signed
+      retraction needs the old values, which is why CDC feeds carry
+      them.
+
+    Maintenance reads ONLY the MV partials, the two feeds, and the
+    bridge (test-pinned: zero lineitem/orders/customer scans): each
+    broadcast delta joins the bridge map-side to pick up n_name, folds
+    to per-nation partials with sign (+1 inserts, −1 tombstones), and
+    the three partial sets merge by one unionAll + groupBy — counts and
+    DECIMAL sums are exact and associative, so old + ins − del is
+    BIT-equal to the from-scratch aggregate the oracle computes over the
+    mutated base tables (a tombstone not retracted, an insert
+    double-counted, or a sign slip diverges the hash). Groups whose
+    count reaches zero are retired (n_items > 0), matching GROUP BY
+    semantics.
+
+    100 TB: per-refresh cost is O(|delta|) map-side joins + a 25-row
+    merge, against a full lineitem⋈orders⋈customer scan for the rebuild;
+    the MV partials stay mergeable so the NEXT delta applies the same
+    algebra — this is self-maintaining state, not a cache. Composes with
+    p17 upstream (bridge maintenance) and p10 downstream (checkpointed
+    restart)."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p18_aggmv_{tag}")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    qty = F.col("l_quantity").cast("decimal(28,6)")
+    feed_cols = ["l_orderkey", "l_extendedprice", "l_discount", "l_quantity"]
+
+    def _stage(d: str) -> None:
+        lineitem = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        customer = load(spark, sf_dir, "customer")
+        nation = load(spark, sf_dir, "nation")
+        bridge = (
+            orders.join(
+                F.broadcast(customer),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select("o_orderkey", "n_name")
+        )
+        bridge.write.mode("overwrite").parquet(os.path.join(d, "bridge"))
+        li_old = lineitem.filter(F.col("l_orderkey") % 10 != 7)
+        (
+            li_old.join(
+                bridge, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(rev).alias("rev"),
+                F.sum(qty).alias("qty"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "agg_mv"))
+        )
+        lineitem.filter(F.col("l_orderkey") % 10 == 7).select(
+            *feed_cols
+        ).write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
+        li_old.filter(F.col("l_orderkey") % 100 == 4).select(
+            *feed_cols
+        ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
+
+    ensure_index(
+        base,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        version="aggmv-v1",
+        build=_stage,
+    )
+    # --- maintenance: MV partials + feeds + bridge only from here on ---
+    mv = spark.read.schema(
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    ).parquet(os.path.join(base, "agg_mv"))
+    bridge = spark.read.schema("o_orderkey bigint, n_name string").parquet(
+        os.path.join(base, "bridge")
+    )
+    feed_schema = (
+        "l_orderkey bigint, l_extendedprice double, l_discount double, "
+        "l_quantity double"
+    )
+    d_ins = spark.read.schema(feed_schema).parquet(
+        os.path.join(base, "delta_ins")
+    )
+    d_del = spark.read.schema(feed_schema).parquet(
+        os.path.join(base, "delta_del")
+    )
+
+    def delta_partial(feed, sign: int):
+        # broadcast the CDC batch (delta-sized by contract); the bridge
+        # streams map-side and is hash-pruned to the delta's orderkeys
+        return (
+            F.broadcast(feed)
+            .join(bridge, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("n_name")
+            .agg(
+                (F.lit(sign) * F.count(F.lit(1))).alias("cnt"),
+                (F.lit(sign) * F.sum(rev)).cast("decimal(38,6)").alias("rev"),
+                (F.lit(sign) * F.sum(qty)).cast("decimal(38,6)").alias("qty"),
+            )
+        )
+
+    merged = (
+        mv.unionAll(delta_partial(d_ins, 1))
+        .unionAll(delta_partial(d_del, -1))
+        .groupBy("n_name")
+        .agg(
+            F.sum("cnt").alias("n_items"),
+            F.sum("rev").cast("double").alias("sum_revenue"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+        )
+        .filter(F.col("n_items") > 0)  # retired groups leave the MV
+    )
+    return merged

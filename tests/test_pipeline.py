@@ -361,3 +361,70 @@ def test_p17_maintenance_never_rescans_orders(spark):
     want = sorted(tuple(r) for r in rebuilt.collect())
     assert got, "maintained MV aggregate must be non-empty at sf0.001"
     assert got == want
+
+
+def test_p18_maintenance_never_rescans_facts(spark):
+    """p18 contract: the aggregate-MV maintenance plan reads the staged
+    partials, the CDC feeds, and the bridge — never lineitem, orders, or
+    customer — broadcasts the delta side, and its result equals a
+    from-scratch rebuild of the mutated aggregate."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.pipeline_ops import p18_agg_mv_maintain
+    from dask_pipes_spark.session import load
+    from tests.conftest import SF_SMOKE
+
+    df = p18_agg_mv_maintain(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    for fact in ("lineitem", "orders", "customer"):
+        assert not re.search(rf"{fact}\.parquet", plan), (
+            f"maintenance must not rescan {fact}"
+        )
+    assert plan.count("dps_p18_aggmv") >= 4  # MV + bridge + both feeds
+    # the CDC batches are the broadcast build sides (delta-sized), the
+    # bridge streams: both delta joins must be BuildLeft on l_orderkey
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(
+        r"BroadcastHashJoin \[l_orderkey#\d+L?\], \[o_orderkey#\d+L?\], "
+        r"Inner, BuildLeft",
+        phys,
+    )) == 2, "both CDC feeds must be the broadcast side"
+
+    # from-scratch twin over the mutated base tables
+    li = load(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_orderkey") % 100 != 4
+    )
+    rebuilt = (
+        li.join(
+            load(spark, SF_SMOKE, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            load(spark, SF_SMOKE, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            load(spark, SF_SMOKE, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("sum_revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in rebuilt.collect())
+    assert got, "maintained MV must be non-empty at sf0.001"
+    assert got == want
