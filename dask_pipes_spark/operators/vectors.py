@@ -860,6 +860,277 @@ def l68_ivfadc_topk(spark, sf_dir):
     )
 
 
+def _l71_oracle() -> str:
+    """DuckDB twin of l71 — the l68 composition with FAISS-default
+    residual encoding: after the coarse assignment, every CTE operates on
+    r = e − ce(bucket) instead of e — seeds, Lloyd rounds, codes, and the
+    per-(query, probed-bucket) ADC grids all re-derived over residuals,
+    inheriting the parents' bit-reproducibility (residual subtraction is
+    element-wise double arithmetic in identical order both engines)."""
+    d2 = (
+        "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sb.sv, c.cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    mean_list = ", ".join(
+        f"CAST(SUM(CAST(sb.sv[{i}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)"
+        for i in range(1, 9)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e,
+             SQRT(LIST_SUM(LIST_TRANSFORM(e, x -> x * x))) AS nrm
+      FROM v
+    ),
+    ex AS (
+      SELECT label, i, e[i] AS val
+      FROM v, LATERAL (SELECT UNNEST(range(1, len(e) + 1)) AS i) t
+    ),
+    cm AS (
+      SELECT label, i,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+      FROM ex GROUP BY 1, 2
+    ),
+    cn AS (
+      SELECT bucket, ce,
+             SQRT(LIST_SUM(LIST_TRANSFORM(ce, x -> x * x))) AS cnrm
+      FROM (SELECT label AS bucket, LIST(cv ORDER BY i) AS ce
+            FROM cm GROUP BY label)
+    ),
+    bscored AS (
+      SELECT n.vec_id, c.bucket,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(n.e, c.ce),
+                            p -> p[1] * p[2])) / (n.nrm * c.cnrm), 6) AS sim
+      FROM n CROSS JOIN cn c
+    ),
+    indexed AS (
+      SELECT vec_id, bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, bucket) AS rn
+        FROM bscored) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, bucket) AS rn
+        FROM bscored WHERE vec_id % 100 = 0) WHERE rn <= 3
+    ),
+    resid AS (
+      SELECT i.vec_id,
+             LIST_TRANSFORM(LIST_ZIP(nn.e, c.ce), p -> p[1] - p[2]) AS r
+      FROM indexed i
+      JOIN n nn ON nn.vec_id = i.vec_id
+      JOIN cn c ON c.bucket = i.bucket
+    ),
+    seeds AS (
+      SELECT vec_id, r, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid
+      FROM (SELECT vec_id, r,
+              ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))
+                ::BIGINT AS h
+            FROM resid)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16
+    ),
+    sub AS (
+      SELECT vec_id, s, r[s * 8 + 1 : s * 8 + 8] AS sv
+      FROM resid, LATERAL (SELECT UNNEST(range(8)) AS s) t
+    ),
+    cents0 AS (
+      SELECT sb.s, sd.cid, sb.sv AS cv
+      FROM seeds sd JOIN sub sb ON sb.vec_id = sd.vec_id
+    ),
+    a0 AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sb.vec_id, sb.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
+                 ORDER BY {d2}, c.cid) AS rn
+        FROM sub sb JOIN cents0 c USING (s)
+      ) WHERE rn = 1
+    ),
+    m0 AS (
+      SELECT a0.s, a0.code AS cid, [{mean_list}] AS mv
+      FROM a0 JOIN sub sb USING (vec_id, s)
+      GROUP BY a0.s, a0.code
+    ),
+    cents1 AS (
+      SELECT c.s, c.cid, COALESCE(m.mv, c.cv) AS cv
+      FROM cents0 c LEFT JOIN m0 m ON m.s = c.s AND m.cid = c.cid
+    ),
+    a1 AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sb.vec_id, sb.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
+                 ORDER BY {d2}, c.cid) AS rn
+        FROM sub sb JOIN cents1 c USING (s)
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT a1.s, a1.code AS cid, [{mean_list}] AS mv
+      FROM a1 JOIN sub sb USING (vec_id, s)
+      GROUP BY a1.s, a1.code
+    ),
+    cents2 AS (
+      SELECT c.s, c.cid, COALESCE(m.mv, c.cv) AS cv
+      FROM cents1 c LEFT JOIN m1 m ON m.s = c.s AND m.cid = c.cid
+    ),
+    codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sb.vec_id, sb.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
+                 ORDER BY {d2}, c.cid) AS rn
+        FROM sub sb JOIN cents2 c USING (s)
+      ) WHERE rn = 1
+    ),
+    qresid AS (
+      SELECT p.query_id, p.bucket,
+             LIST_TRANSFORM(LIST_ZIP(nn.e, c.ce), z -> z[1] - z[2]) AS qr
+      FROM probes p
+      JOIN n nn ON nn.vec_id = p.query_id
+      JOIN cn c ON c.bucket = p.bucket
+    ),
+    qsub AS (
+      SELECT query_id, bucket, s, qr[s * 8 + 1 : s * 8 + 8] AS sv
+      FROM qresid, LATERAL (SELECT UNNEST(range(8)) AS s) t
+    ),
+    qd AS (
+      SELECT sb.query_id, sb.bucket, sb.s AS qs, c.cid AS qcid, {d2} AS qd2
+      FROM qsub sb JOIN cents2 c USING (s)
+    ),
+    cand AS (
+      SELECT q.query_id, i.vec_id, q.bucket
+      FROM probes q JOIN indexed i USING (bucket)
+      WHERE i.vec_id <> q.query_id
+    ),
+    est AS (
+      SELECT cd.query_id, cd.vec_id,
+             ROUND(CAST(SUM(CAST(q.qd2 AS DECIMAL(28,12))) AS DOUBLE), 6)
+               AS adc_dist
+      FROM cand cd
+      JOIN codes ON codes.vec_id = cd.vec_id
+      JOIN qd q ON q.query_id = cd.query_id AND q.bucket = cd.bucket
+             AND q.qs = codes.s AND q.qcid = codes.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, vec_id) AS rn
+      FROM est) WHERE rn <= 5
+    """
+
+
+@query("l71_ivfadc_residual", oracle=_l71_oracle())
+def l71_ivfadc_residual(spark, sf_dir):
+    """IVFADC with residual encoding (round 8 — the FAISS-default
+    ``by_residual=True`` regime l68's docstring names as the accuracy
+    upgrade, Jégou/Douze/Schmid 2011 §III): the PQ codebooks are trained
+    on r = x − q1(x) — each vector minus its coarse centroid — so the
+    quantizer spends its 4 bits on the WITHIN-bucket geometry instead of
+    re-encoding the bucket offset the coarse index already knows; this
+    is why residual encoding dominates raw-vector PQ as buckets tighten.
+
+    The composition changes in exactly two places vs l68: (1) the
+    encode side quantizes residuals (one broadcast join pins each
+    vector's coarse centroid, the subtraction is a codegen zip_with);
+    (2) the ADC grid becomes PER-(QUERY, PROBED-BUCKET) — the query's
+    residual differs per bucket (q − ce_b), so a query probing nprobe=3
+    buckets builds 3 distance tables, the documented cost of residual
+    mode (FAISS precomputes terms for the same reason). Candidates then
+    join their grid on (query, bucket, s, code). Top-5 by (adc_dist,
+    vec_id), self-matches excluded.
+
+    Determinism: residual subtraction is element-wise double arithmetic
+    in identical order both engines; seeds/Lloyd/codes inherit the l55
+    discipline (digest seeding, decimal-exact means, struct-min argmin),
+    so the full SQL oracle re-derives every stage over residuals and
+    must agree pair-for-pair.
+
+    100 TB: same candidate economics as l68 (N·nprobe/buckets); the
+    extra cost is nprobe ADC grids per query (nprobe × M × K tiny-row
+    work, still broadcast) — the standard trade for the recall gain;
+    recall vs l68 is measured in the SCALING.md sizing table."""
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+
+    vecs, cent = _ivf_corpus_and_centroids(spark, sf_dir)
+    cent_rows = cent.collect()
+    # indexed keeps e: the residual needs the vector AND its bucket
+    indexed = ivf_assign(vecs, cent_rows, nprobe=1)
+    resid = (
+        indexed.join(F.broadcast(cent), "bucket")
+        .select(
+            "vec_id",
+            "bucket",
+            F.zip_with("e", "ce", lambda x, y: x - y).alias("r"),
+        )
+    )
+    v_res = resid.select("vec_id", F.col("r").alias("e"))
+    sub_res = _pq_subspaces(v_res).select("vec_id", "s", "sv")
+    cents = _pq_train(v_res, sub_res)
+    codes = _pq_assign(sub_res, cents)
+    # queries: nprobe=3 probe buckets; residual (and thus the ADC grid)
+    # is PER (query, bucket)
+    probes = ivf_assign(
+        vecs.filter(F.col("vec_id") % 100 == 0), cent_rows, nprobe=3
+    ).select(F.col("vec_id").alias("query_id"), "e", "bucket")
+    qresid = (
+        probes.join(F.broadcast(cent), "bucket")
+        .select(
+            "query_id",
+            "bucket",
+            F.zip_with("e", "ce", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    qsub = _pq_subspaces(qresid, vec_col="qr").select(
+        "query_id", "bucket", "s", "sv"
+    )
+    qd = (
+        qsub.join(F.broadcast(cents), "s")
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("bucket").alias("qbucket"),
+            F.col("s").alias("qs"),
+            F.col("cid").alias("qcid"),
+            _l2sq("sv", "cv").alias("qd2"),
+        )
+    )
+    cand = (
+        indexed.select("vec_id", "bucket")
+        .join(
+            F.broadcast(probes.select("query_id", "bucket")), "bucket"
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "bucket")
+    )
+    est = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(qd),
+            (F.col("query_id") == F.col("qid"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("s") == F.col("qs"))
+            & (F.col("code") == F.col("qcid")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("qd2").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist")
+        .orderBy("query_id", "adc_dist", "neighbor_id")
+    )
+
+
 _L67_ORACLE = _l55_oracle(
     train_pred="vec_id % 9 <> 5",
     corpus_pred="(vec_id % 9 = 5 OR vec_id % 11 <> 3)",

@@ -301,3 +301,64 @@ def test_ivfadc_candidates_respect_buckets_and_adc_matches_l55(spark):
     assert shared, "no overlap with the full-scan top-5 — fixture degenerate?"
     for r in shared:
         assert r.adc_dist == full[(r.query_id, r.neighbor_id)], r
+
+
+def test_ivfadc_residual_respects_buckets_and_reencodes(spark):
+    """l71 contract: the probe honors the nprobe=3 bucket pruning (every
+    neighbor lies in one of its query's probed buckets, ≤5 per query,
+    non-negative ADC distances), and the encode side GENUINELY changed —
+    the residual-trained code table disagrees with the raw-vector code
+    table on a nontrivial fraction of (vector, subspace) cells."""
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+    from dask_pipes_spark.operators.vectors import (
+        _pq_assign,
+        _pq_corpus,
+        _pq_subspaces,
+        _pq_train,
+        l71_ivfadc_residual,
+    )
+
+    rows = l71_ivfadc_residual(spark, SF_SMOKE).collect()
+    assert rows, "residual IVFADC result must be non-empty at sf0.001"
+
+    vecs, cent = _ivf_corpus_and_centroids(spark, SF_SMOKE)
+    cent_rows = cent.collect()
+    vec_bucket = {
+        r.vec_id: r.bucket
+        for r in ivf_assign(vecs, cent_rows, nprobe=1).collect()
+    }
+    probe_buckets = {}
+    for r in ivf_assign(
+        vecs.filter(F.col("vec_id") % 100 == 0), cent_rows, nprobe=3
+    ).collect():
+        probe_buckets.setdefault(r.vec_id, set()).add(r.bucket)
+    per_q = {}
+    for r in rows:
+        assert vec_bucket[r.neighbor_id] in probe_buckets[r.query_id], r
+        assert r.adc_dist >= 0.0, r
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n <= 5 for n in per_q.values())
+
+    # raw codes vs residual codes: the quantizer input really moved
+    v_raw, sub_raw = _pq_corpus(spark, SF_SMOKE)
+    raw_codes = {
+        (r.vec_id, r.s): r.code
+        for r in _pq_assign(sub_raw, _pq_train(v_raw, sub_raw)).collect()
+    }
+    indexed = ivf_assign(vecs, cent_rows, nprobe=1)
+    resid = indexed.join(F.broadcast(cent), "bucket").select(
+        "vec_id", F.zip_with("e", "ce", lambda x, y: x - y).alias("e")
+    )
+    sub_res = _pq_subspaces(resid).select("vec_id", "s", "sv")
+    res_codes = {
+        (r.vec_id, r.s): r.code
+        for r in _pq_assign(sub_res, _pq_train(resid, sub_res)).collect()
+    }
+    assert set(raw_codes) == set(res_codes)
+    diff = sum(1 for k in raw_codes if raw_codes[k] != res_codes[k])
+    assert diff / len(raw_codes) > 0.2, (
+        f"residual encoding barely changed the codes ({diff}/{len(raw_codes)})"
+    )

@@ -45,10 +45,11 @@ if os.path.exists(os.path.join(_SF10, "lineitem.parquet")):
     SFS.append(("sf10", _SF10))
 
 # sf10 (60M-row lineitem, 10000x sf0.001) runs for the relational families
-# + the two scale-designed dedup ops, whose 100 TB claim rides furthest on
-# extrapolation (round-3 verdict item 4); the shingle-grain LLM ops are
-# curve-characterized through sf1 (see the round-4 analysis section) and
-# excluded here to keep the probe under 15 minutes.
+# + the scale-designed dedup ops, whose 100 TB claim rides furthest on
+# extrapolation (round-3 verdict item 4). Round 8 adds the LSH tier
+# (l2/l18/l32) — the north-star workload carries its own sf10 rows
+# instead of leaning on the composed q_dedup_chain measurement
+# (r7 verdict item 5); needs SPARK_GRAFT_DRIVER_MEM=64g.
 SF10_OPS = {
     "d3_groupby_multi",
     "c1_join_inner",
@@ -56,6 +57,9 @@ SF10_OPS = {
     "f1_sort_global",
     "l1_exact_dedup",
     "l24_repetition_ratio",
+    "l2_minhash_lsh",
+    "l18_dup_components",
+    "l32_dup_ngram_coverage",
     "l48_incremental_dedup",
     "l49_semdedup_prune",
 }
