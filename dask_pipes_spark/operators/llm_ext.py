@@ -251,11 +251,18 @@ def ivf_assign(
         # nothing to nothing is the empty frame (empty-input sweep contract)
         empty = vectors.withColumn("bucket", F.lit(None).cast("int")).limit(0)
         return empty.withColumn("rank", F.lit(None).cast("int")) if with_rank else empty
+    # Each centroid vector is ONE ArrayType Literal node (round 8):
+    # F.lit(list) creates a single typed literal, vs the previous
+    # per-element F.lit(...) which built a 64-node CreateArray per
+    # centroid — one py4j round-trip AND one analysis-tree node per
+    # element (~640 of each for 10×64, measured ~700 ms of pure
+    # driver-side plan build + analysis per probe). The value is
+    # bit-identical; only the expression-tree shape shrinks.
     cent_lit = F.array(
         *[
             F.struct(
-                F.lit(r["bucket"]).alias("bucket"),
-                F.array(*[F.lit(float(v)) for v in r["ce"]]).alias("ce"),
+                F.lit(int(r["bucket"])).alias("bucket"),
+                F.lit([float(v) for v in r["ce"]]).alias("ce"),
                 F.lit(float(r["cnrm"])).alias("cnrm"),
             )
             for r in cent_rows
