@@ -1290,3 +1290,196 @@ def p18_agg_mv_maintain(spark, sf_dir):
         .filter(F.col("n_items") > 0)  # retired groups leave the MV
     )
     return merged
+
+
+@query(
+    "p19_mv_chain_maintain",
+    oracle="""
+    WITH customer_final AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 50 = 0
+                  THEN CAST((c_nationkey + 7) % 25 AS INTEGER)
+                  ELSE c_nationkey END AS c_nationkey
+      FROM customer
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer_final c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def p19_mv_chain_maintain(spark, sf_dir):
+    """Composed IVM under SIMULTANEOUS fact and dimension churn (round 8 —
+    p17 + p18 in one maintenance pass; the summary-delta method of
+    Mumick/Quass/Mumick 1997, "Maintenance of Data Cubes and Summary
+    Tables in a Warehouse"): lineitem CDC (inserts + before-image
+    tombstones) AND customer nation moves maintain the per-nation revenue
+    aggregate, with neither a lineitem nor an orders rescan.
+
+    The key design point is the PARTIAL GRAIN: a nation-grain MV (p18)
+    cannot survive a dimension update — moving a customer between
+    nations requires knowing how much of each nation's total belonged
+    to that customer. So the maintained state is CUSTOMER-grain summary
+    partials (c_custkey, n_name, count, decimal rev/qty sums) — the
+    finest key a dimension update touches — plus the static
+    o_orderkey→o_custkey bridge. Maintenance then composes three signed
+    merges, each O(|delta|) or O(|affected partials|):
+
+    - re-aim: partials of moved customers flip n_name (broadcast d_cust
+      join + nation lookup) — p17's re-aim branch at partial grain;
+    - fact deltas: broadcast lineitem feeds join the bridge to customer
+      grain, fold to ±partials, and pick up n_name from the POST-update
+      dimension (an insert for a moved customer lands in its NEW
+      nation, matching the re-aimed history);
+    - merge: one unionAll + customer-grain groupBy re-materializes the
+      self-maintaining partials (what production would persist back via
+      the checkpoint_index_generation protocol), then the nation rollup
+      answers the query; count/decimal sums keep every step exact, so
+      the result is bit-equal to the oracle's from-scratch join over
+      the mutated base tables.
+
+    100 TB: the partials table is |active customers| × ~1 row — orders
+    of magnitude smaller than the fact table — and every join here is
+    broadcast-delta against it; this is the nightly pattern where BOTH
+    the fact stream and the dimension SCD feed arrive together, and the
+    answer must reflect each applied exactly once."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p19_mvchain_{tag}")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    qty = F.col("l_quantity").cast("decimal(28,6)")
+    feed_cols = ["l_orderkey", "l_extendedprice", "l_discount", "l_quantity"]
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+
+    def _stage(d: str) -> None:
+        lineitem = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        bridge = orders.select("o_orderkey", "o_custkey")
+        bridge.write.mode("overwrite").parquet(os.path.join(d, "bridge"))
+        li_old = lineitem.filter(F.col("l_orderkey") % 10 != 7)
+        (
+            li_old.join(bridge, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(
+                F.broadcast(customer),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy("c_custkey", "n_name")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(rev).alias("rev"),
+                F.sum(qty).alias("qty"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "partials"))
+        )
+        lineitem.filter(F.col("l_orderkey") % 10 == 7).select(
+            *feed_cols
+        ).write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
+        li_old.filter(F.col("l_orderkey") % 100 == 4).select(
+            *feed_cols
+        ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
+        customer.filter(F.col("c_custkey") % 50 == 0).select(
+            "c_custkey",
+            ((F.col("c_nationkey") + 7) % 25).cast("int").alias("new_nationkey"),
+        ).write.mode("overwrite").parquet(os.path.join(d, "delta_cust"))
+
+    ensure_index(
+        base,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        version="mvchain-v1",
+        build=_stage,
+    )
+    # --- maintenance: partials + bridge + feeds + broadcast dims only ---
+    partials = spark.read.schema(
+        "c_custkey bigint, n_name string, cnt bigint, "
+        "rev decimal(38,6), qty decimal(38,6)"
+    ).parquet(os.path.join(base, "partials"))
+    bridge = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint"
+    ).parquet(os.path.join(base, "bridge"))
+    feed_schema = (
+        "l_orderkey bigint, l_extendedprice double, l_discount double, "
+        "l_quantity double"
+    )
+    d_ins = spark.read.schema(feed_schema).parquet(
+        os.path.join(base, "delta_ins")
+    )
+    d_del = spark.read.schema(feed_schema).parquet(
+        os.path.join(base, "delta_del")
+    )
+    d_cust = spark.read.schema("c_custkey bigint, new_nationkey int").parquet(
+        os.path.join(base, "delta_cust")
+    )
+    # 1. dimension re-aim at partial grain
+    kept = partials.join(F.broadcast(d_cust), "c_custkey", "left_anti")
+    reaim = (
+        partials.drop("n_name")
+        .join(F.broadcast(d_cust), "c_custkey")
+        .join(
+            F.broadcast(nation), F.col("new_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", "n_name", "cnt", "rev", "qty")
+    )
+    # 2. fact deltas to customer grain, named by the POST-update dimension
+    cust_final = (
+        customer.join(F.broadcast(d_cust), "c_custkey", "left")
+        .withColumn("c_nationkey", F.coalesce("new_nationkey", "c_nationkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", "n_name")
+    )
+
+    def delta_partial(feed, sign: int):
+        return (
+            F.broadcast(feed)
+            .join(bridge, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(
+                (F.lit(sign) * F.count(F.lit(1))).alias("cnt"),
+                (F.lit(sign) * F.sum(rev)).cast("decimal(38,6)").alias("rev"),
+                (F.lit(sign) * F.sum(qty)).cast("decimal(38,6)").alias("qty"),
+            )
+        )
+
+    dp = delta_partial(d_ins, 1).unionAll(delta_partial(d_del, -1))
+    dp_named = (
+        F.broadcast(dp)
+        .join(cust_final, "c_custkey")
+        .select("c_custkey", "n_name", "cnt", "rev", "qty")
+    )
+    # 3. re-materialize the self-maintaining customer-grain partials,
+    # then the nation rollup
+    merged = (
+        kept.select("c_custkey", "n_name", "cnt", "rev", "qty")
+        .unionAll(reaim)
+        .unionAll(dp_named)
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("rev").alias("rev"),
+            F.sum("qty").alias("qty"),
+        )
+    )
+    return (
+        merged.groupBy("n_name")
+        .agg(
+            F.sum("cnt").alias("n_items"),
+            F.sum("rev").cast("double").alias("sum_revenue"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+        )
+        .filter(F.col("n_items") > 0)
+    )

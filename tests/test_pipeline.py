@@ -428,3 +428,63 @@ def test_p18_maintenance_never_rescans_facts(spark):
     want = sorted(tuple(r) for r in rebuilt.collect())
     assert got, "maintained MV must be non-empty at sf0.001"
     assert got == want
+
+
+def test_p19_composed_maintenance_contract(spark):
+    """p19 contract: simultaneous fact + dimension churn maintained with
+    zero lineitem/orders scans (customer/nation are broadcast dims), and
+    the result equals a from-scratch rebuild over the mutated tables."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.pipeline_ops import p19_mv_chain_maintain
+    from dask_pipes_spark.session import load
+    from tests.conftest import SF_SMOKE
+
+    df = p19_mv_chain_maintain(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    for fact in ("lineitem", "orders"):
+        assert not re.search(rf"{fact}\.parquet", plan), (
+            f"maintenance must not rescan {fact}"
+        )
+    assert plan.count("dps_p19_mvchain") >= 5  # partials+bridge+3 feeds
+
+    cust_final = load(spark, SF_SMOKE, "customer").withColumn(
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 50 == 0,
+            ((F.col("c_nationkey") + 7) % 25).cast("int"),
+        ).otherwise(F.col("c_nationkey")),
+    )
+    rebuilt = (
+        load(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_orderkey") % 100 != 4)
+        .join(
+            load(spark, SF_SMOKE, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_final, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            load(spark, SF_SMOKE, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("sum_revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in rebuilt.collect())
+    assert got, "maintained MV must be non-empty at sf0.001"
+    assert got == want
