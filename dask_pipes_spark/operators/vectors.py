@@ -1060,22 +1060,40 @@ def l71_ivfadc_residual(spark, sf_dir):
     cent_rows = cent.collect()
     # indexed keeps e: the residual needs the vector AND its bucket
     indexed = ivf_assign(vecs, cent_rows, nprobe=1)
-    resid = (
-        indexed.join(F.broadcast(cent), "bucket")
-        .select(
-            "vec_id",
-            "bucket",
-            F.zip_with("e", "ce", lambda x, y: x - y).alias("r"),
-        )
+    cents, codes = _residual_train(indexed, cent)
+    return _residual_probe(indexed, cent, cent_rows, cents, codes)
+
+
+def _residual_train(indexed, cent):
+    """Train residual PQ codebooks + codes over an assigned corpus
+    (l71 rebuild == l73 build): r = e − ce(bucket) per vector, then the
+    l55 training discipline (digest seeds, decimal-exact Lloyd,
+    struct-min codes) over residual subvectors."""
+    resid = indexed.join(F.broadcast(cent), "bucket").select(
+        "vec_id",
+        "bucket",
+        F.zip_with("e", "ce", lambda x, y: x - y).alias("r"),
     )
     v_res = resid.select("vec_id", F.col("r").alias("e"))
     sub_res = _pq_subspaces(v_res).select("vec_id", "s", "sv")
     cents = _pq_train(v_res, sub_res)
-    codes = _pq_assign(sub_res, cents)
-    # queries: nprobe=3 probe buckets; residual (and thus the ADC grid)
-    # is PER (query, bucket)
+    return cents, _pq_assign(sub_res, cents)
+
+
+def _residual_probe(indexed, cent, cent_rows, cents, codes):
+    """Shared residual-ADC probe (l71 rebuild == l73 persist): queries =
+    every 100th indexed vector assigned to nprobe=3 buckets, residual
+    (and thus the ADC grid) PER (query, bucket), candidates scored by 8
+    code lookups against their bucket's grid, top-5 by (adc_dist,
+    vec_id)."""
+    from dask_pipes_spark.operators.llm_ext import ivf_assign
+
     probes = ivf_assign(
-        vecs.filter(F.col("vec_id") % 100 == 0), cent_rows, nprobe=3
+        indexed.select("vec_id", "e", "nrm").filter(
+            F.col("vec_id") % 100 == 0
+        ),
+        cent_rows,
+        nprobe=3,
     ).select(F.col("vec_id").alias("query_id"), "e", "bucket")
     qresid = (
         probes.join(F.broadcast(cent), "bucket")
@@ -1129,6 +1147,77 @@ def l71_ivfadc_residual(spark, sf_dir):
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist")
         .orderBy("query_id", "adc_dist", "neighbor_id")
     )
+
+
+def build_residual_index(spark, sf_dir: str, index_dir: str) -> None:
+    """Materialize the l71 residual-IVFADC index: ``centroids/`` (the IVF
+    coarse codebook), ``assignments/`` (vec_id, e, nrm, bucket — the
+    inverted file), ``codebooks/`` (residual-trained PQ centroids) and
+    ``codes/`` (4-bit residual codes). Everything the probe needs; the
+    raw corpus is never read again."""
+    import os
+
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+
+    vecs, cent = _ivf_corpus_and_centroids(spark, sf_dir)
+    cent.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    indexed = ivf_assign(vecs, cent.collect(), nprobe=1)
+    indexed.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "assignments")
+    )
+    cents, codes = _residual_train(indexed, cent)
+    cents.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codebooks")
+    )
+    codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+
+
+@query("l73_residual_index_persist", oracle=_l71_oracle())
+def l73_residual_index_persist(spark, sf_dir):
+    """Residual-IVFADC index persistence (round 8 — the l62/l63 lifecycle
+    applied to l71, so every ANN variant in the engine has a persisted
+    steady-state path): the coarse codebook, inverted-file assignments,
+    residual-trained PQ codebooks, and residual codes are all built once
+    under an :func:`ensure_index` staleness manifest, and the probe —
+    same spec as l71 — answers purely from the persisted tables. The
+    returned plan has NO Lloyd stage, NO coarse-centroid training, and
+    ZERO embeddings scans (queries come from the inverted file;
+    test-pinned); the oracle is l71's full from-scratch twin, so the
+    persisted path must equal the rebuild path pair-for-pair.
+
+    100 TB: residual mode makes persistence MORE valuable than raw-PQ
+    (l63): the rebuild path pays IVF training + assignment + residual
+    subtraction + Lloyd — two corpus passes and a broadcast join more
+    than raw PQ — while the persisted probe pays exactly what l63's
+    does (codes + grids + bucket join). Delta maintenance composes via
+    l65 (assignments) and l67 (codes); generation write-back via
+    l70/l72's checkpoint protocol."""
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx = ensure_index(
+        scratch_path(f"dps_l73_rivfadc_{tag}"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="rivfadc-v1",
+        build=lambda d: build_residual_index(spark, sf_dir, d),
+    )
+    cent = spark.read.schema(
+        "bucket int, ce array<double>, cnrm double"
+    ).parquet(os.path.join(idx, "centroids"))
+    cent_rows = cent.collect()
+    indexed = spark.read.schema(
+        "vec_id bigint, e array<double>, nrm double, bucket int"
+    ).parquet(os.path.join(idx, "assignments"))
+    cents = spark.read.schema("s int, cid int, cv array<double>").parquet(
+        os.path.join(idx, "codebooks")
+    )
+    codes = spark.read.schema("vec_id bigint, s int, code int").parquet(
+        os.path.join(idx, "codes")
+    )
+    return _residual_probe(indexed, cent, cent_rows, cents, codes)
 
 
 _L67_ORACLE = _l55_oracle(

@@ -383,3 +383,32 @@ def test_l72_vacuum_layout(spark):
     manifest = json.load(open(os.path.join(base, "VACUUM.json")))
     assert manifest["superseded"] == ["codes", "delta_del", "delta_ins"]
     assert manifest["by"] == "codes-g002"
+
+
+def test_l73_equals_l71_rebuild(spark):
+    """The persisted residual-IVFADC index answers the probe identically
+    to the train-everything-per-query rebuild path."""
+    from dask_pipes_spark.operators.vectors import (
+        l71_ivfadc_residual,
+        l73_residual_index_persist,
+    )
+
+    a = _rowset(l71_ivfadc_residual(spark, SF_SMOKE))
+    b = _rowset(l73_residual_index_persist(spark, SF_SMOKE))
+    assert a, "probe result must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_l73_probe_plan_has_no_training(spark):
+    """Pure probe: no Lloyd checkpoint, no coarse-centroid training, no
+    embeddings scan — queries come from the persisted inverted file."""
+    from dask_pipes_spark.operators.vectors import l73_residual_index_persist
+
+    plan = _plan(l73_residual_index_persist(spark, SF_SMOKE))
+    assert "ExistingRDD" not in plan, "Lloyd checkpoint leaked into probe"
+    # no coarse-centroid training: the posexplode + decimal-mean pattern
+    # is the training signature (the probe's ADC accumulation legitimately
+    # uses decimal(28,12) sums, so only posexplode is pinned here)
+    assert "posexplode" not in plan
+    assert not re.search(r"embeddings\.parquet", plan)
+    assert plan.count("dps_l73_rivfadc") >= 4  # 4 persisted tables
