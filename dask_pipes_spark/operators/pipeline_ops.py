@@ -1483,3 +1483,162 @@ def p19_mv_chain_maintain(spark, sf_dir):
         )
         .filter(F.col("n_items") > 0)
     )
+
+
+@query(
+    "p20_agg_mv_checkpoint",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation ON c.c_nationkey = n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def p20_agg_mv_checkpoint(spark, sf_dir):
+    """Aggregate-MV write-back (round 8 — the l70/l72 generation protocol
+    applied to IVM state, closing p18's loop the way l70 closed l65's):
+    without a checkpoint, every query over the delta-maintained aggregate
+    re-pays the partial merge (p18's unionAll + groupBy) and the CDC
+    feeds accumulate across refresh windows. Here the maintenance pass
+    runs ONCE inside the build — p18's signed-partial algebra over the
+    persisted MV, feeds, and bridge — and the merged partials are
+    rewritten as generation ``agg_mv-g002`` via
+    :func:`checkpoint_index_generation` (compact → ``os.replace`` →
+    ``VACUUM.json`` supersession manifest → delete the old MV and both
+    feeds; the bridge survives, it is the next window's lookup artifact).
+
+    The SERVING plan is then one scan of the compacted generation plus a
+    projection — no union, no anti-join, no delta reads (test-pinned
+    with the vacuum layout) — and the oracle recomputes the final
+    aggregate from the mutated base tables, so a partial lost or doubled
+    by the rewrite, or a feed replayed after its vacuum, diverges the
+    hash. Partials stay MERGEABLE in the new generation (count + decimal
+    sums, not finalized averages), so the next CDC window applies the
+    same p18 algebra against g002 and checkpoints g003 — the generation
+    chain every warehouse MV lives on.
+
+    100 TB: serving cost drops from O(|MV| + |accumulated deltas|) per
+    query to O(|MV|) once per maintenance window; the vacuum bounds the
+    feed directory exactly as k18 bounds the landing zone."""
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p20_aggmv_ckpt_{tag}")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    qty = F.col("l_quantity").cast("decimal(28,6)")
+    feed_cols = ["l_orderkey", "l_extendedprice", "l_discount", "l_quantity"]
+    feed_schema = (
+        "l_orderkey bigint, l_extendedprice double, l_discount double, "
+        "l_quantity double"
+    )
+
+    def _stage(d: str) -> None:
+        # 1. yesterday's state (the p18 staging shape)
+        lineitem = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        customer = load(spark, sf_dir, "customer")
+        nation = load(spark, sf_dir, "nation")
+        bridge = (
+            orders.join(
+                F.broadcast(customer),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select("o_orderkey", "n_name")
+        )
+        bridge.write.mode("overwrite").parquet(os.path.join(d, "bridge"))
+        li_old = lineitem.filter(F.col("l_orderkey") % 10 != 7)
+        (
+            li_old.join(bridge, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(rev).alias("rev"),
+                F.sum(qty).alias("qty"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "agg_mv"))
+        )
+        lineitem.filter(F.col("l_orderkey") % 10 == 7).select(
+            *feed_cols
+        ).write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
+        li_old.filter(F.col("l_orderkey") % 100 == 4).select(
+            *feed_cols
+        ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
+        # 2. p18's maintenance algebra over the PERSISTED state only
+        mv = spark.read.schema(
+            "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+        ).parquet(os.path.join(d, "agg_mv"))
+        br = spark.read.schema("o_orderkey bigint, n_name string").parquet(
+            os.path.join(d, "bridge")
+        )
+        d_ins = spark.read.schema(feed_schema).parquet(
+            os.path.join(d, "delta_ins")
+        )
+        d_del = spark.read.schema(feed_schema).parquet(
+            os.path.join(d, "delta_del")
+        )
+
+        def dp(feed, sign: int):
+            return (
+                F.broadcast(feed)
+                .join(br, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("n_name")
+                .agg(
+                    (F.lit(sign) * F.count(F.lit(1))).alias("cnt"),
+                    (F.lit(sign) * F.sum(rev))
+                    .cast("decimal(38,6)")
+                    .alias("rev"),
+                    (F.lit(sign) * F.sum(qty))
+                    .cast("decimal(38,6)")
+                    .alias("qty"),
+                )
+            )
+
+        merged = (
+            mv.unionAll(dp(d_ins, 1))
+            .unionAll(dp(d_del, -1))
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)  # retired groups leave the MV
+        )
+        # 3. write-back: compact → swap → manifest → vacuum
+        checkpoint_index_generation(
+            d,
+            merged,
+            superseded=["agg_mv", "delta_ins", "delta_del"],
+            generation="agg_mv-g002",
+        )
+
+    ensure_index(
+        base,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        version="aggmv-ckpt-v1",
+        build=_stage,
+    )
+    # --- serving: ONE scan of the compacted generation ---
+    mv2 = spark.read.schema(
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    ).parquet(os.path.join(base, "agg_mv-g002"))
+    return mv2.select(
+        "n_name",
+        F.col("cnt").alias("n_items"),
+        F.col("rev").cast("double").alias("sum_revenue"),
+        F.col("qty").cast("double").alias("sum_qty"),
+    )

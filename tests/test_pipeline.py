@@ -488,3 +488,36 @@ def test_p19_composed_maintenance_contract(spark):
     want = sorted(tuple(r) for r in rebuilt.collect())
     assert got, "maintained MV must be non-empty at sf0.001"
     assert got == want
+
+
+def test_p20_checkpoint_layout_and_serving_plan(spark):
+    """p20 contract: after the write-back the index dir holds the bridge
+    + the compacted generation + the vacuum manifest (old MV and feeds
+    deleted), and the SERVING plan is one generation scan — no union,
+    no broadcast merge, no delta reads, no base-table scans."""
+    import json
+    import os
+    import re
+
+    from dask_pipes_spark.operators.pipeline_ops import p20_agg_mv_checkpoint
+    from dask_pipes_spark.session import scratch_path
+    from tests.conftest import SF_SMOKE
+
+    df = p20_agg_mv_checkpoint(spark, SF_SMOKE)
+    assert df.count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p20_aggmv_ckpt_{tag}")
+    names = set(os.listdir(base))
+    assert "agg_mv-g002" in names and "bridge" in names
+    for gone in ("agg_mv", "delta_ins", "delta_del", "agg_mv-g002.tmp"):
+        assert gone not in names, f"superseded state survived vacuum: {gone}"
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert manifest["superseded"] == ["agg_mv", "delta_del", "delta_ins"]
+    assert manifest["by"] == "agg_mv-g002"
+
+    plan = df._jdf.queryExecution().toString()
+    assert "Union" not in plan
+    assert "delta_ins" not in plan and "delta_del" not in plan
+    for fact in ("lineitem", "orders", "customer"):
+        assert not re.search(rf"{fact}\.parquet", plan)
+    assert plan.count("agg_mv-g002") >= 1
