@@ -412,3 +412,65 @@ def test_l73_probe_plan_has_no_training(spark):
     assert "posexplode" not in plan
     assert not re.search(r"embeddings\.parquet", plan)
     assert plan.count("dps_l73_rivfadc") >= 4  # 4 persisted tables
+
+
+def test_checkpoint_generation_chain(spark):
+    """The write-back protocol is REPEATABLE: after l70's g002, a second
+    delta window checkpoints g003 on top — the old generation vacuumed,
+    the manifest re-pointed, the probe consistent with the surviving
+    rows. This is the generation chain a nightly job walks forever."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_probe_topk,
+        l70_ivf_index_checkpoint,
+    )
+    from dask_pipes_spark.session import (
+        checkpoint_index_generation,
+        scratch_path,
+    )
+
+    assert l70_ivf_index_checkpoint(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l70_ivf_ckpt_{tag}")
+    schema = "vec_id bigint, e array<double>, nrm double, bucket int"
+    g2 = spark.read.schema(schema).parquet(
+        os.path.join(base, "assignments-g002")
+    )
+    n2 = g2.count()
+    # second window: tombstone every 13th surviving vector, checkpoint g003
+    # (count the tombstones BEFORE the vacuum deletes g002's files)
+    n_del = g2.filter(F.col("vec_id") % 13 == 0).count()
+    maintained = g2.filter(F.col("vec_id") % 13 != 0)
+    checkpoint_index_generation(
+        base, maintained, superseded=["assignments-g002"],
+        generation="assignments-g003",
+    )
+    names = set(os.listdir(base))
+    assert "assignments-g003" in names
+    assert "assignments-g002" not in names, "old generation must be vacuumed"
+    assert "assignments-g003.tmp" not in names
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert manifest == {
+        "superseded": ["assignments-g002"], "by": "assignments-g003",
+    }
+    g3 = spark.read.schema(schema).parquet(
+        os.path.join(base, "assignments-g003")
+    )
+    assert g3.count() == n2 - n_del
+    cent_rows = (
+        spark.read.schema("bucket int, ce array<double>, cnrm double")
+        .parquet(os.path.join(base, "centroids"))
+        .collect()
+    )
+    probe = _ivf_probe_topk(g3.select("vec_id", "e", "nrm"), g3, cent_rows)
+    rows = probe.collect()
+    assert rows, "post-g003 probe must still answer"
+    surviving = {r.vec_id for r in g3.select("vec_id").collect()}
+    for r in rows:
+        assert r.neighbor_id in surviving and r.query_id in surviving
+    # leave a fresh index for other tests: invalidate so the next l70
+    # run rebuilds from staging (g002 state)
+    os.remove(os.path.join(base, "MANIFEST.json"))
