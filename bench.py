@@ -498,9 +498,12 @@ def main() -> None:
     text_stats_mv.count()
 
     # ANN INDEX (round 8, verdict item: the similarity-search tier carries
-    # a published headline). Build-once via ensure_index (the l62 artifact
-    # — shared dir/version, so operator runs and the bench reuse the same
-    # persisted index), then cache the loaded assignment table: the timed
+    # a published headline). Build-once via ensure_index — same dir name/
+    # version as the l62 operator, so under a shared scratch root
+    # ($SPARK_GRAFT_SCRATCH_ROOT) the bench and operator runs reuse one
+    # persisted index; under the default per-process root each process
+    # builds its own copy once (outside the timed region either way).
+    # Then cache the loaded assignment table: the timed
     # q_ann_probe is the STEADY-STATE probe — map-side literal-codebook
     # assignment of the every-20th query slice, bucket equi-join, exact
     # top-5 re-rank — never training, never an embeddings scan. DuckDB's
@@ -727,16 +730,9 @@ def main() -> None:
     assert sorted(_fmt(tuple(r)) for r in probe_rows) == sorted(
         _fmt(t) for t in oracle_rows
     ), "ann probe mismatch vs l62 oracle"
-    brute_rows = _acon.execute(ANN_BRUTE_SQL).fetchall()
-    _truth: dict[int, set[int]] = {}
-    for q, nb, _s in brute_rows:
-        _truth.setdefault(q, set()).add(nb)
-    _got: dict[int, set[int]] = {}
-    for r in probe_rows:
-        _got.setdefault(r.query_id, set()).add(r.neighbor_id)
-    ann_recall = sum(
-        len(_got.get(q, set()) & t) for q, t in _truth.items()
-    ) / max(1, sum(len(t) for t in _truth.values()))
+    # recall@5 vs the brute-force exact answer is computed from the
+    # calibration section's timed runs (the rowset is identical every
+    # run — no separate fetch; at sf1 one brute execution is ~2 min)
 
     # q_dedup_chain cross-check: Spark operator chain vs the DuckDB l18
     # oracle CTE chain, exact rowset equality (this IS the engine-vs-engine
@@ -885,12 +881,25 @@ def main() -> None:
 
     # ANN disclosure pair (round 8): same-window DuckDB brute-force time
     # (rescales BASELINE.md's published 385.4 ms to current ambient
-    # conditions) + the probe's recall@5 vs that exact answer
+    # conditions) + the probe's recall@5 vs that exact answer. The first
+    # timed run doubles as the warm-up (median of 3 absorbs one elevated
+    # sample) and its rowset feeds the recall computation — the brute
+    # scan runs exactly 3 times total.
     ann_brute_times = []
+    brute_rows: list = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _acon.execute(ANN_BRUTE_SQL).fetchall()
+        brute_rows = _acon.execute(ANN_BRUTE_SQL).fetchall()
         ann_brute_times.append(time.perf_counter() - t0)
+    _truth: dict[int, set[int]] = {}
+    for q, nb, _s in brute_rows:
+        _truth.setdefault(q, set()).add(nb)
+    _got: dict[int, set[int]] = {}
+    for r in probe_rows:
+        _got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann_recall = sum(
+        len(_got.get(q, set()) & t) for q, t in _truth.items()
+    ) / max(1, sum(len(t) for t in _truth.values()))
 
     calibration = {
         "spark_floor_ms": round(statistics.median(floor_times) * 1000, 1),

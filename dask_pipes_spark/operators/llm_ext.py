@@ -1161,6 +1161,55 @@ _L65_ORACLE = """
     """
 
 
+def _stage_ivf_delta_state(spark, sf_dir: str, d: str) -> None:
+    """Stage 'yesterday's' persisted IVF state + CDC feeds (shared by l65
+    and l70 — the maintenance and the checkpoint key MUST start from the
+    same bytes): codebook + assignments trained/assigned without the
+    ``%9==5`` slice, insert feed = that slice, tombstones = ``%11==3``."""
+    vecs_old, cent = _ivf_corpus_and_centroids(
+        spark, sf_dir, pred=F.col("vec_id") % 9 != 5
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    ivf_assign(vecs_old, cent.collect(), nprobe=1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "assignments"))
+    vecs_new, _ = _ivf_corpus_and_centroids(
+        spark, sf_dir, pred=F.col("vec_id") % 9 == 5
+    )
+    vecs_new.write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
+    vecs_old.filter(F.col("vec_id") % 11 == 3).select(
+        "vec_id"
+    ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
+
+
+def _read_ivf_delta_state(spark, d: str):
+    """Load the staged state back (persisted tables only — never the
+    corpus): (cent_rows, assignments, delta_ins, delta_del)."""
+    cent_rows = (
+        spark.read.schema("bucket int, ce array<double>, cnrm double")
+        .parquet(os.path.join(d, "centroids"))
+        .collect()
+    )
+    assignments = spark.read.schema(_IVF_ASSIGN_SCHEMA).parquet(
+        os.path.join(d, "assignments")
+    )
+    d_ins = spark.read.schema(
+        "vec_id bigint, e array<double>, nrm double"
+    ).parquet(os.path.join(d, "delta_ins"))
+    d_del = spark.read.schema("vec_id bigint").parquet(
+        os.path.join(d, "delta_del")
+    )
+    return cent_rows, assignments, d_ins, d_del
+
+
+def _ivf_delta_merge(assignments, d_ins, d_del, cent_rows):
+    """l65's maintenance algebra: broadcast anti-join deletes + map-side
+    delta assignment against the fixed codebook."""
+    return assignments.join(
+        F.broadcast(d_del), "vec_id", "left_anti"
+    ).unionAll(ivf_assign(d_ins, cent_rows, nprobe=1))
+
+
 @query("l65_ann_index_delta", oracle=_L65_ORACLE)
 def l65_ann_index_delta(spark, sf_dir):
     """Incremental ANN index maintenance (l62's persistence + p17's delta
@@ -1191,48 +1240,14 @@ def l65_ann_index_delta(spark, sf_dir):
     trillion-vector IVF operable."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     base = scratch_path(f"dps_l65_ivf_delta_{tag}")
-
-    def _stage(d: str) -> None:
-        vecs_old, cent = _ivf_corpus_and_centroids(
-            spark, sf_dir, pred=F.col("vec_id") % 9 != 5
-        )
-        cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
-        rows = cent.collect()
-        ivf_assign(vecs_old, rows, nprobe=1).write.mode("overwrite").parquet(
-            os.path.join(d, "assignments")
-        )
-        vecs_new, _ = _ivf_corpus_and_centroids(
-            spark, sf_dir, pred=F.col("vec_id") % 9 == 5
-        )
-        vecs_new.write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
-        vecs_old.filter(F.col("vec_id") % 11 == 3).select(
-            "vec_id"
-        ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
-
     idx = ensure_index(
         base,
         os.path.join(sf_dir, "embeddings.parquet"),
         version="ivf-delta-v1",
-        build=_stage,
+        build=lambda d: _stage_ivf_delta_state(spark, sf_dir, d),
     )
-    cent_rows = (
-        spark.read.schema("bucket int, ce array<double>, cnrm double")
-        .parquet(os.path.join(idx, "centroids"))
-        .collect()
-    )
-    assign_schema = "vec_id bigint, e array<double>, nrm double, bucket int"
-    assignments = spark.read.schema(assign_schema).parquet(
-        os.path.join(idx, "assignments")
-    )
-    d_ins = spark.read.schema(
-        "vec_id bigint, e array<double>, nrm double"
-    ).parquet(os.path.join(idx, "delta_ins"))
-    d_del = spark.read.schema("vec_id bigint").parquet(
-        os.path.join(idx, "delta_del")
-    )
-    maintained = assignments.join(
-        F.broadcast(d_del), "vec_id", "left_anti"
-    ).unionAll(ivf_assign(d_ins, cent_rows, nprobe=1))
+    cent_rows, assignments, d_ins, d_del = _read_ivf_delta_state(spark, idx)
+    maintained = _ivf_delta_merge(assignments, d_ins, d_del, cent_rows)
     return _ivf_probe_topk(
         maintained.select("vec_id", "e", "nrm"), maintained, cent_rows
     )
@@ -1279,43 +1294,15 @@ def l70_ivf_index_checkpoint(spark, sf_dir):
     base = scratch_path(f"dps_l70_ivf_ckpt_{tag}")
 
     def _stage(d: str) -> None:
-        # 1. yesterday's persisted index + CDC feeds (the l65 staging)
-        vecs_old, cent = _ivf_corpus_and_centroids(
-            spark, sf_dir, pred=F.col("vec_id") % 9 != 5
-        )
-        cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
-        ivf_assign(vecs_old, cent.collect(), nprobe=1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(d, "assignments"))
-        vecs_new, _ = _ivf_corpus_and_centroids(
-            spark, sf_dir, pred=F.col("vec_id") % 9 == 5
-        )
-        vecs_new.write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
-        vecs_old.filter(F.col("vec_id") % 11 == 3).select(
-            "vec_id"
-        ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
-        # 2. l65's maintenance algebra over the PERSISTED state only
-        rows = (
-            spark.read.schema("bucket int, ce array<double>, cnrm double")
-            .parquet(os.path.join(d, "centroids"))
-            .collect()
-        )
-        assignments = spark.read.schema(_IVF_ASSIGN_SCHEMA).parquet(
-            os.path.join(d, "assignments")
-        )
-        d_ins = spark.read.schema(
-            "vec_id bigint, e array<double>, nrm double"
-        ).parquet(os.path.join(d, "delta_ins"))
-        d_del = spark.read.schema("vec_id bigint").parquet(
-            os.path.join(d, "delta_del")
-        )
-        maintained = assignments.join(
-            F.broadcast(d_del), "vec_id", "left_anti"
-        ).unionAll(ivf_assign(d_ins, rows, nprobe=1))
-        # 3. write-back: compact → swap → manifest → vacuum
+        # 1. yesterday's persisted index + CDC feeds (the shared l65
+        #    staging — maintenance and checkpoint start from the same
+        #    bytes), 2. l65's maintenance algebra over the PERSISTED
+        #    state only, 3. write-back: compact → swap → manifest → vacuum
+        _stage_ivf_delta_state(spark, sf_dir, d)
+        rows, assignments, d_ins, d_del = _read_ivf_delta_state(spark, d)
         checkpoint_index_generation(
             d,
-            maintained,
+            _ivf_delta_merge(assignments, d_ins, d_del, rows),
             superseded=["assignments", "delta_ins", "delta_del"],
             generation="assignments-g002",
         )

@@ -1066,15 +1066,11 @@ def p17_join_mv_maintain(spark, sf_dir):
             ((F.col("c_nationkey") + 7) % 25).cast("int").alias("new_nationkey"),
         ).write.mode("overwrite").parquet(os.path.join(d, "delta_cust"))
 
-    # staleness-guarded staging (round 8, advice item): the fingerprint on
-    # orders.parquet — not a bare _SUCCESS marker — invalidates the staged
-    # MV/delta state when the fixture is regenerated under the same sf tag
-    ensure_index(
-        base,
-        os.path.join(sf_dir, "orders.parquet"),
-        version="mv-v1",
-        build=_stage,
-    )
+    # staleness-guarded staging (round 8, advice item): fingerprint the
+    # WHOLE fixture dir — the staged state derives from orders, customer
+    # AND nation, so a partial regeneration of any of them under the same
+    # sf tag must invalidate the staged MV/delta feeds
+    ensure_index(base, sf_dir, version="mv-v1", build=_stage)
     # --- maintenance: MV + deltas + broadcast dims only from here on ---
     mv_old = spark.read.schema(
         "o_orderkey bigint, o_custkey bigint, n_name string"
@@ -1137,6 +1133,103 @@ def p17_join_mv_maintain(spark, sf_dir):
     )
 
 
+# Shared state for the aggregate-IVM keys (p18 maintenance == p20
+# checkpoint — both must start from the same staged bytes and apply the
+# same signed-partial algebra).
+def _agg_mv_rev():
+    # built lazily: Column construction needs an active SparkContext
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+
+
+def _agg_mv_qty():
+    return F.col("l_quantity").cast("decimal(28,6)")
+_AGG_MV_FEED_COLS = [
+    "l_orderkey", "l_extendedprice", "l_discount", "l_quantity",
+]
+_AGG_MV_FEED_SCHEMA = (
+    "l_orderkey bigint, l_extendedprice double, l_discount double, "
+    "l_quantity double"
+)
+
+
+def _stage_agg_mv_state(spark, sf_dir: str, d: str) -> None:
+    """Stage 'yesterday's' aggregate-MV world: the o_orderkey→n_name
+    bridge, nation-grain partials over lineitem-without-the-``%10==7``
+    slice, the insert feed (that slice) and before-image tombstones
+    (``%100==4``)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    bridge = (
+        orders.join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("o_orderkey", "n_name")
+    )
+    bridge.write.mode("overwrite").parquet(os.path.join(d, "bridge"))
+    li_old = lineitem.filter(F.col("l_orderkey") % 10 != 7)
+    (
+        li_old.join(bridge, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_agg_mv_rev()).alias("rev"),
+            F.sum(_agg_mv_qty()).alias("qty"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "agg_mv"))
+    )
+    lineitem.filter(F.col("l_orderkey") % 10 == 7).select(
+        *_AGG_MV_FEED_COLS
+    ).write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
+    li_old.filter(F.col("l_orderkey") % 100 == 4).select(
+        *_AGG_MV_FEED_COLS
+    ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
+
+
+def _read_agg_mv_state(spark, d: str):
+    """Load the staged state back (persisted tables only):
+    (mv_partials, bridge, delta_ins, delta_del)."""
+    mv = spark.read.schema(
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    ).parquet(os.path.join(d, "agg_mv"))
+    bridge = spark.read.schema("o_orderkey bigint, n_name string").parquet(
+        os.path.join(d, "bridge")
+    )
+    d_ins = spark.read.schema(_AGG_MV_FEED_SCHEMA).parquet(
+        os.path.join(d, "delta_ins")
+    )
+    d_del = spark.read.schema(_AGG_MV_FEED_SCHEMA).parquet(
+        os.path.join(d, "delta_del")
+    )
+    return mv, bridge, d_ins, d_del
+
+
+def _agg_mv_delta_partial(feed, bridge, sign: int):
+    """Signed per-nation partial from a CDC lineitem feed: broadcast the
+    delta batch (delta-sized by contract), stream the bridge map-side."""
+    return (
+        F.broadcast(feed)
+        .join(bridge, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("cnt"),
+            (F.lit(sign) * F.sum(_agg_mv_rev()))
+            .cast("decimal(38,6)")
+            .alias("rev"),
+            (F.lit(sign) * F.sum(_agg_mv_qty()))
+            .cast("decimal(38,6)")
+            .alias("qty"),
+        )
+    )
+
+
 @query(
     "p18_agg_mv_maintain",
     oracle="""
@@ -1196,91 +1289,17 @@ def p18_agg_mv_maintain(spark, sf_dir):
     restart)."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     base = scratch_path(f"dps_p18_aggmv_{tag}")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(28,6)"
-    )
-    qty = F.col("l_quantity").cast("decimal(28,6)")
-    feed_cols = ["l_orderkey", "l_extendedprice", "l_discount", "l_quantity"]
-
-    def _stage(d: str) -> None:
-        lineitem = load(spark, sf_dir, "lineitem")
-        orders = load(spark, sf_dir, "orders")
-        customer = load(spark, sf_dir, "customer")
-        nation = load(spark, sf_dir, "nation")
-        bridge = (
-            orders.join(
-                F.broadcast(customer),
-                F.col("o_custkey") == F.col("c_custkey"),
-            )
-            .join(
-                F.broadcast(nation),
-                F.col("c_nationkey") == F.col("n_nationkey"),
-            )
-            .select("o_orderkey", "n_name")
-        )
-        bridge.write.mode("overwrite").parquet(os.path.join(d, "bridge"))
-        li_old = lineitem.filter(F.col("l_orderkey") % 10 != 7)
-        (
-            li_old.join(
-                bridge, F.col("l_orderkey") == F.col("o_orderkey")
-            )
-            .groupBy("n_name")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(rev).alias("rev"),
-                F.sum(qty).alias("qty"),
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(d, "agg_mv"))
-        )
-        lineitem.filter(F.col("l_orderkey") % 10 == 7).select(
-            *feed_cols
-        ).write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
-        li_old.filter(F.col("l_orderkey") % 100 == 4).select(
-            *feed_cols
-        ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
-
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
     ensure_index(
-        base,
-        os.path.join(sf_dir, "lineitem.parquet"),
-        version="aggmv-v1",
-        build=_stage,
+        base, sf_dir, version="aggmv-v1",
+        build=lambda d: _stage_agg_mv_state(spark, sf_dir, d),
     )
     # --- maintenance: MV partials + feeds + bridge only from here on ---
-    mv = spark.read.schema(
-        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
-    ).parquet(os.path.join(base, "agg_mv"))
-    bridge = spark.read.schema("o_orderkey bigint, n_name string").parquet(
-        os.path.join(base, "bridge")
-    )
-    feed_schema = (
-        "l_orderkey bigint, l_extendedprice double, l_discount double, "
-        "l_quantity double"
-    )
-    d_ins = spark.read.schema(feed_schema).parquet(
-        os.path.join(base, "delta_ins")
-    )
-    d_del = spark.read.schema(feed_schema).parquet(
-        os.path.join(base, "delta_del")
-    )
-
-    def delta_partial(feed, sign: int):
-        # broadcast the CDC batch (delta-sized by contract); the bridge
-        # streams map-side and is hash-pruned to the delta's orderkeys
-        return (
-            F.broadcast(feed)
-            .join(bridge, F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy("n_name")
-            .agg(
-                (F.lit(sign) * F.count(F.lit(1))).alias("cnt"),
-                (F.lit(sign) * F.sum(rev)).cast("decimal(38,6)").alias("rev"),
-                (F.lit(sign) * F.sum(qty)).cast("decimal(38,6)").alias("qty"),
-            )
-        )
-
+    mv, bridge, d_ins, d_del = _read_agg_mv_state(spark, base)
     merged = (
-        mv.unionAll(delta_partial(d_ins, 1))
-        .unionAll(delta_partial(d_del, -1))
+        mv.unionAll(_agg_mv_delta_partial(d_ins, bridge, 1))
+        .unionAll(_agg_mv_delta_partial(d_del, bridge, -1))
         .groupBy("n_name")
         .agg(
             F.sum("cnt").alias("n_items"),
@@ -1396,12 +1415,9 @@ def p19_mv_chain_maintain(spark, sf_dir):
             ((F.col("c_nationkey") + 7) % 25).cast("int").alias("new_nationkey"),
         ).write.mode("overwrite").parquet(os.path.join(d, "delta_cust"))
 
-    ensure_index(
-        base,
-        os.path.join(sf_dir, "lineitem.parquet"),
-        version="mvchain-v1",
-        build=_stage,
-    )
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    ensure_index(base, sf_dir, version="mvchain-v1", build=_stage)
     # --- maintenance: partials + bridge + feeds + broadcast dims only ---
     partials = spark.read.schema(
         "c_custkey bigint, n_name string, cnt bigint, "
@@ -1531,85 +1547,17 @@ def p20_agg_mv_checkpoint(spark, sf_dir):
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     base = scratch_path(f"dps_p20_aggmv_ckpt_{tag}")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(28,6)"
-    )
-    qty = F.col("l_quantity").cast("decimal(28,6)")
-    feed_cols = ["l_orderkey", "l_extendedprice", "l_discount", "l_quantity"]
-    feed_schema = (
-        "l_orderkey bigint, l_extendedprice double, l_discount double, "
-        "l_quantity double"
-    )
 
     def _stage(d: str) -> None:
-        # 1. yesterday's state (the p18 staging shape)
-        lineitem = load(spark, sf_dir, "lineitem")
-        orders = load(spark, sf_dir, "orders")
-        customer = load(spark, sf_dir, "customer")
-        nation = load(spark, sf_dir, "nation")
-        bridge = (
-            orders.join(
-                F.broadcast(customer),
-                F.col("o_custkey") == F.col("c_custkey"),
-            )
-            .join(
-                F.broadcast(nation),
-                F.col("c_nationkey") == F.col("n_nationkey"),
-            )
-            .select("o_orderkey", "n_name")
-        )
-        bridge.write.mode("overwrite").parquet(os.path.join(d, "bridge"))
-        li_old = lineitem.filter(F.col("l_orderkey") % 10 != 7)
-        (
-            li_old.join(bridge, F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy("n_name")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(rev).alias("rev"),
-                F.sum(qty).alias("qty"),
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(d, "agg_mv"))
-        )
-        lineitem.filter(F.col("l_orderkey") % 10 == 7).select(
-            *feed_cols
-        ).write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
-        li_old.filter(F.col("l_orderkey") % 100 == 4).select(
-            *feed_cols
-        ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
-        # 2. p18's maintenance algebra over the PERSISTED state only
-        mv = spark.read.schema(
-            "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
-        ).parquet(os.path.join(d, "agg_mv"))
-        br = spark.read.schema("o_orderkey bigint, n_name string").parquet(
-            os.path.join(d, "bridge")
-        )
-        d_ins = spark.read.schema(feed_schema).parquet(
-            os.path.join(d, "delta_ins")
-        )
-        d_del = spark.read.schema(feed_schema).parquet(
-            os.path.join(d, "delta_del")
-        )
-
-        def dp(feed, sign: int):
-            return (
-                F.broadcast(feed)
-                .join(br, F.col("l_orderkey") == F.col("o_orderkey"))
-                .groupBy("n_name")
-                .agg(
-                    (F.lit(sign) * F.count(F.lit(1))).alias("cnt"),
-                    (F.lit(sign) * F.sum(rev))
-                    .cast("decimal(38,6)")
-                    .alias("rev"),
-                    (F.lit(sign) * F.sum(qty))
-                    .cast("decimal(38,6)")
-                    .alias("qty"),
-                )
-            )
-
+        # 1. yesterday's state (the shared p18 staging), 2. p18's
+        #    maintenance algebra over the PERSISTED state only — partials
+        #    stay MERGEABLE, 3. write-back: compact → swap → manifest →
+        #    vacuum
+        _stage_agg_mv_state(spark, sf_dir, d)
+        mv, br, d_ins, d_del = _read_agg_mv_state(spark, d)
         merged = (
-            mv.unionAll(dp(d_ins, 1))
-            .unionAll(dp(d_del, -1))
+            mv.unionAll(_agg_mv_delta_partial(d_ins, br, 1))
+            .unionAll(_agg_mv_delta_partial(d_del, br, -1))
             .groupBy("n_name")
             .agg(
                 F.sum("cnt").alias("cnt"),
@@ -1618,7 +1566,6 @@ def p20_agg_mv_checkpoint(spark, sf_dir):
             )
             .filter(F.col("cnt") > 0)  # retired groups leave the MV
         )
-        # 3. write-back: compact → swap → manifest → vacuum
         checkpoint_index_generation(
             d,
             merged,
@@ -1626,12 +1573,9 @@ def p20_agg_mv_checkpoint(spark, sf_dir):
             generation="agg_mv-g002",
         )
 
-    ensure_index(
-        base,
-        os.path.join(sf_dir, "lineitem.parquet"),
-        version="aggmv-ckpt-v1",
-        build=_stage,
-    )
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    ensure_index(base, sf_dir, version="aggmv-ckpt-v1", build=_stage)
     # --- serving: ONE scan of the compacted generation ---
     mv2 = spark.read.schema(
         "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"

@@ -1226,6 +1226,54 @@ _L67_ORACLE = _l55_oracle(
 )
 
 
+def _stage_pq_delta_state(spark, sf_dir: str, d: str) -> None:
+    """Stage 'yesterday's' persisted PQ state + CDC feeds (shared by l67
+    and l72): codebooks trained on the ``%9!=5`` slice, codes for that
+    slice, insert feed = the held-out slice's subvectors, tombstones =
+    ``%11==3``."""
+    import os
+
+    v_old, sub_old = _pq_corpus(spark, sf_dir, pred=F.col("vec_id") % 9 != 5)
+    cents = _pq_train(v_old, sub_old)
+    cents.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
+    _pq_assign(sub_old, cents).write.mode("overwrite").parquet(
+        os.path.join(d, "codes")
+    )
+    _, sub_new = _pq_corpus(spark, sf_dir, pred=F.col("vec_id") % 9 == 5)
+    sub_new.write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
+    v_old.filter(F.col("vec_id") % 11 == 3).select(
+        "vec_id"
+    ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
+
+
+def _read_pq_delta_state(spark, d: str):
+    """Load the staged state back (persisted tables only):
+    (cents, codes_old, delta_ins, delta_del)."""
+    import os
+
+    cents = spark.read.schema("s int, cid int, cv array<double>").parquet(
+        os.path.join(d, "codebooks")
+    )
+    codes_old = spark.read.schema("vec_id bigint, s int, code int").parquet(
+        os.path.join(d, "codes")
+    )
+    d_ins = spark.read.schema(
+        "vec_id bigint, s int, sv array<double>"
+    ).parquet(os.path.join(d, "delta_ins"))
+    d_del = spark.read.schema("vec_id bigint").parquet(
+        os.path.join(d, "delta_del")
+    )
+    return cents, codes_old, d_ins, d_del
+
+
+def _pq_delta_merge(codes_old, d_ins, d_del, cents):
+    """l67's maintenance algebra: broadcast anti-join deletes + map-side
+    delta encoding against the fixed codebooks."""
+    return codes_old.join(
+        F.broadcast(d_del), "vec_id", "left_anti"
+    ).unionAll(_pq_assign(d_ins, cents))
+
+
 @query("l67_pq_index_delta", oracle=_L67_ORACLE)
 def l67_pq_index_delta(spark, sf_dir):
     """Incremental PQ code maintenance (l65's delta algebra on the l63
@@ -1251,43 +1299,14 @@ def l67_pq_index_delta(spark, sf_dir):
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     base = scratch_path(f"dps_l67_pq_delta_{tag}")
-
-    def _stage(d: str) -> None:
-        v_old, sub_old = _pq_corpus(
-            spark, sf_dir, pred=F.col("vec_id") % 9 != 5
-        )
-        cents = _pq_train(v_old, sub_old)
-        cents.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
-        _pq_assign(sub_old, cents).write.mode("overwrite").parquet(
-            os.path.join(d, "codes")
-        )
-        _, sub_new = _pq_corpus(spark, sf_dir, pred=F.col("vec_id") % 9 == 5)
-        sub_new.write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
-        v_old.filter(F.col("vec_id") % 11 == 3).select(
-            "vec_id"
-        ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
-
     idx = ensure_index(
         base,
         os.path.join(sf_dir, "embeddings.parquet"),
         version="pq-delta-v1",
-        build=_stage,
+        build=lambda d: _stage_pq_delta_state(spark, sf_dir, d),
     )
-    cents = spark.read.schema("s int, cid int, cv array<double>").parquet(
-        os.path.join(idx, "codebooks")
-    )
-    codes_old = spark.read.schema("vec_id bigint, s int, code int").parquet(
-        os.path.join(idx, "codes")
-    )
-    d_ins = spark.read.schema("vec_id bigint, s int, sv array<double>").parquet(
-        os.path.join(idx, "delta_ins")
-    )
-    d_del = spark.read.schema("vec_id bigint").parquet(
-        os.path.join(idx, "delta_del")
-    )
-    codes = codes_old.join(
-        F.broadcast(d_del), "vec_id", "left_anti"
-    ).unionAll(_pq_assign(d_ins, cents))
+    cents, codes_old, d_ins, d_del = _read_pq_delta_state(spark, idx)
+    codes = _pq_delta_merge(codes_old, d_ins, d_del, cents)
     _, sub = _pq_corpus(spark, sf_dir)
     qsub = sub.filter(
         (F.col("vec_id") % 100 == 0)
@@ -1329,38 +1348,13 @@ def l72_pq_index_checkpoint(spark, sf_dir):
     base = scratch_path(f"dps_l72_pq_ckpt_{tag}")
 
     def _stage(d: str) -> None:
-        v_old, sub_old = _pq_corpus(
-            spark, sf_dir, pred=F.col("vec_id") % 9 != 5
-        )
-        cents0 = _pq_train(v_old, sub_old)
-        cents0.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
-        _pq_assign(sub_old, cents0).write.mode("overwrite").parquet(
-            os.path.join(d, "codes")
-        )
-        _, sub_new = _pq_corpus(spark, sf_dir, pred=F.col("vec_id") % 9 == 5)
-        sub_new.write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
-        v_old.filter(F.col("vec_id") % 11 == 3).select(
-            "vec_id"
-        ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
-        # l67's maintenance algebra over the persisted state only
-        cents = spark.read.schema("s int, cid int, cv array<double>").parquet(
-            os.path.join(d, "codebooks")
-        )
-        codes_old = spark.read.schema(
-            "vec_id bigint, s int, code int"
-        ).parquet(os.path.join(d, "codes"))
-        d_ins = spark.read.schema(
-            "vec_id bigint, s int, sv array<double>"
-        ).parquet(os.path.join(d, "delta_ins"))
-        d_del = spark.read.schema("vec_id bigint").parquet(
-            os.path.join(d, "delta_del")
-        )
-        maintained = codes_old.join(
-            F.broadcast(d_del), "vec_id", "left_anti"
-        ).unionAll(_pq_assign(d_ins, cents))
+        # shared l67 staging → maintenance over the persisted state only
+        # → write-back (compact → swap → manifest → vacuum)
+        _stage_pq_delta_state(spark, sf_dir, d)
+        cents, codes_old, d_ins, d_del = _read_pq_delta_state(spark, d)
         checkpoint_index_generation(
             d,
-            maintained,
+            _pq_delta_merge(codes_old, d_ins, d_del, cents),
             superseded=["codes", "delta_ins", "delta_del"],
             generation="codes-g002",
         )

@@ -51,14 +51,22 @@ def scratch_path(name: str) -> str:
     deletes files while the other session lists them). Keying the root by PID
     keeps paths stable within a session (write-then-read works, re-runs
     overwrite their own leftovers) while isolating concurrent sessions.
-    """
+
+    ``$SPARK_GRAFT_SCRATCH_ROOT`` overrides the root with a SHARED path —
+    the deployment mode where persisted indexes (``ensure_index``) are
+    built once and reused across processes (the bench, a serving session,
+    and the nightly maintenance job reading the same index generation).
+    Sharing is safe for the ensure_index/checkpoint lifecycle because its
+    check→build→manifest sequence holds an exclusive fcntl lock; plain
+    write-then-read scratch (non-indexed operators) should stay on the
+    default per-process root."""
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
         import tempfile
 
-        _SCRATCH_ROOT = os.path.join(
-            tempfile.gettempdir(), f"dps_scratch_{os.getpid()}"
-        )
+        _SCRATCH_ROOT = os.environ.get(
+            "SPARK_GRAFT_SCRATCH_ROOT"
+        ) or os.path.join(tempfile.gettempdir(), f"dps_scratch_{os.getpid()}")
         os.makedirs(_SCRATCH_ROOT, exist_ok=True)
     return os.path.join(_SCRATCH_ROOT, name)
 
@@ -109,11 +117,13 @@ def ensure_index(
 
     Concurrency (round 8): the check→build→manifest sequence holds an
     exclusive ``fcntl`` lock on ``<index_dir>.lock``, so two sessions
-    sharing a scratch root (parity sweep + pytest) serialize instead of
+    sharing a scratch root (``$SPARK_GRAFT_SCRATCH_ROOT`` — the
+    build-once/reuse-everywhere deployment mode) serialize instead of
     both seeing a missing manifest and interleaving parquet overwrites
     in the same directory; the second locker re-reads the manifest and
-    skips its build. On a cluster the lock becomes the table format's
-    commit protocol (optimistic snapshot CAS), same shape."""
+    skips its build. Under the default per-process scratch root the lock
+    never contends (paths are PID-keyed). On a cluster the lock becomes
+    the table format's commit protocol (optimistic snapshot CAS)."""
     import fcntl
     import json
 
@@ -163,9 +173,14 @@ def checkpoint_index_generation(
     anti-join + union merge (l65/l67) and the delta feeds accumulate
     unboundedly. The ordering discipline is the one k18 pins: (1) the
     compacted generation is durable in a scratch directory FIRST,
-    (2) ``os.replace`` renames it into the index atomically (a reader
-    listing the index mid-checkpoint sees old state or new, never a torn
-    mix), (3) a vacuum manifest records the supersession chain, (4) only
+    (2) ``os.replace`` renames it into the index atomically — each
+    checkpoint gets a FRESH generation name, so the target never exists
+    and a reader listing the index mid-checkpoint sees old state or new,
+    never a torn mix (a same-name RETRY after a crash first renames the
+    stale target aside, so the only non-atomic window is on a path that
+    was already known-torn), (3) the vacuum manifest APPENDS this
+    supersession link to its ``history`` (the full chain survives every
+    checkpoint; ``superseded``/``by`` mirror the latest link), (4) only
     THEN are the superseded tables deleted. A crash between (2) and (4)
     leaves both copies plus the manifest — recoverable, never lossy.
     ``coalesce`` (not repartition) collapses to ``target_files`` — the
@@ -183,10 +198,26 @@ def checkpoint_index_generation(
     shutil.rmtree(tmp, ignore_errors=True)  # torn prior checkpoint
     maintained.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     final = os.path.join(index_dir, generation)
-    shutil.rmtree(final, ignore_errors=True)
-    os.replace(tmp, final)
-    with open(os.path.join(index_dir, "VACUUM.json"), "w") as fh:
-        json.dump({"superseded": sorted(superseded), "by": generation}, fh)
+    if os.path.exists(final):  # same-name retry: move the torn copy aside
+        aside = final + ".superseded"
+        shutil.rmtree(aside, ignore_errors=True)
+        os.replace(final, aside)
+        os.replace(tmp, final)
+        shutil.rmtree(aside, ignore_errors=True)
+    else:
+        os.replace(tmp, final)
+    manifest_path = os.path.join(index_dir, "VACUUM.json")
+    history: list = []
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as fh:
+                history = json.load(fh).get("history", [])
+        except (OSError, ValueError):
+            history = []
+    link = {"superseded": sorted(superseded), "by": generation}
+    history.append(link)
+    with open(manifest_path, "w") as fh:
+        json.dump({**link, "history": history}, fh)
     for name in superseded:
         shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
     return final

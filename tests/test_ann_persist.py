@@ -453,9 +453,14 @@ def test_checkpoint_generation_chain(spark):
     assert "assignments-g002" not in names, "old generation must be vacuumed"
     assert "assignments-g003.tmp" not in names
     manifest = json.load(open(os.path.join(base, "VACUUM.json")))
-    assert manifest == {
-        "superseded": ["assignments-g002"], "by": "assignments-g003",
-    }
+    assert manifest["superseded"] == ["assignments-g002"]
+    assert manifest["by"] == "assignments-g003"
+    # the manifest keeps the FULL supersession chain, not just the last
+    # link: g002's creation (vacuuming the staged state) then this one
+    assert [h["by"] for h in manifest["history"]] == [
+        "assignments-g002",
+        "assignments-g003",
+    ]
     g3 = spark.read.schema(schema).parquet(
         os.path.join(base, "assignments-g003")
     )
