@@ -1255,7 +1255,9 @@ def p18_agg_mv_maintain(spark, sf_dir):
     aggregate must stay current, and a rebuild is a full fact scan.
 
     Staged state (yesterday's world, under an ensure_index fingerprint
-    on lineitem.parquet):
+    covering the WHOLE fixture directory — the state derives from
+    lineitem AND the orders/customer/nation dimension chain, so a
+    partial regeneration of any of them must invalidate it):
 
     - ``agg_mv`` — MERGEABLE partials per n_name (count, decimal revenue
       sum, decimal quantity sum) over lineitem-without-the-``%10==7``

@@ -56,10 +56,14 @@ def scratch_path(name: str) -> str:
     the deployment mode where persisted indexes (``ensure_index``) are
     built once and reused across processes (the bench, a serving session,
     and the nightly maintenance job reading the same index generation).
-    Sharing is safe for the ensure_index/checkpoint lifecycle because its
-    check→build→manifest sequence holds an exclusive fcntl lock; plain
-    write-then-read scratch (non-indexed operators) should stay on the
-    default per-process root."""
+    Sharing is safe for the ensure_index/checkpoint lifecycle on two
+    legs (round 9): builders serialize on an exclusive fcntl lock, and a
+    rebuild lands via build-into-temp + rename swap, so a lock-free
+    reader sees the old index or the new one — never a torn mix (the
+    residual exposure is the sub-millisecond rename window, where a
+    listing can transiently miss the directory; see ``ensure_index``).
+    Plain write-then-read scratch (non-indexed operators) should stay on
+    the default per-process root."""
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
         import tempfile
@@ -115,17 +119,28 @@ def ensure_index(
     the corpus; incremental maintenance of the ASSIGNMENT side belongs to
     the CDC/merge machinery (p5/g15), not here.
 
-    Concurrency (round 8): the check→build→manifest sequence holds an
-    exclusive ``fcntl`` lock on ``<index_dir>.lock``, so two sessions
-    sharing a scratch root (``$SPARK_GRAFT_SCRATCH_ROOT`` — the
-    build-once/reuse-everywhere deployment mode) serialize instead of
-    both seeing a missing manifest and interleaving parquet overwrites
-    in the same directory; the second locker re-reads the manifest and
-    skips its build. Under the default per-process scratch root the lock
-    never contends (paths are PID-keyed). On a cluster the lock becomes
-    the table format's commit protocol (optimistic snapshot CAS)."""
+    Concurrency (round 8, hardened round 9): the check→build→swap
+    sequence holds an exclusive ``fcntl`` lock on ``<index_dir>.lock``,
+    so two sessions sharing a scratch root (``$SPARK_GRAFT_SCRATCH_ROOT``
+    — the build-once/reuse-everywhere deployment mode) serialize instead
+    of both seeing a missing manifest and interleaving parquet overwrites;
+    the second locker re-reads the manifest and skips its build. The
+    build itself targets a FRESH ``<index_dir>.build`` temp directory
+    (manifest written inside it, so the swapped-in dir is complete by
+    construction) and lands by rename: the stale index is renamed aside,
+    the temp dir renamed into place, the aside copy deleted — a reader
+    that passed the lock-free ``_fresh()`` fast path therefore reads the
+    OLD index or the NEW one, never a half-overwritten mix (the prior
+    behavior the round-8 advice flagged: ``mode("overwrite")`` into the
+    live directories). Residual exposure: the swap is two renames, not
+    one atomic op — a listing inside that sub-ms window can transiently
+    miss the directory (retry-able; never torn). Under the default
+    per-process scratch root the lock never contends (paths are
+    PID-keyed). On a cluster both legs become the table format's commit
+    protocol (optimistic snapshot CAS + atomic metadata swap)."""
     import fcntl
     import json
+    import shutil
 
     manifest = os.path.join(index_dir, "MANIFEST.json")
     fp = dataset_fingerprint(source_path)
@@ -147,13 +162,23 @@ def ensure_index(
         fcntl.flock(lockfh, fcntl.LOCK_EX)
         if _fresh():  # a concurrent holder built it while we waited
             return index_dir
-        build(index_dir)
-        os.makedirs(index_dir, exist_ok=True)
-        with open(manifest, "w") as fh:
+        tmp = index_dir + ".build"
+        shutil.rmtree(tmp, ignore_errors=True)  # torn prior build
+        os.makedirs(tmp, exist_ok=True)
+        build(tmp)
+        with open(os.path.join(tmp, "MANIFEST.json"), "w") as fh:
             json.dump(
                 {"fingerprint": fp, "version": version, "source": source_path},
                 fh,
             )
+        if os.path.exists(index_dir):  # stale index: swap aside-then-in
+            aside = index_dir + ".stale"
+            shutil.rmtree(aside, ignore_errors=True)
+            os.replace(index_dir, aside)
+            os.replace(tmp, index_dir)
+            shutil.rmtree(aside, ignore_errors=True)
+        else:
+            os.replace(tmp, index_dir)
     return index_dir
 
 
@@ -216,8 +241,13 @@ def checkpoint_index_generation(
             history = []
     link = {"superseded": sorted(superseded), "by": generation}
     history.append(link)
-    with open(manifest_path, "w") as fh:
+    # write-temp + os.replace (round 9, advice item): a truncate-then-write
+    # open('w') crashed mid-write leaves a corrupt manifest, and the next
+    # checkpoint's unreadable-manifest fallback silently resets history to
+    # [] — losing the full-chain guarantee step (3) exists to provide
+    with open(manifest_path + ".tmp", "w") as fh:
         json.dump({**link, "history": history}, fh)
+    os.replace(manifest_path + ".tmp", manifest_path)
     for name in superseded:
         shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
     return final

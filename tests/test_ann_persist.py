@@ -476,6 +476,12 @@ def test_checkpoint_generation_chain(spark):
     surviving = {r.vec_id for r in g3.select("vec_id").collect()}
     for r in rows:
         assert r.neighbor_id in surviving and r.query_id in surviving
-    # leave a fresh index for other tests: invalidate so the next l70
-    # run rebuilds from staging (g002 state)
-    os.remove(os.path.join(base, "MANIFEST.json"))
+    # leave a CLEAN slate for other tests (round 9, advice item): removing
+    # only MANIFEST.json would leave the stale g003 directory and the
+    # g002→g003 VACUUM history behind — the next l70 rebuild would then
+    # append a second g002 link after g003 (a non-monotonic history) and
+    # orphan the g003 data dir forever. Invalidate by removing the whole
+    # index dir, the same clean-slate a real rebuild-from-source implies.
+    import shutil
+
+    shutil.rmtree(base)
