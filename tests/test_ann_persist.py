@@ -414,6 +414,122 @@ def test_l73_probe_plan_has_no_training(spark):
     assert plan.count("dps_l73_rivfadc") >= 4  # 4 persisted tables
 
 
+def test_l74_checkpoint_equals_l2_recompute(spark):
+    """l74 contract: the compacted signature generation produces the
+    identical banded candidate set to l2's full recompute (and thus to
+    l66's union path) — the write-back changes where bytes come from,
+    never what the index means."""
+    from dask_pipes_spark.operators.llm_ops import (
+        l2_minhash_lsh,
+        l74_minhash_index_checkpoint,
+    )
+
+    a = _rowset(l2_minhash_lsh(spark, SF_SMOKE))
+    b = _rowset(l74_minhash_index_checkpoint(spark, SF_SMOKE))
+    assert a, "candidate set must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_l74_probe_plan_is_pure_generation_scan(spark):
+    """After the write-back the candidate-generation plan must read ONLY
+    the compacted generation: zero document-text scans and no union
+    stage. Pinned on the pre-checkpoint probe frame (lsh_candidate_pairs
+    with the eager localCheckpoint disabled — the checkpoint would hide
+    the upstream plan behind an ExistingRDD, the l66-test discipline)."""
+    from dask_pipes_spark.operators.llm_ops import (
+        _SIG_SCHEMA,
+        l74_minhash_index_checkpoint,
+        lsh_candidate_pairs,
+    )
+    from dask_pipes_spark.session import scratch_path
+
+    assert l74_minhash_index_checkpoint(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l74_mh_ckpt_{tag}")
+    sigs = spark.read.schema(_SIG_SCHEMA).parquet(
+        os.path.join(base, "signatures-g002")
+    )
+    plan = _plan(lsh_candidate_pairs(sigs, _checkpoint=False))
+    assert not re.search(r"documents\.parquet", plan), (
+        "probe must never re-shingle text"
+    )
+    assert "Union" not in plan, "union residue in checkpointed probe"
+    assert plan.count("signatures-g002") >= 1
+
+
+def test_l74_vacuum_layout_and_chain(spark):
+    """File-layout half of the l74 contract: the superseded signature
+    table and the delta feed are deleted, the generation is one compacted
+    file, VACUUM.json records the supersession — and a SECOND maintenance
+    window (tombstoning a doc slice) checkpoints signatures-g003 on top
+    with the full history chain intact and the probe consistent with the
+    surviving documents."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.llm_ops import (
+        _SIG_SCHEMA,
+        l74_minhash_index_checkpoint,
+        lsh_candidates,
+    )
+    from dask_pipes_spark.session import (
+        checkpoint_index_generation,
+        scratch_path,
+    )
+
+    assert l74_minhash_index_checkpoint(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l74_mh_ckpt_{tag}")
+    names = set(os.listdir(base))
+    assert "signatures-g002" in names
+    for gone in ("signatures", "delta_sigs", "signatures-g002.tmp"):
+        assert gone not in names, f"superseded state survived vacuum: {gone}"
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert manifest["superseded"] == ["delta_sigs", "signatures"]
+    assert manifest["by"] == "signatures-g002"
+    datafiles = [
+        f
+        for f in os.listdir(os.path.join(base, "signatures-g002"))
+        if f.endswith(".parquet")
+    ]
+    assert len(datafiles) == 1, "generation must be one compacted file"
+
+    # second window: tombstone every 9th doc, checkpoint g003
+    g2 = spark.read.schema(_SIG_SCHEMA).parquet(
+        os.path.join(base, "signatures-g002")
+    )
+    n2 = g2.count()
+    n_del = g2.filter(F.col("doc_id") % 9 == 0).count()
+    checkpoint_index_generation(
+        base,
+        g2.filter(F.col("doc_id") % 9 != 0),
+        superseded=["signatures-g002"],
+        generation="signatures-g003",
+    )
+    names = set(os.listdir(base))
+    assert "signatures-g003" in names and "signatures-g002" not in names
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [h["by"] for h in manifest["history"]] == [
+        "signatures-g002",
+        "signatures-g003",
+    ]
+    g3 = spark.read.schema(_SIG_SCHEMA).parquet(
+        os.path.join(base, "signatures-g003")
+    )
+    assert g3.count() == n2 - n_del
+    surviving = {r.doc_id for r in g3.select("doc_id").collect()}
+    cands = lsh_candidates(g3).collect()
+    assert cands, "post-g003 probe must still answer"
+    for r in cands:
+        assert r.doc_a in surviving and r.doc_b in surviving
+    # clean slate for other tests (whole-dir invalidation — see the l70
+    # chain test's rationale)
+    import shutil
+
+    shutil.rmtree(base)
+
+
 def test_checkpoint_generation_chain(spark):
     """The write-back protocol is REPEATABLE: after l70's g002, a second
     delta window checkpoints g003 on top — the old generation vacuumed,
