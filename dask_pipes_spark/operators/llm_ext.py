@@ -943,12 +943,17 @@ def lsh_bucket(vec_col, planes) -> "F.Column":
     return bucket
 
 
-def _l17_oracle(nbits: int = 6, dim: int = 64) -> str:
+def _l17_oracle(nbits: int = 6, dim: int = 64, corpus_pred: str = "") -> str:
     """DuckDB twin of l17: the fixed seeded hyperplanes are inlined as list
     literals (they are 6-decimal-rounded, so the SQL literals parse to the
     identical doubles), bucket bits re-derive from the same left-fold dot
-    products, and the probe/re-rank stages mirror the Spark plan."""
+    products, and the probe/re-rank stages mirror the Spark plan.
+    ``corpus_pred`` restricts the corpus to a final (post-CDC) slice —
+    because the hyperplane basis is FIXED, a vector's bucket is
+    corpus-independent, so the delta-maintained index (l75/l76) shares
+    this twin with only the slice predicate changed."""
     planes = _hyperplanes(nbits, dim)
+    where = f"WHERE {corpus_pred}" if corpus_pred else ""
     bits = " + ".join(
         "(CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP(e, ["
         + ", ".join(repr(p) for p in plane)
@@ -961,7 +966,7 @@ def _l17_oracle(nbits: int = 6, dim: int = 64) -> str:
     return f"""
     WITH v AS (
       SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM embeddings {where}
     ),
     n AS (
       SELECT vec_id, e,
@@ -1006,11 +1011,14 @@ def l17_vector_lsh_topk(spark, sf_dir):
     return _lsh_probe_topk(_lsh_corpus_index(spark, sf_dir))
 
 
-def _lsh_corpus_index(spark, sf_dir, nbits: int = 6):
+def _lsh_corpus_index(spark, sf_dir, nbits: int = 6, pred=None):
     """Shared LSH build (l17 rebuild == l64 persist): every corpus vector
     sign-bucketed against the fixed seeded hyperplanes, as
-    (vec_id, e, nrm, bucket)."""
+    (vec_id, e, nrm, bucket). ``pred`` restricts the corpus slice
+    (l75's old/delta split)."""
     e = fanout(load(spark, sf_dir, "embeddings"))
+    if pred is not None:
+        e = e.filter(pred)
     dbl = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     ).withColumn("nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)))
@@ -1098,6 +1106,150 @@ def l64_lsh_index_persist(spark, sf_dir):
     indexed = spark.read.schema(
         "vec_id bigint, e array<double>, nrm double, bucket bigint"
     ).parquet(os.path.join(idx, "buckets"))
+    return _lsh_probe_topk(indexed)
+
+
+_LSH_BUCKET_SCHEMA = "vec_id bigint, e array<double>, nrm double, bucket bigint"
+
+#: l75/l76 share l17's oracle with only the corpus slice changed — the
+#: hyperplane basis is fixed, so delta-maintained buckets == rebuilt buckets.
+_L75_ORACLE = _l17_oracle(corpus_pred="(vec_id % 9 = 5 OR vec_id % 11 <> 3)")
+
+
+def _stage_lsh_delta_state(spark, sf_dir: str, d: str) -> None:
+    """Stage 'yesterday's' persisted LSH state + CDC feeds (shared by l75
+    and l76): the sign-bucketed old corpus (``%9!=5``), the insert feed =
+    the held-out slice's RAW vectors (arriving unassigned — assignment is
+    the maintenance step), tombstones = ``%11==3``."""
+    old = _lsh_corpus_index(spark, sf_dir, pred=F.col("vec_id") % 9 != 5)
+    old.write.mode("overwrite").parquet(os.path.join(d, "buckets"))
+    e = fanout(load(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") % 9 == 5
+    )
+    (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "delta_ins"))
+    )
+    old.filter(F.col("vec_id") % 11 == 3).select("vec_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "delta_del"))
+
+
+def _read_lsh_delta_state(spark, d: str):
+    """Load the staged state back (persisted tables only):
+    (buckets, delta_ins, delta_del)."""
+    buckets = spark.read.schema(_LSH_BUCKET_SCHEMA).parquet(
+        os.path.join(d, "buckets")
+    )
+    d_ins = spark.read.schema(
+        "vec_id bigint, e array<double>, nrm double"
+    ).parquet(os.path.join(d, "delta_ins"))
+    d_del = spark.read.schema("vec_id bigint").parquet(
+        os.path.join(d, "delta_del")
+    )
+    return buckets, d_ins, d_del
+
+
+def _lsh_delta_merge(buckets, d_ins, d_del, nbits: int = 6):
+    """l75's maintenance algebra (l65's shape on the LSH path): broadcast
+    anti-join deletes + map-side sign-bucket assignment of the inserts
+    against the FIXED hyperplane basis — a pure codegen expression, zero
+    exchange, no training of any kind (the basis is code, not data)."""
+    planes = _hyperplanes(nbits, 64)
+    ins = d_ins.withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    return buckets.join(F.broadcast(d_del), "vec_id", "left_anti").unionAll(
+        ins
+    )
+
+
+@query("l75_lsh_index_delta", oracle=_L75_ORACLE)
+def l75_lsh_index_delta(spark, sf_dir):
+    """Incremental LSH index maintenance (round 9 — l65's delta algebra on
+    the l64 persisted bucket table, filling the lifecycle cell the r8
+    verdict ranked #3): the persisted sign-bucket table is updated from a
+    CDC embedding delta — inserts (the held-out ``%9==5`` slice) and
+    tombstones (``%11==3``) — WITHOUT re-bucketing the corpus:
+
+    - deletes: one broadcast anti-join against the bucket table;
+    - inserts: map-side :func:`lsh_bucket` of the DELTA ONLY against the
+      fixed seeded hyperplanes (6 × 64 multiply-adds per vector, a single
+      codegen expression — zero exchange);
+    - the hyperplane basis is CODE, not data — LSH's structural advantage
+      over trained quantizers: there is no codebook to go stale, so the
+      only maintained state is the assignment table itself.
+
+    The multi-probe (same spec as l17/l64) runs over the delta-maintained
+    buckets, and the oracle recomputes the ENTIRE final index from
+    scratch in SQL over the mutated corpus — because the basis is fixed,
+    delta-maintained MUST equal rebuilt bucket-for-bucket (a row
+    surviving its tombstone or an insert bucketed wrong diverges the
+    hash). The maintenance+probe plan reads only the persisted index and
+    the staged feeds — zero embeddings scans (test-pinned).
+
+    100 TB: maintenance is O(|delta|) map work + a broadcast anti-join
+    vs O(corpus) for l64's rebuild; with the bucket table layout
+    bucketed BY ``bucket`` on a cluster, the probe join stays
+    shuffle-free after every delta window."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx = ensure_index(
+        scratch_path(f"dps_l75_lsh_delta_{tag}"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="lsh-delta-v1",
+        build=lambda d: _stage_lsh_delta_state(spark, sf_dir, d),
+    )
+    buckets, d_ins, d_del = _read_lsh_delta_state(spark, idx)
+    return _lsh_probe_topk(_lsh_delta_merge(buckets, d_ins, d_del))
+
+
+@query("l76_lsh_index_checkpoint", oracle=_L75_ORACLE)
+def l76_lsh_index_checkpoint(spark, sf_dir):
+    """LSH index write-back (round 9 — the l70/l72 generation protocol on
+    the l75 state, completing the LSH row of the lifecycle matrix):
+    l75's maintenance algebra runs ONCE inside the build and the merged
+    bucket table is rewritten as generation ``buckets-g002`` via
+    :func:`checkpoint_index_generation` (compact → atomic swap →
+    VACUUM.json supersession → delete the old buckets and both feeds).
+    The probe then reads ONLY the compacted generation: its plan has no
+    anti-join, no union, no hyperplane evaluation (queries take their
+    bucket from the index — the basis literals appear nowhere), and zero
+    embeddings scans — all test-pinned with the vacuum layout. Oracle =
+    l75's from-scratch twin: checkpointed == merged == rebuilt.
+
+    100 TB: same economics as l70 — the per-probe merge tax becomes one
+    O(index) IO rewrite per maintenance window, and the CDC feed
+    directory is bounded by the vacuum exactly as k18 bounds the
+    landing zone."""
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+    def _stage(d: str) -> None:
+        _stage_lsh_delta_state(spark, sf_dir, d)
+        buckets, d_ins, d_del = _read_lsh_delta_state(spark, d)
+        checkpoint_index_generation(
+            d,
+            _lsh_delta_merge(buckets, d_ins, d_del),
+            superseded=["buckets", "delta_ins", "delta_del"],
+            generation="buckets-g002",
+        )
+
+    idx = ensure_index(
+        scratch_path(f"dps_l76_lsh_ckpt_{tag}"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="lsh-ckpt-v1",
+        build=_stage,
+    )
+    indexed = spark.read.schema(_LSH_BUCKET_SCHEMA).parquet(
+        os.path.join(idx, "buckets-g002")
+    )
     return _lsh_probe_topk(indexed)
 
 

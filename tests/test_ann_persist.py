@@ -414,6 +414,91 @@ def test_l73_probe_plan_has_no_training(spark):
     assert plan.count("dps_l73_rivfadc") >= 4  # 4 persisted tables
 
 
+def test_l75_delta_maintained_equals_full_rebucket(spark):
+    """l75 contract: anti-join deletes + map-side sign-bucketing of the
+    delta against the FIXED hyperplane basis produce the same bucket
+    table (and probe answer) as re-bucketing the entire final corpus."""
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.llm_ext import (
+        _lsh_corpus_index,
+        _lsh_probe_topk,
+        l75_lsh_index_delta,
+    )
+
+    got = _rowset(l75_lsh_index_delta(spark, SF_SMOKE))
+    assert got, "probe result must be non-empty at sf0.001"
+    rebuilt = _lsh_probe_topk(
+        _lsh_corpus_index(
+            spark,
+            SF_SMOKE,
+            pred=(F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3),
+        )
+    )
+    assert got == _rowset(rebuilt)
+
+
+def test_l75_maintenance_plan_reads_only_index_and_deltas(spark):
+    from dask_pipes_spark.operators.llm_ext import l75_lsh_index_delta
+
+    plan = _plan(l75_lsh_index_delta(spark, SF_SMOKE))
+    assert not re.search(r"embeddings\.parquet", plan), (
+        "maintenance must never rescan the corpus"
+    )
+    assert plan.count("dps_l75_lsh_delta") >= 3  # buckets + both feeds
+
+
+def test_l76_checkpoint_equals_l75_merge(spark):
+    from dask_pipes_spark.operators.llm_ext import (
+        l75_lsh_index_delta,
+        l76_lsh_index_checkpoint,
+    )
+
+    a = _rowset(l75_lsh_index_delta(spark, SF_SMOKE))
+    b = _rowset(l76_lsh_index_checkpoint(spark, SF_SMOKE))
+    assert a, "probe result must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_l76_probe_plan_is_pure_generation_scan(spark):
+    """No maintenance residue after the write-back: no anti-join, no
+    union, no embeddings scan — and no hyperplane evaluation at all
+    (queries take their bucket from the generation, so the fixed basis
+    literals must appear nowhere in the probe plan)."""
+    from dask_pipes_spark.operators.llm_ext import (
+        _hyperplanes,
+        l76_lsh_index_checkpoint,
+    )
+
+    plan = _plan(l76_lsh_index_checkpoint(spark, SF_SMOKE))
+    assert "LeftAnti" not in plan, "anti-join residue in checkpointed probe"
+    assert "Union" not in plan, "union residue in checkpointed probe"
+    assert not re.search(r"embeddings\.parquet", plan)
+    assert plan.count("buckets-g002") >= 1
+    # hyperplane-recompute pin: the first basis coefficient's digits would
+    # surface as a literal if any sign bit were re-derived
+    coeff = f"{abs(_hyperplanes(6, 64)[0][0]):.6f}".lstrip("0.")
+    assert coeff not in plan, "hyperplane evaluation leaked into the probe"
+
+
+def test_l76_vacuum_layout(spark):
+    import json
+
+    from dask_pipes_spark.operators.llm_ext import l76_lsh_index_checkpoint
+    from dask_pipes_spark.session import scratch_path
+
+    assert l76_lsh_index_checkpoint(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l76_lsh_ckpt_{tag}")
+    names = set(os.listdir(base))
+    assert "buckets-g002" in names
+    for gone in ("buckets", "delta_ins", "delta_del", "buckets-g002.tmp"):
+        assert gone not in names, f"superseded state survived vacuum: {gone}"
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert manifest["superseded"] == ["buckets", "delta_del", "delta_ins"]
+    assert manifest["by"] == "buckets-g002"
+
+
 def test_l74_checkpoint_equals_l2_recompute(spark):
     """l74 contract: the compacted signature generation produces the
     identical banded candidate set to l2's full recompute (and thus to
