@@ -860,13 +860,22 @@ def l68_ivfadc_topk(spark, sf_dir):
     )
 
 
-def _l71_oracle() -> str:
+def _l71_oracle(
+    train_pred: str | None = None, corpus_pred: str | None = None
+) -> str:
     """DuckDB twin of l71 — the l68 composition with FAISS-default
     residual encoding: after the coarse assignment, every CTE operates on
     r = e − ce(bucket) instead of e — seeds, Lloyd rounds, codes, and the
     per-(query, probed-bucket) ADC grids all re-derived over residuals,
     inheriting the parents' bit-reproducibility (residual subtraction is
-    element-wise double arithmetic in identical order both engines)."""
+    element-wise double arithmetic in identical order both engines).
+
+    ``train_pred``/``corpus_pred`` (l77/l78, the _l55_oracle discipline):
+    predicates on vec_id restricting the TRAINING slice (coarse
+    centroids, residual seeds + Lloyd membership) and the FINAL corpus
+    (assignments, codes, queries) — the trained-on-yesterday /
+    tracks-today split the delta keys maintain. With both None the
+    generated SQL reproduces l71's original semantics exactly."""
     d2 = (
         "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sb.sv, c.cv),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
@@ -874,6 +883,36 @@ def _l71_oracle() -> str:
     mean_list = ", ".join(
         f"CAST(SUM(CAST(sb.sv[{i}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)"
         for i in range(1, 9)
+    )
+    train_where = f" WHERE {train_pred}" if train_pred else ""
+    corpus_where = f" WHERE {corpus_pred}" if corpus_pred else ""
+    corpus_and = f" AND {corpus_pred}" if corpus_pred else ""
+    # training-side residual CTEs: with a train_pred the seeds/Lloyd
+    # stages read a separate train-slice assignment (tindexed/tresid/
+    # tsub); without one they are the same tables the codes use
+    resid_t = "tresid" if train_pred else "resid"
+    sub_t = "tsub" if train_pred else "sub"
+    train_ctes = (
+        f"""
+    tindexed AS (
+      SELECT vec_id, bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, bucket) AS rn
+        FROM bscored WHERE {train_pred}) WHERE rn = 1
+    ),
+    tresid AS (
+      SELECT i.vec_id,
+             LIST_TRANSFORM(LIST_ZIP(nn.e, c.ce), p -> p[1] - p[2]) AS r
+      FROM tindexed i
+      JOIN n nn ON nn.vec_id = i.vec_id
+      JOIN cn c ON c.bucket = i.bucket
+    ),
+    tsub AS (
+      SELECT vec_id, s, r[s * 8 + 1 : s * 8 + 8] AS sv
+      FROM tresid, LATERAL (SELECT UNNEST(range(8)) AS s) t
+    ),"""
+        if train_pred
+        else ""
     )
     return f"""
     WITH v AS (
@@ -888,7 +927,7 @@ def _l71_oracle() -> str:
     ),
     ex AS (
       SELECT label, i, e[i] AS val
-      FROM v, LATERAL (SELECT UNNEST(range(1, len(e) + 1)) AS i) t
+      FROM v, LATERAL (SELECT UNNEST(range(1, len(e) + 1)) AS i) t{train_where}
     ),
     cm AS (
       SELECT label, i,
@@ -911,13 +950,13 @@ def _l71_oracle() -> str:
       SELECT vec_id, bucket FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                    ORDER BY sim DESC, bucket) AS rn
-        FROM bscored) WHERE rn = 1
+        FROM bscored{corpus_where}) WHERE rn = 1
     ),
     probes AS (
       SELECT vec_id AS query_id, bucket FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                    ORDER BY sim DESC, bucket) AS rn
-        FROM bscored WHERE vec_id % 100 = 0) WHERE rn <= 3
+        FROM bscored WHERE vec_id % 100 = 0{corpus_and}) WHERE rn <= 3
     ),
     resid AS (
       SELECT i.vec_id,
@@ -925,13 +964,13 @@ def _l71_oracle() -> str:
       FROM indexed i
       JOIN n nn ON nn.vec_id = i.vec_id
       JOIN cn c ON c.bucket = i.bucket
-    ),
+    ),{train_ctes}
     seeds AS (
       SELECT vec_id, r, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid
       FROM (SELECT vec_id, r,
               ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))
                 ::BIGINT AS h
-            FROM resid)
+            FROM {resid_t})
       QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16
     ),
     sub AS (
@@ -940,19 +979,19 @@ def _l71_oracle() -> str:
     ),
     cents0 AS (
       SELECT sb.s, sd.cid, sb.sv AS cv
-      FROM seeds sd JOIN sub sb ON sb.vec_id = sd.vec_id
+      FROM seeds sd JOIN {sub_t} sb ON sb.vec_id = sd.vec_id
     ),
     a0 AS (
       SELECT vec_id, s, cid AS code FROM (
         SELECT sb.vec_id, sb.s, c.cid,
                ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
                  ORDER BY {d2}, c.cid) AS rn
-        FROM sub sb JOIN cents0 c USING (s)
+        FROM {sub_t} sb JOIN cents0 c USING (s)
       ) WHERE rn = 1
     ),
     m0 AS (
       SELECT a0.s, a0.code AS cid, [{mean_list}] AS mv
-      FROM a0 JOIN sub sb USING (vec_id, s)
+      FROM a0 JOIN {sub_t} sb USING (vec_id, s)
       GROUP BY a0.s, a0.code
     ),
     cents1 AS (
@@ -964,12 +1003,12 @@ def _l71_oracle() -> str:
         SELECT sb.vec_id, sb.s, c.cid,
                ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
                  ORDER BY {d2}, c.cid) AS rn
-        FROM sub sb JOIN cents1 c USING (s)
+        FROM {sub_t} sb JOIN cents1 c USING (s)
       ) WHERE rn = 1
     ),
     m1 AS (
       SELECT a1.s, a1.code AS cid, [{mean_list}] AS mv
-      FROM a1 JOIN sub sb USING (vec_id, s)
+      FROM a1 JOIN {sub_t} sb USING (vec_id, s)
       GROUP BY a1.s, a1.code
     ),
     cents2 AS (
@@ -1224,6 +1263,222 @@ _L67_ORACLE = _l55_oracle(
     train_pred="vec_id % 9 <> 5",
     corpus_pred="(vec_id % 9 = 5 OR vec_id % 11 <> 3)",
 )
+
+_L77_ORACLE = _l71_oracle(
+    train_pred="vec_id % 9 <> 5",
+    corpus_pred="(vec_id % 9 = 5 OR vec_id % 11 <> 3)",
+)
+
+_RIVF_CENT_SCHEMA = "bucket int, ce array<double>, cnrm double"
+_RIVF_ASSIGN_SCHEMA = "vec_id bigint, e array<double>, nrm double, bucket int"
+_RIVF_CENTS_SCHEMA = "s int, cid int, cv array<double>"
+_RIVF_CODES_SCHEMA = "vec_id bigint, s int, code int"
+
+
+def _stage_residual_delta_state(spark, sf_dir: str, d: str) -> None:
+    """Stage 'yesterday's' persisted residual-IVFADC state + CDC feeds
+    (shared by l77 and l78): coarse codebook trained on the ``%9!=5``
+    slice, that slice's inverted-file assignments, residual PQ codebooks
+    + codes trained/encoded over it, insert feed = the held-out slice's
+    raw vectors, tombstones = ``%11==3``."""
+    import os
+
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+
+    vecs_old, cent = _ivf_corpus_and_centroids(
+        spark, sf_dir, pred=F.col("vec_id") % 9 != 5
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    indexed_old = ivf_assign(vecs_old, cent.collect(), nprobe=1)
+    indexed_old.write.mode("overwrite").parquet(
+        os.path.join(d, "assignments")
+    )
+    cents, codes = _residual_train(indexed_old, cent)
+    cents.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
+    codes.write.mode("overwrite").parquet(os.path.join(d, "codes"))
+    vecs_new, _ = _ivf_corpus_and_centroids(
+        spark, sf_dir, pred=F.col("vec_id") % 9 == 5
+    )
+    vecs_new.write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
+    vecs_old.filter(F.col("vec_id") % 11 == 3).select(
+        "vec_id"
+    ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
+
+
+def _read_residual_delta_state(spark, d: str):
+    """Load the staged state back (persisted tables only): (cent,
+    assignments, cents, codes, delta_ins, delta_del)."""
+    import os
+
+    cent = spark.read.schema(_RIVF_CENT_SCHEMA).parquet(
+        os.path.join(d, "centroids")
+    )
+    assignments = spark.read.schema(_RIVF_ASSIGN_SCHEMA).parquet(
+        os.path.join(d, "assignments")
+    )
+    cents = spark.read.schema(_RIVF_CENTS_SCHEMA).parquet(
+        os.path.join(d, "codebooks")
+    )
+    codes = spark.read.schema(_RIVF_CODES_SCHEMA).parquet(
+        os.path.join(d, "codes")
+    )
+    d_ins = spark.read.schema(
+        "vec_id bigint, e array<double>, nrm double"
+    ).parquet(os.path.join(d, "delta_ins"))
+    d_del = spark.read.schema("vec_id bigint").parquet(
+        os.path.join(d, "delta_del")
+    )
+    return cent, assignments, cents, codes, d_ins, d_del
+
+
+def _residual_delta_merge(
+    assignments, codes, d_ins, d_del, cent, cent_rows, cents
+):
+    """l77's maintenance algebra — l65's shape applied to BOTH residual
+    index tables at once, against entirely FIXED quantizers: inserts get
+    (1) a map-side coarse assignment (literal-codebook expression, zero
+    exchange), then (2) a residual encode — one broadcast join pins each
+    insert's coarse centroid, the subtraction is a codegen zip_with, and
+    the PQ code assignment is the same map-side `_pq_assign`; deletes are
+    broadcast anti-joins on each table. Returns (assignments', codes')."""
+    from dask_pipes_spark.operators.llm_ext import ivf_assign
+
+    assign_new = ivf_assign(d_ins, cent_rows, nprobe=1)
+    assignments_m = assignments.join(
+        F.broadcast(d_del), "vec_id", "left_anti"
+    ).unionAll(assign_new)
+    resid_ins = assign_new.join(F.broadcast(cent), "bucket").select(
+        "vec_id", F.zip_with("e", "ce", lambda x, y: x - y).alias("e")
+    )
+    sub_ins = _pq_subspaces(resid_ins).select("vec_id", "s", "sv")
+    codes_m = codes.join(
+        F.broadcast(d_del), "vec_id", "left_anti"
+    ).unionAll(_pq_assign(sub_ins, cents))
+    return assignments_m, codes_m
+
+
+@query("l77_residual_index_delta", oracle=_L77_ORACLE)
+def l77_residual_index_delta(spark, sf_dir):
+    """Incremental residual-IVFADC maintenance (round 9 — the l65/l67
+    algebra composed over BOTH of l71's index tables, the r8 verdict's
+    item 4): a CDC embedding delta — inserts (``%9==5``) and tombstones
+    (``%11==3``) — updates the persisted inverted file AND the residual
+    code table without re-training or re-encoding the corpus:
+
+    - the coarse codebook and the residual PQ codebooks stay FIXED
+      (trained on yesterday's corpus — the FAISS operational contract:
+      quantizers retrain on a slow cadence, assignments/codes track the
+      data; a quantizer refresh is the l73 rebuild via the staleness
+      manifest);
+    - inserts: map-side coarse assignment (l65's literal-codebook
+      expression), then residual encode against the insert's pinned
+      centroid (broadcast join + codegen zip_with) and map-side PQ code
+      assignment (l67's `_pq_assign`) — O(|delta|), zero Lloyd;
+    - deletes: one broadcast anti-join per table.
+
+    The probe (same spec as l71/l73) runs over the delta-maintained
+    tables; the oracle re-derives the ENTIRE final state from scratch —
+    old-slice coarse centroids and residual training, final-corpus
+    assignments/codes/queries — so a stale codebook, a mis-bucketed
+    insert, a wrong-residual encode, or a surviving tombstone diverges
+    the hash. Maintenance+probe reads only persisted tables and staged
+    feeds: zero embeddings scans, no training stage (test-pinned).
+
+    100 TB: residual mode doubles the state a naive refresh would
+    rebuild (inverted file + codes); this key keeps the nightly cost at
+    O(|delta|) map work + two broadcast anti-joins for BOTH tables."""
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx = ensure_index(
+        scratch_path(f"dps_l77_rivfadc_delta_{tag}"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="rivfadc-delta-v1",
+        build=lambda d: _stage_residual_delta_state(spark, sf_dir, d),
+    )
+    cent, assignments, cents, codes, d_ins, d_del = (
+        _read_residual_delta_state(spark, idx)
+    )
+    cent_rows = cent.collect()
+    assignments_m, codes_m = _residual_delta_merge(
+        assignments, codes, d_ins, d_del, cent, cent_rows, cents
+    )
+    return _residual_probe(assignments_m, cent, cent_rows, cents, codes_m)
+
+
+@query("l78_residual_index_checkpoint", oracle=_L77_ORACLE)
+def l78_residual_index_checkpoint(spark, sf_dir):
+    """Residual-IVFADC write-back (round 9 — the l70/l72 generation
+    protocol over BOTH maintained tables, completing the residual row of
+    the lifecycle matrix): l77's merge runs ONCE inside the build, then
+    TWO checkpoint calls land ``assignments-g002`` and ``codes-g002`` —
+    the VACUUM.json history records both supersession links (the
+    manifest is a chain, not a single pointer, exactly so multi-table
+    indexes can share one vacuum protocol), the old tables and both CDC
+    feeds are deleted, and the quantizer artifacts (centroids,
+    codebooks) survive as the next window's fixed basis.
+
+    The probe reads ONLY the two compacted generations + the persisted
+    quantizers: no anti-join, no union, no Lloyd, zero embeddings scans
+    (all test-pinned with the two-generation vacuum layout). Oracle =
+    l77's from-scratch twin: checkpointed == merged == rebuilt.
+
+    100 TB: one maintenance window's O(index) IO retires the per-probe
+    merge tax on BOTH tables at once; ordering stays crash-safe because
+    each checkpoint is individually durable-first (a crash between the
+    two calls leaves assignments compacted and codes still in
+    merge-form — recoverable, never lossy)."""
+    import os
+
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+    def _stage(d: str) -> None:
+        _stage_residual_delta_state(spark, sf_dir, d)
+        cent, assignments, cents, codes, d_ins, d_del = (
+            _read_residual_delta_state(spark, d)
+        )
+        cent_rows = cent.collect()
+        assignments_m, codes_m = _residual_delta_merge(
+            assignments, codes, d_ins, d_del, cent, cent_rows, cents
+        )
+        checkpoint_index_generation(
+            d,
+            assignments_m,
+            superseded=["assignments"],
+            generation="assignments-g002",
+        )
+        checkpoint_index_generation(
+            d,
+            codes_m,
+            superseded=["codes", "delta_ins", "delta_del"],
+            generation="codes-g002",
+        )
+
+    idx = ensure_index(
+        scratch_path(f"dps_l78_rivfadc_ckpt_{tag}"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="rivfadc-ckpt-v1",
+        build=_stage,
+    )
+    cent = spark.read.schema(_RIVF_CENT_SCHEMA).parquet(
+        os.path.join(idx, "centroids")
+    )
+    cent_rows = cent.collect()
+    indexed = spark.read.schema(_RIVF_ASSIGN_SCHEMA).parquet(
+        os.path.join(idx, "assignments-g002")
+    )
+    cents = spark.read.schema(_RIVF_CENTS_SCHEMA).parquet(
+        os.path.join(idx, "codebooks")
+    )
+    codes = spark.read.schema(_RIVF_CODES_SCHEMA).parquet(
+        os.path.join(idx, "codes-g002")
+    )
+    return _residual_probe(indexed, cent, cent_rows, cents, codes)
 
 
 def _stage_pq_delta_state(spark, sf_dir: str, d: str) -> None:

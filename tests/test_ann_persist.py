@@ -615,6 +615,127 @@ def test_l74_vacuum_layout_and_chain(spark):
     shutil.rmtree(base)
 
 
+def test_l77_delta_maintained_equals_full_rebuild(spark):
+    """l77 contract: delta maintenance of BOTH residual tables against
+    the fixed quantizers equals assigning + residual-encoding the entire
+    final corpus from scratch (codebooks still trained on yesterday's
+    slice)."""
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+    from dask_pipes_spark.operators.vectors import (
+        _residual_probe,
+        _residual_train,
+        l77_residual_index_delta,
+    )
+
+    got = _rowset(l77_residual_index_delta(spark, SF_SMOKE))
+    assert got, "probe result must be non-empty at sf0.001"
+
+    vecs_old, cent = _ivf_corpus_and_centroids(
+        spark, SF_SMOKE, pred=F.col("vec_id") % 9 != 5
+    )
+    cent_rows = cent.collect()
+    cents, _ = _residual_train(
+        ivf_assign(vecs_old, cent_rows, nprobe=1), cent
+    )
+    final_vecs, _ = _ivf_corpus_and_centroids(
+        spark,
+        SF_SMOKE,
+        pred=(F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3),
+    )
+    indexed_final = ivf_assign(final_vecs, cent_rows, nprobe=1)
+    from dask_pipes_spark.operators.vectors import (
+        _pq_assign,
+        _pq_subspaces,
+    )
+    from pyspark.sql import functions as F2
+
+    resid_final = indexed_final.join(F2.broadcast(cent), "bucket").select(
+        "vec_id", F2.zip_with("e", "ce", lambda x, y: x - y).alias("e")
+    )
+    codes_final = _pq_assign(
+        _pq_subspaces(resid_final).select("vec_id", "s", "sv"), cents
+    )
+    rebuilt = _residual_probe(
+        indexed_final, cent, cent_rows, cents, codes_final
+    )
+    assert got == _rowset(rebuilt)
+
+
+def test_l77_maintenance_plan_reads_only_index_and_deltas(spark):
+    from dask_pipes_spark.operators.vectors import l77_residual_index_delta
+
+    plan = _plan(l77_residual_index_delta(spark, SF_SMOKE))
+    assert not re.search(r"embeddings\.parquet", plan)
+    assert "ExistingRDD" not in plan, "Lloyd checkpoint leaked into probe"
+    assert "posexplode" not in plan  # no coarse training
+    assert plan.count("dps_l77_rivfadc_delta") >= 5  # 4 tables + feeds
+
+
+def test_l78_checkpoint_equals_l77_merge(spark):
+    from dask_pipes_spark.operators.vectors import (
+        l77_residual_index_delta,
+        l78_residual_index_checkpoint,
+    )
+
+    a = _rowset(l77_residual_index_delta(spark, SF_SMOKE))
+    b = _rowset(l78_residual_index_checkpoint(spark, SF_SMOKE))
+    assert a, "probe result must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_l78_probe_plan_is_pure_generation_scan(spark):
+    from dask_pipes_spark.operators.vectors import (
+        l78_residual_index_checkpoint,
+    )
+
+    plan = _plan(l78_residual_index_checkpoint(spark, SF_SMOKE))
+    assert "LeftAnti" not in plan
+    assert "Union" not in plan
+    assert "ExistingRDD" not in plan
+    assert "posexplode" not in plan
+    assert not re.search(r"embeddings\.parquet", plan)
+    # Spark truncates long scan paths in the plan string, so the
+    # generation pin matches the surviving prefix
+    assert plan.count("dps_l78_rivfadc_ckpt") >= 4  # 2 gens + 2 quantizers
+    assert plan.count("assignments-g") >= 1
+    assert plan.count("codes-g002") >= 1
+
+
+def test_l78_vacuum_layout_two_generations(spark):
+    """The two-table checkpoint leaves both compacted generations, the
+    surviving quantizer artifacts, and a TWO-link VACUUM history (the
+    chain protocol carrying a multi-table index); all superseded tables
+    and feeds are gone."""
+    import json
+
+    from dask_pipes_spark.operators.vectors import (
+        l78_residual_index_checkpoint,
+    )
+    from dask_pipes_spark.session import scratch_path
+
+    assert l78_residual_index_checkpoint(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l78_rivfadc_ckpt_{tag}")
+    names = set(os.listdir(base))
+    for kept in ("assignments-g002", "codes-g002", "centroids", "codebooks"):
+        assert kept in names, f"missing surviving artifact: {kept}"
+    for gone in ("assignments", "codes", "delta_ins", "delta_del",
+                 "assignments-g002.tmp", "codes-g002.tmp"):
+        assert gone not in names, f"superseded state survived vacuum: {gone}"
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [h["by"] for h in manifest["history"]] == [
+        "assignments-g002",
+        "codes-g002",
+    ]
+    assert manifest["by"] == "codes-g002"
+    assert manifest["superseded"] == ["codes", "delta_del", "delta_ins"]
+
+
 def test_checkpoint_generation_chain(spark):
     """The write-back protocol is REPEATABLE: after l70's g002, a second
     delta window checkpoints g003 on top — the old generation vacuumed,
