@@ -827,3 +827,248 @@ def k16_stream_avro_sink(spark, sf_dir):
         F.sum("event_id").alias("sum_id"),
         dsum("value").alias("sum_value"),
     )
+
+
+# --- k19: streaming aggregate IVM (round 9) ----------------------------------
+
+_K19_MV_SCHEMA = "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+_K19_FEED_SCHEMA = (
+    "l_orderkey bigint, l_extendedprice double, l_discount double, "
+    "l_quantity double, sign int"
+)
+
+
+def _stage_k19_state(spark, sf_dir: str, d: str) -> None:
+    """Stage the continuous-MV world: the o_orderkey→n_name bridge, the
+    initial per-nation partials as generation ``agg_mv-g001`` (written
+    through :func:`checkpoint_index_generation` so the VACUUM chain
+    starts at birth), and the lineitem CDC as a 4-file stream directory
+    of SIGNED rows — p18's insert slice (``%10==7``, sign +1) and
+    before-image tombstones (``%100==4``, sign −1) interleaved and split
+    deterministically by ``(l_orderkey div 10) % 4`` — a plain modulo on
+    l_orderkey would leave a structurally empty slice (tombstone keys are
+    ≡0 mod 4 by construction) — mtime order = replay order (the
+    stage_events_dir idiom). Every slice is non-empty and mixes signs,
+    so each micro-batch exercises the interleaved insert/retract path."""
+    import os
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        _AGG_MV_FEED_COLS,
+        _agg_mv_qty,
+        _agg_mv_rev,
+    )
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    bridge = (
+        orders.join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("o_orderkey", "n_name")
+    )
+    bridge.write.mode("overwrite").parquet(os.path.join(d, "bridge"))
+    li_old = lineitem.filter(F.col("l_orderkey") % 10 != 7)
+    initial = (
+        li_old.join(
+            spark.read.schema("o_orderkey bigint, n_name string").parquet(
+                os.path.join(d, "bridge")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_agg_mv_rev()).cast("decimal(38,6)").alias("rev"),
+            F.sum(_agg_mv_qty()).cast("decimal(38,6)").alias("qty"),
+        )
+    )
+    checkpoint_index_generation(
+        d, initial, superseded=[], generation="agg_mv-g001"
+    )
+    cdc = (
+        lineitem.filter(F.col("l_orderkey") % 10 == 7)
+        .select(*_AGG_MV_FEED_COLS)
+        .withColumn("sign", F.lit(1))
+        .unionAll(
+            li_old.filter(F.col("l_orderkey") % 100 == 4)
+            .select(*_AGG_MV_FEED_COLS)
+            .withColumn("sign", F.lit(-1))
+        )
+    )
+    cdc_dir = os.path.join(d, "cdc")
+    os.makedirs(cdc_dir, exist_ok=True)
+    base_t = 1_700_000_000
+    for i in range(4):
+        tmp = os.path.join(d, f"cdc_stage_{i}")
+        cdc.filter(
+            F.expr("l_orderkey div 10") % 4 == i
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(cdc_dir, f"slice-{i:05d}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (base_t + i, base_t + i))
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_agg_mv_stream(
+    spark, index_dir: str, max_files_per_trigger: int = 1, timeout: int = 300
+) -> None:
+    """Drain the staged lineitem CDC through the ACTUAL streaming runtime,
+    maintaining the aggregate MV by generations: each micro-batch's
+    ``foreachBatch`` reads the CURRENT generation from the VACUUM
+    manifest, folds the batch into signed per-nation partials (broadcast
+    batch ⋈ map-side bridge — p18's algebra with the sign carried per
+    row, since one batch can interleave inserts and retractions), merges
+    partials exactly (count + decimal sums), retires zero-count groups,
+    and checkpoints the result as the NEXT generation — the p20
+    write-back applied continuously. Because the merge algebra is
+    associative AND commutative, the final state is invariant to how the
+    CDC files batch (pinned by the invariance test)."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        _agg_mv_qty,
+        _agg_mv_rev,
+    )
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    bridge_path = os.path.join(index_dir, "bridge")
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ss = batch_df.sparkSession
+        man = json.load(open(os.path.join(index_dir, "VACUUM.json")))
+        cur = man["by"]
+        mv = ss.read.schema(_K19_MV_SCHEMA).parquet(
+            os.path.join(index_dir, cur)
+        )
+        bridge = ss.read.schema("o_orderkey bigint, n_name string").parquet(
+            bridge_path
+        )
+        partial = (
+            F.broadcast(batch_df)
+            .join(bridge, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("n_name")
+            .agg(
+                F.sum("sign").alias("cnt"),
+                F.sum(F.col("sign") * _agg_mv_rev())
+                .cast("decimal(38,6)")
+                .alias("rev"),
+                F.sum(F.col("sign") * _agg_mv_qty())
+                .cast("decimal(38,6)")
+                .alias("qty"),
+            )
+        )
+        merged = (
+            mv.unionAll(partial)
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)  # retired groups leave the MV
+        )
+        nxt = int(cur.rsplit("g", 1)[1]) + 1
+        checkpoint_index_generation(
+            index_dir, merged, superseded=[cur],
+            generation=f"agg_mv-g{nxt:03d}",
+        )
+
+    schema = spark.read.parquet(os.path.join(index_dir, "cdc")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(os.path.join(index_dir, "cdc"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation", os.path.join(index_dir, "_stream_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+@query(
+    "k19_stream_agg_ivm",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def k19_stream_agg_ivm(spark, sf_dir):
+    """Continuous aggregate IVM through the ACTUAL streaming runtime
+    (round 9 — the r8 verdict's item 2, composing p18's signed-partial
+    algebra with k13's associative-state discipline and p20's generation
+    write-back; the Delta Live Tables / Materialize continuous-MV
+    pattern a 100 TB warehouse deploys): lineitem CDC micro-batches —
+    inserts and before-image tombstones interleaved as SIGNED rows —
+    maintain the per-nation revenue aggregate via ``foreachBatch``,
+    each batch folding to ±partials (broadcast batch ⋈ map-side bridge)
+    and checkpointing the merged MV as a fresh generation, so the chain
+    ``agg_mv-g001 → … → g005`` IS the stream's state: crash recovery =
+    resume from the last durable generation + the source's replay
+    offset, the exact semantics Structured Streaming's own checkpoint
+    protocol assumes of an idempotent sink.
+
+    Correctness is the strongest gate the engine has for a streaming
+    key: the drained MV must be BIT-equal to p18's batch answer — the
+    full SQL oracle recomputes the final aggregate from the mutated
+    base tables, so a micro-batch applied twice (a non-idempotent
+    retry), a tombstone lost at a batch boundary, or a partial merged
+    out of order diverges the hash. Batching invariance (2-file vs
+    1-file triggers → identical state) is test-pinned, as is the
+    generation chain and the serving plan (one generation scan, no
+    union/delta residue).
+
+    100 TB: state is 25 mergeable partial rows maintained in O(|batch|)
+    map-side work per trigger — no shuffle of the fact stream, no
+    unbounded state store; the periodic write-back bounds both the
+    serving cost and the feed history exactly as p20 does nightly."""
+    import json
+    import os
+
+    from dask_pipes_spark.session import ensure_index
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k19_aggmv_stream_{tag}")
+
+    def _stage(d: str) -> None:
+        _stage_k19_state(spark, sf_dir, d)
+        _run_agg_mv_stream(spark, d, max_files_per_trigger=1)
+
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    idx = ensure_index(base, sf_dir, version="k19-v1", build=_stage)
+    man = json.load(open(os.path.join(idx, "VACUUM.json")))
+    mv = spark.read.schema(_K19_MV_SCHEMA).parquet(
+        os.path.join(idx, man["by"])
+    )
+    return mv.select(
+        "n_name",
+        F.col("cnt").alias("n_items"),
+        F.col("rev").cast("double").alias("sum_revenue"),
+        F.col("qty").cast("double").alias("sum_qty"),
+    )

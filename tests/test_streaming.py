@@ -323,3 +323,98 @@ def test_stateful_keys_identical_under_rocksdb(spark, key):
     finally:
         spark.conf.unset(_PROVIDER_CONF)
     assert rocks_rows == default_rows
+
+
+# --- k19: streaming aggregate IVM (round 9) ----------------------------------
+
+
+def test_k19_stream_equals_p18_batch(spark):
+    """The drained streaming MV equals p18's batch maintenance answer
+    row-for-row — the continuous path and the nightly path land on the
+    same state (both equal the from-scratch oracle)."""
+    from dask_pipes_spark.operators.pipeline_ops import p18_agg_mv_maintain
+    from dask_pipes_spark.operators.streaming_ops import k19_stream_agg_ivm
+
+    a = sorted(tuple(r) for r in p18_agg_mv_maintain(spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in k19_stream_agg_ivm(spark, SF_SMOKE).collect())
+    assert a, "batch MV must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_k19_generation_chain_and_serving_plan(spark):
+    """One generation per non-empty micro-batch (g001 birth + g002..g005
+    for the 4 CDC files under maxFilesPerTrigger=1), history monotonic,
+    superseded generations and stream scratch vacuumed, serving plan =
+    one generation scan with no union/anti-join/delta residue."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.streaming_ops import k19_stream_agg_ivm
+    from dask_pipes_spark.session import scratch_path
+
+    df = k19_stream_agg_ivm(spark, SF_SMOKE)
+    assert df.count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k19_aggmv_stream_{tag}")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    chain = [h["by"] for h in man["history"]]
+    assert chain[0] == "agg_mv-g001"
+    assert chain == [f"agg_mv-g{i:03d}" for i in range(1, len(chain) + 1)]
+    assert len(chain) == 5, "4 CDC files at mfpt=1 -> 4 maintenance windows"
+    names = set(os.listdir(base))
+    assert man["by"] in names
+    for gen in chain[:-1]:
+        assert gen not in names, f"superseded generation survived: {gen}"
+    plan = df._jdf.queryExecution().toString()
+    assert "Union" not in plan
+    assert "LeftAnti" not in plan
+    assert not any(
+        t in plan for t in ("lineitem.parquet", "orders.parquet")
+    ), "serving must not rescan the base tables"
+
+
+def test_k19_batching_invariance(spark):
+    """Replaying the same CDC under a different micro-batch grouping
+    (2 files per trigger instead of 1) lands on the IDENTICAL final MV —
+    the signed-partial algebra is associative and commutative, so batch
+    boundaries cannot change the state (fewer windows, same answer)."""
+    import json
+    import os
+    import shutil
+
+    from dask_pipes_spark.operators.streaming_ops import (
+        _K19_MV_SCHEMA,
+        _run_agg_mv_stream,
+        _stage_k19_state,
+        k19_stream_agg_ivm,
+    )
+    from dask_pipes_spark.session import scratch_path
+
+    ref = sorted(
+        tuple(r) for r in k19_stream_agg_ivm(spark, SF_SMOKE).collect()
+    )
+
+    d = scratch_path("dps_k19_invariance")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    _stage_k19_state(spark, SF_SMOKE, d)
+    _run_agg_mv_stream(spark, d, max_files_per_trigger=2)
+    man = json.load(open(os.path.join(d, "VACUUM.json")))
+    chain = [h["by"] for h in man["history"]]
+    assert len(chain) == 3, "4 CDC files at mfpt=2 -> 2 maintenance windows"
+    mv = spark.read.schema(_K19_MV_SCHEMA).parquet(
+        os.path.join(d, man["by"])
+    )
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        tuple(r)
+        for r in mv.select(
+            "n_name",
+            F.col("cnt").alias("n_items"),
+            F.col("rev").cast("double").alias("sum_revenue"),
+            F.col("qty").cast("double").alias("sum_qty"),
+        ).collect()
+    )
+    assert got == ref
+    shutil.rmtree(d, ignore_errors=True)
