@@ -188,6 +188,7 @@ def checkpoint_index_generation(
     superseded: list[str],
     generation: str,
     target_files: int = 1,
+    retain: int = 0,
 ) -> str:
     """Write-back half of the ANN index lifecycle (round 8): persist a
     delta-maintained index table as a fresh GENERATION and vacuum the
@@ -210,6 +211,19 @@ def checkpoint_index_generation(
     leaves both copies plus the manifest — recoverable, never lossy.
     ``coalesce`` (not repartition) collapses to ``target_files`` — the
     write-back is an IO rewrite; rows never move between executors by key.
+
+    Retention (round 9, the r8 verdict's item 5): ``retain`` keeps the N
+    most recent SUPERSEDED generations on disk for time-travel/rollback —
+    the Delta/Iceberg retention-window default. A "generation" is any
+    name that appears as a prior history link's ``by``; staged feeds and
+    original tables are never retained (a feed kept past its vacuum
+    could be replayed — the exact double-apply the protocol exists to
+    prevent). Each checkpoint re-evaluates the window: retained
+    generations that fall out of it are swept, and the manifest's
+    ``retained`` list names the readable history — a reader pinned to a
+    retained generation keeps working while newer ones land (test-
+    pinned). ``retain=0`` (default) deletes superseded state immediately,
+    the pre-round-9 behavior.
 
     100 TB: this is the nightly index compaction — cost O(index) IO once,
     against the per-probe merge tax and unbounded delta growth it
@@ -241,15 +255,27 @@ def checkpoint_index_generation(
             history = []
     link = {"superseded": sorted(superseded), "by": generation}
     history.append(link)
+    # retention window: prior generations (names that were a `by`) in
+    # creation order; the newest `retain` stay readable. Only generations
+    # some link actually SUPERSEDED are sweep candidates — a live parallel
+    # generation (a multi-table index like l78 checkpoints one `by` per
+    # table) is never garbage
+    prior_gens = [h["by"] for h in history[:-1]]
+    keep = set(prior_gens[-retain:]) if retain > 0 else set()
+    ever_superseded = {n for h in history for n in h["superseded"]}
     # write-temp + os.replace (round 9, advice item): a truncate-then-write
     # open('w') crashed mid-write leaves a corrupt manifest, and the next
     # checkpoint's unreadable-manifest fallback silently resets history to
     # [] — losing the full-chain guarantee step (3) exists to provide
     with open(manifest_path + ".tmp", "w") as fh:
-        json.dump({**link, "history": history}, fh)
+        json.dump({**link, "history": history, "retained": sorted(keep)}, fh)
     os.replace(manifest_path + ".tmp", manifest_path)
     for name in superseded:
-        shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+        if name not in keep:
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+    for gen in prior_gens:  # sweep generations that fell out of the window
+        if gen in ever_superseded and gen not in keep and gen != generation:
+            shutil.rmtree(os.path.join(index_dir, gen), ignore_errors=True)
     return final
 
 

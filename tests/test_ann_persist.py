@@ -736,6 +736,61 @@ def test_l78_vacuum_layout_two_generations(spark):
     assert manifest["superseded"] == ["codes", "delta_del", "delta_ins"]
 
 
+def test_checkpoint_retention_window_and_rollback(spark, tmp_path):
+    """``retain=2`` keeps the two most recent superseded generations
+    readable for time-travel: a reader pinned to g002 still answers while
+    g004 is current; when g005 lands, g002 falls out of the window and is
+    swept; staged FEEDS are never retained (a kept feed could be
+    replayed); the manifest's ``retained`` list tracks the readable
+    history at every step."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # birth (g001) + a feed that must vacuum despite retention
+    df.limit(10).write.mode("overwrite").parquet(os.path.join(base, "feed"))
+    checkpoint_index_generation(
+        base, df, superseded=[], generation="g001", retain=2
+    )
+    cur = df
+    for n in (2, 3, 4):
+        cur = cur.filter(F.col("k") % 17 != n)  # one delta window each
+        checkpoint_index_generation(
+            base, cur, superseded=[f"g{n-1:03d}", *(["feed"] if n == 2 else [])],
+            generation=f"g{n:03d}", retain=2,
+        )
+    names = set(os.listdir(base))
+    assert "feed" not in names, "feeds must vacuum regardless of retention"
+    assert {"g002", "g003", "g004"} <= names, "window must keep 2 + current"
+    assert "g001" not in names, "g001 fell out of the retention window"
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert man["retained"] == ["g002", "g003"]
+    # time-travel: a reader pinned to retained g002 still answers
+    g2 = spark.read.parquet(os.path.join(base, "g002"))
+    assert g2.count() == df.filter(F.col("k") % 17 != 2).count()
+    # next window: g002 falls out and is swept
+    cur = cur.filter(F.col("k") % 17 != 5)
+    checkpoint_index_generation(
+        base, cur, superseded=["g004"], generation="g005", retain=2
+    )
+    names = set(os.listdir(base))
+    assert "g002" not in names, "g002 must sweep once out of the window"
+    assert {"g003", "g004", "g005"} <= names
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert man["retained"] == ["g003", "g004"]
+    # full history survives every checkpoint
+    assert [h["by"] for h in man["history"]] == [
+        "g001", "g002", "g003", "g004", "g005",
+    ]
+
+
 def test_checkpoint_generation_chain(spark):
     """The write-back protocol is REPEATABLE: after l70's g002, a second
     delta window checkpoints g003 on top — the old generation vacuumed,
