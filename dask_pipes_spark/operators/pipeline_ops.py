@@ -1588,3 +1588,114 @@ def p20_agg_mv_checkpoint(spark, sf_dir):
         F.col("rev").cast("double").alias("sum_revenue"),
         F.col("qty").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "p21_mv_time_travel",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def p21_mv_time_travel(spark, sf_dir):
+    """Generation time travel (round 9 — the registry-level consumer of
+    ``checkpoint_index_generation``'s new ``retain`` window; the
+    ``VERSION AS OF`` read every Delta/Iceberg warehouse leans on for
+    audits and rollbacks): TWO maintenance windows run inside the build —
+    window 1 applies p18's CDC (inserts + ``%100==4`` tombstones) and
+    checkpoints ``agg_mv-g002``; window 2 retracts the ``%100==24``
+    slice and checkpoints ``agg_mv-g003`` with ``retain=1``, which keeps
+    the superseded g002 ON DISK and names it in the manifest's
+    ``retained`` list instead of vacuuming it. The served query is then a
+    TIME-TRAVEL read: one scan of the RETAINED g002 while g003 is
+    current — the oracle recomputes the window-1 state from the base
+    tables, so a retained generation corrupted by the later checkpoint,
+    swept early, or confused with the head diverges the hash (and the
+    companion test pins that g003 simultaneously serves the window-2
+    answer: two consistent versions, one index directory).
+
+    100 TB: retention is what makes the nightly write-back SAFE to
+    automate — a bad CDC batch rolls back by re-pointing the serving
+    query at the previous generation (an O(1) metadata change, exactly
+    Iceberg's snapshot rollback), and regulatory as-of queries read
+    retained history without replaying feeds. Cost is bounded: N extra
+    generations of the (partial-sized, not fact-sized) MV."""
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p21_mv_travel_{tag}")
+
+    def _stage(d: str) -> None:
+        # window 1: p18's CDC merge -> g002 (staged state vacuumed)
+        _stage_agg_mv_state(spark, sf_dir, d)
+        # stage window 2's before-image tombstones FIRST (the %100==24
+        # slice survives window 1: 24 <> 4 mod 100, and 24 ends in 4 so
+        # it cannot be in the %10==7 insert slice)
+        load(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % 100 == 24
+        ).select(*_AGG_MV_FEED_COLS).write.mode("overwrite").parquet(
+            os.path.join(d, "delta_del2")
+        )
+        mv, br, d_ins, d_del = _read_agg_mv_state(spark, d)
+        merged1 = (
+            mv.unionAll(_agg_mv_delta_partial(d_ins, br, 1))
+            .unionAll(_agg_mv_delta_partial(d_del, br, -1))
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        checkpoint_index_generation(
+            d, merged1,
+            superseded=["agg_mv", "delta_ins", "delta_del"],
+            generation="agg_mv-g002", retain=1,
+        )
+        # window 2: retract the %100==24 slice from g002 -> g003; retain=1
+        # keeps g002 readable (the time-travel target)
+        g2 = spark.read.schema(
+            "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+        ).parquet(os.path.join(d, "agg_mv-g002"))
+        d_del2 = spark.read.schema(_AGG_MV_FEED_SCHEMA).parquet(
+            os.path.join(d, "delta_del2")
+        )
+        merged2 = (
+            g2.unionAll(_agg_mv_delta_partial(d_del2, br, -1))
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        checkpoint_index_generation(
+            d, merged2,
+            superseded=["agg_mv-g002", "delta_del2"],
+            generation="agg_mv-g003", retain=1,
+        )
+
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    ensure_index(base, sf_dir, version="mv-travel-v1", build=_stage)
+    # --- serving: time-travel read of the RETAINED generation ---
+    g2 = spark.read.schema(
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    ).parquet(os.path.join(base, "agg_mv-g002"))
+    return g2.select(
+        "n_name",
+        F.col("cnt").alias("n_items"),
+        F.col("rev").cast("double").alias("sum_revenue"),
+        F.col("qty").cast("double").alias("sum_qty"),
+    )

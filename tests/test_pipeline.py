@@ -521,3 +521,103 @@ def test_p20_checkpoint_layout_and_serving_plan(spark):
     for fact in ("lineitem", "orders", "customer"):
         assert not re.search(rf"{fact}\.parquet", plan)
     assert plan.count("agg_mv-g002") >= 1
+
+
+def test_p21_time_travel_serves_both_versions(spark):
+    """p21 contract: after two maintenance windows under retain=1, the
+    index directory serves TWO consistent versions at once — the retained
+    g002 equals p18's window-1 answer (what the key returns and its
+    oracle pins), and the head g003 equals the from-scratch window-2
+    state; the manifest names the retained generation and the full
+    chain."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        p18_agg_mv_maintain,
+        p21_mv_time_travel,
+    )
+    from dask_pipes_spark.session import load, scratch_path
+    from tests.conftest import SF_SMOKE
+
+    travel = sorted(
+        tuple(r) for r in p21_mv_time_travel(spark, SF_SMOKE).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in p18_agg_mv_maintain(spark, SF_SMOKE).collect()
+    )
+    assert travel, "time-travel read must be non-empty at sf0.001"
+    assert travel == batch, "retained g002 must equal the window-1 state"
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p21_mv_travel_{tag}")
+    names = set(os.listdir(base))
+    assert {"agg_mv-g002", "agg_mv-g003", "bridge"} <= names
+    for gone in ("agg_mv", "delta_ins", "delta_del", "delta_del2"):
+        assert gone not in names, f"feeds must vacuum despite retention: {gone}"
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert man["by"] == "agg_mv-g003"
+    assert man["retained"] == ["agg_mv-g002"]
+    assert [h["by"] for h in man["history"]] == ["agg_mv-g002", "agg_mv-g003"]
+
+    # the head generation simultaneously serves the window-2 state
+    g3 = spark.read.schema(
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    ).parquet(os.path.join(base, "agg_mv-g003"))
+    got3 = sorted(
+        tuple(r)
+        for r in g3.select(
+            "n_name",
+            F.col("cnt").alias("n_items"),
+            F.col("rev").cast("double").alias("sum_revenue"),
+            F.col("qty").cast("double").alias("sum_qty"),
+        ).collect()
+    )
+    lineitem = load(spark, SF_SMOKE, "lineitem")
+    orders = load(spark, SF_SMOKE, "orders")
+    customer = load(spark, SF_SMOKE, "customer")
+    nation = load(spark, SF_SMOKE, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    expected3 = sorted(
+        tuple(r)
+        for r in (
+            lineitem.filter(
+                (F.col("l_orderkey") % 100 != 4)
+                & (F.col("l_orderkey") % 100 != 24)
+            )
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(rev).cast("double").alias("sum_revenue"),
+                F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .collect()
+        )
+    )
+    assert got3 == expected3, "head generation must serve the window-2 state"
+
+
+def test_p21_serving_plan_is_retained_generation_scan(spark):
+    """The time-travel read is ONE scan of the retained generation: no
+    union/anti-join/delta residue, no base-table scans, and no scan of
+    the HEAD generation (two versions must not leak into each other)."""
+    import re
+
+    from dask_pipes_spark.operators.pipeline_ops import p21_mv_time_travel
+    from tests.conftest import SF_SMOKE
+
+    plan = p21_mv_time_travel(spark, SF_SMOKE)._jdf.queryExecution().toString()
+    assert "Union" not in plan and "LeftAnti" not in plan
+    for fact in ("lineitem", "orders", "customer"):
+        assert not re.search(rf"{fact}\.parquet", plan)
+    assert plan.count("agg_mv-g002") >= 1
+    assert "agg_mv-g003" not in plan
