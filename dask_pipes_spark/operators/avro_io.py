@@ -1067,8 +1067,12 @@ def k18_vacuum_generations(spark, sf_dir):
             os.path.join(tmp, f), os.path.join(land, f"compacted-{f}")
         )
         final_names.append(f"compacted-{f}")
-    with open(os.path.join(land, "VACUUM.json"), "w") as fh:
+    # write-temp + os.replace (round 9 — the session.py manifest
+    # discipline): a crash mid-write must not leave a corrupt manifest
+    vac = os.path.join(land, "VACUUM.json")
+    with open(vac + ".tmp", "w") as fh:
         _json.dump({"superseded": gens, "by": final_names}, fh)
+    os.replace(vac + ".tmp", vac)
     for f in gens:
         os.remove(os.path.join(land, f))
     back = read_avro_split(spark, land, target_splits=8)
