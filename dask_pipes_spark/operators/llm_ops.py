@@ -442,11 +442,18 @@ def _stage_minhash_ckpt_state(spark, sf_dir: str, d: str) -> None:
     delta_sigs = spark.read.schema(_SIG_SCHEMA).parquet(
         os.path.join(d, "delta_sigs")
     )
+    # target_files=8, not 1: the signature table is the LARGEST index this
+    # engine checkpoints (num_perm bigints per document — ~160 MB at sf1),
+    # and a single compacted file caps the probe's scan parallelism at
+    # maxPartitionBytes granularity (measured: the 1-file generation probed
+    # SLOWER than l66's merge path at sf1; 8 files restore the fan-out).
+    # On a cluster this is the file-sizing knob every table format exposes.
     checkpoint_index_generation(
         d,
         old_sigs.unionAll(delta_sigs),
         superseded=["signatures", "delta_sigs"],
         generation="signatures-g002",
+        target_files=8,
     )
 
 

@@ -578,7 +578,9 @@ def test_l74_vacuum_layout_and_chain(spark):
         for f in os.listdir(os.path.join(base, "signatures-g002"))
         if f.endswith(".parquet")
     ]
-    assert len(datafiles) == 1, "generation must be one compacted file"
+    # compacted to at most target_files=8 (the scan-parallelism knob —
+    # one file capped the sf1 probe at 2 partitions; see the operator)
+    assert 1 <= len(datafiles) <= 8, "generation must be a compacted layout"
 
     # second window: tombstone every 9th doc, checkpoint g003
     g2 = spark.read.schema(_SIG_SCHEMA).parquet(
