@@ -1072,3 +1072,188 @@ def k19_stream_agg_ivm(spark, sf_dir):
         F.col("rev").cast("double").alias("sum_revenue"),
         F.col("qty").cast("double").alias("sum_qty"),
     )
+
+
+# --- k20: streaming ANN index maintenance (round 9) ---------------------------
+
+_K20_ASSIGN_SCHEMA = "vec_id bigint, e array<double>, nrm double, bucket int"
+
+
+def _stage_k20_state(spark, sf_dir: str, d: str) -> None:
+    """Stage the continuous ANN-ingest world: the coarse codebook trained
+    on yesterday's corpus (``%9!=5``), its assignments as generation
+    ``assignments-g001`` (checkpoint-born, so the VACUUM chain exists
+    from the start), and the embedding CDC as a 4-file stream directory
+    of typed rows — inserts (the held-out ``%9==5`` slice, op='I') and
+    tombstones (``%11==3``, op='D', payload nulled) interleaved and
+    sliced by ``vec_id % 4``; mtime order = replay order. Insert and
+    delete key sets are disjoint by construction, so the maintenance
+    algebra is fully commutative across any batching."""
+    import os
+    import shutil
+
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    vecs_old, cent = _ivf_corpus_and_centroids(
+        spark, sf_dir, pred=F.col("vec_id") % 9 != 5
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    checkpoint_index_generation(
+        d,
+        ivf_assign(vecs_old, cent.collect(), nprobe=1),
+        superseded=[],
+        generation="assignments-g001",
+        target_files=8,
+    )
+    vecs_new, _ = _ivf_corpus_and_centroids(
+        spark, sf_dir, pred=F.col("vec_id") % 9 == 5
+    )
+    cdc = vecs_new.withColumn("op", F.lit("I")).unionAll(
+        vecs_old.filter(F.col("vec_id") % 11 == 3).select(
+            "vec_id",
+            F.lit(None).cast("array<double>").alias("e"),
+            F.lit(None).cast("double").alias("nrm"),
+        ).withColumn("op", F.lit("D"))
+    )
+    cdc_dir = os.path.join(d, "cdc")
+    os.makedirs(cdc_dir, exist_ok=True)
+    base_t = 1_700_000_000
+    for i in range(4):
+        tmp = os.path.join(d, f"cdc_stage_{i}")
+        cdc.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(cdc_dir, f"slice-{i:05d}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (base_t + i, base_t + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_ann_ivm_stream(
+    spark, index_dir: str, max_files_per_trigger: int = 1, timeout: int = 300
+) -> None:
+    """Drain the embedding CDC through the streaming runtime, maintaining
+    the inverted file by generations: each micro-batch anti-joins its
+    tombstones against the CURRENT generation and map-side-assigns its
+    inserts against the FIXED coarse codebook (l65's algebra — the
+    codebook is collected once, before the stream starts, because it is
+    exactly the artifact that does NOT change per batch), then
+    checkpoints the merged table as the next generation. Disjoint
+    insert/delete key sets make the fold commutative — batching
+    invariance is test-pinned."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.llm_ext import ivf_assign
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    cent_rows = (
+        spark.read.schema("bucket int, ce array<double>, cnrm double")
+        .parquet(os.path.join(index_dir, "centroids"))
+        .collect()
+    )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ss = batch_df.sparkSession
+        man = json.load(open(os.path.join(index_dir, "VACUUM.json")))
+        cur = man["by"]
+        assigned = ss.read.schema(_K20_ASSIGN_SCHEMA).parquet(
+            os.path.join(index_dir, cur)
+        )
+        d_del = batch_df.filter(F.col("op") == "D").select("vec_id")
+        d_ins = batch_df.filter(F.col("op") == "I").select(
+            "vec_id", "e", "nrm"
+        )
+        merged = assigned.join(
+            F.broadcast(d_del), "vec_id", "left_anti"
+        ).unionAll(ivf_assign(d_ins, cent_rows, nprobe=1))
+        nxt = int(cur.rsplit("g", 1)[1]) + 1
+        checkpoint_index_generation(
+            index_dir, merged, superseded=[cur],
+            generation=f"assignments-g{nxt:03d}", target_files=8,
+        )
+
+    schema = spark.read.parquet(os.path.join(index_dir, "cdc")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(os.path.join(index_dir, "cdc"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation", os.path.join(index_dir, "_stream_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+from dask_pipes_spark.operators.llm_ext import _L65_ORACLE
+
+
+@query("k20_stream_ann_ivm", oracle=_L65_ORACLE)
+def k20_stream_ann_ivm(spark, sf_dir):
+    """Continuous ANN index maintenance through the streaming runtime
+    (round 9 — the k19 composition applied to the similarity-search
+    tier, the pattern a continuously-ingesting vector store runs): an
+    embedding CDC stream of typed rows (inserts + tombstones) maintains
+    the IVF inverted file via ``foreachBatch`` — l65's maintenance
+    algebra per micro-batch (broadcast anti-join deletes + map-side
+    assignment of inserts against the FIXED coarse codebook) with every
+    window landing a full generation checkpoint, so the index directory
+    always serves a consistent snapshot and crash recovery is the last
+    durable generation + the source's replay offset.
+
+    The returned probe (same spec as l12/l62/l65) reads the final
+    generation only. Registered with l65's full SQL oracle shape via the
+    shared twin: the drained index must answer EXACTLY as the batch
+    delta-maintained index (and its from-scratch SQL rebuild) — pinned
+    by the companion test l65 == k20; batching invariance (2-file
+    triggers) and the per-window generation chain are pinned too.
+
+    100 TB: per-window cost is O(|batch|) map-side work + one broadcast
+    anti-join + the generation rewrite — the index never shuffles; the
+    codebook collects once per stream, not per batch, because the slow-
+    cadence quantizer retrain is exactly what the l62 staleness manifest
+    models. State is the generation chain itself — nothing lives in the
+    streaming state store."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.llm_ext import _ivf_probe_topk
+    from dask_pipes_spark.session import ensure_index
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k20_ann_stream_{tag}")
+
+    def _stage(d: str) -> None:
+        _stage_k20_state(spark, sf_dir, d)
+        _run_ann_ivm_stream(spark, d, max_files_per_trigger=1)
+
+    idx = ensure_index(
+        base,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="k20-v1",
+        build=_stage,
+    )
+    man = json.load(open(os.path.join(idx, "VACUUM.json")))
+    cent_rows = (
+        spark.read.schema("bucket int, ce array<double>, cnrm double")
+        .parquet(os.path.join(idx, "centroids"))
+        .collect()
+    )
+    indexed = spark.read.schema(_K20_ASSIGN_SCHEMA).parquet(
+        os.path.join(idx, man["by"])
+    )
+    return _ivf_probe_topk(
+        indexed.select("vec_id", "e", "nrm"), indexed, cent_rows
+    )

@@ -418,3 +418,95 @@ def test_k19_batching_invariance(spark):
     )
     assert got == ref
     shutil.rmtree(d, ignore_errors=True)
+
+
+# --- k20: streaming ANN index maintenance (round 9) ---------------------------
+
+
+def test_k20_stream_equals_l65_batch(spark):
+    """The streaming-maintained inverted file answers the probe exactly
+    as l65's batch delta merge (both equal the from-scratch SQL rebuild
+    via the shared oracle)."""
+    from dask_pipes_spark.operators.llm_ext import l65_ann_index_delta
+    from dask_pipes_spark.operators.streaming_ops import k20_stream_ann_ivm
+
+    a = sorted(tuple(r) for r in l65_ann_index_delta(spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in k20_stream_ann_ivm(spark, SF_SMOKE).collect())
+    assert a, "probe must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_k20_generation_chain_and_serving_plan(spark):
+    """One generation per non-empty micro-batch, monotonic history,
+    superseded generations vacuumed; serving plan reads only the final
+    generation (no union/anti-join residue, no embeddings rescans)."""
+    import json
+    import os
+    import re
+
+    from dask_pipes_spark.operators.streaming_ops import k20_stream_ann_ivm
+    from dask_pipes_spark.session import scratch_path
+
+    df = k20_stream_ann_ivm(spark, SF_SMOKE)
+    assert df.count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k20_ann_stream_{tag}")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    chain = [h["by"] for h in man["history"]]
+    assert chain == [f"assignments-g{i:03d}" for i in range(1, len(chain) + 1)]
+    assert len(chain) == 5, "4 CDC files at mfpt=1 -> 4 maintenance windows"
+    names = set(os.listdir(base))
+    assert man["by"] in names and "centroids" in names
+    for gen in chain[:-1]:
+        assert gen not in names, f"superseded generation survived: {gen}"
+    plan = df._jdf.queryExecution().toString()
+    assert "Union" not in plan
+    assert "LeftAnti" not in plan
+    assert "posexplode" not in plan, "training leaked into the serving probe"
+    assert not re.search(r"embeddings\.parquet", plan)
+    assert plan.count("dps_k20_ann_stream") >= 1
+
+
+def test_k20_batching_invariance(spark):
+    """Insert and tombstone key sets are disjoint, so the per-batch fold
+    commutes: a 2-files-per-trigger replay lands on the identical index
+    (2 windows instead of 4), probe answers equal."""
+    import json
+    import os
+    import shutil
+
+    from dask_pipes_spark.operators.llm_ext import _ivf_probe_topk
+    from dask_pipes_spark.operators.streaming_ops import (
+        _K20_ASSIGN_SCHEMA,
+        _run_ann_ivm_stream,
+        _stage_k20_state,
+        k20_stream_ann_ivm,
+    )
+    from dask_pipes_spark.session import scratch_path
+
+    ref = sorted(
+        tuple(r) for r in k20_stream_ann_ivm(spark, SF_SMOKE).collect()
+    )
+    d = scratch_path("dps_k20_invariance")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    _stage_k20_state(spark, SF_SMOKE, d)
+    _run_ann_ivm_stream(spark, d, max_files_per_trigger=2)
+    man = json.load(open(os.path.join(d, "VACUUM.json")))
+    assert len(man["history"]) == 3, "4 files at mfpt=2 -> 2 windows"
+    indexed = spark.read.schema(_K20_ASSIGN_SCHEMA).parquet(
+        os.path.join(d, man["by"])
+    )
+    cent_rows = (
+        spark.read.schema("bucket int, ce array<double>, cnrm double")
+        .parquet(os.path.join(d, "centroids"))
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in _ivf_probe_topk(
+            indexed.select("vec_id", "e", "nrm"), indexed, cent_rows
+        ).collect()
+    )
+    assert got == ref
+    shutil.rmtree(d, ignore_errors=True)
