@@ -1478,6 +1478,91 @@ def l70_ivf_index_checkpoint(spark, sf_dir):
     )
 
 
+@query("l79_index_time_travel", oracle=_L65_ORACLE)
+def l79_index_time_travel(spark, sf_dir):
+    """ANN index time travel (round 9 — p21's VERSION-AS-OF read applied
+    to INDEX state, completing the symmetry: every artifact the
+    generation protocol checkpoints is as-of readable, not just the
+    aggregate MV): TWO maintenance windows run inside the build —
+    window 1 applies l65's CDC (the ``%9==5`` insert slice + ``%11==3``
+    tombstones) and checkpoints ``assignments-g002`` with ``retain=1``;
+    window 2 retracts a further tombstone slice (``%13==6`` of the
+    surviving ids — pure key arithmetic, zero corpus scan) and
+    checkpoints ``assignments-g003``, again ``retain=1``, which keeps
+    the superseded g002 ON DISK in the manifest's ``retained`` list.
+
+    The served probe is then a TIME-TRAVEL read: l12/l62's top-k spec
+    over the RETAINED g002 while g003 is current. The oracle is l65's
+    from-scratch twin (window-1 state recomputed from the base tables),
+    so a retained generation corrupted by the later checkpoint, swept
+    early, or confused with the head diverges the hash — and the
+    companion test pins that g003 simultaneously answers the window-2
+    state: two consistent index versions served from one directory.
+
+    Why this matters for the index specifically: ANN recall regressions
+    are discovered by OFFLINE evaluation hours after a maintenance
+    window lands — the as-of read lets the eval harness replay
+    yesterday's probes against yesterday's index (bitwise, not
+    approximately) while production serves the head, and a confirmed
+    regression rolls back by re-pointing the prober (p22's RESTORE).
+
+    100 TB: identical economics to p21 — N retained generations of the
+    assignment table (index-sized, not corpus-sized), swept by the same
+    retention window; on object storage the retained list maps to
+    Iceberg snapshots / Delta versions of the index table."""
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l79_ivf_travel_{tag}")
+
+    def _stage(d: str) -> None:
+        # window 1: l65's CDC merge -> g002, retained past window 2
+        _stage_ivf_delta_state(spark, sf_dir, d)
+        rows, assignments, d_ins, d_del = _read_ivf_delta_state(spark, d)
+        checkpoint_index_generation(
+            d,
+            _ivf_delta_merge(assignments, d_ins, d_del, rows),
+            superseded=["assignments", "delta_ins", "delta_del"],
+            generation="assignments-g002",
+            retain=1,
+        )
+        # window 2: retract %13==6 of the SURVIVORS from g002 -> g003;
+        # retain=1 keeps g002 readable (the time-travel target)
+        g2 = spark.read.schema(_IVF_ASSIGN_SCHEMA).parquet(
+            os.path.join(d, "assignments-g002")
+        )
+        g2.filter(F.col("vec_id") % 13 == 6).select("vec_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "delta_del2"))
+        d_del2 = spark.read.schema("vec_id bigint").parquet(
+            os.path.join(d, "delta_del2")
+        )
+        checkpoint_index_generation(
+            d,
+            g2.join(F.broadcast(d_del2), "vec_id", "left_anti"),
+            superseded=["assignments-g002", "delta_del2"],
+            generation="assignments-g003",
+            retain=1,
+        )
+
+    idx = ensure_index(
+        base,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="ivf-travel-v1",
+        build=_stage,
+    )
+    cent_rows = (
+        spark.read.schema("bucket int, ce array<double>, cnrm double")
+        .parquet(os.path.join(idx, "centroids"))
+        .collect()
+    )
+    # --- serving: time-travel probe of the RETAINED generation ---
+    g2 = spark.read.schema(_IVF_ASSIGN_SCHEMA).parquet(
+        os.path.join(idx, "assignments-g002")
+    )
+    return _ivf_probe_topk(g2.select("vec_id", "e", "nrm"), g2, cent_rows)
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 8, damping: float = 0.85) -> DataFrame:
     """PageRank by power iteration over an undirected edge list (edges are

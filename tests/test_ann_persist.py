@@ -864,3 +864,57 @@ def test_checkpoint_generation_chain(spark):
     import shutil
 
     shutil.rmtree(base)
+
+
+def test_l79_two_versions_one_directory(spark):
+    """l79's time-travel layout: after the two-window build, BOTH
+    generations are on disk, the manifest's ``retained`` list names g002,
+    the history chain is monotonic g002→g003, and the two generations
+    serve their respective window states — the head answers window 2
+    (g002 minus the %13==6 retraction), the retained generation answers
+    window 1 bit-for-bit (the parity oracle pins that half)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.llm_ext import l79_index_time_travel
+    from dask_pipes_spark.session import scratch_path
+
+    assert l79_index_time_travel(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l79_ivf_travel_{tag}")
+    names = set(os.listdir(base))
+    assert {"assignments-g002", "assignments-g003", "centroids"} <= names
+    for gone in ("assignments", "delta_ins", "delta_del", "delta_del2"):
+        assert gone not in names, f"feed survived vacuum: {gone}"
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert manifest["retained"] == ["assignments-g002"]
+    assert [h["by"] for h in manifest["history"]] == [
+        "assignments-g002",
+        "assignments-g003",
+    ]
+    schema = "vec_id bigint, e array<double>, nrm double, bucket int"
+    g2 = spark.read.schema(schema).parquet(
+        os.path.join(base, "assignments-g002")
+    )
+    g3 = spark.read.schema(schema).parquet(
+        os.path.join(base, "assignments-g003")
+    )
+    # head state == retained state minus the window-2 retraction
+    assert g3.count() == g2.filter(F.col("vec_id") % 13 != 6).count()
+    assert g3.filter(F.col("vec_id") % 13 == 6).count() == 0
+
+
+def test_l79_probe_plan_reads_only_retained_generation(spark):
+    """The time-travel probe is a pure generation scan of the RETAINED
+    g002: no anti-join, no union, no training, no corpus scan, and no
+    accidental read of the g003 head."""
+    from dask_pipes_spark.operators.llm_ext import l79_index_time_travel
+
+    plan = _plan(l79_index_time_travel(spark, SF_SMOKE))
+    assert "LeftAnti" not in plan
+    assert "Union" not in plan
+    assert "posexplode" not in plan
+    assert not re.search(r"embeddings\.parquet", plan)
+    assert "assignments-g002" in plan
+    assert "assignments-g003" not in plan
