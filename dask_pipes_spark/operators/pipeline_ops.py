@@ -1699,3 +1699,131 @@ def p21_mv_time_travel(spark, sf_dir):
         F.col("rev").cast("double").alias("sum_revenue"),
         F.col("qty").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "p22_mv_restore",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def p22_mv_restore(spark, sf_dir):
+    """Generation RESTORE (round 9 — the write-path twin of p21's
+    VERSION-AS-OF read; Delta Lake's ``RESTORE TABLE ... TO VERSION`` /
+    Iceberg's snapshot rollback): a maintenance window lands a BAD batch,
+    and the head is rolled back by committing a NEW generation whose
+    content is the retained pre-bad state — history stays monotonic
+    (g002 → g003 → g004), nothing is rewritten in place, and the bad
+    generation remains readable for forensics.
+
+    Three windows run inside the build: window 1 applies p18's CDC and
+    checkpoints ``agg_mv-g002`` (``retain=1``); window 2 is the bad
+    batch — it wrongly retracts the ``%100==42`` slice (42 ≢ 4 mod 100,
+    so those rows are live; 42 ends in 2, so they are base rows, not
+    window-1 inserts) and checkpoints ``agg_mv-g003``; window 3 is the
+    RESTORE: it re-commits the RETAINED g002's content as ``agg_mv-g004``
+    through the same compact→swap→manifest protocol, superseding the bad
+    head. Restore-by-new-commit (not delete-the-bad-one) is the point:
+    replication and downstream consumers see only forward history, and
+    the retention window still governs what stays readable — after the
+    restore, ``retained`` names g003 (the bad batch, kept for
+    post-mortem) while g002's bytes live on as g004.
+
+    Serving resolves the head FROM THE MANIFEST (the last history link's
+    ``by``), not a hardcoded name — the O(1) metadata indirection that
+    makes rollback instantaneous in production. The oracle recomputes
+    the window-1 state from the base tables, so a restore that reads the
+    wrong generation, double-applies the bad retraction, or serves a
+    stale head diverges the hash.
+
+    100 TB: this is the incident-response path for every nightly IVM
+    write-back in this repo (p20/l70/l74/l76/l78): a bad CDC batch costs
+    one O(MV-size) re-commit — never a fact-table replay — and the
+    forensic read of the bad generation is a plain retained-generation
+    scan (p21)."""
+    import json
+
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p22_mv_restore_{tag}")
+    gen_schema = (
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    )
+
+    def _merge_signed(mv, br, feed, sign):
+        return (
+            mv.unionAll(_agg_mv_delta_partial(feed, br, sign))
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+
+    def _stage(d: str) -> None:
+        # window 1: p18's CDC merge -> g002 (retained past window 2)
+        _stage_agg_mv_state(spark, sf_dir, d)
+        # stage the bad batch's before-image rows FIRST (base slice)
+        load(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % 100 == 42
+        ).select(*_AGG_MV_FEED_COLS).write.mode("overwrite").parquet(
+            os.path.join(d, "delta_bad")
+        )
+        mv, br, d_ins, d_del = _read_agg_mv_state(spark, d)
+        merged1 = _merge_signed(
+            _merge_signed(mv, br, d_ins, 1), br, d_del, -1
+        )
+        checkpoint_index_generation(
+            d, merged1,
+            superseded=["agg_mv", "delta_ins", "delta_del"],
+            generation="agg_mv-g002", retain=1,
+        )
+        # window 2: the BAD batch — wrongly retracts %100==42 -> g003
+        g2 = spark.read.schema(gen_schema).parquet(
+            os.path.join(d, "agg_mv-g002")
+        )
+        d_bad = spark.read.schema(_AGG_MV_FEED_SCHEMA).parquet(
+            os.path.join(d, "delta_bad")
+        )
+        checkpoint_index_generation(
+            d, _merge_signed(g2, br, d_bad, -1),
+            superseded=["agg_mv-g002", "delta_bad"],
+            generation="agg_mv-g003", retain=1,
+        )
+        # window 3: RESTORE — re-commit the retained g002's content as
+        # the new head g004; the bad g003 stays in the retention window
+        restored = spark.read.schema(gen_schema).parquet(
+            os.path.join(d, "agg_mv-g002")
+        )
+        checkpoint_index_generation(
+            d, restored,
+            superseded=["agg_mv-g003"],
+            generation="agg_mv-g004", retain=1,
+        )
+
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    ensure_index(base, sf_dir, version="mv-restore-v1", build=_stage)
+    # --- serving: resolve the head from the manifest, then ONE scan ---
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    head = manifest["history"][-1]["by"]
+    mv = spark.read.schema(gen_schema).parquet(os.path.join(base, head))
+    return mv.select(
+        "n_name",
+        F.col("cnt").alias("n_items"),
+        F.col("rev").cast("double").alias("sum_revenue"),
+        F.col("qty").cast("double").alias("sum_qty"),
+    )

@@ -621,3 +621,77 @@ def test_p21_serving_plan_is_retained_generation_scan(spark):
         assert not re.search(rf"{fact}\.parquet", plan)
     assert plan.count("agg_mv-g002") >= 1
     assert "agg_mv-g003" not in plan
+
+
+def test_p22_restore_layout_and_forensic_head(spark):
+    """p22 contract: after the restore window, history is the monotonic
+    g002→g003→g004 chain, the head (resolved from the manifest) equals
+    the window-1 state (the parity oracle pins its values), the bad g003
+    stays READABLE in the retention window for forensics, and g002's
+    directory is swept — its bytes live on as g004."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        p18_agg_mv_maintain,
+        p22_mv_restore,
+    )
+    from dask_pipes_spark.session import scratch_path
+    from tests.conftest import SF_SMOKE
+
+    restored = sorted(
+        tuple(r) for r in p22_mv_restore(spark, SF_SMOKE).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in p18_agg_mv_maintain(spark, SF_SMOKE).collect()
+    )
+    assert restored, "restored head must be non-empty at sf0.001"
+    assert restored == batch, "restore must reinstate the window-1 state"
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p22_mv_restore_{tag}")
+    names = set(os.listdir(base))
+    assert {"agg_mv-g003", "agg_mv-g004", "bridge"} <= names
+    assert "agg_mv-g002" not in names, (
+        "g002 fell out of the retention window once g004 re-committed it"
+    )
+    for gone in ("agg_mv", "delta_ins", "delta_del", "delta_bad"):
+        assert gone not in names, f"feeds must vacuum despite retention: {gone}"
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert man["by"] == "agg_mv-g004"
+    assert man["retained"] == ["agg_mv-g003"]
+    assert [h["by"] for h in man["history"]] == [
+        "agg_mv-g002", "agg_mv-g003", "agg_mv-g004",
+    ]
+    # the bad generation is still a consistent, readable version: it
+    # differs from the restored head (the retraction really landed)
+    g3 = spark.read.schema(
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    ).parquet(os.path.join(base, "agg_mv-g003"))
+    g4 = spark.read.schema(
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    ).parquet(os.path.join(base, "agg_mv-g004"))
+    assert g3.count() > 0
+    bad = {r.n_name: r.cnt for r in g3.collect()}
+    good = {r.n_name: r.cnt for r in g4.collect()}
+    assert bad != good, "forensic g003 must show the bad batch's effect"
+    assert all(bad[k] <= good[k] for k in bad), (
+        "the bad batch only retracted rows"
+    )
+
+
+def test_p22_serving_plan_is_head_generation_scan(spark):
+    """The restored read is ONE scan of the manifest-resolved head: no
+    union/anti-join residue, no base-table scans, and no scan of the
+    forensic g003."""
+    import re
+
+    from dask_pipes_spark.operators.pipeline_ops import p22_mv_restore
+    from tests.conftest import SF_SMOKE
+
+    plan = p22_mv_restore(spark, SF_SMOKE)._jdf.queryExecution().toString()
+    assert "Union" not in plan and "LeftAnti" not in plan
+    for fact in ("lineitem", "orders", "customer"):
+        assert not re.search(rf"{fact}\.parquet", plan)
+    assert plan.count("agg_mv-g004") >= 1
+    assert "agg_mv-g003" not in plan
