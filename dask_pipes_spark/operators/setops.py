@@ -627,3 +627,109 @@ def g15_cdc_apply(spark, sf_dir):
         F.col("n_ops").cast("bigint").alias("n_ops"),
         F.col("ts").alias("last_ts"),
     )
+
+
+@query(
+    "g16_merge_on_read_dv",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price
+    FROM lineitem
+    WHERE l_orderkey % 7 <> 3
+    GROUP BY l_returnflag
+    """,
+)
+def g16_merge_on_read_dv(spark, sf_dir):
+    """Deletion-vector merge-on-read (round 9 — Iceberg v2 positional
+    deletes / Delta Lake deletion vectors): deletes land as a tiny
+    sidecar of (file, row-position) pairs and the BASE FILES ARE NEVER
+    REWRITTEN; readers apply the deletes with a broadcast anti-join on
+    physical position. This is the third delete mechanism in the engine,
+    completing the set — g15 applies key-equality deletes (changelog
+    compaction), p5/p18 apply them as signed aggregate retractions; a
+    positional delete needs NO key at all, which is what makes DML cheap
+    on key-less or duplicate-keyed data.
+
+    Staging writes lineitem as an immutable base (range-partitioned and
+    sorted by (l_orderkey, l_linenumber) within each file), then builds
+    the DV for the ``%7==3`` delete predicate by an INDEPENDENT position
+    derivation: a ``row_number`` window over the sort order within each
+    ``_metadata.file_name``. Serving reads the base with Spark's native
+    ``_metadata.row_index`` (the parquet reader's physical row ordinal)
+    and anti-joins the broadcast DV on (file, position) — so the write
+    path and the read path compute positions by DIFFERENT mechanisms,
+    and any disagreement between "row N in sort order" and "row N as
+    scanned" deletes the wrong rows and diverges the from-scratch
+    oracle. The DV carries no keys and no data columns (test-pinned),
+    only (file_name, pos) — byte-for-byte the Iceberg v2 contract.
+
+    100 TB: a delete touching 0.1% of rows costs O(|deleted|) sidecar
+    bytes instead of an O(table) copy-on-write rewrite; the read-side
+    tax is one broadcast anti-join keyed on (file, pos) — map-side, no
+    shuffle of the base — until compaction (the k17/l70 generation
+    write-back) folds the DV in and resets it to empty. Updates compose
+    as DV-delete + append (g15's upsert at the file layer)."""
+    import os
+
+    from dask_pipes_spark.session import ensure_index, scratch_path
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_g16_dv_{tag}")
+    cols = [
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity", "l_extendedprice", "l_discount",
+    ]
+
+    def _stage(d: str) -> None:
+        li = load(spark, sf_dir, "lineitem").select(*cols)
+        (
+            li.repartitionByRange(8, "l_orderkey", "l_linenumber")
+            .sortWithinPartitions("l_orderkey", "l_linenumber")
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "base"))
+        )
+        # DV build: positions from the SORT ORDER (row_number per file),
+        # deliberately not _metadata.row_index — the serving side uses
+        # the physical ordinal, so the two derivations cross-check
+        w = Window.partitionBy("fn").orderBy("l_orderkey", "l_linenumber")
+        (
+            spark.read.parquet(os.path.join(d, "base"))
+            .select(
+                "l_orderkey", "l_linenumber",
+                F.col("_metadata.file_name").alias("fn"),
+            )
+            .select("*", (F.row_number().over(w) - 1).alias("pos"))
+            .filter(F.col("l_orderkey") % 7 == 3)
+            .select(F.col("fn").alias("file_name"), "pos")
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "dv"))
+        )
+
+    idx = ensure_index(
+        base,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        version="dv-v1",
+        build=_stage,
+    )
+    scan = spark.read.parquet(os.path.join(idx, "base")).select(
+        *cols,
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    dv = spark.read.schema("file_name string, pos bigint").parquet(
+        os.path.join(idx, "dv")
+    )
+    live = scan.join(F.broadcast(dv), ["file_name", "pos"], "left_anti")
+    disc_price = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    return live.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+    )

@@ -487,3 +487,66 @@ def test_g15_cdc_apply_is_idempotent_compaction(spark):
         "user_id", "state_value", "last_ts").collect()}
     b = {(r.user_id, r.state_value, r.last_ts) for r in again.collect()}
     assert a == b
+
+
+def test_g16_dv_sidecar_is_positional_only(spark):
+    """The deletion vector carries ONLY (file_name, pos) — no keys, no
+    data columns (the Iceberg v2 positional-delete contract) — and its
+    cardinality equals the predicate's row count; every position is
+    in-range for its file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.setops import g16_merge_on_read_dv
+    from dask_pipes_spark.session import load, scratch_path
+    from tests.conftest import SF_SMOKE
+
+    assert g16_merge_on_read_dv(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_g16_dv_{tag}")
+    dv = spark.read.parquet(os.path.join(base, "dv"))
+    assert dv.columns == ["file_name", "pos"]
+    n_deleted = (
+        load(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 3)
+        .count()
+    )
+    assert dv.count() == n_deleted
+    # positions are dense per file: 0 <= pos < rows_in_file
+    per_file = (
+        spark.read.parquet(os.path.join(base, "base"))
+        .groupBy(F.col("_metadata.file_name").alias("file_name"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bad = (
+        dv.join(per_file, "file_name")
+        .filter((F.col("pos") < 0) | (F.col("pos") >= F.col("n")))
+        .count()
+    )
+    assert bad == 0
+    assert dv.select("file_name", "pos").distinct().count() == n_deleted
+
+
+def test_g16_serving_plan_broadcast_anti_no_base_rewrite(spark):
+    """Merge-on-read plan shape: the DV applies as a BROADCAST anti-join
+    (the base never shuffles), the serving plan reads the immutable base
+    — not lineitem.parquet — and the base files are never rewritten by
+    the read path."""
+    import os
+    import re
+
+    from dask_pipes_spark.operators.setops import g16_merge_on_read_dv
+    from dask_pipes_spark.session import scratch_path
+    from tests.conftest import SF_SMOKE
+
+    df = g16_merge_on_read_dv(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan)
+    assert not re.search(r"lineitem\.parquet", plan)
+    assert "dps_g16_dv" in plan
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_g16_dv_{tag}")
+    files_before = sorted(os.listdir(os.path.join(base, "base")))
+    df.collect()
+    assert sorted(os.listdir(os.path.join(base, "base"))) == files_before
