@@ -645,3 +645,154 @@ def a15_sorted_write_zonemap(spark, sf_dir):
         [(n_roundtrip, fs <= 1.25, fs <= fa)],
         "n_rows_roundtrip bigint, sorted_disjoint boolean, sorted_not_worse boolean",
     )
+
+
+_A19_BLOOM_K = 5        # md5 hex slices per key: 5 x 5 hex chars = 20 bits
+_A19_BLOOM_BITS = 5     # hex chars per slice -> m = 16^5 = 2^20 positions
+
+
+def _a19_positions_py(key: int) -> list[int]:
+    """Driver-side twin of the build's hash: k bit positions from ONE md5
+    of the decimal key string — byte-identical to Spark's ``md5(CAST(key
+    AS STRING))`` (the l16/l2 portability discipline), so the prober and
+    the builder can never disagree on a position."""
+    import hashlib
+
+    hx = hashlib.md5(str(key).encode()).hexdigest()
+    w = _A19_BLOOM_BITS
+    return [int(hx[i * w:(i + 1) * w], 16) for i in range(_A19_BLOOM_K)]
+
+
+@query(
+    "a19_bloom_file_skip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT o_custkey FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 1000 = 7
+        ORDER BY o_custkey DESC LIMIT 3
+      )
+    )
+    """,
+)
+def a19_bloom_file_skip(spark, sf_dir):
+    """File-level bloom skipping for point lookups on an UNCLUSTERED
+    column (round 9 — the data-skipping mechanism min/max zone maps
+    cannot provide; Iceberg/Delta file-statistics pruning with bloom
+    sidecars, Databricks' bloom-filter indexes): the base table is
+    laid out by o_orderkey (32 range-sorted files), so every file spans
+    nearly the full o_custkey domain and a13/a15-style [min,max] zone
+    maps prune NOTHING for a custkey lookup. A per-file bloom sidecar —
+    k=5 positions in a 2^20-bit space, hashed from a single portable md5
+    per key — answers "might this file contain this key?" from KBs of
+    metadata, and the prober plans the scan over ONLY the candidate
+    files before Spark ever opens one.
+
+    Build (staged once under ensure_index): distinct (file, custkey)
+    pairs map to k bit positions each (one md5, five 20-bit hex slices —
+    16^5 = 2^20 exactly, no modulo bias), aggregated to a sorted set-bit
+    array per file; a stats row records the 3 probe keys (the largest
+    distinct ``%1000==7`` custkeys — data-derived, so the key works at
+    every SF). Serving is two-phase, the Iceberg planning contract:
+    (1) DRIVER-SIDE metadata pruning — probe each file's bloom with each
+    key's positions (no false negatives by construction: the sidecar was
+    built from the actual key set, and the oracle's from-scratch IN-scan
+    diverges if a candidate file was wrongly dropped); (2) a Spark scan
+    of only the candidate paths with the exact ``isin`` residual filter
+    (false positives cost IO, never wrong rows). The base write also
+    enables parquet's NATIVE column bloom filters
+    (``parquet.bloom.filter.enabled#o_custkey``), so even within a
+    candidate file the reader's row-group machinery can consult a bloom
+    under the pushed isin predicate — sidecar prunes files, footer
+    blooms prune row groups.
+
+    100 TB: a 3-key point lookup on a 100k-file table reads ~p·k files
+    (p = per-file key hit rate, ~27% here) instead of all of them, and
+    the decision costs one sidecar scan (KBs/file, O(files) driver work —
+    the same metadata-plane budget as a13). At saturation (files ≫ 2^20
+    set bits) m scales with the file row target, or the sidecar defers
+    entirely to the parquet footer blooms it already enables."""
+    from dask_pipes_spark.session import ensure_index
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_a19_bloom_{tag}")
+    k, w = _A19_BLOOM_K, _A19_BLOOM_BITS
+
+    def _stage(d: str) -> None:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        (
+            orders.repartitionByRange(32, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_custkey", "true")
+            .parquet(os.path.join(d, "base"))
+        )
+        back = spark.read.parquet(os.path.join(d, "base"))
+        pairs = back.select(
+            F.col("_metadata.file_name").alias("file_name"), "o_custkey"
+        ).distinct()
+        hx = F.md5(F.col("o_custkey").cast("string"))
+        positions = F.array(
+            *[
+                F.conv(F.substring(hx, 1 + i * w, w), 16, 10).cast("int")
+                for i in range(k)
+            ]
+        )
+        (
+            pairs.select("file_name", F.explode(positions).alias("pos"))
+            .distinct()
+            .groupBy("file_name")
+            .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "bloom"))
+        )
+        (
+            back.filter(F.col("o_custkey") % 1000 == 7)
+            .select("o_custkey")
+            .distinct()
+            .orderBy(F.col("o_custkey").desc())
+            .limit(3)
+            .agg(F.sort_array(F.collect_list("o_custkey")).alias("probe_keys"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "stats"))
+        )
+
+    idx = ensure_index(
+        base,
+        os.path.join(sf_dir, "orders.parquet"),
+        version="bloom-skip-v1",
+        build=_stage,
+    )
+    # --- phase 1: driver-side metadata pruning (KBs, never the base) ---
+    stats = (
+        spark.read.schema("probe_keys array<bigint>")
+        .parquet(os.path.join(idx, "stats"))
+        .collect()
+    )
+    probe_keys = list(stats[0].probe_keys) if stats else []
+    blooms = (
+        spark.read.schema("file_name string, bits array<int>")
+        .parquet(os.path.join(idx, "bloom"))
+        .collect()
+    )
+    key_pos = {key: _a19_positions_py(key) for key in probe_keys}
+    candidates = [
+        r.file_name
+        for r in blooms
+        if any(set(key_pos[key]) <= set(r.bits) for key in probe_keys)
+    ]
+    schema = "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    if not candidates:  # nothing can match (e.g. the zero-row fixture)
+        return spark.createDataFrame([], schema)
+    # --- phase 2: scan ONLY the candidate files, exact residual filter ---
+    paths = [os.path.join(idx, "base", f) for f in sorted(candidates)]
+    return (
+        spark.read.schema(schema)
+        .parquet(*paths)
+        .filter(F.col("o_custkey").isin(probe_keys))
+    )

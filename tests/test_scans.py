@@ -258,3 +258,71 @@ def test_a15_strict_raw_overlap_factors(spark):
     assert ns > 1 and na > 1, (ns, na)  # multi-row-group, or nothing scored
     assert fs == 1.0, f"sorted layout no longer disjoint: factor={fs}"
     assert fs < fa, f"sorted ({fs}) not strictly better than arrival ({fa})"
+
+
+def test_a19_bloom_prunes_files_and_misses_nothing(spark):
+    """a19 contract: the driver-side bloom probe plans the scan over a
+    STRICT subset of the base files (the layout is o_orderkey-ranged, so
+    min/max zone maps could prune nothing for a custkey lookup), and the
+    pruned scan returns exactly the full-scan answer — no false
+    negatives, false positives removed by the residual filter."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.scans import a19_bloom_file_skip
+    from dask_pipes_spark.session import scratch_path
+    from tests.conftest import SF_SMOKE
+
+    df = a19_bloom_file_skip(spark, SF_SMOKE)
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_a19_bloom_{tag}")
+    total = [
+        f
+        for f in os.listdir(os.path.join(base, "base"))
+        if f.endswith(".parquet")
+    ]
+    scanned = {os.path.basename(p) for p in df.inputFiles()}
+    assert scanned, "candidate set must be non-empty at sf0.001"
+    assert scanned < set(total), (
+        f"bloom must prune: scanned {len(scanned)}/{len(total)} files"
+    )
+    # exactness vs the full scan (no candidate file wrongly dropped)
+    keys = [r.o_custkey for r in df.select("o_custkey").distinct().collect()]
+    full = (
+        spark.read.parquet(os.path.join(base, "base"))
+        .filter(F.col("o_custkey").isin(keys))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_a19_probe_hash_matches_build_hash(spark):
+    """The driver-side md5 slicer and Spark's build-side expression agree
+    on every position for a spread of keys — the invariant that makes
+    false negatives impossible."""
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.scans import (
+        _A19_BLOOM_BITS,
+        _A19_BLOOM_K,
+        _a19_positions_py,
+    )
+
+    keys = [0, 7, 1007, 123456789, 2**40 + 3]
+    k, w = _A19_BLOOM_K, _A19_BLOOM_BITS
+    df = spark.createDataFrame([(x,) for x in keys], "key bigint")
+    hx = F.md5(F.col("key").cast("string"))
+    rows = df.select(
+        "key",
+        F.array(
+            *[
+                F.conv(F.substring(hx, 1 + i * w, w), 16, 10).cast("int")
+                for i in range(k)
+            ]
+        ).alias("pos"),
+    ).collect()
+    for r in rows:
+        assert list(r.pos) == _a19_positions_py(r.key)
