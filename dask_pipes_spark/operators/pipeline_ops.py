@@ -1827,3 +1827,151 @@ def p22_mv_restore(spark, sf_dir):
         F.col("rev").cast("double").alias("sum_revenue"),
         F.col("qty").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "p23_mv_change_feed",
+    oracle="""
+    SELECT n_name,
+           CAST(-COUNT(*) AS BIGINT) AS d_items,
+           CAST(-SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(28,6))) AS DOUBLE) AS d_revenue,
+           CAST(-SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS d_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_orderkey % 100 = 24
+    GROUP BY n_name
+    """,
+)
+def p23_mv_change_feed(spark, sf_dir):
+    """Change data feed between two retained generations (round 9 —
+    Delta Lake's ``table_changes(v1, v2)`` / Iceberg's incremental read,
+    served the way those engines actually serve it: by DIFFING RETAINED
+    VERSIONS, never by replaying CDC feeds — the feeds were vacuumed at
+    checkpoint time, and a feed kept around for re-reading is the
+    double-apply hazard the vacuum protocol exists to prevent).
+
+    The staging is p21's two-window world: g002 = window-1 state
+    (retained), g003 = head after window 2 retracted the ``%100==24``
+    slice. The feed is then a full-outer join of the two generations on
+    the MV key with signed deltas (decimal-exact subtraction, zero-delta
+    groups dropped) — O(MV-size), fact-table-free, and correct for
+    appears/changes/disappears alike: a group born between versions
+    diffs against an absent left row, a retired group against an absent
+    right row. The oracle recomputes the window-2 retraction from the
+    base tables with the sign flipped, so a feed that reads the wrong
+    generation pair, drops a changed group, or loses exactness in the
+    subtraction diverges the hash.
+
+    Downstream, this feed is what drives cascaded IVM (p19's composed
+    maintenance consumes exactly this shape from upstream MVs) and
+    cross-system replication — subscribers sync from version N to N+1
+    without access to the source facts.
+
+    100 TB: the diff shuffles two MV-sized tables by the MV key (both
+    orders of magnitude smaller than the facts); on object storage the
+    generation pair maps to two pinned snapshots, and the same join
+    serves any (vN, vM) pair inside the retention window."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p23_mv_cdf_{tag}")
+    gen_schema = (
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    )
+
+    def _stage(d: str) -> None:
+        from dask_pipes_spark.session import checkpoint_index_generation
+
+        # p21's two-window build: g002 retained, g003 head
+        _stage_agg_mv_state(spark, sf_dir, d)
+        load(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % 100 == 24
+        ).select(*_AGG_MV_FEED_COLS).write.mode("overwrite").parquet(
+            os.path.join(d, "delta_del2")
+        )
+        mv, br, d_ins, d_del = _read_agg_mv_state(spark, d)
+        merged1 = (
+            mv.unionAll(_agg_mv_delta_partial(d_ins, br, 1))
+            .unionAll(_agg_mv_delta_partial(d_del, br, -1))
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        checkpoint_index_generation(
+            d, merged1,
+            superseded=["agg_mv", "delta_ins", "delta_del"],
+            generation="agg_mv-g002", retain=1,
+        )
+        g2 = spark.read.schema(gen_schema).parquet(
+            os.path.join(d, "agg_mv-g002")
+        )
+        d_del2 = spark.read.schema(_AGG_MV_FEED_SCHEMA).parquet(
+            os.path.join(d, "delta_del2")
+        )
+        merged2 = (
+            g2.unionAll(_agg_mv_delta_partial(d_del2, br, -1))
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        checkpoint_index_generation(
+            d, merged2,
+            superseded=["agg_mv-g002", "delta_del2"],
+            generation="agg_mv-g003", retain=1,
+        )
+
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    ensure_index(base, sf_dir, version="mv-cdf-v1", build=_stage)
+    # --- serving: version diff over the two retained generations ---
+    g2 = spark.read.schema(gen_schema).parquet(
+        os.path.join(base, "agg_mv-g002")
+    )
+    g3 = spark.read.schema(gen_schema).parquet(
+        os.path.join(base, "agg_mv-g003")
+    )
+    old = g2.select(
+        "n_name",
+        F.col("cnt").alias("cnt_old"),
+        F.col("rev").alias("rev_old"),
+        F.col("qty").alias("qty_old"),
+    )
+    new = g3.select(
+        "n_name",
+        F.col("cnt").alias("cnt_new"),
+        F.col("rev").alias("rev_new"),
+        F.col("qty").alias("qty_new"),
+    )
+    z_cnt = F.lit(0).cast("bigint")
+    z_dec = F.lit(0).cast("decimal(38,6)")
+    diff = new.join(old, "n_name", "full_outer").select(
+        "n_name",
+        (
+            F.coalesce("cnt_new", z_cnt) - F.coalesce("cnt_old", z_cnt)
+        ).alias("d_items"),
+        (
+            F.coalesce("rev_new", z_dec) - F.coalesce("rev_old", z_dec)
+        ).alias("d_rev_dec"),
+        (
+            F.coalesce("qty_new", z_dec) - F.coalesce("qty_old", z_dec)
+        ).alias("d_qty_dec"),
+    )
+    return diff.filter(
+        (F.col("d_items") != 0)
+        | (F.col("d_rev_dec") != 0)
+        | (F.col("d_qty_dec") != 0)
+    ).select(
+        "n_name",
+        "d_items",
+        F.col("d_rev_dec").cast("double").alias("d_revenue"),
+        F.col("d_qty_dec").cast("double").alias("d_qty"),
+    )

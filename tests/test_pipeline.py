@@ -695,3 +695,26 @@ def test_p22_serving_plan_is_head_generation_scan(spark):
         assert not re.search(rf"{fact}\.parquet", plan)
     assert plan.count("agg_mv-g004") >= 1
     assert "agg_mv-g003" not in plan
+
+
+def test_p23_change_feed_reads_only_generations(spark):
+    """The CDF is served from the two retained generations alone: no
+    fact-table scans, no feed residue (the feeds were vacuumed at
+    checkpoint time), and the diff is a single full-outer join of
+    MV-sized inputs."""
+    import re
+
+    from dask_pipes_spark.operators.pipeline_ops import p23_mv_change_feed
+    from tests.conftest import SF_SMOKE
+
+    df = p23_mv_change_feed(spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows, "the window-2 retraction must produce a non-empty feed"
+    # every delta is a pure retraction in this fixture (negative counts)
+    assert all(r.d_items < 0 for r in rows)
+    plan = df._jdf.queryExecution().toString()
+    for fact in ("lineitem", "orders", "customer"):
+        assert not re.search(rf"{fact}\.parquet", plan)
+    assert "delta_" not in plan, "vacuumed feeds must not be re-read"
+    assert plan.count("agg_mv-g002") >= 1 and plan.count("agg_mv-g003") >= 1
+    assert "FullOuter" in plan
