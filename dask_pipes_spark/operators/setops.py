@@ -629,6 +629,51 @@ def g15_cdc_apply(spark, sf_dir):
     )
 
 
+_G16_DV_COLS = [
+    "l_orderkey", "l_linenumber", "l_returnflag",
+    "l_quantity", "l_extendedprice", "l_discount",
+]
+_G16_BASE_SCHEMA = (
+    "l_orderkey bigint, l_linenumber bigint, l_returnflag string, "
+    "l_quantity double, l_extendedprice double, l_discount double"
+)
+
+
+def _stage_dv_base(spark, sf_dir: str, d: str, delete_pred=None) -> None:
+    """Stage the merge-on-read world shared by g16 and g17: an immutable
+    base (lineitem range-sorted by (l_orderkey, l_linenumber) into 8
+    files) plus the positional deletion vector for ``delete_pred``
+    (default: the uniform ``%7==3`` predicate) — positions derived from
+    the SORT ORDER (row_number per ``_metadata.file_name``),
+    deliberately not ``_metadata.row_index``, so the read side's
+    physical-ordinal derivation cross-checks it."""
+    import os
+
+    if delete_pred is None:
+        delete_pred = F.col("l_orderkey") % 7 == 3
+    li = load(spark, sf_dir, "lineitem").select(*_G16_DV_COLS)
+    (
+        li.repartitionByRange(8, "l_orderkey", "l_linenumber")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "base"))
+    )
+    w = Window.partitionBy("fn").orderBy("l_orderkey", "l_linenumber")
+    (
+        spark.read.schema(_G16_BASE_SCHEMA)
+        .parquet(os.path.join(d, "base"))
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.col("_metadata.file_name").alias("fn"),
+        )
+        .select("*", (F.row_number().over(w) - 1).alias("pos"))
+        .filter(delete_pred)
+        .select(F.col("fn").alias("file_name"), "pos")
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "dv"))
+    )
+
+
 @query(
     "g16_merge_on_read_dv",
     oracle="""
@@ -678,41 +723,13 @@ def g16_merge_on_read_dv(spark, sf_dir):
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     base = scratch_path(f"dps_g16_dv_{tag}")
-    cols = [
-        "l_orderkey", "l_linenumber", "l_returnflag",
-        "l_quantity", "l_extendedprice", "l_discount",
-    ]
-
-    def _stage(d: str) -> None:
-        li = load(spark, sf_dir, "lineitem").select(*cols)
-        (
-            li.repartitionByRange(8, "l_orderkey", "l_linenumber")
-            .sortWithinPartitions("l_orderkey", "l_linenumber")
-            .write.mode("overwrite")
-            .parquet(os.path.join(d, "base"))
-        )
-        # DV build: positions from the SORT ORDER (row_number per file),
-        # deliberately not _metadata.row_index — the serving side uses
-        # the physical ordinal, so the two derivations cross-check
-        w = Window.partitionBy("fn").orderBy("l_orderkey", "l_linenumber")
-        (
-            spark.read.parquet(os.path.join(d, "base"))
-            .select(
-                "l_orderkey", "l_linenumber",
-                F.col("_metadata.file_name").alias("fn"),
-            )
-            .select("*", (F.row_number().over(w) - 1).alias("pos"))
-            .filter(F.col("l_orderkey") % 7 == 3)
-            .select(F.col("fn").alias("file_name"), "pos")
-            .write.mode("overwrite")
-            .parquet(os.path.join(d, "dv"))
-        )
+    cols = _G16_DV_COLS
 
     idx = ensure_index(
         base,
         os.path.join(sf_dir, "lineitem.parquet"),
         version="dv-v1",
-        build=_stage,
+        build=lambda d: _stage_dv_base(spark, sf_dir, d),
     )
     scan = spark.read.parquet(os.path.join(idx, "base")).select(
         *cols,
@@ -727,6 +744,157 @@ def g16_merge_on_read_dv(spark, sf_dir):
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
     ).cast("decimal(28,6)")
     return live.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+    )
+
+
+@query(
+    "g17_dv_compaction",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(MIN(l_orderkey)
+                  + (MAX(l_orderkey) - MIN(l_orderkey)) // 8
+             AS BIGINT) AS cutoff
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price
+    FROM lineitem, b
+    WHERE NOT (l_orderkey % 7 = 3 AND l_orderkey <= b.cutoff)
+    GROUP BY l_returnflag
+    """,
+)
+def g17_dv_compaction(spark, sf_dir):
+    """Deletion-vector compaction (round 9 — Iceberg's rewrite-data-files
+    minor compaction / Delta's DV hardening): fold the positional deletes
+    into the data by rewriting ONLY the files the DV touches, carrying
+    every clean file over UNTOUCHED, then retire the DV. This is the
+    k17/l70 compaction economics applied at the FILE grain instead of
+    the table grain: g16 pays a broadcast anti-join on every read;
+    after compaction reads are pure scans again, and the rewrite cost
+    was O(dirty files), never O(table).
+
+    Flow (k18's ordering discipline): (1) stage g16's world (base + DV)
+    with a CONCENTRATED delete predicate — ``%7==3`` keys in the first
+    eighth of the key range (the usual CDC shape: churn lands in recent
+    partitions, so only the files covering that range are dirty, while
+    g16's uniform predicate would dirty all 8); (2) the live rows of
+    the DIRTY files — identified from the DV's distinct file list, a
+    metadata-plane decision — are rewritten through the anti-join into
+    a ``rewritten/`` directory, durable first; (3) ``COMPACTION.json``
+    records the rewritten/carried manifest with carried byte sizes;
+    (4) only then are the dirty originals and the DV deleted. A crash
+    between (2) and (4) leaves both copies plus the manifest —
+    recoverable, never lossy. Serving scans the surviving base files
+    plus the rewritten directory: NO anti-join, NO DV (test-pinned),
+    and the carried files match their manifest sizes byte-for-byte
+    (also pinned). The oracle recomputes the post-delete table from
+    scratch — the cutoff re-derived in SQL with the same bigint
+    arithmetic — so a clean file wrongly rewritten, a dirty row
+    resurrected, or a live row dropped by the fold diverges the hash.
+
+    100 TB: with deletes concentrated in recent partitions (the usual
+    CDC shape), the dirty set is a small fraction of a 100k-file table —
+    compaction IO tracks the churn, not the table; on object storage
+    steps (2)-(4) are one Iceberg rewrite-files commit, and the schedule
+    is the same delta-fraction trigger as the index write-backs."""
+    import json
+    import os
+
+    from dask_pipes_spark.session import ensure_index, scratch_path
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_g17_dvc_{tag}")
+
+    def _stage(d: str) -> None:
+        bounds = (
+            load(spark, sf_dir, "lineitem")
+            .agg(
+                F.min("l_orderkey").alias("lo"),
+                F.max("l_orderkey").alias("hi"),
+            )
+            .collect()[0]
+        )
+        if bounds.lo is None:  # zero-row fixture: nothing to delete
+            pred = F.lit(False)
+        else:
+            cutoff = bounds.lo + (bounds.hi - bounds.lo) // 8
+            pred = (F.col("l_orderkey") % 7 == 3) & (
+                F.col("l_orderkey") <= cutoff
+            )
+        _stage_dv_base(spark, sf_dir, d, delete_pred=pred)
+        dv = spark.read.schema("file_name string, pos bigint").parquet(
+            os.path.join(d, "dv")
+        )
+        dirty = sorted(
+            r.file_name for r in dv.select("file_name").distinct().collect()
+        )
+        # (2) rewrite the live rows of dirty files, durable FIRST
+        if dirty:
+            live = (
+                spark.read.schema(_G16_BASE_SCHEMA)
+                .parquet(*[os.path.join(d, "base", f) for f in dirty])
+                .select(
+                    *_G16_DV_COLS,
+                    F.col("_metadata.file_name").alias("file_name"),
+                    F.col("_metadata.row_index").alias("pos"),
+                )
+                .join(F.broadcast(dv), ["file_name", "pos"], "left_anti")
+                .select(*_G16_DV_COLS)
+            )
+        else:
+            live = spark.createDataFrame([], _G16_BASE_SCHEMA)
+        live.coalesce(max(len(dirty), 1)).write.mode("overwrite").parquet(
+            os.path.join(d, "rewritten")
+        )
+        carried = sorted(
+            f
+            for f in os.listdir(os.path.join(d, "base"))
+            if f.endswith(".parquet") and f not in set(dirty)
+        )
+        sizes = {
+            f: os.path.getsize(os.path.join(d, "base", f)) for f in carried
+        }
+        # (3) manifest before (4) vacuum
+        with open(os.path.join(d, "COMPACTION.json.tmp"), "w") as fh:
+            json.dump(
+                {
+                    "rewritten": dirty,
+                    "carried": carried,
+                    "carried_sizes": sizes,
+                },
+                fh,
+            )
+        os.replace(
+            os.path.join(d, "COMPACTION.json.tmp"),
+            os.path.join(d, "COMPACTION.json"),
+        )
+        for f in dirty:
+            os.remove(os.path.join(d, "base", f))
+        import shutil
+
+        shutil.rmtree(os.path.join(d, "dv"))
+
+    idx = ensure_index(
+        base,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        version="dv-compact-v1",
+        build=_stage,
+    )
+    merged = spark.read.schema(_G16_BASE_SCHEMA).parquet(
+        os.path.join(idx, "base"), os.path.join(idx, "rewritten")
+    )
+    disc_price = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    return merged.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(28,6)"))
         .cast("double")

@@ -550,3 +550,80 @@ def test_g16_serving_plan_broadcast_anti_no_base_rewrite(spark):
     files_before = sorted(os.listdir(os.path.join(base, "base")))
     df.collect()
     assert sorted(os.listdir(os.path.join(base, "base"))) == files_before
+
+
+def test_g17_compaction_rewrites_only_dirty_files(spark):
+    """g17 contract: the concentrated delete predicate dirties only a
+    strict subset of the 8 base files; carried files survive at their
+    manifest-recorded byte sizes, rewritten originals and the DV are
+    gone, and total row conservation holds: surviving base rows +
+    rewritten rows == lineitem rows - deleted rows."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.setops import (
+        _G16_BASE_SCHEMA,
+        g17_dv_compaction,
+    )
+    from dask_pipes_spark.session import load, scratch_path
+    from tests.conftest import SF_SMOKE
+
+    assert g17_dv_compaction(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_g17_dvc_{tag}")
+    man = json.load(open(os.path.join(base, "COMPACTION.json")))
+    assert man["rewritten"], "the concentrated predicate must dirty files"
+    assert man["carried"], "most files must be clean and carried over"
+    assert len(man["rewritten"]) < len(man["carried"]), (
+        "churn concentrated in one eighth of the key range must dirty "
+        "fewer files than it carries"
+    )
+    assert "dv" not in set(os.listdir(base)), "the DV must retire"
+    survivors = {
+        f
+        for f in os.listdir(os.path.join(base, "base"))
+        if f.endswith(".parquet")
+    }
+    assert survivors == set(man["carried"])
+    assert not survivors & set(man["rewritten"])
+    # carried files are byte-identical to their pre-vacuum manifest record
+    for f, size in man["carried_sizes"].items():
+        assert os.path.getsize(os.path.join(base, "base", f)) == size
+    # row conservation across the fold
+    li = load(spark, SF_SMOKE, "lineitem")
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    cutoff = lo + (hi - lo) // 8
+    n_deleted = li.filter(
+        (F.col("l_orderkey") % 7 == 3) & (F.col("l_orderkey") <= cutoff)
+    ).count()
+    n_base = (
+        spark.read.schema(_G16_BASE_SCHEMA)
+        .parquet(os.path.join(base, "base"))
+        .count()
+    )
+    n_rewritten = (
+        spark.read.schema(_G16_BASE_SCHEMA)
+        .parquet(os.path.join(base, "rewritten"))
+        .count()
+    )
+    assert n_base + n_rewritten == li.count() - n_deleted
+
+
+def test_g17_serving_plan_has_no_dv_residue(spark):
+    """Post-compaction reads are pure scans: no anti-join, no DV path,
+    no lineitem.parquet — just the surviving base files plus the
+    rewritten directory."""
+    import re
+
+    from dask_pipes_spark.operators.setops import g17_dv_compaction
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        g17_dv_compaction(spark, SF_SMOKE)._jdf.queryExecution().toString()
+    )
+    assert "LeftAnti" not in plan
+    assert not re.search(r"lineitem\.parquet", plan)
+    assert "/dv" not in plan
+    assert "dps_g17_dvc" in plan
