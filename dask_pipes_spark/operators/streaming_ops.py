@@ -1257,3 +1257,178 @@ def k20_stream_ann_ivm(spark, sf_dir):
     return _ivf_probe_topk(
         indexed.select("vec_id", "e", "nrm"), indexed, cent_rows
     )
+
+
+# --- k21: streaming LSH index maintenance (round 9) ----------------------------
+
+_K21_BUCKET_SCHEMA = "vec_id bigint, e array<double>, nrm double, bucket bigint"
+
+
+def _stage_k21_state(spark, sf_dir: str, d: str) -> None:
+    """Stage the continuous LSH-ingest world (the k20 staging on the
+    sign-LSH path): the old corpus (``%9!=5``) sign-bucketed against the
+    fixed hyperplane basis as generation ``buckets-g001``
+    (checkpoint-born), and the embedding CDC as a 4-file stream of typed
+    rows — raw-vector inserts (``%9==5``, op='I', arriving UNASSIGNED)
+    and tombstones (``%11==3``, op='D'); mtime order = replay order.
+    Disjoint key sets keep the fold commutative across any batching."""
+    import os
+    import shutil
+
+    from dask_pipes_spark.operators.llm_ext import _lsh_corpus_index
+    from dask_pipes_spark.session import checkpoint_index_generation, fanout, load
+
+    old = _lsh_corpus_index(spark, sf_dir, pred=F.col("vec_id") % 9 != 5)
+    checkpoint_index_generation(
+        d, old, superseded=[], generation="buckets-g001", target_files=8
+    )
+    e = fanout(load(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") % 9 == 5
+    )
+    ins = (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        .withColumn("op", F.lit("I"))
+    )
+    cdc = ins.unionAll(
+        old.filter(F.col("vec_id") % 11 == 3)
+        .select(
+            "vec_id",
+            F.lit(None).cast("array<double>").alias("e"),
+            F.lit(None).cast("double").alias("nrm"),
+        )
+        .withColumn("op", F.lit("D"))
+    )
+    cdc_dir = os.path.join(d, "cdc")
+    os.makedirs(cdc_dir, exist_ok=True)
+    base_t = 1_700_000_000
+    for i in range(4):
+        tmp = os.path.join(d, f"cdc_stage_{i}")
+        cdc.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(cdc_dir, f"slice-{i:05d}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (base_t + i, base_t + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_lsh_ivm_stream(
+    spark, index_dir: str, max_files_per_trigger: int = 1, timeout: int = 300
+) -> None:
+    """Drain the embedding CDC through the streaming runtime, maintaining
+    the sign-LSH bucket table by generations: each micro-batch anti-joins
+    its tombstones against the CURRENT generation and sign-buckets its
+    inserts against the FIXED hyperplane basis (l75's algebra — the basis
+    is code, not data, so there is nothing to collect per batch), then
+    checkpoints the merged table as the next generation."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.llm_ext import _hyperplanes, lsh_bucket
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    planes = _hyperplanes(6, 64)
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ss = batch_df.sparkSession
+        man = json.load(open(os.path.join(index_dir, "VACUUM.json")))
+        cur = man["by"]
+        buckets = ss.read.schema(_K21_BUCKET_SCHEMA).parquet(
+            os.path.join(index_dir, cur)
+        )
+        d_del = batch_df.filter(F.col("op") == "D").select("vec_id")
+        d_ins = batch_df.filter(F.col("op") == "I").select(
+            "vec_id", "e", "nrm"
+        ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
+        merged = buckets.join(
+            F.broadcast(d_del), "vec_id", "left_anti"
+        ).unionAll(d_ins)
+        nxt = int(cur.rsplit("g", 1)[1]) + 1
+        checkpoint_index_generation(
+            index_dir, merged, superseded=[cur],
+            generation=f"buckets-g{nxt:03d}", target_files=8,
+        )
+
+    schema = spark.read.parquet(os.path.join(index_dir, "cdc")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(os.path.join(index_dir, "cdc"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation", os.path.join(index_dir, "_stream_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+from dask_pipes_spark.operators.llm_ext import _L75_ORACLE
+
+
+@query("k21_stream_lsh_ivm", oracle=_L75_ORACLE)
+def k21_stream_lsh_ivm(spark, sf_dir):
+    """Continuous LSH index maintenance through the streaming runtime
+    (round 9 — k20's harness on the sign-LSH path, completing the
+    lifecycle matrix's streaming column): the embedding CDC stream
+    maintains the bucket table via ``foreachBatch`` — l75's maintenance
+    algebra per micro-batch (broadcast anti-join deletes + map-side
+    sign-bucket assignment against the FIXED hyperplane basis, a pure
+    codegen expression with zero exchange) — with every window landing a
+    full generation checkpoint, so the index directory always serves a
+    consistent snapshot and crash recovery is the last durable
+    generation + the source's replay offset.
+
+    The returned probe (l17's multi-probe spec) reads the final
+    generation only. Registered with l75's full SQL oracle: the drained
+    bucket table must answer EXACTLY as the batch delta merge and its
+    from-scratch SQL rebuild — pinned by the companion test l75 == k21,
+    plus batching invariance (2-file triggers) and the generation chain.
+
+    Against k20, the LSH path shows the LIGHTEST possible streaming
+    maintenance: no codebook to collect (the basis is seeded literals in
+    code), so each window is one anti-join plus a map — the floor cost
+    of keeping ANY index continuously fresh under this protocol.
+
+    100 TB: per-window cost is O(|batch|) multiply-adds + one broadcast
+    anti-join + the generation rewrite; the bucket table never shuffles,
+    and on a cluster its layout would be bucketed BY ``bucket`` so the
+    probe equi-join is shuffle-free. State is the generation chain —
+    nothing lives in the streaming state store."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.llm_ext import _lsh_probe_topk
+    from dask_pipes_spark.session import ensure_index
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k21_lsh_stream_{tag}")
+
+    def _stage(d: str) -> None:
+        _stage_k21_state(spark, sf_dir, d)
+        _run_lsh_ivm_stream(spark, d, max_files_per_trigger=1)
+
+    idx = ensure_index(
+        base,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="k21-v1",
+        build=_stage,
+    )
+    man = json.load(open(os.path.join(idx, "VACUUM.json")))
+    indexed = spark.read.schema(_K21_BUCKET_SCHEMA).parquet(
+        os.path.join(idx, man["by"])
+    )
+    return _lsh_probe_topk(indexed)

@@ -510,3 +510,84 @@ def test_k20_batching_invariance(spark):
     )
     assert got == ref
     shutil.rmtree(d, ignore_errors=True)
+
+
+# --- k21: streaming LSH index maintenance (round 9) ----------------------------
+
+
+def test_k21_stream_equals_l75_batch(spark):
+    """The streaming-maintained bucket table answers the probe exactly as
+    l75's batch delta merge (both equal the from-scratch SQL rebuild via
+    the shared oracle)."""
+    from dask_pipes_spark.operators.llm_ext import l75_lsh_index_delta
+    from dask_pipes_spark.operators.streaming_ops import k21_stream_lsh_ivm
+
+    a = sorted(tuple(r) for r in l75_lsh_index_delta(spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in k21_stream_lsh_ivm(spark, SF_SMOKE).collect())
+    assert a, "probe must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_k21_generation_chain_and_serving_plan(spark):
+    """One generation per non-empty micro-batch, monotonic history,
+    superseded generations vacuumed; serving plan reads only the final
+    generation — and carries NO hyperplane dot products (the basis never
+    re-applies at probe time)."""
+    import json
+    import os
+    import re
+
+    from dask_pipes_spark.operators.streaming_ops import k21_stream_lsh_ivm
+    from dask_pipes_spark.session import scratch_path
+
+    df = k21_stream_lsh_ivm(spark, SF_SMOKE)
+    assert df.count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k21_lsh_stream_{tag}")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    chain = [h["by"] for h in man["history"]]
+    assert chain == [f"buckets-g{i:03d}" for i in range(1, len(chain) + 1)]
+    assert len(chain) == 5, "4 CDC files at mfpt=1 -> 4 maintenance windows"
+    names = set(os.listdir(base))
+    assert man["by"] in names
+    for gen in chain[:-1]:
+        assert gen not in names, f"superseded generation survived: {gen}"
+    plan = df._jdf.queryExecution().toString()
+    assert "Union" not in plan
+    assert "LeftAnti" not in plan
+    assert not re.search(r"embeddings\.parquet", plan)
+    assert plan.count("dps_k21_lsh_stream") >= 1
+
+
+def test_k21_batching_invariance(spark):
+    """Disjoint insert/tombstone key sets make the fold commute: a
+    2-files-per-trigger replay lands on the identical bucket table."""
+    import json
+    import os
+    import shutil
+
+    from dask_pipes_spark.operators.llm_ext import _lsh_probe_topk
+    from dask_pipes_spark.operators.streaming_ops import (
+        _K21_BUCKET_SCHEMA,
+        _run_lsh_ivm_stream,
+        _stage_k21_state,
+        k21_stream_lsh_ivm,
+    )
+    from dask_pipes_spark.session import scratch_path
+
+    ref = sorted(
+        tuple(r) for r in k21_stream_lsh_ivm(spark, SF_SMOKE).collect()
+    )
+    d = scratch_path("dps_k21_invariance")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    _stage_k21_state(spark, SF_SMOKE, d)
+    _run_lsh_ivm_stream(spark, d, max_files_per_trigger=2)
+    man = json.load(open(os.path.join(d, "VACUUM.json")))
+    assert len(man["history"]) == 3, "4 files at mfpt=2 -> 2 windows"
+    indexed = spark.read.schema(_K21_BUCKET_SCHEMA).parquet(
+        os.path.join(d, man["by"])
+    )
+    got = sorted(tuple(r) for r in _lsh_probe_topk(indexed).collect())
+    assert got == ref
+    shutil.rmtree(d, ignore_errors=True)
