@@ -769,23 +769,48 @@ def a19_bloom_file_skip(spark, sf_dir):
         build=_stage,
     )
     # --- phase 1: driver-side metadata pruning (KBs, never the base) ---
-    stats = (
-        spark.read.schema("probe_keys array<bigint>")
-        .parquet(os.path.join(idx, "stats"))
-        .collect()
+    # the sidecars are read with pyarrow directly: the metadata plane
+    # must not launch Spark jobs — two collect() round-trips here would
+    # cost more than the scan they save. Membership tests run as binary
+    # searches over the zero-copy arrow buffer (the bit arrays are
+    # sort_array'd at build time); materializing them as Python lists
+    # was the measured hot spot (~1s at sf1; SCALING.md round 9)
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    def _sidecar(sub: str):
+        d = os.path.join(idx, sub)
+        parts = [
+            pq.read_table(os.path.join(d, f))
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        import pyarrow as pa
+
+        return pa.concat_tables(parts) if parts else None
+
+    stats = _sidecar("stats")
+    probe_keys = (
+        list(stats["probe_keys"][0].as_py()) if stats and stats.num_rows else []
     )
-    probe_keys = list(stats[0].probe_keys) if stats else []
-    blooms = (
-        spark.read.schema("file_name string, bits array<int>")
-        .parquet(os.path.join(idx, "bloom"))
-        .collect()
-    )
-    key_pos = {key: _a19_positions_py(key) for key in probe_keys}
-    candidates = [
-        r.file_name
-        for r in blooms
-        if any(set(key_pos[key]) <= set(r.bits) for key in probe_keys)
+    key_pos = [
+        np.asarray(_a19_positions_py(key), dtype=np.int64)
+        for key in probe_keys
     ]
+    candidates = []
+    blooms = _sidecar("bloom")
+    if blooms is not None and blooms.num_rows:
+        names = blooms["file_name"].to_pylist()
+        bits_col = blooms["bits"].combine_chunks()
+        values = bits_col.values.to_numpy(zero_copy_only=False)
+        offsets = bits_col.offsets.to_numpy()
+        for i, name in enumerate(names):
+            row = values[offsets[i]:offsets[i + 1]]  # sorted at build time
+            for pos in key_pos:
+                j = np.searchsorted(row, pos)
+                if (j < len(row)).all() and (row[np.minimum(j, len(row) - 1)] == pos).all():
+                    candidates.append(name)
+                    break
     schema = "o_orderkey bigint, o_custkey bigint, o_totalprice double"
     if not candidates:  # nothing can match (e.g. the zero-row fixture)
         return spark.createDataFrame([], schema)
