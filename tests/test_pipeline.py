@@ -718,3 +718,84 @@ def test_p23_change_feed_reads_only_generations(spark):
     assert "delta_" not in plan, "vacuumed feeds must not be re-read"
     assert plan.count("agg_mv-g002") >= 1 and plan.count("agg_mv-g003") >= 1
     assert "FullOuter" in plan
+
+
+def test_p24_refresh_scans_only_changed_partition(spark):
+    """p24 contract: the fingerprint diff identifies exactly the 'R'
+    partition as changed, and the refresh plan reads the stored
+    partials plus ONLY the changed partition's directory — no scan of
+    the unchanged partitions' data, no lineitem.parquet."""
+    import re
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        p24_partition_incremental_refresh,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = p24_partition_incremental_refresh(spark, SF_SMOKE)
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().toString()
+    assert not re.search(r"lineitem\.parquet", plan)
+    assert "l_returnflag=R" in plan, "changed partition must rescan"
+    for unchanged in ("l_returnflag=A", "l_returnflag=N"):
+        assert unchanged not in plan, (
+            f"unchanged partition {unchanged} must serve from partials"
+        )
+    assert "partials" in plan
+
+
+def test_p24_unchanged_world_reuses_everything(spark):
+    """With no partition changed since the manifest (re-recording the
+    fingerprints after day 2), the refresh is a pure partials rollup:
+    zero source scans of any partition."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        p24_partition_incremental_refresh,
+    )
+    from dask_pipes_spark.session import dataset_fingerprint, scratch_path
+    from tests.conftest import SF_SMOKE
+
+    # first call stages and refreshes (R changed)
+    ref = sorted(
+        tuple(r)
+        for r in p24_partition_incremental_refresh(spark, SF_SMOKE).collect()
+    )
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p24_pinc_{tag}")
+    # simulate the post-refresh manifest re-record + partials write-back
+    # a production refresh would commit: partials := refreshed, manifest
+    # := current fingerprints
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.pipeline_ops import (  # noqa: F401
+        p24_partition_incremental_refresh as _p24,
+    )
+
+    src = os.path.join(base, "source")
+    parts = sorted(
+        p for p in os.listdir(src) if p.startswith("l_returnflag=")
+    )
+    fps = {p: dataset_fingerprint(os.path.join(src, p)) for p in parts}
+    with open(os.path.join(base, "FINGERPRINTS.json"), "w") as fh:
+        json.dump(fps, fh)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    day2 = spark.read.parquet(src)
+    day2.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(rev).alias("rev")
+    ).write.mode("overwrite").parquet(os.path.join(base, "partials"))
+    df = p24_partition_incremental_refresh(spark, SF_SMOKE)
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == ref, "steady-state refresh must serve the same answer"
+    plan = df._jdf.queryExecution().toString()
+    assert "l_returnflag=" not in plan, (
+        "no partition may rescan when no fingerprint moved"
+    )
+    # restore a clean slate (manifest now claims partials include day 2,
+    # which is true, but other tests expect the staged day-1 layout)
+    import shutil
+
+    shutil.rmtree(base)
