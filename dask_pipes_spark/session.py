@@ -245,6 +245,21 @@ def checkpoint_index_generation(
         shutil.rmtree(aside, ignore_errors=True)
     else:
         os.replace(tmp, final)
+    _append_vacuum_link(index_dir, superseded, generation, retain)
+    return final
+
+
+def _append_vacuum_link(
+    index_dir: str, superseded: list[str], generation: str, retain: int
+) -> None:
+    """The manifest half of the generation protocol (steps 3–4: append
+    the supersession link, then vacuum) — shared by
+    :func:`checkpoint_index_generation` (which makes the generation
+    durable itself) and :func:`publish_generation` (which renames an
+    already-durable staged directory)."""
+    import json
+    import shutil
+
     manifest_path = os.path.join(index_dir, "VACUUM.json")
     history: list = []
     if os.path.exists(manifest_path):
@@ -276,6 +291,42 @@ def checkpoint_index_generation(
     for gen in prior_gens:  # sweep generations that fell out of the window
         if gen in ever_superseded and gen not in keep and gen != generation:
             shutil.rmtree(os.path.join(index_dir, gen), ignore_errors=True)
+
+
+def publish_generation(
+    index_dir: str,
+    staged: str,
+    generation: str,
+    superseded: list[str],
+    retain: int = 0,
+) -> str:
+    """Metadata-only publish — the P of write-audit-publish (round 9;
+    Iceberg's WAP branch promotion / Delta's staged-commit): a STAGED
+    directory whose bytes are already durable is promoted to a named
+    generation by one atomic rename plus the manifest link, never a data
+    rewrite. The staged state was written OFF the serving path (readers
+    resolve the head from VACUUM.json, which does not yet name it), so
+    audits can query it at leisure; promotion is O(1) regardless of
+    generation size — the property that makes audit gates affordable on
+    every batch. A staged directory that FAILS its audit is simply never
+    published (quarantine is a rename to a ``.quarantine`` name, equally
+    O(1)); the head never moves.
+
+    Same-name retry after a crash mid-publish follows
+    :func:`checkpoint_index_generation`'s aside-then-in discipline.
+    Returns the final generation path."""
+    import shutil
+
+    final = os.path.join(index_dir, generation)
+    if os.path.exists(final):  # same-name retry: move the torn copy aside
+        aside = final + ".superseded"
+        shutil.rmtree(aside, ignore_errors=True)
+        os.replace(final, aside)
+        os.replace(staged, final)
+        shutil.rmtree(aside, ignore_errors=True)
+    else:
+        os.replace(staged, final)
+    _append_vacuum_link(index_dir, superseded, generation, retain)
     return final
 
 

@@ -799,3 +799,55 @@ def test_p24_unchanged_world_reuses_everything(spark):
     import shutil
 
     shutil.rmtree(base)
+
+
+def test_p25_bad_batch_quarantined_good_batch_published(spark):
+    """p25 contract: the double-delete batch is caught by the
+    conservation audit and quarantined (the head never serves it), the
+    correct batch publishes as g002, AUDIT.json records both verdicts
+    with their numbers, and the published MV equals the correctly
+    maintained state."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        p18_agg_mv_maintain,
+        p25_write_audit_publish,
+    )
+    from dask_pipes_spark.session import scratch_path
+    from tests.conftest import SF_SMOKE
+
+    wap = sorted(
+        tuple(r) for r in p25_write_audit_publish(spark, SF_SMOKE).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in p18_agg_mv_maintain(spark, SF_SMOKE).collect()
+    )
+    assert wap, "published head must be non-empty at sf0.001"
+    assert wap == batch, "the published batch must be the correct one"
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p25_wap_{tag}")
+    names = set(os.listdir(base))
+    assert "agg_mv-g002" in names
+    assert "agg_mv-g001" not in names, "superseded head must vacuum"
+    quarantined = [n for n in names if ".quarantine-" in n]
+    assert quarantined == ["agg_mv-g002.quarantine-double-delete"]
+    assert not any(".staged-" in n for n in names), "no staged residue"
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [h["by"] for h in man["history"]] == ["agg_mv-g001", "agg_mv-g002"]
+    audits = json.load(open(os.path.join(base, "AUDIT.json")))
+    assert [a["verdict"] for a in audits] == ["quarantine", "publish"]
+    bad, good = audits
+    assert not bad["conservation"]
+    assert bad["expected_total"] - bad["staged_total"] > 0, (
+        "the double delete must under-count by the delete feed's size"
+    )
+    assert good["conservation"] and good["group_keys_non_null"]
+    # the quarantined bytes remain inspectable: a consistent (wrong) MV
+    q = spark.read.schema(
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    ).parquet(os.path.join(base, quarantined[0]))
+    assert q.count() > 0
+    bad_total = q.agg({"cnt": "sum"}).collect()[0][0]
+    assert bad_total == bad["staged_total"]
