@@ -2053,9 +2053,13 @@ def p24_partition_incremental_refresh(spark, sf_dir):
             F.col("l_returnflag") == "R"
         )
         day1 = li.filter(~held_out)
-        day1.write.mode("overwrite").partitionBy("l_returnflag").parquet(
-            os.path.join(d, "source")
-        )
+        # file sizing (the l74 lesson, SCALING.md round 9): range-shuffle
+        # by (partition column, key) keeps each partition at ~8 well-sized
+        # files instead of 32 writer-task shards — small-file overhead
+        # on the changed-partition rescan was the measured refresh tax
+        day1.repartitionByRange(24, "l_returnflag", "l_orderkey").write.mode(
+            "overwrite"
+        ).partitionBy("l_returnflag").parquet(os.path.join(d, "source"))
         _partials(day1).write.mode("overwrite").parquet(
             os.path.join(d, "partials")
         )
@@ -2076,7 +2080,7 @@ def p24_partition_incremental_refresh(spark, sf_dir):
             os.path.join(d, "FINGERPRINTS.json"),
         )
         # day 2: the upstream rewrites the 'R' partition in place
-        li.filter(held_out).drop("l_returnflag").write.mode(
+        li.filter(held_out).drop("l_returnflag").coalesce(4).write.mode(
             "append"
         ).parquet(os.path.join(d, "source", "l_returnflag=R"))
 
