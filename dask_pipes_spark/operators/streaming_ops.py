@@ -1432,3 +1432,222 @@ def k21_stream_lsh_ivm(spark, sf_dir):
         os.path.join(idx, man["by"])
     )
     return _lsh_probe_topk(indexed)
+
+
+# --- k22: streaming write-audit-publish (round 9) ------------------------------
+
+
+def _stage_k22_state(spark, sf_dir: str, d: str) -> None:
+    """Stage k19's continuous-MV world plus a POISONED micro-batch: the
+    4 good CDC slices (k19's split), and a 5th slice interleaved at
+    position 2 whose l_orderkey values are shifted by 10^9 — foreign-key
+    violations that match nothing in the bridge (the classic upstream
+    bug: a producer emits keys from the wrong environment). mtime order
+    puts the poison mid-stream, so the gate must quarantine it and KEEP
+    GOING."""
+    import os
+    import shutil
+
+    _stage_k19_state(spark, sf_dir, d)
+    cdc_dir = os.path.join(d, "cdc")
+    base_t = 1_700_000_000
+    # re-time the good slices around the poison position
+    order = ["slice-00000.parquet", "slice-00001.parquet",
+             "slice-00002.parquet", "slice-00003.parquet"]
+    for i, f in enumerate(order):
+        t = base_t + (i if i < 2 else i + 1)
+        os.utime(os.path.join(cdc_dir, f), (t, t))
+    poison = (
+        spark.read.parquet(os.path.join(cdc_dir, order[0]))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.lit(10**9))
+    )
+    tmp = os.path.join(d, "cdc_stage_poison")
+    poison.coalesce(1).write.mode("overwrite").parquet(tmp)
+    parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    dst = os.path.join(cdc_dir, "slice-poison.parquet")
+    if parts:  # zero-row fixture writes no part file; no poison to stage
+        os.replace(os.path.join(tmp, parts[0]), dst)
+        os.utime(dst, (base_t + 2, base_t + 2))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_wap_stream(spark, index_dir: str, timeout: int = 300) -> None:
+    """Drain the CDC through the streaming runtime with a WRITE-AUDIT-
+    PUBLISH gate per micro-batch: the merged MV lands in a STAGED
+    directory first, the conservation audit runs against the staged
+    bytes (Σcnt must equal head total + Σsign over the batch — a batch
+    whose rows matched nothing, or double-applied, misses it), and only
+    a passing batch is promoted via :func:`publish_generation` (O(1)
+    rename + manifest link). A failing batch quarantines — the head
+    NEVER serves it — and the stream continues with the next trigger.
+    Every verdict appends to AUDIT.json (write-temp + rename)."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        _agg_mv_qty,
+        _agg_mv_rev,
+    )
+    from dask_pipes_spark.session import publish_generation
+
+    bridge_path = os.path.join(index_dir, "bridge")
+    audit_path = os.path.join(index_dir, "AUDIT.json")
+
+    def _record(entry: dict) -> None:
+        audits = []
+        if os.path.exists(audit_path):
+            audits = json.load(open(audit_path))
+        audits.append(entry)
+        with open(audit_path + ".tmp", "w") as fh:
+            json.dump(audits, fh)
+        os.replace(audit_path + ".tmp", audit_path)
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ss = batch_df.sparkSession
+        man = json.load(open(os.path.join(index_dir, "VACUUM.json")))
+        cur = man["by"]
+        mv = ss.read.schema(_K19_MV_SCHEMA).parquet(
+            os.path.join(index_dir, cur)
+        )
+        bridge = ss.read.schema("o_orderkey bigint, n_name string").parquet(
+            bridge_path
+        )
+        head_total, = mv.agg(F.sum("cnt")).collect()[0]
+        head_total = head_total or 0
+        batch_signed, = batch_df.agg(F.sum("sign")).collect()[0]
+        partial = (
+            F.broadcast(batch_df)
+            .join(bridge, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("n_name")
+            .agg(
+                F.sum("sign").alias("cnt"),
+                F.sum(F.col("sign") * _agg_mv_rev())
+                .cast("decimal(38,6)")
+                .alias("rev"),
+                F.sum(F.col("sign") * _agg_mv_qty())
+                .cast("decimal(38,6)")
+                .alias("qty"),
+            )
+        )
+        merged = (
+            mv.unionAll(partial)
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        nxt_name = f"agg_mv-g{int(cur.rsplit('g', 1)[1]) + 1:03d}"
+        staged = os.path.join(index_dir, f"{nxt_name}.staged-b{batch_id}")
+        merged.coalesce(1).write.mode("overwrite").parquet(staged)
+        staged_total, = (
+            ss.read.schema(_K19_MV_SCHEMA).parquet(staged)
+            .agg(F.sum("cnt"))
+            .collect()[0]
+        )
+        staged_total = staged_total or 0
+        expected = head_total + (batch_signed or 0)
+        ok = staged_total == expected
+        _record(
+            {
+                "batch_id": batch_id,
+                "expected_total": expected,
+                "staged_total": staged_total,
+                "verdict": "publish" if ok else "quarantine",
+            }
+        )
+        if ok:
+            publish_generation(
+                index_dir, staged, nxt_name, superseded=[cur]
+            )
+        else:
+            os.replace(staged, staged.replace(".staged-", ".quarantine-"))
+
+    schema = spark.read.parquet(os.path.join(index_dir, "cdc")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(index_dir, "cdc"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation", os.path.join(index_dir, "_stream_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+@query(
+    "k22_stream_wap",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def k22_stream_wap(spark, sf_dir):
+    """Streaming write-audit-publish (round 9 — p25's quality gate
+    inside k19's continuous-MV runtime; Iceberg WAP applied per
+    micro-batch, the shape a production ingest pipeline actually runs):
+    each trigger's merged MV lands STAGED, the conservation audit runs
+    against the staged bytes, and only a passing batch is promoted by
+    :func:`publish_generation`'s O(1) rename — so when a POISONED batch
+    arrives mid-stream (FK-violating keys from the wrong environment,
+    interleaved at position 2 of 5), it quarantines, the head keeps
+    serving the last good generation, and the remaining good batches
+    keep publishing. The drained MV is BIT-equal to the good-batches-
+    only state — the oracle recomputes it from the base tables, so a
+    poisoned row that leaked into the head, a good batch wrongly
+    quarantined, or a double-published retry diverges the hash; the
+    quarantine layout and the 5-verdict audit trail are test-pinned.
+
+    Audit granularity is the TRIGGER: one poisoned row quarantines its
+    whole batch (WAP semantics — the audit protects the table, not the
+    row), which is why production pairs this gate with small triggers
+    or a dead-letter split upstream; batching invariance deliberately
+    does NOT hold across a quarantine and is not claimed.
+
+    100 TB: the gate costs two MV-sized aggregates per trigger on top
+    of k19's maintenance — constant in the fact volume — and buys the
+    property restore (p22) only approximates after the fact: bad data
+    is never readable, at any point, by any reader."""
+    import json
+    import os
+
+    from dask_pipes_spark.session import ensure_index
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k22_wap_stream_{tag}")
+
+    def _stage(d: str) -> None:
+        _stage_k22_state(spark, sf_dir, d)
+        _run_wap_stream(spark, d)
+
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    idx = ensure_index(base, sf_dir, version="k22-v1", build=_stage)
+    man = json.load(open(os.path.join(idx, "VACUUM.json")))
+    mv = spark.read.schema(_K19_MV_SCHEMA).parquet(
+        os.path.join(idx, man["by"])
+    )
+    return mv.select(
+        "n_name",
+        F.col("cnt").alias("n_items"),
+        F.col("rev").cast("double").alias("sum_revenue"),
+        F.col("qty").cast("double").alias("sum_qty"),
+    )

@@ -591,3 +591,50 @@ def test_k21_batching_invariance(spark):
     got = sorted(tuple(r) for r in _lsh_probe_topk(indexed).collect())
     assert got == ref
     shutil.rmtree(d, ignore_errors=True)
+
+
+# --- k22: streaming write-audit-publish (round 9) -------------------------------
+
+
+def test_k22_poison_batch_quarantined_stream_continues(spark):
+    """k22 contract: the FK-violating batch (position 2 of 5)
+    quarantines — its staged bytes are on disk under a .quarantine name
+    and its generation number was REUSED by the next good batch (the
+    head chain has no gap); the audit trail records 5 verdicts with
+    exactly one quarantine; the drained MV equals k19's poison-free
+    state."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.streaming_ops import (
+        k19_stream_agg_ivm,
+        k22_stream_wap,
+    )
+    from dask_pipes_spark.session import scratch_path
+
+    wap = sorted(tuple(r) for r in k22_stream_wap(spark, SF_SMOKE).collect())
+    ref = sorted(
+        tuple(r) for r in k19_stream_agg_ivm(spark, SF_SMOKE).collect()
+    )
+    assert wap, "drained MV must be non-empty at sf0.001"
+    assert wap == ref, "the gate must not change the good-batch state"
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k22_wap_stream_{tag}")
+    audits = json.load(open(os.path.join(base, "AUDIT.json")))
+    assert len(audits) == 5
+    verdicts = [a["verdict"] for a in audits]
+    assert verdicts.count("quarantine") == 1
+    assert verdicts.count("publish") == 4
+    bad = audits[verdicts.index("quarantine")]
+    assert bad["staged_total"] != bad["expected_total"]
+    names = set(os.listdir(base))
+    quarantined = [n for n in names if ".quarantine-" in n]
+    assert len(quarantined) == 1
+    assert not any(".staged-" in n for n in names), "no staged residue"
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    chain = [h["by"] for h in man["history"]]
+    assert chain == [f"agg_mv-g{i:03d}" for i in range(1, 6)], (
+        "4 published batches after g001; the quarantined batch takes no "
+        "generation number"
+    )
