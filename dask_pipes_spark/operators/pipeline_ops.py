@@ -2281,3 +2281,147 @@ def p25_write_audit_publish(spark, sf_dir):
         F.col("rev").cast("double").alias("sum_revenue"),
         F.col("qty").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "p26_concurrent_commit_rebase",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def p26_concurrent_commit_rebase(spark, sf_dir):
+    """Optimistic concurrency on the generation protocol (round 9 —
+    Iceberg's commit CAS / Delta's conflict-checked transaction; the
+    missing piece once TWO maintainers share one MV): every publish
+    states the generation its merge was computed FROM
+    (``expected_head``), and :func:`publish_generation` refuses with
+    :class:`CommitConflictError` if the head has moved — the loser
+    RE-BASES (recomputes its delta merge against the new head) and
+    retries, so both batches land exactly once and the classic lost
+    update (read-modify-write over a shared aggregate) is structurally
+    impossible.
+
+    The build races two maintainers the realistic way: maintainer A
+    (the insert feed) and maintainer B (the tombstone feed) BOTH stage
+    their merges from head ``agg_mv-g001`` — B's staged bytes are
+    durable before A commits; A publishes ``agg_mv-g002`` (CAS on g001,
+    wins); B's publish with the same expectation raises — without the
+    check, B's g001-based merge would have silently DROPPED A's
+    inserts — so B re-bases on g002 and publishes ``agg_mv-g003``. The
+    oracle recomputes the both-applied-once state from the base tables,
+    so a lost update, a double apply on retry, or a re-base against the
+    wrong head all diverge the hash; the conflict record, the staged
+    survival through the conflict, and the monotonic 3-link history are
+    test-pinned.
+
+    100 TB: concurrent maintainers are the NORM — a streaming ingest
+    (k19) plus a nightly compactor (p20) plus a backfill all write one
+    table; the CAS costs one manifest read per commit, retries cost
+    O(MV) recompute (never a fact rescan, the delta feeds are still
+    staged), and on object storage the expectation maps to Iceberg's
+    snapshot-id check inside the atomic metadata swap."""
+    import json
+
+    from dask_pipes_spark.session import (
+        CommitConflictError,
+        checkpoint_index_generation,
+        publish_generation,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p26_occ_{tag}")
+    gen_schema = (
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    )
+
+    def _merge(head_df, feed, sign):
+        return (
+            head_df.unionAll(_agg_mv_delta_partial(feed, br_holder[0], sign))
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+
+    br_holder = []
+
+    def _stage(d: str) -> None:
+        _stage_agg_mv_state(spark, sf_dir, d)
+        mv, br, d_ins, d_del = _read_agg_mv_state(spark, d)
+        br_holder.append(br)
+        checkpoint_index_generation(
+            d, mv, superseded=["agg_mv"], generation="agg_mv-g001"
+        )
+        g1 = spark.read.schema(gen_schema).parquet(
+            os.path.join(d, "agg_mv-g001")
+        )
+        # both maintainers stage FROM g001 — B's bytes are durable
+        # before A commits (the genuine race shape)
+        staged_a = os.path.join(d, "agg_mv-g002.staged-A")
+        _merge(g1, d_ins, 1).coalesce(1).write.mode("overwrite").parquet(
+            staged_a
+        )
+        staged_b = os.path.join(d, "agg_mv-g002.staged-B")
+        _merge(g1, d_del, -1).coalesce(1).write.mode("overwrite").parquet(
+            staged_b
+        )
+        # A commits first: CAS on g001 holds
+        publish_generation(
+            d, staged_a, "agg_mv-g002",
+            superseded=["agg_mv-g001", "delta_ins"],
+            expected_head="agg_mv-g001",
+        )
+        # B's publish must CONFLICT — its merge would drop A's inserts
+        conflicts = []
+        try:
+            publish_generation(
+                d, staged_b, "agg_mv-g002b",
+                superseded=["delta_del"], expected_head="agg_mv-g001",
+            )
+        except CommitConflictError as exc:
+            conflicts.append(str(exc))
+        # re-base: recompute B's delta against the NEW head, retry CAS
+        g2 = spark.read.schema(gen_schema).parquet(
+            os.path.join(d, "agg_mv-g002")
+        )
+        staged_b2 = os.path.join(d, "agg_mv-g003.staged-B")
+        _merge(g2, d_del, -1).coalesce(1).write.mode("overwrite").parquet(
+            staged_b2
+        )
+        publish_generation(
+            d, staged_b2, "agg_mv-g003",
+            superseded=["agg_mv-g002.staged-B", "delta_del", "agg_mv-g002"],
+            expected_head="agg_mv-g002",
+        )
+        with open(os.path.join(d, "CONFLICTS.json.tmp"), "w") as fh:
+            json.dump(conflicts, fh)
+        os.replace(
+            os.path.join(d, "CONFLICTS.json.tmp"),
+            os.path.join(d, "CONFLICTS.json"),
+        )
+
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    ensure_index(base, sf_dir, version="occ-v1", build=_stage)
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    head = manifest["history"][-1]["by"]
+    mv = spark.read.schema(gen_schema).parquet(os.path.join(base, head))
+    return mv.select(
+        "n_name",
+        F.col("cnt").alias("n_items"),
+        F.col("rev").cast("double").alias("sum_revenue"),
+        F.col("qty").cast("double").alias("sum_qty"),
+    )

@@ -293,12 +293,21 @@ def _append_vacuum_link(
             shutil.rmtree(os.path.join(index_dir, gen), ignore_errors=True)
 
 
+class CommitConflictError(RuntimeError):
+    """Raised by :func:`publish_generation` when ``expected_head`` no
+    longer matches the manifest — another maintainer committed first.
+    The loser's staged bytes are untouched; the standard recovery is
+    re-base: recompute the merge against the NEW head and publish with
+    the new expectation (Iceberg's optimistic-concurrency retry loop)."""
+
+
 def publish_generation(
     index_dir: str,
     staged: str,
     generation: str,
     superseded: list[str],
     retain: int = 0,
+    expected_head: str | None = None,
 ) -> str:
     """Metadata-only publish — the P of write-audit-publish (round 9;
     Iceberg's WAP branch promotion / Delta's staged-commit): a STAGED
@@ -314,9 +323,32 @@ def publish_generation(
 
     Same-name retry after a crash mid-publish follows
     :func:`checkpoint_index_generation`'s aside-then-in discipline.
+
+    ``expected_head`` (round 9) makes the publish an optimistic
+    compare-and-swap — the Iceberg/Delta commit protocol: the caller
+    states which generation its staged merge was computed FROM, and if
+    the manifest's head has moved since (a concurrent maintainer won),
+    :class:`CommitConflictError` is raised BEFORE any rename — the
+    staged bytes stay intact for the re-base, the winner's history is
+    untouched, and a lost update (the classic read-modify-write race on
+    the MV) is structurally impossible. ``None`` skips the check (the
+    single-maintainer deployments every checkpoint key models).
     Returns the final generation path."""
+    import json
     import shutil
 
+    if expected_head is not None:
+        manifest_path = os.path.join(index_dir, "VACUUM.json")
+        head = None
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                hist = json.load(fh).get("history", [])
+            head = hist[-1]["by"] if hist else None
+        if head != expected_head:
+            raise CommitConflictError(
+                f"staged merge was computed from {expected_head!r} but the "
+                f"head is now {head!r}; re-base and retry"
+            )
     final = os.path.join(index_dir, generation)
     if os.path.exists(final):  # same-name retry: move the torn copy aside
         aside = final + ".superseded"

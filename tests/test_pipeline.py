@@ -851,3 +851,84 @@ def test_p25_bad_batch_quarantined_good_batch_published(spark):
     assert q.count() > 0
     bad_total = q.agg({"cnt": "sum"}).collect()[0][0]
     assert bad_total == bad["staged_total"]
+
+
+def test_p26_conflict_detected_and_rebased(spark):
+    """p26 contract: B's stale-head publish raises CommitConflictError
+    (recorded in CONFLICTS.json), its staged bytes survive the conflict
+    to be re-based, the final history is the monotonic 3-link chain, and
+    the head equals p18's both-applied-once state."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        p18_agg_mv_maintain,
+        p26_concurrent_commit_rebase,
+    )
+    from dask_pipes_spark.session import scratch_path
+    from tests.conftest import SF_SMOKE
+
+    occ = sorted(
+        tuple(r)
+        for r in p26_concurrent_commit_rebase(spark, SF_SMOKE).collect()
+    )
+    ref = sorted(
+        tuple(r) for r in p18_agg_mv_maintain(spark, SF_SMOKE).collect()
+    )
+    assert occ, "head must be non-empty at sf0.001"
+    assert occ == ref, "both maintainers' batches must land exactly once"
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p26_occ_{tag}")
+    conflicts = json.load(open(os.path.join(base, "CONFLICTS.json")))
+    assert len(conflicts) == 1
+    assert "agg_mv-g001" in conflicts[0] and "agg_mv-g002" in conflicts[0]
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [h["by"] for h in man["history"]] == [
+        "agg_mv-g001", "agg_mv-g002", "agg_mv-g003",
+    ]
+    names = set(os.listdir(base))
+    assert "agg_mv-g003" in names
+    for gone in ("agg_mv-g001", "agg_mv-g002", "agg_mv-g002.staged-B",
+                 "delta_ins", "delta_del"):
+        assert gone not in names, f"superseded state survived: {gone}"
+
+
+def test_publish_generation_cas(spark, tmp_path):
+    """Unit contract for the CAS: a publish whose expected_head is stale
+    raises BEFORE any rename (staged dir intact, manifest untouched);
+    the correct expectation succeeds; expected_head=None skips the
+    check."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.session import (
+        CommitConflictError,
+        checkpoint_index_generation,
+        publish_generation,
+    )
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    df = spark.range(50).select("id", (F.col("id") * 3).alias("v"))
+    checkpoint_index_generation(base, df, superseded=[], generation="g001")
+    staged = os.path.join(base, "g002.staged")
+    df.filter(F.col("id") % 5 != 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    with pytest.raises(CommitConflictError):
+        publish_generation(
+            base, staged, "g002", superseded=[], expected_head="g000"
+        )
+    assert os.path.exists(staged), "loser's staged bytes must survive"
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [h["by"] for h in man["history"]] == ["g001"]
+    publish_generation(
+        base, staged, "g002", superseded=["g001"], expected_head="g001"
+    )
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [h["by"] for h in man["history"]] == ["g001", "g002"]
+    assert spark.read.parquet(os.path.join(base, "g002")).count() == 40
