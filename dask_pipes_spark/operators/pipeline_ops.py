@@ -2425,3 +2425,128 @@ def p26_concurrent_commit_rebase(spark, sf_dir):
         F.col("rev").cast("double").alias("sum_revenue"),
         F.col("qty").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "p27_mv_schema_evolution",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def p27_mv_schema_evolution(spark, sf_dir):
+    """Schema evolution through the generation protocol (round 9 — the
+    Iceberg/Delta schema-evolution story applied to a maintained MV;
+    every long-lived aggregate eventually grows a measure): the MV is
+    born at schema v1 (count + revenue), a MIGRATION window backfills
+    the new ``qty`` measure — the one deliberate fact rescan, priced as
+    the migration, never as steady state — and checkpoints schema v2;
+    the NEXT CDC window then maintains v2 incrementally (p18's signed
+    algebra, now carrying qty), proving the delta path works against the
+    evolved schema. ``SCHEMA.json`` maps each generation to its column
+    list, so a reader resolves (head, schema) together — and the
+    RETAINED v1 generation stays readable WITH ITS OWN SCHEMA while v2
+    serves (the time-travel guarantee survives evolution; test-pinned,
+    as is the schema registry's three-version record and the delta
+    window's freedom from fact scans).
+
+    The oracle recomputes the final v2 state from the base tables, so a
+    backfill that dropped CDC-pending rows, a delta window that lost the
+    new column, or a v1/v2 confusion at serve time diverges the hash.
+
+    100 TB: the migration costs ONE fact scan (unavoidable — the new
+    measure's history exists only in the facts) scheduled like any
+    backfill; every window after it is O(|delta|) again, and old
+    retained generations need no rewrite — the schema registry, not the
+    data, carries the difference (Iceberg evolves schemas by metadata
+    for exactly this reason)."""
+    import json
+
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p27_mvevo_{tag}")
+    v1_schema = "n_name string, cnt bigint, rev decimal(38,6)"
+    v2_schema = (
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    )
+
+    def _stage(d: str) -> None:
+        _stage_agg_mv_state(spark, sf_dir, d)
+        mv, br, d_ins, d_del = _read_agg_mv_state(spark, d)
+        schemas = {}
+        # v1 birth: count + revenue only (qty dropped at the partials)
+        checkpoint_index_generation(
+            d, mv.select("n_name", "cnt", "rev"),
+            superseded=["agg_mv"], generation="agg_mv-g001",
+        )
+        schemas["agg_mv-g001"] = ["n_name", "cnt", "rev"]
+        # migration window: backfill qty — the ONE deliberate fact scan
+        li_old = load(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % 10 != 7
+        )
+        backfilled = (
+            li_old.join(br, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(_agg_mv_rev()).cast("decimal(38,6)").alias("rev"),
+                F.sum(_agg_mv_qty()).cast("decimal(38,6)").alias("qty"),
+            )
+        )
+        checkpoint_index_generation(
+            d, backfilled, superseded=["agg_mv-g001"],
+            generation="agg_mv-g002", retain=2,
+        )
+        schemas["agg_mv-g002"] = ["n_name", "cnt", "rev", "qty"]
+        # CDC window on the EVOLVED schema: p18's signed algebra + qty
+        g2 = spark.read.schema(v2_schema).parquet(
+            os.path.join(d, "agg_mv-g002")
+        )
+        merged = (
+            g2.unionAll(_agg_mv_delta_partial(d_ins, br, 1))
+            .unionAll(_agg_mv_delta_partial(d_del, br, -1))
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        checkpoint_index_generation(
+            d, merged,
+            superseded=["agg_mv-g002", "delta_ins", "delta_del"],
+            generation="agg_mv-g003", retain=2,
+        )
+        schemas["agg_mv-g003"] = ["n_name", "cnt", "rev", "qty"]
+        with open(os.path.join(d, "SCHEMA.json.tmp"), "w") as fh:
+            json.dump(schemas, fh)
+        os.replace(
+            os.path.join(d, "SCHEMA.json.tmp"), os.path.join(d, "SCHEMA.json")
+        )
+
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    ensure_index(base, sf_dir, version="mvevo-v1", build=_stage)
+    # --- serving: resolve (head, schema) together from the registries ---
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    head = man["history"][-1]["by"]
+    cols = json.load(open(os.path.join(base, "SCHEMA.json")))[head]
+    assert cols == ["n_name", "cnt", "rev", "qty"]
+    mv = spark.read.schema(v2_schema).parquet(os.path.join(base, head))
+    return mv.select(
+        "n_name",
+        F.col("cnt").alias("n_items"),
+        F.col("rev").cast("double").alias("sum_revenue"),
+        F.col("qty").cast("double").alias("sum_qty"),
+    )

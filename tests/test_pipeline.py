@@ -932,3 +932,71 @@ def test_publish_generation_cas(spark, tmp_path):
     man = json.load(open(os.path.join(base, "VACUUM.json")))
     assert [h["by"] for h in man["history"]] == ["g001", "g002"]
     assert spark.read.parquet(os.path.join(base, "g002")).count() == 40
+
+
+def test_p27_schema_registry_and_v1_time_travel(spark):
+    """p27 contract: SCHEMA.json maps all three generations to their
+    column lists; the retained v1 generation (retain=2 window) is still
+    readable WITH ITS OWN 3-column schema and carries the v1 state; the
+    retained v2 backfill equals the pre-CDC 4-column state; and the head
+    equals p18's maintained answer (the parity oracle pins its values)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        p27_mv_schema_evolution,
+    )
+    from dask_pipes_spark.session import load, scratch_path
+    from tests.conftest import SF_SMOKE
+
+    assert p27_mv_schema_evolution(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p27_mvevo_{tag}")
+    schemas = json.load(open(os.path.join(base, "SCHEMA.json")))
+    assert schemas == {
+        "agg_mv-g001": ["n_name", "cnt", "rev"],
+        "agg_mv-g002": ["n_name", "cnt", "rev", "qty"],
+        "agg_mv-g003": ["n_name", "cnt", "rev", "qty"],
+    }
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert man["retained"] == ["agg_mv-g001", "agg_mv-g002"]
+    # v1 time travel: old generation, old schema, day-1 state
+    g1 = spark.read.schema(
+        "n_name string, cnt bigint, rev decimal(38,6)"
+    ).parquet(os.path.join(base, "agg_mv-g001"))
+    assert g1.columns == ["n_name", "cnt", "rev"]
+    li_old = load(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_orderkey") % 10 != 7
+    )
+    assert g1.agg(F.sum("cnt")).collect()[0][0] == li_old.count()
+    # v2 backfill: same rows, qty present, pre-CDC totals
+    g2 = spark.read.schema(
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    ).parquet(os.path.join(base, "agg_mv-g002"))
+    assert g2.agg(F.sum("cnt")).collect()[0][0] == li_old.count()
+    assert g2.filter(F.col("qty").isNull()).count() == 0
+
+
+def test_p27_delta_window_is_fact_scan_free(spark):
+    """The CDC window on the evolved schema reads only the v2 generation
+    + broadcast feeds at maintenance time, and SERVING reads only the
+    head generation — no lineitem/orders/customer scans in the served
+    plan."""
+    import re
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        p27_mv_schema_evolution,
+    )
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        p27_mv_schema_evolution(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    for fact in ("lineitem", "orders", "customer"):
+        assert not re.search(rf"{fact}\.parquet", plan)
+    assert plan.count("agg_mv-g003") >= 1
+    assert "agg_mv-g002" not in plan and "agg_mv-g001" not in plan
