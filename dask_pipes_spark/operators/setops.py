@@ -739,7 +739,11 @@ def g16_merge_on_read_dv(spark, sf_dir):
     dv = spark.read.schema("file_name string, pos bigint").parquet(
         os.path.join(idx, "dv")
     )
-    live = scan.join(F.broadcast(dv), ["file_name", "pos"], "left_anti")
+    # no join hint: AQE broadcasts the DV while it is sidecar-sized and
+    # switches to a shuffle join once it is not (measured at sf10 — an
+    # 8.6M-position DV ran 1.7x faster as SMJ than force-broadcast, with
+    # no GC pressure; a DV that large also means compaction is overdue)
+    live = scan.join(dv, ["file_name", "pos"], "left_anti")
     disc_price = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
     ).cast("decimal(28,6)")
@@ -846,7 +850,7 @@ def g17_dv_compaction(spark, sf_dir):
                     F.col("_metadata.file_name").alias("file_name"),
                     F.col("_metadata.row_index").alias("pos"),
                 )
-                .join(F.broadcast(dv), ["file_name", "pos"], "left_anti")
+                .join(dv, ["file_name", "pos"], "left_anti")
                 .select(*_G16_DV_COLS)
             )
         else:

@@ -529,10 +529,12 @@ def test_g16_dv_sidecar_is_positional_only(spark):
 
 
 def test_g16_serving_plan_broadcast_anti_no_base_rewrite(spark):
-    """Merge-on-read plan shape: the DV applies as a BROADCAST anti-join
-    (the base never shuffles), the serving plan reads the immutable base
-    — not lineitem.parquet — and the base files are never rewritten by
-    the read path."""
+    """Merge-on-read plan shape: at sidecar size AQE converts the DV
+    anti-join to a broadcast at runtime (the base never shuffles), the
+    serving plan reads the immutable base — not lineitem.parquet — and
+    the base files are never rewritten by the read path. (No static
+    broadcast hint: at sf10 an 8.6M-position DV measured 1.7x faster as
+    the SMJ AQE picks instead.)"""
     import os
     import re
 
@@ -542,7 +544,7 @@ def test_g16_serving_plan_broadcast_anti_no_base_rewrite(spark):
 
     df = g16_merge_on_read_dv(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().toString()
-    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan)
+    assert "LeftAnti" in plan
     assert not re.search(r"lineitem\.parquet", plan)
     assert "dps_g16_dv" in plan
     tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
@@ -550,6 +552,10 @@ def test_g16_serving_plan_broadcast_anti_no_base_rewrite(spark):
     files_before = sorted(os.listdir(os.path.join(base, "base")))
     df.collect()
     assert sorted(os.listdir(os.path.join(base, "base"))) == files_before
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", executed), (
+        "AQE must broadcast a sidecar-sized DV at runtime"
+    )
 
 
 def test_g17_compaction_rewrites_only_dirty_files(spark):
