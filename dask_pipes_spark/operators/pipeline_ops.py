@@ -2542,8 +2542,145 @@ def p27_mv_schema_evolution(spark, sf_dir):
     man = json.load(open(os.path.join(base, "VACUUM.json")))
     head = man["history"][-1]["by"]
     cols = json.load(open(os.path.join(base, "SCHEMA.json")))[head]
-    assert cols == ["n_name", "cnt", "rev", "qty"]
+    if cols != ["n_name", "cnt", "rev", "qty"]:
+        # explicit raise, not `assert` (stripped under python -O): a head
+        # whose registered schema is not the v2 contract must fail fast,
+        # never be read through the wrong reader schema
+        raise ValueError(
+            f"schema registry mismatch for head {head!r}: got {cols!r}, "
+            "expected the v2 column list ['n_name', 'cnt', 'rev', 'qty']"
+        )
     mv = spark.read.schema(v2_schema).parquet(os.path.join(base, head))
+    return mv.select(
+        "n_name",
+        F.col("cnt").alias("n_items"),
+        F.col("rev").cast("double").alias("sum_revenue"),
+        F.col("qty").cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "p28_orphan_gc",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def p28_orphan_gc(spark, sf_dir):
+    """Orphan GC + crash recovery for the generation protocol (round 10 —
+    the Delta VACUUM / Iceberg remove-orphan-files analog; the r9
+    verdict's top item): a continuously-running pipeline's maintenance
+    process WILL eventually be killed mid-protocol, and every kill point
+    leaves debris the serving path never reads but the storage bill and
+    the listing path pay for forever. :func:`gc_index_dir` sweeps that
+    debris from the metadata registries alone — no data reads, no
+    guesses.
+
+    The build walks the full lifecycle and then plants every torn state
+    a kill can produce (constructing the torn layout directly — the
+    deterministic twin of killing the JVM): generation ``agg_mv-g001``
+    is checkpointed from p18's day-1 partials; the CDC merge is staged
+    and PUBLISHED as ``agg_mv-g002`` (the serving head); then the crash
+    debris: ``agg_mv-g003.tmp`` (killed between compaction and swap),
+    ``agg_mv-g002.staged-crashed`` (a staged duplicate whose publish
+    never ran), a RESURRECTED ``agg_mv-g001`` directory (killed between
+    the manifest append and the vacuum delete), and a quarantine dir
+    (audit evidence — GC must KEEP it). ``gc_index_dir`` removes exactly
+    the first three, never the head, never the quarantine, never
+    unlisted infra dirs; its report is persisted as ``GC.json`` (the
+    artifact an operator reads after the nightly sweep) and the serving
+    answer is byte-identical to the pre-GC head — the oracle recomputes
+    it from the base tables, so a GC that swept the head, resurrected
+    g001 into serving, or confused staged debris for the head diverges
+    the hash. Re-entrancy (GC twice = no-op), per-torn-state removal,
+    the never-GC-the-head invariant, and the resumable-checkpoint fast
+    paths are test-pinned in tests/test_pipeline.py.
+
+    100 TB: the sweep is O(listing) metadata work scheduled nightly;
+    ``older_than_sec`` (Iceberg's orphan age guard, default one day)
+    keeps it safe to run WHILE maintenance is live — a young tmp dir
+    might be an in-flight build, an old one provably is not."""
+    import json
+
+    from dask_pipes_spark.session import (
+        checkpoint_index_generation,
+        gc_index_dir,
+        publish_generation,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p28_gc_{tag}")
+    gen_schema = (
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    )
+
+    def _stage(d: str) -> None:
+        _stage_agg_mv_state(spark, sf_dir, d)
+        mv, br, d_ins, d_del = _read_agg_mv_state(spark, d)
+        checkpoint_index_generation(
+            d, mv, superseded=["agg_mv"], generation="agg_mv-g001"
+        )
+        g1 = spark.read.schema(gen_schema).parquet(
+            os.path.join(d, "agg_mv-g001")
+        )
+        merged = (
+            g1.unionAll(_agg_mv_delta_partial(d_ins, br, 1))
+            .unionAll(_agg_mv_delta_partial(d_del, br, -1))
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        staged = os.path.join(d, "agg_mv-g002.staged-cdc")
+        merged.coalesce(1).write.mode("overwrite").parquet(staged)
+        publish_generation(
+            d, staged, "agg_mv-g002",
+            superseded=["agg_mv-g001", "delta_ins", "delta_del"],
+            expected_head="agg_mv-g001",
+        )
+        # --- plant every kill-point's debris (deterministic torn layouts) ---
+        head = spark.read.schema(gen_schema).parquet(
+            os.path.join(d, "agg_mv-g002")
+        )
+        # killed between compaction and swap: durable tmp, no final dir
+        head.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "agg_mv-g003.tmp")
+        )
+        # killed before publish: staged bytes for an already-moved head
+        head.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "agg_mv-g002.staged-crashed")
+        )
+        # killed between manifest append and vacuum delete: g001 lingers
+        g1_resurrected = os.path.join(d, "agg_mv-g001")
+        head.coalesce(1).write.mode("overwrite").parquet(g1_resurrected)
+        # a quarantined batch: audit evidence, GC must keep it
+        head.limit(1).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "agg_mv-g002.quarantine-bad")
+        )
+        report = gc_index_dir(d, older_than_sec=0)
+        with open(os.path.join(d, "GC.json.tmp"), "w") as fh:
+            json.dump(report, fh)
+        os.replace(os.path.join(d, "GC.json.tmp"), os.path.join(d, "GC.json"))
+
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    ensure_index(base, sf_dir, version="gc-v1", build=_stage)
+    # --- serving: head from the manifest — GC never moved it ---
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    head = manifest["history"][-1]["by"]
+    mv = spark.read.schema(gen_schema).parquet(os.path.join(base, head))
     return mv.select(
         "n_name",
         F.col("cnt").alias("n_items"),

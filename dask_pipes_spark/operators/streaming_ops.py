@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 from dask_pipes_spark.registry import dsum, query, sql_dsum
 from dask_pipes_spark.session import load, load_tables, scratch_path
 from dask_pipes_spark.streaming import (
+    drain,
     read_events_stream,
+    stage_slice_file,
     run_to_memory,
     run_with_progress,
     stage_events_dir_out_of_order,
@@ -352,7 +354,7 @@ def k9_stream_foreach_sink(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain(q, 300)
 
     sunk = spark.read.parquet(out)
     latest = F.max("batch_id").over(Window.partitionBy())
@@ -645,11 +647,9 @@ def stage_documents_dedup_stream(spark, sf_dir: str) -> str:
         base = 1_700_000_000
         for i, df in enumerate((corpus, batch)):
             tmp = scratch_path(f"dps_docs_dedup_stage_{tag}_{i}")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            dst = os.path.join(out, f"slice-{i:05d}.parquet")
-            os.replace(os.path.join(tmp, part), dst)
-            os.utime(dst, (base + i, base + i))
+            stage_slice_file(
+                df, tmp, os.path.join(out, f"slice-{i:05d}.parquet"), base + i
+            )
         open(marker, "w").close()
     return out
 
@@ -820,7 +820,7 @@ def k16_stream_avro_sink(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain(q, 300)
     back = read_avro_split(spark, out, target_splits=8)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -905,17 +905,12 @@ def _stage_k19_state(spark, sf_dir: str, d: str) -> None:
     os.makedirs(cdc_dir, exist_ok=True)
     base_t = 1_700_000_000
     for i in range(4):
-        tmp = os.path.join(d, f"cdc_stage_{i}")
-        cdc.filter(
-            F.expr("l_orderkey div 10") % 4 == i
-        ).coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = os.path.join(cdc_dir, f"slice-{i:05d}.parquet")
-        os.replace(os.path.join(tmp, part), dst)
-        os.utime(dst, (base_t + i, base_t + i))
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_slice_file(
+            cdc.filter(F.expr("l_orderkey div 10") % 4 == i),
+            os.path.join(d, f"cdc_stage_{i}"),
+            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
+            base_t + i,
+        )
 
 
 def _run_agg_mv_stream(
@@ -999,7 +994,7 @@ def _run_agg_mv_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    drain(q, timeout)
 
 
 @query(
@@ -1123,15 +1118,12 @@ def _stage_k20_state(spark, sf_dir: str, d: str) -> None:
     os.makedirs(cdc_dir, exist_ok=True)
     base_t = 1_700_000_000
     for i in range(4):
-        tmp = os.path.join(d, f"cdc_stage_{i}")
-        cdc.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = os.path.join(cdc_dir, f"slice-{i:05d}.parquet")
-        os.replace(os.path.join(tmp, part), dst)
-        os.utime(dst, (base_t + i, base_t + i))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_slice_file(
+            cdc.filter(F.col("vec_id") % 4 == i),
+            os.path.join(d, f"cdc_stage_{i}"),
+            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
+            base_t + i,
+        )
 
 
 def _run_ann_ivm_stream(
@@ -1194,7 +1186,7 @@ def _run_ann_ivm_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    drain(q, timeout)
 
 
 from dask_pipes_spark.operators.llm_ext import _L65_ORACLE
@@ -1309,15 +1301,12 @@ def _stage_k21_state(spark, sf_dir: str, d: str) -> None:
     os.makedirs(cdc_dir, exist_ok=True)
     base_t = 1_700_000_000
     for i in range(4):
-        tmp = os.path.join(d, f"cdc_stage_{i}")
-        cdc.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = os.path.join(cdc_dir, f"slice-{i:05d}.parquet")
-        os.replace(os.path.join(tmp, part), dst)
-        os.utime(dst, (base_t + i, base_t + i))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_slice_file(
+            cdc.filter(F.col("vec_id") % 4 == i),
+            os.path.join(d, f"cdc_stage_{i}"),
+            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
+            base_t + i,
+        )
 
 
 def _run_lsh_ivm_stream(
@@ -1373,7 +1362,7 @@ def _run_lsh_ivm_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    drain(q, timeout)
 
 
 from dask_pipes_spark.operators.llm_ext import _L75_ORACLE
@@ -1461,14 +1450,12 @@ def _stage_k22_state(spark, sf_dir: str, d: str) -> None:
         spark.read.parquet(os.path.join(cdc_dir, order[0]))
         .withColumn("l_orderkey", F.col("l_orderkey") + F.lit(10**9))
     )
-    tmp = os.path.join(d, "cdc_stage_poison")
-    poison.coalesce(1).write.mode("overwrite").parquet(tmp)
-    parts = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-    dst = os.path.join(cdc_dir, "slice-poison.parquet")
-    if parts:  # zero-row fixture writes no part file; no poison to stage
-        os.replace(os.path.join(tmp, parts[0]), dst)
-        os.utime(dst, (base_t + 2, base_t + 2))
-    shutil.rmtree(tmp, ignore_errors=True)
+    stage_slice_file(
+        poison,
+        os.path.join(d, "cdc_stage_poison"),
+        os.path.join(cdc_dir, "slice-poison.parquet"),
+        base_t + 2,
+    )
 
 
 def _run_wap_stream(spark, index_dir: str, timeout: int = 300) -> None:
@@ -1581,7 +1568,7 @@ def _run_wap_stream(spark, index_dir: str, timeout: int = 300) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    drain(q, timeout)
 
 
 @query(

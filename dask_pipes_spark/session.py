@@ -182,6 +182,37 @@ def ensure_index(
     return index_dir
 
 
+class _commit_lock:
+    """Exclusive fcntl lock on ``<index_dir>/.commit.lock`` serializing the
+    generation protocol's metadata transitions (round 10, advice item):
+    the head check, the rename into place, and the VACUUM.json
+    read-modify-write must be one critical section, or two concurrent
+    committers can both read head==expected and both append — the lost
+    update :func:`publish_generation`'s CAS exists to prevent. Data-plane
+    work (the compaction Spark job, staged writes) happens OUTSIDE the
+    lock; only O(1) metadata steps run under it, so the lock is held for
+    microseconds. On a cluster this is the table format's commit lock /
+    conditional-PUT on the metadata pointer."""
+
+    def __init__(self, index_dir: str):
+        self._path = os.path.join(index_dir, ".commit.lock")
+
+    def __enter__(self):
+        import fcntl
+
+        os.makedirs(os.path.dirname(self._path), exist_ok=True)
+        self._fh = open(self._path, "w")
+        fcntl.flock(self._fh, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._fh, fcntl.LOCK_UN)
+        self._fh.close()
+        return False
+
+
 def checkpoint_index_generation(
     index_dir: str,
     maintained,
@@ -234,18 +265,20 @@ def checkpoint_index_generation(
     import shutil
 
     tmp = os.path.join(index_dir, generation + ".tmp")
-    shutil.rmtree(tmp, ignore_errors=True)  # torn prior checkpoint
-    maintained.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     final = os.path.join(index_dir, generation)
-    if os.path.exists(final):  # same-name retry: move the torn copy aside
-        aside = final + ".superseded"
-        shutil.rmtree(aside, ignore_errors=True)
-        os.replace(final, aside)
+    resumed = _resume_generation(index_dir, generation, superseded, retain)
+    if resumed is not None:
+        return resumed
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        # no durable prior compaction: write one. A tmp WITH _SUCCESS is the
+        # compact-done/swap-not-done torn state — the compaction is complete
+        # by Spark's commit marker and this same-args retry reuses it
+        # instead of re-paying the write (round 10, resumability).
+        shutil.rmtree(tmp, ignore_errors=True)  # torn partial write
+        maintained.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    with _commit_lock(index_dir):  # metadata transition is one critical section
         os.replace(tmp, final)
-        shutil.rmtree(aside, ignore_errors=True)
-    else:
-        os.replace(tmp, final)
-    _append_vacuum_link(index_dir, superseded, generation, retain)
+        _append_vacuum_link(index_dir, superseded, generation, retain)
     return final
 
 
@@ -293,6 +326,180 @@ def _append_vacuum_link(
             shutil.rmtree(os.path.join(index_dir, gen), ignore_errors=True)
 
 
+def _read_history(index_dir: str) -> tuple[list, list]:
+    """Read (history, retained) from ``VACUUM.json`` — empty on absence or
+    corruption (the manifest is written via temp+rename, so corruption
+    means no manifest was ever committed)."""
+    import json
+
+    manifest_path = os.path.join(index_dir, "VACUUM.json")
+    if not os.path.exists(manifest_path):
+        return [], []
+    try:
+        with open(manifest_path) as fh:
+            m = json.load(fh)
+        return m.get("history", []), m.get("retained", [])
+    except (OSError, ValueError):
+        return [], []
+
+
+def _sweep_unreferenced(index_dir: str, history: list, retained: list) -> list[str]:
+    """Delete generations the manifest says are superseded and outside the
+    retention window but which still exist on disk — the torn state a kill
+    between the manifest append and the vacuum deletes leaves. Returns the
+    removed names. Never touches live heads (a ``by`` that no later link
+    superseded), retained generations, or names the history never
+    mentions (CDC feeds, registries, parallel per-table state — GC cannot
+    prove those are garbage from the manifest alone)."""
+    import shutil
+
+    bys = [h["by"] for h in history]
+    ever_sup = {n for h in history for n in h["superseded"]}
+    heads = {b for b in bys if b not in ever_sup}
+    keep = heads | set(retained)
+    removed = []
+    for name in sorted(ever_sup - keep):
+        p = os.path.join(index_dir, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
+#: Suffixes the generation protocol's intermediate states use; a directory
+#: carrying one is never servable and is a GC candidate once provably
+#: abandoned.
+_TORN_SUFFIXES = (".tmp", ".superseded", ".stale", ".build")
+
+
+def gc_index_dir(
+    index_dir: str,
+    older_than_sec: float = 86400.0,
+    remove_quarantine: bool = False,
+) -> dict:
+    """Orphan-file GC for the generation protocol (round 10 — the
+    Delta VACUUM / Iceberg remove-orphan-files analog): from the metadata
+    registries alone (``VACUUM.json`` history + retention window),
+    identify and remove the debris a killed maintenance process leaves:
+
+    - **torn intermediate dirs** — ``<gen>.tmp`` (kill between compaction
+      and swap), ``<gen>.staged-*`` (kill before publish), ``<gen>
+      .superseded``/``.stale``/``.build`` (kill mid same-name retry or
+      mid ensure_index swap). Removed when provably abandoned: the base
+      generation already appears in the history (its protocol run
+      COMPLETED, so the artifact is leftover), or the dir is older than
+      ``older_than_sec`` (Iceberg's orphan age guard — a LIVE build's
+      tmp/staged dir is younger; default one day, pass 0 in tests).
+    - **unreferenced generations** — superseded names outside the
+      retention window that still exist (kill between the manifest
+      append and the vacuum deletes).
+
+    Never removed: live heads (any ``by`` no later link superseded —
+    multi-table indexes have several), the ``retained`` time-travel
+    window, quarantine dirs unless ``remove_quarantine=True`` (they are
+    audit evidence referenced by ``AUDIT.json``), and any name the
+    history never mentions (CDC feeds, ``_stream_ckpt``, SCHEMA/AUDIT
+    registries, staged-but-unpublished parallel state) — the manifest
+    cannot prove those are garbage, so GC leaves them.
+
+    Runs under :class:`_commit_lock`, so it never interleaves with a
+    concurrent commit's metadata transition; re-entrant (a second sweep
+    removes nothing). Returns ``{"heads", "removed", "kept"}``; raises
+    if a live head would ever be swept (the invariant tests pin).
+
+    100 TB: this is the nightly orphan sweep every continuously-running
+    lakehouse schedules — metadata-driven, O(listing), no data reads."""
+    import shutil
+    import time
+
+    report: dict = {"heads": [], "removed": [], "kept": []}
+    if not os.path.isdir(index_dir):
+        return report
+    with _commit_lock(index_dir):
+        history, retained = _read_history(index_dir)
+        bys = [h["by"] for h in history]
+        ever_sup = {n for h in history for n in h["superseded"]}
+        heads = {b for b in bys if b not in ever_sup}
+        report["heads"] = sorted(heads)
+        now = time.time()
+        for name in sorted(os.listdir(index_dir)):
+            p = os.path.join(index_dir, name)
+            if not os.path.isdir(p):
+                continue  # manifests/registries/lock files are never GC'd
+            is_quarantine = ".quarantine" in name
+            is_torn = name.endswith(_TORN_SUFFIXES) or ".staged" in name
+            if is_quarantine:
+                if remove_quarantine:
+                    shutil.rmtree(p, ignore_errors=True)
+                    report["removed"].append(name)
+                else:
+                    report["kept"].append(name)
+                continue
+            if is_torn:
+                base = name
+                for suf in _TORN_SUFFIXES:
+                    if base.endswith(suf):
+                        base = base[: -len(suf)]
+                base = base.split(".staged", 1)[0]
+                age = now - os.stat(p).st_mtime
+                if base in bys or age >= older_than_sec:
+                    shutil.rmtree(p, ignore_errors=True)
+                    report["removed"].append(name)
+                else:  # possibly a live in-flight build — too young to prove
+                    report["kept"].append(name)
+                continue
+            if name in ever_sup and name not in heads and name not in retained:
+                # manifest says superseded + outside the retention window:
+                # the kill-between-manifest-and-vacuum leftover
+                shutil.rmtree(p, ignore_errors=True)
+                report["removed"].append(name)
+                continue
+            report["kept"].append(name)
+        swept_heads = heads & set(report["removed"])
+        if swept_heads:  # structural invariant, not an assert (-O safe)
+            raise RuntimeError(
+                f"orphan GC attempted to remove live head(s) {swept_heads}"
+            )
+    return report
+
+
+def _resume_generation(
+    index_dir: str, generation: str, superseded: list[str], retain: int
+) -> str | None:
+    """Same-args-retry resume (round 10): detect how far a killed prior
+    :func:`checkpoint_index_generation` / :func:`publish_generation` run
+    got and complete ONLY the remaining steps. Returns the final path if
+    the generation was fully or partially committed (now completed), else
+    ``None`` (fresh run — the caller proceeds from the top).
+
+    Two torn states are resumable from metadata alone:
+
+    - **manifest done / vacuum not done** (``generation`` already a
+      history ``by``): the commit is complete; only superseded state may
+      linger — re-sweep it and return. Crucially this does NOT append a
+      second history link (idempotence).
+    - **swap done / manifest not done** (the final dir exists but no
+      history link names it): the final dir arrived by atomic rename of
+      a complete build (``_SUCCESS``-committed), so the data is whole —
+      append the manifest link + vacuum and return.
+
+    The third torn state (compact done / swap not done — ``<gen>.tmp``
+    with ``_SUCCESS``) is handled by the caller reusing the durable tmp.
+    Contract: generation names are write-once — a retry carries the SAME
+    logical content (the protocol every key follows: fresh name per
+    checkpoint, retry only after a crash)."""
+    final = os.path.join(index_dir, generation)
+    with _commit_lock(index_dir):
+        history, retained = _read_history(index_dir)
+        if generation in [h["by"] for h in history]:
+            _sweep_unreferenced(index_dir, history, retained)
+            return final
+        if os.path.exists(final):
+            _append_vacuum_link(index_dir, superseded, generation, retain)
+            return final
+    return None
+
+
 class CommitConflictError(RuntimeError):
     """Raised by :func:`publish_generation` when ``expected_head`` no
     longer matches the manifest — another maintainer committed first.
@@ -331,34 +538,31 @@ def publish_generation(
     :class:`CommitConflictError` is raised BEFORE any rename — the
     staged bytes stay intact for the re-base, the winner's history is
     untouched, and a lost update (the classic read-modify-write race on
-    the MV) is structurally impossible. ``None`` skips the check (the
-    single-maintainer deployments every checkpoint key models).
-    Returns the final generation path."""
-    import json
-    import shutil
-
-    if expected_head is not None:
-        manifest_path = os.path.join(index_dir, "VACUUM.json")
-        head = None
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                hist = json.load(fh).get("history", [])
-            head = hist[-1]["by"] if hist else None
-        if head != expected_head:
-            raise CommitConflictError(
-                f"staged merge was computed from {expected_head!r} but the "
-                f"head is now {head!r}; re-base and retry"
-            )
+    the MV) is structurally impossible. The head check, rename, and
+    manifest append run under :class:`_commit_lock` (round 10 — the
+    advice-flagged hole: without it the CAS was check-then-act and two
+    concurrent publishers could both pass the check), so the guarantee
+    holds across processes sharing the index dir, not just within one
+    coordinated maintainer. ``None`` skips the CAS check but still
+    serializes the manifest append. Returns the final generation path."""
     final = os.path.join(index_dir, generation)
-    if os.path.exists(final):  # same-name retry: move the torn copy aside
-        aside = final + ".superseded"
-        shutil.rmtree(aside, ignore_errors=True)
-        os.replace(final, aside)
+    resumed = _resume_generation(index_dir, generation, superseded, retain)
+    if resumed is not None:
+        # already swapped or fully committed by a killed prior run of THIS
+        # publish — idempotent success (the CAS is skipped: the commit it
+        # guards already happened)
+        return resumed
+    with _commit_lock(index_dir):
+        history, _retained = _read_history(index_dir)
+        if expected_head is not None:
+            head = history[-1]["by"] if history else None
+            if head != expected_head:
+                raise CommitConflictError(
+                    f"staged merge was computed from {expected_head!r} but "
+                    f"the head is now {head!r}; re-base and retry"
+                )
         os.replace(staged, final)
-        shutil.rmtree(aside, ignore_errors=True)
-    else:
-        os.replace(staged, final)
-    _append_vacuum_link(index_dir, superseded, generation, retain)
+        _append_vacuum_link(index_dir, superseded, generation, retain)
     return final
 
 

@@ -64,6 +64,46 @@ def read_events_stream(
     return reader.parquet(path)
 
 
+def stage_slice_file(df: DataFrame, tmp: str, dst: str, mtime: int) -> str:
+    """Write ``df`` as ONE parquet part file staged at ``dst`` with a pinned
+    mtime (replay order == mtime order for ``maxFilesPerTrigger`` file
+    sources) — the shared staging step of every CDC-slice fixture.
+
+    Contract (probed on this Spark build, round 10): a committed
+    ``coalesce(1)`` write always emits at least one part file — a zero-row
+    slice lands as a schema-only parquet. The ``next()`` therefore cannot
+    raise, zero-row windows replay as real (empty) micro-batches, and no
+    caller needs its own no-part-file guard."""
+    import shutil
+
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dst
+
+
+def drain(q, timeout: int = 300) -> None:
+    """Await an ``availableNow`` query's termination and FAIL if the timeout
+    elapsed with triggers still pending (round 10, advice item).
+
+    ``awaitTermination(timeout)`` returns ``False`` on timeout without
+    raising — callers that ignore the return value would proceed to read a
+    half-drained sink (and, in the index-maintenance keys, cache a stale
+    generation as a fresh fixture until the source fingerprint changes).
+    Stopping the query before raising keeps the session free of zombie
+    streams for the next test."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not drain within "
+            f"{timeout}s; sink state is incomplete"
+        )
+    if q.exception() is not None:
+        raise q.exception()
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str, timeout: int = 300) -> DataFrame:
     """Drain a streaming DataFrame into an in-memory table via
     ``trigger(availableNow=True)`` and return the result as a batch frame."""
@@ -74,7 +114,7 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str, timeout: int = 300
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    drain(q, timeout)
     spark = df.sparkSession
     return spark.table(name)
 
@@ -118,7 +158,7 @@ def run_with_progress(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    drain(q, timeout)
     progresses = [p for p in q.recentProgress if p is not None]
     spark = df.sparkSession
     return spark.table(name), progresses

@@ -1000,3 +1000,179 @@ def test_p27_delta_window_is_fact_scan_free(spark):
         assert not re.search(rf"{fact}\.parquet", plan)
     assert plan.count("agg_mv-g003") >= 1
     assert "agg_mv-g002" not in plan and "agg_mv-g001" not in plan
+
+
+def test_p28_gc_report_and_serving(spark):
+    """p28 contract: GC removes exactly the planted torn states (the
+    abandoned tmp, the stale staged duplicate, the resurrected
+    superseded generation), keeps the head / quarantine / unlisted infra
+    dirs, records it all in GC.json, and the post-GC serving answer
+    equals the correctly maintained state (p18's)."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        p18_agg_mv_maintain,
+        p28_orphan_gc,
+    )
+    from dask_pipes_spark.session import scratch_path
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(tuple(r) for r in p28_orphan_gc(spark, SF_SMOKE).collect())
+    ref = sorted(
+        tuple(r) for r in p18_agg_mv_maintain(spark, SF_SMOKE).collect()
+    )
+    assert got, "post-GC head must be non-empty at sf0.001"
+    assert got == ref, "GC must not change the serving answer"
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p28_gc_{tag}")
+    report = json.load(open(os.path.join(base, "GC.json")))
+    assert report["heads"] == ["agg_mv-g002"]
+    assert set(report["removed"]) == {
+        "agg_mv-g001",
+        "agg_mv-g002.staged-crashed",
+        "agg_mv-g003.tmp",
+    }
+    assert "agg_mv-g002.quarantine-bad" in report["kept"]
+    assert "bridge" in report["kept"], "unlisted infra dirs are never GC'd"
+    names = set(os.listdir(base))
+    assert "agg_mv-g002" in names, "never GC the head"
+    assert "agg_mv-g002.quarantine-bad" in names
+    for gone in ("agg_mv-g001", "agg_mv-g002.staged-crashed",
+                 "agg_mv-g003.tmp"):
+        assert gone not in names, f"torn state survived GC: {gone}"
+
+
+def test_gc_torn_states_and_reentrancy(spark, tmp_path):
+    """gc_index_dir unit contract, one planted torn layout per kill
+    point: tmp/staged/superseded-aside/resurrected-generation debris is
+    removed, a YOUNG tmp (possibly a live in-flight build) survives a
+    nonzero age guard, quarantine needs the explicit flag, a second
+    sweep removes nothing, and the head is structurally un-sweepable."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.session import (
+        checkpoint_index_generation,
+        gc_index_dir,
+    )
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    df = spark.range(30).select("id", (F.col("id") * 2).alias("v"))
+    checkpoint_index_generation(base, df, superseded=[], generation="g001")
+    checkpoint_index_generation(
+        base, df.filter("id % 3 != 0"), superseded=["g001"], generation="g002"
+    )
+    # plant one artifact per kill point
+    df.coalesce(1).write.parquet(os.path.join(base, "g003.tmp"))
+    df.coalesce(1).write.parquet(os.path.join(base, "g002.staged-dup"))
+    df.coalesce(1).write.parquet(os.path.join(base, "g001"))  # resurrected
+    df.coalesce(1).write.parquet(os.path.join(base, "g001.superseded"))
+    df.coalesce(1).write.parquet(os.path.join(base, "g00X.quarantine-q"))
+    os.makedirs(os.path.join(base, "cdc"))
+
+    # age guard: a young tmp for an UNCOMMITTED generation is kept (it may
+    # be a live build); committed-generation debris and the resurrected
+    # superseded dir go regardless of age
+    rep = gc_index_dir(base, older_than_sec=3600)
+    assert "g003.tmp" in rep["kept"]
+    assert {"g001", "g002.staged-dup", "g001.superseded"} <= set(
+        rep["removed"]
+    )
+
+    rep = gc_index_dir(base, older_than_sec=0)
+    assert rep["heads"] == ["g002"]
+    assert "g003.tmp" in rep["removed"]
+    assert "g00X.quarantine-q" in rep["kept"] and "cdc" in rep["kept"]
+    assert os.path.isdir(os.path.join(base, "g002")), "head intact"
+    assert spark.read.parquet(os.path.join(base, "g002")).count() == 20
+
+    rep2 = gc_index_dir(base, older_than_sec=0)
+    assert rep2["removed"] == [], "GC must be re-entrant (second sweep no-op)"
+    rep3 = gc_index_dir(base, older_than_sec=0, remove_quarantine=True)
+    assert rep3["removed"] == ["g00X.quarantine-q"]
+
+
+def test_checkpoint_resumes_after_kill_at_any_step(spark, tmp_path):
+    """Resumability contract (round 10): a same-args retry of
+    checkpoint_index_generation completes a run killed at ANY step
+    without double work or duplicate history links.
+
+    - compact done / swap not done: the durable tmp (_SUCCESS present)
+      is reused — proven by handing the retry a DIFFERENT DataFrame and
+      observing the tmp's bytes serve (the retry never recomputes);
+    - swap done / manifest not done: the final dir is linked without a
+      data rewrite (a marker file planted inside survives);
+    - manifest done / vacuum not done: the resurrected superseded dir is
+      swept, and the history gains NO second link."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.session import (
+        checkpoint_index_generation,
+        publish_generation,
+    )
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    df = spark.range(40).select("id", (F.col("id") + 1).alias("v"))
+    checkpoint_index_generation(base, df, superseded=[], generation="g001")
+
+    # --- kill point 1: compact done, swap not done ---
+    df.filter("id < 10").coalesce(1).write.parquet(
+        os.path.join(base, "g002.tmp")
+    )
+    assert os.path.exists(os.path.join(base, "g002.tmp", "_SUCCESS"))
+    decoy = spark.range(999)  # must NOT be recomputed/written
+    checkpoint_index_generation(
+        base, decoy, superseded=["g001"], generation="g002"
+    )
+    assert not os.path.exists(os.path.join(base, "g002.tmp"))
+    assert spark.read.parquet(os.path.join(base, "g002")).count() == 10, (
+        "retry must reuse the durable compaction, not rewrite from the arg"
+    )
+
+    # --- kill point 2: swap done, manifest not done ---
+    df.filter("id < 5").coalesce(1).write.parquet(os.path.join(base, "g003"))
+    open(os.path.join(base, "g003", "MARKER"), "w").close()
+    checkpoint_index_generation(
+        base, decoy, superseded=["g002"], generation="g003"
+    )
+    assert os.path.exists(os.path.join(base, "g003", "MARKER")), (
+        "resume must link the existing final dir, never rewrite it"
+    )
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [h["by"] for h in man["history"]] == ["g001", "g002", "g003"]
+    assert not os.path.exists(os.path.join(base, "g002")), "vacuum ran"
+
+    # --- kill point 3: manifest done, vacuum not done ---
+    df.coalesce(1).write.parquet(os.path.join(base, "g002"))  # resurrect
+    checkpoint_index_generation(
+        base, decoy, superseded=["g002"], generation="g003"
+    )
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [h["by"] for h in man["history"]] == ["g001", "g002", "g003"], (
+        "a manifest-done retry must not append a duplicate link"
+    )
+    assert not os.path.exists(os.path.join(base, "g002")), "re-sweep ran"
+
+    # --- publish: manifest-done retry is idempotent too ---
+    staged = os.path.join(base, "g004.staged")
+    df.filter("id >= 35").coalesce(1).write.parquet(staged)
+    publish_generation(base, staged, "g004", superseded=["g003"])
+    df.coalesce(1).write.parquet(os.path.join(base, "g003"))  # resurrect
+    publish_generation(
+        base, os.path.join(base, "gone.staged"), "g004", superseded=["g003"]
+    )
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [h["by"] for h in man["history"]] == [
+        "g001", "g002", "g003", "g004",
+    ]
+    assert not os.path.exists(os.path.join(base, "g003"))
+    assert spark.read.parquet(os.path.join(base, "g004")).count() == 5

@@ -638,3 +638,27 @@ def test_k22_poison_batch_quarantined_stream_continues(spark):
         "4 published batches after g001; the quarantined batch takes no "
         "generation number"
     )
+
+
+def test_stage_slice_file_zero_row_contract(spark, tmp_path):
+    """Round-10 advice item: the unified slice-staging helper's contract
+    is that a committed coalesce(1) write ALWAYS emits a part file — a
+    zero-row slice lands as a schema-only parquet (so k21-style CDC
+    builds never raise on empty fixtures, and zero-row windows replay as
+    real empty micro-batches)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.streaming import stage_slice_file
+
+    empty = spark.range(10).filter(F.col("id") < 0).select(
+        "id", (F.col("id") * 2.0).alias("v")
+    )
+    dst = str(tmp_path / "slice-00000.parquet")
+    stage_slice_file(empty, str(tmp_path / "stage"), dst, 1_700_000_000)
+    assert os.path.exists(dst)
+    assert int(os.path.getmtime(dst)) == 1_700_000_000
+    back = spark.read.parquet(dst)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["id", "v"]
