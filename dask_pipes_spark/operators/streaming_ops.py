@@ -1638,3 +1638,407 @@ def k22_stream_wap(spark, sf_dir):
         F.col("rev").cast("double").alias("sum_revenue"),
         F.col("qty").cast("double").alias("sum_qty"),
     )
+
+
+# --- k23: streaming PQ code maintenance (round 10) ----------------------------
+
+_K23_CDC_SCHEMA = "vec_id bigint, s int, sv array<double>, op string"
+
+
+def _stage_k23_state(spark, sf_dir: str, d: str) -> None:
+    """Stage the continuous PQ-ingest world (the k20 staging on the
+    product-quantization path): codebooks trained on yesterday's corpus
+    (``%9!=5``) persisted as the FIXED quantizer, that slice's code
+    table as generation ``codes-g001`` (checkpoint-born), and the
+    embedding CDC as a 4-file stream of typed rows — insert rows carry
+    the held-out slice's SUBVECTORS (``%9==5``, op='I', 8 rows per
+    vector — the shape ``_pq_assign`` encodes map-side), tombstones one
+    row per vec_id (``%11==3``, op='D'). Slicing by ``vec_id % 4``
+    keeps a vector's subspace rows in one window; disjoint key sets
+    keep the fold commutative across any batching."""
+    import os
+
+    from dask_pipes_spark.operators.vectors import (
+        _pq_assign,
+        _pq_corpus,
+        _pq_train,
+    )
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    v_old, sub_old = _pq_corpus(spark, sf_dir, pred=F.col("vec_id") % 9 != 5)
+    cents = _pq_train(v_old, sub_old)
+    cents.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
+    checkpoint_index_generation(
+        d,
+        _pq_assign(sub_old, cents),
+        superseded=[],
+        generation="codes-g001",
+        target_files=8,
+    )
+    _, sub_new = _pq_corpus(spark, sf_dir, pred=F.col("vec_id") % 9 == 5)
+    cdc = sub_new.withColumn("op", F.lit("I")).unionAll(
+        v_old.filter(F.col("vec_id") % 11 == 3)
+        .select(
+            "vec_id",
+            F.lit(None).cast("int").alias("s"),
+            F.lit(None).cast("array<double>").alias("sv"),
+        )
+        .withColumn("op", F.lit("D"))
+    )
+    cdc_dir = os.path.join(d, "cdc")
+    os.makedirs(cdc_dir, exist_ok=True)
+    base_t = 1_700_000_000
+    for i in range(4):
+        stage_slice_file(
+            cdc.filter(F.col("vec_id") % 4 == i),
+            os.path.join(d, f"cdc_stage_{i}"),
+            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
+            base_t + i,
+        )
+
+
+def _run_pq_ivm_stream(
+    spark, index_dir: str, max_files_per_trigger: int = 1, timeout: int = 300
+) -> None:
+    """Drain the subvector CDC through the streaming runtime, maintaining
+    the PQ code table by generations: each micro-batch anti-joins its
+    tombstones against the CURRENT generation and encodes its insert
+    subvectors map-side against the FIXED codebooks (l67's algebra —
+    the codebooks are a broadcast-sized table read per batch from the
+    persisted quantizer, never retrained), then checkpoints the merged
+    code table as the next generation."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.vectors import _pq_assign
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ss = batch_df.sparkSession
+        hist = json.load(open(os.path.join(index_dir, "VACUUM.json")))[
+            "history"
+        ]
+        cur = [h["by"] for h in hist if h["by"].startswith("codes-")][-1]
+        cents = ss.read.schema("s int, cid int, cv array<double>").parquet(
+            os.path.join(index_dir, "codebooks")
+        )
+        codes = ss.read.schema("vec_id bigint, s int, code int").parquet(
+            os.path.join(index_dir, cur)
+        )
+        d_del = batch_df.filter(F.col("op") == "D").select("vec_id")
+        d_ins = batch_df.filter(F.col("op") == "I").select("vec_id", "s", "sv")
+        merged = codes.join(
+            F.broadcast(d_del), "vec_id", "left_anti"
+        ).unionAll(_pq_assign(d_ins, cents))
+        nxt = int(cur.rsplit("g", 1)[1]) + 1
+        checkpoint_index_generation(
+            index_dir, merged, superseded=[cur],
+            generation=f"codes-g{nxt:03d}", target_files=8,
+        )
+
+    schema = spark.read.parquet(os.path.join(index_dir, "cdc")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(os.path.join(index_dir, "cdc"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation", os.path.join(index_dir, "_stream_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q, timeout)
+
+
+from dask_pipes_spark.operators.vectors import (  # noqa: E402
+    _L67_ORACLE,
+    _L77_ORACLE,
+)
+
+
+@query("k23_stream_pq_ivm", oracle=_L67_ORACLE)
+def k23_stream_pq_ivm(spark, sf_dir):
+    """Continuous PQ code-table maintenance through the streaming runtime
+    (round 10 — k20's foreachBatch harness composed over l67's delta
+    algebra, filling the PQ row's streaming cell in the lifecycle
+    matrix): a subvector CDC stream of typed rows maintains the code
+    table via ``foreachBatch`` — broadcast anti-join deletes + map-side
+    ``_pq_assign`` encoding against the FIXED persisted codebooks per
+    micro-batch — with every window landing a full generation checkpoint
+    (compact → atomic swap → manifest link → vacuum), so ADC probes
+    always read a consistent snapshot and crash recovery is the last
+    durable generation + the source's replay offset.
+
+    The returned ADC probe (same spec as l55/l63/l67/l72) reads the
+    final generation + the persisted codebooks. Registered with l67's
+    from-scratch SQL oracle (train on yesterday's slice, encode today's
+    corpus): the drained index must answer exactly as the batch delta
+    merge and the SQL rebuild — pinned by the companion test k23 == l67;
+    batching invariance (2-file triggers) and the per-window generation
+    chain are pinned too.
+
+    100 TB: per-window cost is O(|batch|·M) map-side quantizations + one
+    broadcast anti-join + the generation rewrite — the code table never
+    shuffles; the codebooks are the slow-cadence quantizer the l63
+    staleness manifest retrains, never the stream. State is the
+    generation chain itself — nothing lives in the streaming state
+    store."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.vectors import _pq_corpus, _pq_probe_topk
+    from dask_pipes_spark.session import ensure_index
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k23_pq_stream_{tag}")
+
+    def _stage(d: str) -> None:
+        _stage_k23_state(spark, sf_dir, d)
+        _run_pq_ivm_stream(spark, d, max_files_per_trigger=1)
+
+    idx = ensure_index(
+        base,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="k23-v1",
+        build=_stage,
+    )
+    hist = json.load(open(os.path.join(idx, "VACUUM.json")))["history"]
+    head = [h["by"] for h in hist if h["by"].startswith("codes-")][-1]
+    cents = spark.read.schema("s int, cid int, cv array<double>").parquet(
+        os.path.join(idx, "codebooks")
+    )
+    codes = spark.read.schema("vec_id bigint, s int, code int").parquet(
+        os.path.join(idx, head)
+    )
+    _, sub = _pq_corpus(spark, sf_dir)
+    qsub = sub.filter(
+        (F.col("vec_id") % 100 == 0)
+        & ((F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3))
+    )
+    return _pq_probe_topk(qsub, cents, codes)
+
+
+# --- k24: streaming residual-IVFADC maintenance (round 10) --------------------
+
+
+def _stage_k24_state(spark, sf_dir: str, d: str) -> None:
+    """Stage the continuous residual-IVFADC world: coarse codebook +
+    residual PQ codebooks persisted as the FIXED quantizers, BOTH index
+    tables checkpoint-born (``assignments-g001``, ``codes-g001`` — two
+    live chains in one VACUUM history, the multi-table shape l78
+    established), and the embedding CDC as k20's 4-file stream of raw
+    vector inserts (``%9==5``) and tombstones (``%11==3``)."""
+    import os
+
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+    from dask_pipes_spark.operators.vectors import (
+        _RIVF_ASSIGN_SCHEMA,
+        _residual_train,
+    )
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    vecs_old, cent = _ivf_corpus_and_centroids(
+        spark, sf_dir, pred=F.col("vec_id") % 9 != 5
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    checkpoint_index_generation(
+        d,
+        ivf_assign(vecs_old, cent.collect(), nprobe=1),
+        superseded=[],
+        generation="assignments-g001",
+        target_files=8,
+    )
+    indexed_g1 = spark.read.schema(_RIVF_ASSIGN_SCHEMA).parquet(
+        os.path.join(d, "assignments-g001")
+    )
+    cents, codes = _residual_train(indexed_g1, cent)
+    cents.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
+    checkpoint_index_generation(
+        d, codes, superseded=[], generation="codes-g001", target_files=8
+    )
+    vecs_new, _ = _ivf_corpus_and_centroids(
+        spark, sf_dir, pred=F.col("vec_id") % 9 == 5
+    )
+    cdc = vecs_new.withColumn("op", F.lit("I")).unionAll(
+        vecs_old.filter(F.col("vec_id") % 11 == 3)
+        .select(
+            "vec_id",
+            F.lit(None).cast("array<double>").alias("e"),
+            F.lit(None).cast("double").alias("nrm"),
+        )
+        .withColumn("op", F.lit("D"))
+    )
+    cdc_dir = os.path.join(d, "cdc")
+    os.makedirs(cdc_dir, exist_ok=True)
+    base_t = 1_700_000_000
+    for i in range(4):
+        stage_slice_file(
+            cdc.filter(F.col("vec_id") % 4 == i),
+            os.path.join(d, f"cdc_stage_{i}"),
+            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
+            base_t + i,
+        )
+
+
+def _run_residual_ivm_stream(
+    spark, index_dir: str, max_files_per_trigger: int = 1, timeout: int = 300
+) -> None:
+    """Drain the embedding CDC through the streaming runtime, maintaining
+    BOTH residual-IVFADC tables by generations: per micro-batch, l77's
+    merge (map-side coarse assignment of inserts, residual encode
+    against the pinned centroid, map-side PQ code assignment, broadcast
+    anti-join deletes on each table) runs against the CURRENT pair of
+    heads — resolved per table from the VACUUM history by name prefix —
+    and each table checkpoints its next generation (assignments first,
+    then codes: a crash between the two leaves assignments compacted and
+    codes in merge-form — recoverable, never lossy, exactly l78's
+    ordering argument)."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.vectors import (
+        _RIVF_ASSIGN_SCHEMA,
+        _RIVF_CENT_SCHEMA,
+        _RIVF_CENTS_SCHEMA,
+        _RIVF_CODES_SCHEMA,
+        _residual_delta_merge,
+    )
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    cent_rows = (
+        spark.read.schema(_RIVF_CENT_SCHEMA)
+        .parquet(os.path.join(index_dir, "centroids"))
+        .collect()
+    )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ss = batch_df.sparkSession
+        hist = json.load(open(os.path.join(index_dir, "VACUUM.json")))[
+            "history"
+        ]
+        bys = [h["by"] for h in hist]
+        cur_a = [b for b in bys if b.startswith("assignments-")][-1]
+        cur_c = [b for b in bys if b.startswith("codes-")][-1]
+        cent = ss.read.schema(_RIVF_CENT_SCHEMA).parquet(
+            os.path.join(index_dir, "centroids")
+        )
+        cents = ss.read.schema(_RIVF_CENTS_SCHEMA).parquet(
+            os.path.join(index_dir, "codebooks")
+        )
+        assignments = ss.read.schema(_RIVF_ASSIGN_SCHEMA).parquet(
+            os.path.join(index_dir, cur_a)
+        )
+        codes = ss.read.schema(_RIVF_CODES_SCHEMA).parquet(
+            os.path.join(index_dir, cur_c)
+        )
+        d_del = batch_df.filter(F.col("op") == "D").select("vec_id")
+        d_ins = batch_df.filter(F.col("op") == "I").select(
+            "vec_id", "e", "nrm"
+        )
+        a_m, c_m = _residual_delta_merge(
+            assignments, codes, d_ins, d_del, cent, cent_rows, cents
+        )
+        na = int(cur_a.rsplit("g", 1)[1]) + 1
+        checkpoint_index_generation(
+            index_dir, a_m, superseded=[cur_a],
+            generation=f"assignments-g{na:03d}", target_files=8,
+        )
+        nc = int(cur_c.rsplit("g", 1)[1]) + 1
+        checkpoint_index_generation(
+            index_dir, c_m, superseded=[cur_c],
+            generation=f"codes-g{nc:03d}", target_files=8,
+        )
+
+    schema = spark.read.parquet(os.path.join(index_dir, "cdc")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(os.path.join(index_dir, "cdc"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation", os.path.join(index_dir, "_stream_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q, timeout)
+
+
+@query("k24_stream_residual_ivm", oracle=_L77_ORACLE)
+def k24_stream_residual_ivm(spark, sf_dir):
+    """Continuous residual-IVFADC maintenance through the streaming
+    runtime (round 10 — the last "—" cell of the lifecycle matrix:
+    k20's harness over l77's TWO-TABLE delta algebra): an embedding CDC
+    stream maintains the coarse inverted file AND the residual code
+    table via ``foreachBatch``, every window landing a generation
+    checkpoint per table against entirely FIXED quantizers (coarse
+    codebook + residual PQ codebooks — the slow-cadence artifacts a
+    l73-style rebuild refreshes, never the stream).
+
+    Serving (same spec as l71/l73/l77/l78) reads only the two final
+    generations + the persisted quantizers. Registered with l77's
+    from-scratch SQL oracle — the drained pair must answer exactly as
+    the batch merge and the SQL rebuild (companion test pins k24 ==
+    l77); batching invariance and the dual per-window generation chains
+    are pinned too.
+
+    100 TB: residual mode doubles the state a naive refresh rebuilds;
+    this keeps the streaming cost at O(|batch|) map work + two
+    broadcast anti-joins + two generation rewrites per window, for BOTH
+    tables, with crash recovery = last durable generation pair + replay
+    offset."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.vectors import (
+        _RIVF_ASSIGN_SCHEMA,
+        _RIVF_CENT_SCHEMA,
+        _RIVF_CENTS_SCHEMA,
+        _RIVF_CODES_SCHEMA,
+        _residual_probe,
+    )
+    from dask_pipes_spark.session import ensure_index
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k24_rivf_stream_{tag}")
+
+    def _stage(d: str) -> None:
+        _stage_k24_state(spark, sf_dir, d)
+        _run_residual_ivm_stream(spark, d, max_files_per_trigger=1)
+
+    idx = ensure_index(
+        base,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="k24-v1",
+        build=_stage,
+    )
+    hist = json.load(open(os.path.join(idx, "VACUUM.json")))["history"]
+    bys = [h["by"] for h in hist]
+    head_a = [b for b in bys if b.startswith("assignments-")][-1]
+    head_c = [b for b in bys if b.startswith("codes-")][-1]
+    cent = spark.read.schema(_RIVF_CENT_SCHEMA).parquet(
+        os.path.join(idx, "centroids")
+    )
+    cent_rows = cent.collect()
+    indexed = spark.read.schema(_RIVF_ASSIGN_SCHEMA).parquet(
+        os.path.join(idx, head_a)
+    )
+    cents = spark.read.schema(_RIVF_CENTS_SCHEMA).parquet(
+        os.path.join(idx, "codebooks")
+    )
+    codes = spark.read.schema(_RIVF_CODES_SCHEMA).parquet(
+        os.path.join(idx, head_c)
+    )
+    return _residual_probe(indexed, cent, cent_rows, cents, codes)

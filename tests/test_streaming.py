@@ -662,3 +662,212 @@ def test_stage_slice_file_zero_row_contract(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 0
     assert [f.name for f in back.schema.fields] == ["id", "v"]
+
+
+# --- k23/k24: streaming PQ + residual index maintenance (round 10) ------------
+
+
+def test_k23_stream_equals_l67_batch(spark):
+    """The streaming-maintained PQ code table answers the ADC probe
+    exactly as l67's batch delta merge (both equal the from-scratch SQL
+    rebuild via the shared oracle)."""
+    from dask_pipes_spark.operators.streaming_ops import k23_stream_pq_ivm
+    from dask_pipes_spark.operators.vectors import l67_pq_index_delta
+
+    a = sorted(tuple(r) for r in l67_pq_index_delta(spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in k23_stream_pq_ivm(spark, SF_SMOKE).collect())
+    assert a, "probe must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_k23_generation_chain_and_serving_plan(spark):
+    """One generation per non-empty micro-batch, monotonic codes chain,
+    superseded generations vacuumed; serving plan reads the final
+    generation + codebooks + the query slice only (no union/anti-join
+    residue, no Lloyd leak)."""
+    import json
+    import os
+    import re
+
+    from dask_pipes_spark.operators.streaming_ops import k23_stream_pq_ivm
+    from dask_pipes_spark.session import scratch_path
+
+    df = k23_stream_pq_ivm(spark, SF_SMOKE)
+    assert df.count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k23_pq_stream_{tag}")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    chain = [h["by"] for h in man["history"]]
+    assert chain == [f"codes-g{i:03d}" for i in range(1, len(chain) + 1)]
+    assert len(chain) == 5, "4 CDC files at mfpt=1 -> 4 maintenance windows"
+    names = set(os.listdir(base))
+    assert man["by"] in names and "codebooks" in names
+    for gen in chain[:-1]:
+        assert gen not in names, f"superseded generation survived: {gen}"
+    plan = df._jdf.queryExecution().toString()
+    assert "Union" not in plan
+    assert "LeftAnti" not in plan
+    assert "ExistingRDD" not in plan, "Lloyd checkpoint leaked into probe"
+    assert len(re.findall(r"embeddings\.parquet", plan)) == 1, (
+        "embeddings may be read exactly once (the query slice)"
+    )
+    assert plan.count(man["by"]) >= 1
+
+
+def test_k23_batching_invariance(spark):
+    """Insert and tombstone key sets are disjoint and code rows are
+    keyed (vec_id, s), so the per-batch fold commutes: a 2-files-per-
+    trigger replay lands on the identical code table."""
+    import json
+    import os
+    import shutil
+
+    from dask_pipes_spark.operators.streaming_ops import (
+        _run_pq_ivm_stream,
+        _stage_k23_state,
+        k23_stream_pq_ivm,
+    )
+    from dask_pipes_spark.operators.vectors import _pq_corpus, _pq_probe_topk
+    from dask_pipes_spark.session import scratch_path
+    from pyspark.sql import functions as F
+
+    ref = sorted(tuple(r) for r in k23_stream_pq_ivm(spark, SF_SMOKE).collect())
+    d = scratch_path("dps_k23_invariance")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    _stage_k23_state(spark, SF_SMOKE, d)
+    _run_pq_ivm_stream(spark, d, max_files_per_trigger=2)
+    man = json.load(open(os.path.join(d, "VACUUM.json")))
+    assert len(man["history"]) == 3, "4 files at mfpt=2 -> 2 windows"
+    cents = spark.read.schema("s int, cid int, cv array<double>").parquet(
+        os.path.join(d, "codebooks")
+    )
+    codes = spark.read.schema("vec_id bigint, s int, code int").parquet(
+        os.path.join(d, man["by"])
+    )
+    _, sub = _pq_corpus(spark, SF_SMOKE)
+    qsub = sub.filter(
+        (F.col("vec_id") % 100 == 0)
+        & ((F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3))
+    )
+    got = sorted(tuple(r) for r in _pq_probe_topk(qsub, cents, codes).collect())
+    assert got == ref
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_k24_stream_equals_l77_batch(spark):
+    """The streaming-maintained residual-IVFADC pair answers the probe
+    exactly as l77's batch two-table delta merge."""
+    from dask_pipes_spark.operators.streaming_ops import (
+        k24_stream_residual_ivm,
+    )
+    from dask_pipes_spark.operators.vectors import l77_residual_index_delta
+
+    a = sorted(
+        tuple(r) for r in l77_residual_index_delta(spark, SF_SMOKE).collect()
+    )
+    b = sorted(
+        tuple(r) for r in k24_stream_residual_ivm(spark, SF_SMOKE).collect()
+    )
+    assert a, "probe must be non-empty at sf0.001"
+    assert a == b
+
+
+def test_k24_generation_chains_and_serving_plan(spark):
+    """TWO interleaved per-table chains in one VACUUM history (the l78
+    multi-table shape, now one pair per window), both monotonic, all
+    superseded generations vacuumed; serving reads the two final
+    generations + the persisted quantizers only — no merge residue, no
+    Lloyd leak, zero embeddings scans."""
+    import json
+    import os
+    import re
+
+    from dask_pipes_spark.operators.streaming_ops import (
+        k24_stream_residual_ivm,
+    )
+    from dask_pipes_spark.session import scratch_path
+
+    df = k24_stream_residual_ivm(spark, SF_SMOKE)
+    assert df.count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k24_rivf_stream_{tag}")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    chain = [h["by"] for h in man["history"]]
+    a_chain = [b for b in chain if b.startswith("assignments-")]
+    c_chain = [b for b in chain if b.startswith("codes-")]
+    assert a_chain == [
+        f"assignments-g{i:03d}" for i in range(1, len(a_chain) + 1)
+    ]
+    assert c_chain == [f"codes-g{i:03d}" for i in range(1, len(c_chain) + 1)]
+    assert len(a_chain) == 5 and len(c_chain) == 5, (
+        "4 CDC files at mfpt=1 -> 4 windows, one generation pair each"
+    )
+    names = set(os.listdir(base))
+    for kept in (a_chain[-1], c_chain[-1], "centroids", "codebooks"):
+        assert kept in names, f"missing surviving artifact: {kept}"
+    for gen in a_chain[:-1] + c_chain[:-1]:
+        assert gen not in names, f"superseded generation survived: {gen}"
+    plan = df._jdf.queryExecution().toString()
+    assert "Union" not in plan
+    assert "LeftAnti" not in plan
+    assert "ExistingRDD" not in plan
+    assert "posexplode" not in plan
+    assert not re.search(r"embeddings\.parquet", plan)
+    assert plan.count("dps_k24_rivf_stream") >= 4  # 2 gens + 2 quantizers
+
+
+def test_k24_batching_invariance(spark):
+    """Disjoint insert/tombstone key sets keep the two-table fold
+    commutative: a 2-files-per-trigger replay lands on the identical
+    generation pair, probe answers equal."""
+    import json
+    import os
+    import shutil
+
+    from dask_pipes_spark.operators.streaming_ops import (
+        _run_residual_ivm_stream,
+        _stage_k24_state,
+        k24_stream_residual_ivm,
+    )
+    from dask_pipes_spark.operators.vectors import (
+        _RIVF_ASSIGN_SCHEMA,
+        _RIVF_CENT_SCHEMA,
+        _RIVF_CENTS_SCHEMA,
+        _RIVF_CODES_SCHEMA,
+        _residual_probe,
+    )
+    from dask_pipes_spark.session import scratch_path
+
+    ref = sorted(
+        tuple(r) for r in k24_stream_residual_ivm(spark, SF_SMOKE).collect()
+    )
+    d = scratch_path("dps_k24_invariance")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    _stage_k24_state(spark, SF_SMOKE, d)
+    _run_residual_ivm_stream(spark, d, max_files_per_trigger=2)
+    man = json.load(open(os.path.join(d, "VACUUM.json")))
+    assert len(man["history"]) == 6, "2 initial links + 2 windows x 2 tables"
+    bys = [h["by"] for h in man["history"]]
+    cent = spark.read.schema(_RIVF_CENT_SCHEMA).parquet(
+        os.path.join(d, "centroids")
+    )
+    cent_rows = cent.collect()
+    indexed = spark.read.schema(_RIVF_ASSIGN_SCHEMA).parquet(
+        os.path.join(d, [b for b in bys if b.startswith("assignments-")][-1])
+    )
+    cents = spark.read.schema(_RIVF_CENTS_SCHEMA).parquet(
+        os.path.join(d, "codebooks")
+    )
+    codes = spark.read.schema(_RIVF_CODES_SCHEMA).parquet(
+        os.path.join(d, [b for b in bys if b.startswith("codes-")][-1])
+    )
+    got = sorted(
+        tuple(r)
+        for r in _residual_probe(
+            indexed, cent, cent_rows, cents, codes
+        ).collect()
+    )
+    assert got == ref
+    shutil.rmtree(d, ignore_errors=True)
