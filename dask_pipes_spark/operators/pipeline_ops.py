@@ -2687,3 +2687,153 @@ def p28_orphan_gc(spark, sf_dir):
         F.col("rev").cast("double").alias("sum_revenue"),
         F.col("qty").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "p29_branch_wap",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def p29_branch_wap(spark, sf_dir):
+    """Named branches on the manifest (round 10 — Iceberg refs / the
+    branch form of write-audit-publish, completing what p25/p26
+    started): ``BRANCHES.json`` maps branch → head generation; serving
+    resolves ``main``'s ref, staging publishes to a named branch
+    instead of a bare quarantine-able dir, and promotion is
+    :func:`merge_branch` — a fast-forward ref move under the commit
+    lock, CAS-guarded by ``expected_head`` exactly like p26's publish.
+
+    The build walks the realistic audit-gate sequence: ``agg_mv-g001``
+    is checkpointed and ``main`` is pointed at it; the BUGGY batch (the
+    p25 double-delete) publishes ``agg_mv-g002a`` to branch ``audit`` —
+    main's ref has NOT moved, so the bad data was never servable — the
+    conservation audit fails against the branch head, and
+    :func:`delete_branch` retires the ref, which appends the orphaned
+    generation to the vacuum chain (no forever-live debris — the gap
+    bare WAP left); the CORRECT batch publishes ``agg_mv-g002b`` to
+    ``audit``, passes, and ``merge_branch("audit", "main",
+    expected_head="agg_mv-g001")`` flips serving atomically; the old
+    main head enters the vacuum chain (branch heads are vacuum-
+    protected while referenced — the p21 time-travel guarantee extended
+    to refs). AUDIT.json records both verdicts; serving reads
+    ``BRANCHES.json["main"]``. The oracle recomputes the correct
+    post-CDC state from the base tables, so a premature ref move, a
+    merged bad batch, or serving from the staging branch diverges the
+    hash. Conflict (stale ``expected_head``), retain interplay, and
+    ref-protection are pinned in the companion tests.
+
+    100 TB: refs are O(1) metadata on any generation size; the audit
+    queries the BRANCH head through the identical read path serving
+    uses (Iceberg's WAP-branch advantage over a side quarantine dir:
+    one resolution code path, no layout fork)."""
+    import json
+
+    from dask_pipes_spark.session import (
+        checkpoint_index_generation,
+        delete_branch,
+        merge_branch,
+        publish_generation,
+        set_branch,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p29_branch_{tag}")
+    gen_schema = (
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    )
+
+    def _stage(d: str) -> None:
+        _stage_agg_mv_state(spark, sf_dir, d)
+        mv, br, d_ins, d_del = _read_agg_mv_state(spark, d)
+        checkpoint_index_generation(
+            d, mv, superseded=["agg_mv"], generation="agg_mv-g001"
+        )
+        set_branch(d, "main", "agg_mv-g001")
+        n_ins = d_ins.count()
+        n_del = d_del.count()
+        audits: list[dict] = []
+
+        def _attempt(gen: str, extra_del_applies: int) -> bool:
+            # merge is always computed FROM main's ref (the serving line)
+            head_gen = json.load(
+                open(os.path.join(d, "BRANCHES.json"))
+            )["main"]
+            g1 = spark.read.schema(gen_schema).parquet(
+                os.path.join(d, head_gen)
+            )
+            head_total = (g1.agg(F.sum("cnt")).collect()[0][0]) or 0
+            merged = g1.unionAll(_agg_mv_delta_partial(d_ins, br, 1))
+            for _ in range(1 + extra_del_applies):
+                merged = merged.unionAll(_agg_mv_delta_partial(d_del, br, -1))
+            staged = os.path.join(d, f"{gen}.staged")
+            (
+                merged.groupBy("n_name")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.sum("rev").alias("rev"),
+                    F.sum("qty").alias("qty"),
+                )
+                .filter(F.col("cnt") > 0)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staged)
+            )
+            # publish to the AUDIT branch: durable + linked + ref-
+            # protected, but main has not moved — never servable yet
+            publish_generation(
+                d, staged, gen, superseded=[], branch="audit"
+            )
+            # audit the BRANCH head through the serving read path
+            s = spark.read.schema(gen_schema).parquet(os.path.join(d, gen))
+            got_total, n_null = s.agg(
+                F.sum("cnt"), F.count_if(F.col("n_name").isNull())
+            ).collect()[0]
+            got_total = got_total or 0
+            expected_total = head_total + n_ins - n_del
+            ok = got_total == expected_total and n_null == 0
+            audits.append(
+                {
+                    "generation": gen,
+                    "expected_total": expected_total,
+                    "staged_total": got_total,
+                    "verdict": "merge" if ok else "retire-branch",
+                }
+            )
+            if ok:
+                merge_branch(d, "audit", "main", expected_head=head_gen)
+                return True
+            delete_branch(d, "audit")
+            return False
+
+        # on real data the double-delete fails its audit and the branch
+        # retires (main never moves); on the zero-row fixture it conserves
+        # vacuously and merges first — same resolution discipline as p25
+        if not _attempt("agg_mv-g002a", extra_del_applies=1):
+            _attempt("agg_mv-g002b", extra_del_applies=0)
+        with open(os.path.join(d, "AUDIT.json.tmp"), "w") as fh:
+            json.dump(audits, fh)
+        os.replace(os.path.join(d, "AUDIT.json.tmp"), os.path.join(d, "AUDIT.json"))
+
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    ensure_index(base, sf_dir, version="branch-wap-v1", build=_stage)
+    # --- serving: resolve main's ref — the only head readers ever see ---
+    head = json.load(open(os.path.join(base, "BRANCHES.json")))["main"]
+    mv = spark.read.schema(gen_schema).parquet(os.path.join(base, head))
+    return mv.select(
+        "n_name",
+        F.col("cnt").alias("n_items"),
+        F.col("rev").cast("double").alias("sum_revenue"),
+        F.col("qty").cast("double").alias("sum_qty"),
+    )

@@ -309,7 +309,27 @@ def _append_vacuum_link(
     # generation (a multi-table index like l78 checkpoints one `by` per
     # table) is never garbage
     prior_gens = [h["by"] for h in history[:-1]]
-    keep = set(prior_gens[-retain:]) if retain > 0 else set()
+    # retention window ordered by WHEN a generation was superseded, not by
+    # when it was published (round 10): identical on a linear chain, but a
+    # branch history interleaves publishes (a staged branch generation is
+    # published BEFORE the merge supersedes the old main head), so
+    # publish order would retain the staged generation instead of the
+    # just-retired head the time-travel window is for
+    gen_names = set(prior_gens)
+    sup_events: list[str] = []
+    for h in history:
+        for n in h["superseded"]:
+            if n in gen_names:
+                if n in sup_events:
+                    sup_events.remove(n)
+                sup_events.append(n)
+    keep = set(sup_events[-retain:]) if retain > 0 else set()
+    # branch refs are vacuum-protected (round 10, Iceberg refs): a
+    # generation some branch still names must stay readable even after a
+    # later link supersedes it on another line of history. Protection is
+    # separate from ``keep`` so the manifest's ``retained`` list stays
+    # exactly the retention window (test-pinned)
+    ref_protected = keep | set(_read_branches(index_dir).values())
     ever_superseded = {n for h in history for n in h["superseded"]}
     # write-temp + os.replace (round 9, advice item): a truncate-then-write
     # open('w') crashed mid-write leaves a corrupt manifest, and the next
@@ -319,10 +339,14 @@ def _append_vacuum_link(
         json.dump({**link, "history": history, "retained": sorted(keep)}, fh)
     os.replace(manifest_path + ".tmp", manifest_path)
     for name in superseded:
-        if name not in keep:
+        if name not in ref_protected:
             shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
     for gen in prior_gens:  # sweep generations that fell out of the window
-        if gen in ever_superseded and gen not in keep and gen != generation:
+        if (
+            gen in ever_superseded
+            and gen not in ref_protected
+            and gen != generation
+        ):
             shutil.rmtree(os.path.join(index_dir, gen), ignore_errors=True)
 
 
@@ -356,7 +380,7 @@ def _sweep_unreferenced(index_dir: str, history: list, retained: list) -> list[s
     bys = [h["by"] for h in history]
     ever_sup = {n for h in history for n in h["superseded"]}
     heads = {b for b in bys if b not in ever_sup}
-    keep = heads | set(retained)
+    keep = heads | set(retained) | set(_read_branches(index_dir).values())
     removed = []
     for name in sorted(ever_sup - keep):
         p = os.path.join(index_dir, name)
@@ -364,6 +388,99 @@ def _sweep_unreferenced(index_dir: str, history: list, retained: list) -> list[s
             shutil.rmtree(p, ignore_errors=True)
             removed.append(name)
     return removed
+
+
+def _read_branches(index_dir: str) -> dict:
+    """Read the branch-ref registry (``BRANCHES.json``: branch → head
+    generation name) — empty on absence or corruption (written via
+    temp+rename, so corruption means nothing was ever committed)."""
+    import json
+
+    p = os.path.join(index_dir, "BRANCHES.json")
+    if not os.path.exists(p):
+        return {}
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_branches(index_dir: str, branches: dict) -> None:
+    """Persist the branch registry (temp + rename; caller holds the
+    commit lock)."""
+    import json
+
+    p = os.path.join(index_dir, "BRANCHES.json")
+    with open(p + ".tmp", "w") as fh:
+        json.dump(branches, fh)
+    os.replace(p + ".tmp", p)
+
+
+def set_branch(index_dir: str, branch: str, generation: str) -> None:
+    """Create or move a branch ref to an existing generation (Iceberg's
+    ``create_branch``/``replace_branch``) — O(1) metadata, under the
+    commit lock. The named generation becomes vacuum-protected for as
+    long as the ref exists."""
+    with _commit_lock(index_dir):
+        branches = _read_branches(index_dir)
+        branches[branch] = generation
+        _write_branches(index_dir, branches)
+
+
+def merge_branch(
+    index_dir: str,
+    src: str,
+    dst: str,
+    expected_head: str | None = None,
+    retain: int = 0,
+) -> str:
+    """Fast-forward ``dst`` to ``src``'s head (round 10 — Iceberg refs /
+    WAP branch promotion: generations are immutable, so a merge is ONE
+    ref move, never a data operation). ``expected_head`` makes the move
+    a CAS on ``dst`` (the same optimistic-concurrency contract as
+    :func:`publish_generation` — a concurrent promotion of ``dst``
+    raises :class:`CommitConflictError` before anything moves).
+
+    The superseded old ``dst`` head enters the vacuum chain with the
+    usual ``retain`` window — unless another branch still references it
+    (branch heads are vacuum-protected). An already-merged pair is an
+    idempotent no-op. Returns the new ``dst`` head."""
+    with _commit_lock(index_dir):
+        branches = _read_branches(index_dir)
+        if src not in branches:
+            raise ValueError(f"unknown source branch {src!r}")
+        src_head = branches[src]
+        dst_head = branches.get(dst)
+        if expected_head is not None and dst_head != expected_head:
+            raise CommitConflictError(
+                f"merge of {src!r} into {dst!r} expected head "
+                f"{expected_head!r} but found {dst_head!r}; re-base and retry"
+            )
+        if dst_head == src_head:
+            return src_head
+        branches[dst] = src_head
+        _write_branches(index_dir, branches)
+        if dst_head is not None and dst_head not in branches.values():
+            _append_vacuum_link(index_dir, [dst_head], src_head, retain)
+    return src_head
+
+
+def delete_branch(index_dir: str, branch: str, retain: int = 0) -> str | None:
+    """Retire a branch ref (the failed-audit path of branch-WAP). If no
+    other branch references its head, the head is appended to the vacuum
+    chain as superseded (retention applies) — a retired staging branch's
+    generation is debris, exactly like a quarantined staged dir, and
+    becomes sweepable instead of lingering as a forever-live head.
+    Returns the retired head (or None if the branch did not exist)."""
+    with _commit_lock(index_dir):
+        branches = _read_branches(index_dir)
+        head = branches.pop(branch, None)
+        _write_branches(index_dir, branches)
+        if head is not None and head not in branches.values():
+            anchor = branches.get("main", head)
+            _append_vacuum_link(index_dir, [head], anchor, retain)
+    return head
 
 
 #: Suffixes the generation protocol's intermediate states use; a directory
@@ -419,7 +536,8 @@ def gc_index_dir(
         history, retained = _read_history(index_dir)
         bys = [h["by"] for h in history]
         ever_sup = {n for h in history for n in h["superseded"]}
-        heads = {b for b in bys if b not in ever_sup}
+        branch_heads = set(_read_branches(index_dir).values())
+        heads = {b for b in bys if b not in ever_sup} | branch_heads
         report["heads"] = sorted(heads)
         now = time.time()
         for name in sorted(os.listdir(index_dir)):
@@ -515,6 +633,7 @@ def publish_generation(
     superseded: list[str],
     retain: int = 0,
     expected_head: str | None = None,
+    branch: str | None = None,
 ) -> str:
     """Metadata-only publish — the P of write-audit-publish (round 9;
     Iceberg's WAP branch promotion / Delta's staged-commit): a STAGED
@@ -544,13 +663,27 @@ def publish_generation(
     concurrent publishers could both pass the check), so the guarantee
     holds across processes sharing the index dir, not just within one
     coordinated maintainer. ``None`` skips the CAS check but still
-    serializes the manifest append. Returns the final generation path."""
+    serializes the manifest append.
+
+    ``branch`` (round 10 — Iceberg refs): point a named branch ref at
+    the new generation as part of the same commit. Publishing to a
+    non-``main`` branch is the branch-WAP staging move — the generation
+    is durable, linked, and vacuum-protected by its ref, but ``main``'s
+    ref (what serving resolves) has not moved; promotion is a later
+    :func:`merge_branch`. Returns the final generation path."""
     final = os.path.join(index_dir, generation)
     resumed = _resume_generation(index_dir, generation, superseded, retain)
     if resumed is not None:
         # already swapped or fully committed by a killed prior run of THIS
         # publish — idempotent success (the CAS is skipped: the commit it
-        # guards already happened)
+        # guards already happened). Re-assert the branch ref: a kill
+        # between the manifest append and the ref write is recoverable
+        if branch is not None:
+            with _commit_lock(index_dir):
+                branches = _read_branches(index_dir)
+                if branches.get(branch) != generation:
+                    branches[branch] = generation
+                    _write_branches(index_dir, branches)
         return resumed
     with _commit_lock(index_dir):
         history, _retained = _read_history(index_dir)
@@ -563,6 +696,10 @@ def publish_generation(
                 )
         os.replace(staged, final)
         _append_vacuum_link(index_dir, superseded, generation, retain)
+        if branch is not None:
+            branches = _read_branches(index_dir)
+            branches[branch] = generation
+            _write_branches(index_dir, branches)
     return final
 
 

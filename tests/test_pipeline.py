@@ -1176,3 +1176,115 @@ def test_checkpoint_resumes_after_kill_at_any_step(spark, tmp_path):
     ]
     assert not os.path.exists(os.path.join(base, "g003"))
     assert spark.read.parquet(os.path.join(base, "g004")).count() == 5
+
+
+def test_p29_branch_wap_layout_and_audit(spark):
+    """p29 contract: the buggy batch publishes to branch `audit` (main
+    never moves), fails its audit, and its branch is retired — the
+    orphaned generation is vacuumed, not left as live debris; the
+    correct batch merges via CAS and main's ref serves it; AUDIT.json
+    records both verdicts; the served state equals p18's."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        p18_agg_mv_maintain,
+        p29_branch_wap,
+    )
+    from dask_pipes_spark.session import scratch_path
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(tuple(r) for r in p29_branch_wap(spark, SF_SMOKE).collect())
+    ref = sorted(
+        tuple(r) for r in p18_agg_mv_maintain(spark, SF_SMOKE).collect()
+    )
+    assert got, "main's head must be non-empty at sf0.001"
+    assert got == ref, "only the correct batch may reach main"
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p29_branch_{tag}")
+    branches = json.load(open(os.path.join(base, "BRANCHES.json")))
+    assert branches["main"] == "agg_mv-g002b"
+    assert branches.get("audit") == "agg_mv-g002b", (
+        "merge is a ref move; the source branch ref survives it"
+    )
+    names = set(os.listdir(base))
+    assert "agg_mv-g002b" in names
+    assert "agg_mv-g002a" not in names, (
+        "the retired audit branch's generation must vacuum"
+    )
+    assert "agg_mv-g001" not in names, "old main head vacuumed after merge"
+    audits = json.load(open(os.path.join(base, "AUDIT.json")))
+    assert [a["verdict"] for a in audits] == ["retire-branch", "merge"]
+    assert audits[0]["staged_total"] != audits[0]["expected_total"]
+    assert audits[1]["staged_total"] == audits[1]["expected_total"]
+
+
+def test_branch_refs_cas_retain_and_protection(spark, tmp_path):
+    """Unit contract for branch refs: a stale expected_head on merge
+    raises BEFORE the ref moves; retain keeps the just-retired main
+    head (supersession-ordered window, not publish-ordered); a
+    generation referenced by ANY branch survives vacuum and GC until
+    the last ref drops."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.session import (
+        CommitConflictError,
+        checkpoint_index_generation,
+        delete_branch,
+        gc_index_dir,
+        merge_branch,
+        publish_generation,
+        set_branch,
+    )
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    df = spark.range(60).select("id", (F.col("id") * 7).alias("v"))
+    checkpoint_index_generation(base, df, superseded=[], generation="g001")
+    set_branch(base, "main", "g001")
+
+    staged = os.path.join(base, "g002.staged")
+    df.filter("id % 2 = 0").coalesce(1).write.parquet(staged)
+    publish_generation(base, staged, "g002", superseded=[], branch="audit")
+    assert os.path.isdir(os.path.join(base, "g001")), "main untouched"
+
+    with pytest.raises(CommitConflictError):
+        merge_branch(base, "audit", "main", expected_head="g000")
+    assert json.load(open(os.path.join(base, "BRANCHES.json")))["main"] == (
+        "g001"
+    ), "failed CAS must not move the ref"
+
+    # retain interplay: the just-retired main head stays readable even
+    # though a LATER publish (the staged branch generation) intervened
+    merge_branch(base, "audit", "main", expected_head="g001", retain=1)
+    b = json.load(open(os.path.join(base, "BRANCHES.json")))
+    assert b["main"] == "g002"
+    assert os.path.isdir(os.path.join(base, "g001")), (
+        "retain=1 keeps the retired main head (supersession order)"
+    )
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert man["retained"] == ["g001"]
+
+    # ref-protection: supersede g002 on main while a pin branch holds it
+    set_branch(base, "pin", "g002")
+    staged3 = os.path.join(base, "g003.staged")
+    df.filter("id % 3 = 0").coalesce(1).write.parquet(staged3)
+    publish_generation(
+        base, staged3, "g003", superseded=["g002"], branch="main"
+    )
+    assert os.path.isdir(os.path.join(base, "g002")), "pinned gen survives"
+    rep = gc_index_dir(base, older_than_sec=0)
+    assert "g002" not in rep["removed"], "GC honors branch refs"
+    # audit still references g002 too; drop both refs -> swept
+    delete_branch(base, "audit")
+    assert os.path.isdir(os.path.join(base, "g002")), "pin still holds"
+    delete_branch(base, "pin")
+    assert not os.path.isdir(os.path.join(base, "g002")), (
+        "last ref dropped -> the superseded generation sweeps"
+    )
+    assert spark.read.parquet(os.path.join(base, "g003")).count() == 20
