@@ -265,6 +265,29 @@ def q_curation(spark, t):
     )
 
 
+def _run_dedup_chain_from_sigs(spark, sigs):
+    """The dedup chain's tail from a signature frame: capped LSH pairs →
+    connected components → duplicate-cluster size histogram (shared by
+    the headline q_dedup_chain and the persisted-path calibration row)."""
+    from dask_pipes_spark.operators.llm_ops import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    cand = lsh_candidate_pairs(sigs, _checkpoint=False)
+    comp = connected_components(cand, "doc_a", "doc_b")
+    sizes = (
+        comp.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def q_dedup_chain(spark, t):
     """North-star dedup workload (round 5): MinHash signatures → capped LSH
     candidate pairs → connected components → duplicate-cluster size
@@ -281,10 +304,20 @@ def q_dedup_chain(spark, t):
         connected_components,
         lsh_candidate_pairs,
         minhash_signatures,
+        persisted_signature_table,
     )
 
-    docs = t["documents"]
-    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    if os.environ.get("SPARK_GRAFT_DEDUP_INDEX"):
+        # deployment mode (round 10): ride the persisted signature
+        # generation — no re-shingling, no localCheckpoint job; the timed
+        # region starts from 512 B/doc of parquet (the l74 economics). The
+        # in-memory recompute below stays the headline default so BENCH_r*
+        # totals remain comparable round over round.
+        sigs = persisted_signature_table(spark, SF_DIR)
+        cand = lsh_candidate_pairs(sigs, _checkpoint=False)
+    else:
+        docs = t["documents"]
+        cand = lsh_candidate_pairs(minhash_signatures(docs))
     comp = connected_components(cand, "doc_a", "doc_b")
     sizes = (
         comp.groupBy("label")
@@ -901,8 +934,29 @@ def main() -> None:
         len(_got.get(q, set()) & t) for q, t in _truth.items()
     ) / max(1, sum(len(t) for t in _truth.values()))
 
+    # persisted-signature chain disclosure (round 10): the headline
+    # q_dedup_chain recomputes signatures from text (comparable round over
+    # round and to DuckDB's from-scratch twin); the deployment default
+    # rides the persisted signature generation (l74/l80). Publish that
+    # path's same-window time: index build is untimed (ensure_index —
+    # built once per source fingerprint, exactly the deployment
+    # amortization), the timed region is pairs→components→histogram from
+    # 512 B/doc of parquet.
+    from dask_pipes_spark.operators.llm_ops import persisted_signature_table
+
+    bind_views("q_dedup_chain")
+    _psig = persisted_signature_table(spark, SF_DIR)  # untimed build
+    pchain_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _run_dedup_chain_from_sigs(spark, _psig).collect()
+        pchain_times.append(time.perf_counter() - t0)
+
     calibration = {
         "spark_floor_ms": round(statistics.median(floor_times) * 1000, 1),
+        "dedup_chain_persisted_ms": round(
+            statistics.median(pchain_times) * 1000, 1
+        ),
         "duckdb_pricing_ms": round(statistics.median(duck_times) * 1000, 1),
         "join3_raw_3join_ms": round(statistics.median(raw_times) * 1000, 1),
         "text_stats_raw_ms": round(statistics.median(ts_raw_times) * 1000, 1),

@@ -242,14 +242,22 @@ def lsh_candidates(
     num_perm: int = NUM_PERM,
     bands: int = BANDS,
     cap: int = LSH_BUCKET_CAP,
+    _checkpoint: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) — :func:`lsh_candidate_pairs` plus the
     signature-agreement score: est_jaccard = matching components /
     num_perm, computed by joining each endpoint back to the (checkpointed)
     signature table. The scored frame is what threshold-filtering
     consumers (l2's registry output, l7's cluster stats) want; pure
-    connectivity consumers should take the pairs frame directly."""
-    sigs = sigs.localCheckpoint(eager=True)
+    connectivity consumers should take the pairs frame directly.
+
+    ``_checkpoint=False`` (round 10) is for PARQUET-BACKED signature
+    frames (the persisted-generation path): the source is already a
+    durable materialization, so each consumer branch re-reads cheap
+    columnar bytes instead of re-running the md5 aggregation — no
+    checkpoint needed, and the full plan stays visible to tooling."""
+    if _checkpoint:
+        sigs = sigs.localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sigs, num_perm, bands, cap, _checkpoint=False)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -351,9 +359,24 @@ def l2_minhash_lsh(spark, sf_dir):
     permutations) makes the signatures, the banded+capped candidate set, and
     the per-pair similarity estimate bit-reproducible in DuckDB; recall on
     planted near-duplicates stays asserted in tests/test_llm.py."""
+    sigs, ck = _chain_signatures(spark, sf_dir)
+    return lsh_candidates(sigs, _checkpoint=ck).orderBy("doc_a", "doc_b")
+
+
+def _chain_signatures(spark, sf_dir: str):
+    """The dedup chain's materialization boundary (round 10): when
+    ``$SPARK_GRAFT_DEDUP_INDEX`` is set, signatures come from the
+    persisted generation (:func:`persisted_signature_table` — durable,
+    cross-process, no construction-time Spark job) and the checkpoint is
+    skipped; otherwise the in-memory recompute with the eager
+    localCheckpoint boundary (the no-index fallback). Returns
+    ``(sigs, checkpoint_flag)``."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_DEDUP_INDEX"):
+        return persisted_signature_table(spark, sf_dir), False
     d = fanout(load(spark, sf_dir, "documents"))  # shingle map on all cores
-    sigs = minhash_signatures(d)
-    return lsh_candidates(sigs).orderBy("doc_a", "doc_b")
+    return minhash_signatures(d), True
 
 
 def build_minhash_index(spark, sf_dir: str, index_dir: str) -> None:
@@ -848,14 +871,17 @@ def l18_dup_components(spark, sf_dir):
     since round 2 a full SQL oracle re-derives the clustering in DuckDB
     with a recursive-CTE transitive closure over the same (portable-hash)
     candidate pairs."""
-    d = fanout(load(spark, sf_dir, "documents"))  # shingle map on all cores
     # pairs-only frame: components need connectivity, not est_jaccard —
-    # skips the two signature join-backs (round-5 plan trim)
-    pairs = lsh_candidate_pairs(minhash_signatures(d)).select(
+    # skips the two signature join-backs (round-5 plan trim); boundary =
+    # persisted generation when $SPARK_GRAFT_DEDUP_INDEX, else checkpoint
+    sigs, ck = _chain_signatures(spark, sf_dir)
+    pairs = lsh_candidate_pairs(sigs, _checkpoint=ck).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(pairs)
-    docs = d.select(F.col("doc_id").alias("node"), "lang", "source")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "lang", "source"
+    )
     return (
         comp.join(docs, "node")
         .groupBy(F.col("label").alias("cluster_rep"))
@@ -865,6 +891,84 @@ def l18_dup_components(spark, sf_dir):
             F.countDistinct("lang").alias("n_langs"),
             # Comma-joined string, not a raw array: the harness canonicalizer
             # cannot hash ndarray cells (d10 discipline).
+            F.array_join(
+                F.sort_array(F.collect_list("node")).cast("array<string>"), ","
+            ).alias("members"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+
+
+def persisted_signature_table(spark, sf_dir: str) -> DataFrame:
+    """Full-corpus MinHash signature table as a persisted GENERATION
+    (round 10, the r9 verdict's item 5): the dedup chain's natural
+    materialization boundary made explicit. Built once per source
+    fingerprint under :func:`ensure_index` (checkpoint-born as
+    ``signatures-g001``, 8 files — the l74 file-sizing discipline) and
+    read back as parquet, so every chain consumer branch re-reads
+    512 B/doc of columnar bytes instead of re-running the shingle+md5
+    aggregation — the job ``lsh_candidate_pairs``' eager localCheckpoint
+    otherwise exists to prevent, now durable, shareable across processes
+    (``$SPARK_GRAFT_SCRATCH_ROOT``), and executor-loss-tolerant.
+
+    100 TB: this IS the deployment default — the signature table is the
+    artifact a crawl pipeline keeps (l66), and chains that ride it leave
+    localCheckpoint as the no-index fallback only."""
+    import json
+    import os
+
+    from dask_pipes_spark.session import checkpoint_index_generation
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+    def _build(d: str) -> None:
+        docs = fanout(load(spark, sf_dir, "documents"))
+        checkpoint_index_generation(
+            d,
+            minhash_signatures(docs.select("doc_id", "text")),
+            superseded=[],
+            generation="signatures-g001",
+            target_files=8,
+        )
+
+    idx = ensure_index(
+        scratch_path(f"dps_sigfull_{tag}"),
+        os.path.join(sf_dir, "documents.parquet"),
+        version="sig-full-v1",
+        build=_build,
+    )
+    head = json.load(open(os.path.join(idx, "VACUUM.json")))["by"]
+    return spark.read.schema(_SIG_SCHEMA).parquet(os.path.join(idx, head))
+
+
+@query("l80_dedup_chain_persisted", oracle=_L18_ORACLE)
+def l80_dedup_chain_persisted(spark, sf_dir):
+    """The l18 dedup chain served from the persisted signature generation
+    (round 10 — the materialization-boundary default the r9 verdict
+    asked for): candidate pairs, components, and cluster stats all read
+    the ``signatures-g001`` generation via
+    :func:`persisted_signature_table`; no text is ever re-shingled, no
+    localCheckpoint job runs at plan-construction time
+    (``_checkpoint=False`` — the parquet generation IS the boundary),
+    and the full plan stays visible to the EXPLAIN audit (none of the
+    "post-checkpoint plan only" caveats the in-memory chain carries).
+    Same oracle as l18: the persisted-boundary chain must equal the
+    from-scratch recompute pair-for-pair and cluster-for-cluster."""
+    sigs = persisted_signature_table(spark, sf_dir)
+    pairs = lsh_candidate_pairs(sigs, _checkpoint=False).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "lang", "source"
+    )
+    return (
+        comp.join(docs, "node")
+        .groupBy(F.col("label").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
             F.array_join(
                 F.sort_array(F.collect_list("node")).cast("array<string>"), ","
             ).alias("members"),
