@@ -618,6 +618,61 @@ def _resume_generation(
     return None
 
 
+def gc_scratch_root(
+    root: str, older_than_sec: float = 86400.0
+) -> dict:
+    """Root-level companion to :func:`gc_index_dir` (round 10): sweep the
+    debris that lives BESIDE index directories, where the per-index sweep
+    cannot see it — :func:`ensure_index`'s swap intermediates
+    (``<index>.build`` from a kill mid-build, ``<index>.stale`` from a
+    kill mid-swap; both potentially full staged builds) and orphaned
+    ``*.lock`` files whose index directory no longer exists. Every
+    removal is age-guarded (``older_than_sec``): a younger ``.build``
+    may be a LIVE in-flight build holding the adjacent lock. For each
+    surviving index dir that carries a generation manifest, the
+    per-index sweep runs too, so one call covers a whole scratch root.
+    Returns ``{"removed", "kept", "indexes"}``, with per-index reports
+    under ``indexes``."""
+    import shutil
+    import time
+
+    report: dict = {"removed": [], "kept": [], "indexes": {}}
+    if not os.path.isdir(root):
+        return report
+    now = time.time()
+    names = sorted(os.listdir(root))
+    present = set(names)
+    for name in names:
+        p = os.path.join(root, name)
+        if name.endswith((".build", ".stale")) and os.path.isdir(p):
+            if now - os.stat(p).st_mtime >= older_than_sec:
+                shutil.rmtree(p, ignore_errors=True)
+                report["removed"].append(name)
+            else:
+                report["kept"].append(name)
+            continue
+        if name.endswith(".lock") and not os.path.isdir(p):
+            owner = name[: -len(".lock")]
+            if owner not in present and (
+                now - os.stat(p).st_mtime >= older_than_sec
+            ):
+                try:
+                    os.remove(p)
+                    report["removed"].append(name)
+                except OSError:
+                    report["kept"].append(name)
+            else:
+                report["kept"].append(name)
+            continue
+        if os.path.isdir(p) and os.path.exists(
+            os.path.join(p, "VACUUM.json")
+        ):
+            report["indexes"][name] = gc_index_dir(
+                p, older_than_sec=older_than_sec
+            )
+    return report
+
+
 class CommitConflictError(RuntimeError):
     """Raised by :func:`publish_generation` when ``expected_head`` no
     longer matches the manifest — another maintainer committed first.

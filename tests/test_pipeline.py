@@ -1288,3 +1288,42 @@ def test_branch_refs_cas_retain_and_protection(spark, tmp_path):
         "last ref dropped -> the superseded generation sweeps"
     )
     assert spark.read.parquet(os.path.join(base, "g003")).count() == 20
+
+
+def test_gc_scratch_root_sweeps_ensure_index_debris(tmp_path):
+    """The root-level sweep removes what the per-index sweep cannot see:
+    torn ensure_index swap intermediates (<index>.build / <index>.stale
+    siblings) and orphaned lock files — age-guarded so a live in-flight
+    build survives — and recurses the per-index GC into every
+    manifest-bearing index dir."""
+    import json
+    import os
+
+    from dask_pipes_spark.session import (
+        _append_vacuum_link,
+        gc_scratch_root,
+    )
+
+    root = str(tmp_path)
+    # a live index with a manifest + an internal torn tmp
+    idx = os.path.join(root, "idx_a")
+    os.makedirs(os.path.join(idx, "g001"))
+    _append_vacuum_link(idx, [], "g001", 0)
+    os.makedirs(os.path.join(idx, "g001.tmp"))
+    # ensure_index debris beside it
+    os.makedirs(os.path.join(root, "idx_a.build"))
+    os.makedirs(os.path.join(root, "idx_b.stale"))
+    open(os.path.join(root, "idx_a.lock"), "w").close()   # owner exists
+    open(os.path.join(root, "idx_gone.lock"), "w").close()  # orphaned
+
+    rep = gc_scratch_root(root, older_than_sec=0)
+    assert set(rep["removed"]) == {"idx_a.build", "idx_b.stale",
+                                   "idx_gone.lock"}
+    assert "idx_a.lock" in rep["kept"], "live index keeps its lock"
+    assert rep["indexes"]["idx_a"]["removed"] == ["g001.tmp"]
+    assert os.path.isdir(os.path.join(idx, "g001")), "head untouched"
+
+    # age guard: fresh debris (possibly live) survives a nonzero guard
+    os.makedirs(os.path.join(root, "idx_c.build"))
+    rep2 = gc_scratch_root(root, older_than_sec=3600)
+    assert "idx_c.build" in rep2["kept"]
