@@ -1327,3 +1327,68 @@ def test_gc_scratch_root_sweeps_ensure_index_debris(tmp_path):
     os.makedirs(os.path.join(root, "idx_c.build"))
     rep2 = gc_scratch_root(root, older_than_sec=3600)
     assert "idx_c.build" in rep2["kept"]
+
+
+def _cas_racer(base: str, who: str, barrier, q) -> None:
+    """Spawn-target for the cross-process CAS race (module-level so the
+    spawn context can pickle it)."""
+    import os
+
+    from dask_pipes_spark.session import (
+        CommitConflictError,
+        publish_generation,
+    )
+
+    barrier.wait()  # maximize overlap of the two critical sections
+    try:
+        publish_generation(
+            base,
+            os.path.join(base, f"g002{who}.staged"),
+            f"g002{who}",
+            superseded=["g001"],
+            expected_head="g001",
+        )
+        q.put((who, "won"))
+    except CommitConflictError:
+        q.put((who, "conflict"))
+
+
+def test_publish_cas_exactly_one_winner_across_processes(tmp_path):
+    """The r10 advice fix: the CAS head-check, rename, and manifest
+    append are one flock-guarded critical section, so two PROCESSES
+    publishing from the same expected_head cannot both win — exactly
+    one succeeds, the loser raises CommitConflictError with its staged
+    bytes intact, and the history gains exactly one link."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    from dask_pipes_spark.session import _append_vacuum_link
+
+    base = str(tmp_path / "idx")
+    os.makedirs(os.path.join(base, "g001"))
+    _append_vacuum_link(base, [], "g001", 0)
+    for who in ("A", "B"):
+        os.makedirs(os.path.join(base, f"g002{who}.staged"))
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(2)
+    q = ctx.Queue()
+    ps = [
+        ctx.Process(target=_cas_racer, args=(base, w, barrier, q))
+        for w in "AB"
+    ]
+    for p in ps:
+        p.start()
+    outcomes = dict(q.get(timeout=60) for _ in ps)
+    for p in ps:
+        p.join(timeout=60)
+    assert sorted(outcomes.values()) == ["conflict", "won"], outcomes
+    winner = next(w for w, o in outcomes.items() if o == "won")
+    loser = next(w for w, o in outcomes.items() if o == "conflict")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [h["by"] for h in man["history"]] == ["g001", f"g002{winner}"]
+    assert os.path.isdir(os.path.join(base, f"g002{loser}.staged")), (
+        "loser's staged bytes must survive for the re-base"
+    )
+    assert not os.path.isdir(os.path.join(base, "g001")), "vacuum ran once"
