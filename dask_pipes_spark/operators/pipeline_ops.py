@@ -2837,3 +2837,114 @@ def p29_branch_wap(spark, sf_dir):
         F.col("rev").cast("double").alias("sum_revenue"),
         F.col("qty").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "p30_expire_snapshots",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def p30_expire_snapshots(spark, sf_dir):
+    """Age-based snapshot expiry (round 10 — Iceberg's
+    ``expire_snapshots(older_than, retain_last)``; the missing third leg
+    of the retention story after count-based ``retain=N`` (p21) and
+    ref-protection (p29)): every manifest link now carries its commit
+    timestamp, and :func:`expire_snapshots` sweeps RETAINED generations
+    whose supersession is older than the window — the compliance /
+    storage-budget knob ("keep 7 days of rollback") real tables run
+    alongside the count-based one.
+
+    The build walks three windows: ``agg_mv-g001`` (day-1 partials) →
+    ``agg_mv-g002`` (the CDC applied — p18's state) → ``agg_mv-g003``
+    (an OPTIMIZE window: g002 recompacted, logically identical — the
+    Iceberg rewrite_data_files shape, which is exactly why old
+    snapshots pile up in practice), checkpointed with ``retain=2`` so
+    both g001 and g002 stay readable. Expiry with ``keep_last=1`` then
+    ages g001 out (its directory deleted, the manifest's retained list
+    rewritten under the commit lock) while g002 keeps serving time
+    travel and head g003 keeps serving the query — the oracle
+    recomputes the post-CDC state from base tables, so an expiry that
+    touched the head, or swept the floor-protected g002, diverges the
+    hash. ``EXPIRE.json`` records the sweep; never-expire-the-head /
+    branch-protection / keep_last floor / re-entrancy are test-pinned.
+
+    100 TB: expiry is O(retained) metadata + unlink — the nightly
+    janitor pass; age answers a different question than count, and the
+    timestamped manifest is what makes either auditable."""
+    import json
+
+    from dask_pipes_spark.session import (
+        checkpoint_index_generation,
+        expire_snapshots,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p30_expire_{tag}")
+    gen_schema = (
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    )
+
+    def _stage(d: str) -> None:
+        _stage_agg_mv_state(spark, sf_dir, d)
+        mv, br, d_ins, d_del = _read_agg_mv_state(spark, d)
+        checkpoint_index_generation(
+            d, mv, superseded=["agg_mv"], generation="agg_mv-g001"
+        )
+        g1 = spark.read.schema(gen_schema).parquet(
+            os.path.join(d, "agg_mv-g001")
+        )
+        merged = (
+            g1.unionAll(_agg_mv_delta_partial(d_ins, br, 1))
+            .unionAll(_agg_mv_delta_partial(d_del, br, -1))
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        checkpoint_index_generation(
+            d, merged,
+            superseded=["agg_mv-g001", "delta_ins", "delta_del"],
+            generation="agg_mv-g002", retain=2,
+        )
+        # OPTIMIZE window: recompact g002 as g003 — logically identical,
+        # a new snapshot (the reason old ones accumulate)
+        g2 = spark.read.schema(gen_schema).parquet(
+            os.path.join(d, "agg_mv-g002")
+        )
+        checkpoint_index_generation(
+            d, g2, superseded=["agg_mv-g002"],
+            generation="agg_mv-g003", retain=2,
+        )
+        report = expire_snapshots(d, older_than_sec=0, keep_last=1)
+        with open(os.path.join(d, "EXPIRE.json.tmp"), "w") as fh:
+            json.dump(report, fh)
+        os.replace(
+            os.path.join(d, "EXPIRE.json.tmp"), os.path.join(d, "EXPIRE.json")
+        )
+
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    ensure_index(base, sf_dir, version="expire-v1", build=_stage)
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    head = manifest["history"][-1]["by"]
+    mv = spark.read.schema(gen_schema).parquet(os.path.join(base, head))
+    return mv.select(
+        "n_name",
+        F.col("cnt").alias("n_items"),
+        F.col("rev").cast("double").alias("sum_revenue"),
+        F.col("qty").cast("double").alias("sum_qty"),
+    )

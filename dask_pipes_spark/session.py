@@ -301,7 +301,13 @@ def _append_vacuum_link(
                 history = json.load(fh).get("history", [])
         except (OSError, ValueError):
             history = []
-    link = {"superseded": sorted(superseded), "by": generation}
+    import time as _time
+
+    # commit timestamp (round 10): feeds age-based retention
+    # (:func:`expire_snapshots` — Iceberg's expire_snapshots(older_than));
+    # metadata-plane only, never part of any query answer
+    link = {"superseded": sorted(superseded), "by": generation,
+            "ts": _time.time()}
     history.append(link)
     # retention window: prior generations (names that were a `by`) in
     # creation order; the newest `retain` stay readable. Only generations
@@ -616,6 +622,78 @@ def _resume_generation(
             _append_vacuum_link(index_dir, superseded, generation, retain)
             return final
     return None
+
+
+def expire_snapshots(
+    index_dir: str, older_than_sec: float, keep_last: int = 1
+) -> dict:
+    """Age-based retention (round 10 — Iceberg's
+    ``expire_snapshots(older_than)``, completing the retention story:
+    count-based ``retain=N`` at checkpoint time, ref-based protection
+    for branches, and now age-based expiry for the nightly janitor): a
+    RETAINED generation whose supersession link is older than
+    ``older_than_sec`` falls out of the time-travel window — it is
+    removed from the manifest's ``retained`` list and its directory is
+    deleted. Never expired: live heads (they are not retained entries),
+    branch-referenced generations, the newest ``keep_last`` retained
+    entries regardless of age (Iceberg's ``retain_last`` floor), and
+    links without a timestamp (pre-r10 manifests — age unknown, keep).
+
+    Runs under the commit lock; the manifest rewrite is temp+rename;
+    re-entrant. Returns ``{"expired", "kept"}``.
+
+    100 TB: retention-by-count answers "how many rollback points";
+    retention-by-age answers the compliance/storage-budget question
+    ("keep 7 days") — real tables run both, so this engine does too."""
+    import json
+    import shutil
+    import time
+
+    report: dict = {"expired": [], "kept": []}
+    with _commit_lock(index_dir):
+        history, retained = _read_history(index_dir)
+        if not retained:
+            return report
+        branch_heads = set(_read_branches(index_dir).values())
+        # supersession time per generation: the ts of the LAST link that
+        # superseded it (matches the supersession-ordered window)
+        sup_ts: dict[str, float | None] = {}
+        for h in history:
+            for n in h["superseded"]:
+                sup_ts[n] = h.get("ts")
+        # age-ordered expiry candidates: oldest supersession first; the
+        # newest keep_last retained entries are floor-protected
+        ordered = sorted(
+            retained, key=lambda n: (sup_ts.get(n) is None, sup_ts.get(n) or 0)
+        )
+        floor = set(ordered[len(ordered) - keep_last:]) if keep_last > 0 else set()
+        cutoff = time.time() - older_than_sec
+        still: list[str] = []
+        for name in ordered:
+            ts = sup_ts.get(name)
+            expired = (
+                ts is not None
+                and ts < cutoff
+                and name not in floor
+                and name not in branch_heads
+            )
+            if expired:
+                shutil.rmtree(
+                    os.path.join(index_dir, name), ignore_errors=True
+                )
+                report["expired"].append(name)
+            else:
+                still.append(name)
+        report["kept"] = sorted(still)
+        if report["expired"]:
+            manifest_path = os.path.join(index_dir, "VACUUM.json")
+            with open(manifest_path) as fh:
+                m = json.load(fh)
+            m["retained"] = sorted(still)
+            with open(manifest_path + ".tmp", "w") as fh:
+                json.dump(m, fh)
+            os.replace(manifest_path + ".tmp", manifest_path)
+    return report
 
 
 def gc_scratch_root(

@@ -1392,3 +1392,97 @@ def test_publish_cas_exactly_one_winner_across_processes(tmp_path):
         "loser's staged bytes must survive for the re-base"
     )
     assert not os.path.isdir(os.path.join(base, "g001")), "vacuum ran once"
+
+
+def test_p30_expiry_layout_and_time_travel_floor(spark):
+    """p30 contract: g001 ages out (gone from disk and from the retained
+    list), the keep_last floor protects g002 (still readable — time
+    travel to it works), the head g003 serves p18's state, and
+    EXPIRE.json records the sweep."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        p18_agg_mv_maintain,
+        p30_expire_snapshots,
+    )
+    from dask_pipes_spark.session import scratch_path
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(
+        tuple(r) for r in p30_expire_snapshots(spark, SF_SMOKE).collect()
+    )
+    ref = sorted(
+        tuple(r) for r in p18_agg_mv_maintain(spark, SF_SMOKE).collect()
+    )
+    assert got and got == ref
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p30_expire_{tag}")
+    names = set(os.listdir(base))
+    assert "agg_mv-g003" in names, "head untouched"
+    assert "agg_mv-g002" in names, "keep_last floor must survive expiry"
+    assert "agg_mv-g001" not in names, "aged-out snapshot must be deleted"
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert man["retained"] == ["agg_mv-g002"]
+    assert all("ts" in h for h in man["history"]), "links carry timestamps"
+    rep = json.load(open(os.path.join(base, "EXPIRE.json")))
+    assert rep["expired"] == ["agg_mv-g001"]
+    assert rep["kept"] == ["agg_mv-g002"]
+    # the floor-protected snapshot still answers (time travel intact)
+    g2 = spark.read.schema(
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    ).parquet(os.path.join(base, "agg_mv-g002"))
+    assert g2.count() > 0
+
+
+def test_expire_snapshots_unit_contract(spark, tmp_path):
+    """expire_snapshots unit contract: age cutoff honored (young
+    snapshots stay), branch-referenced snapshots never expire, keep_last
+    floor regardless of age, re-entrancy, heads untouched."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.session import (
+        checkpoint_index_generation,
+        expire_snapshots,
+        set_branch,
+    )
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    df = spark.range(20).select("id", (F.col("id") * 5).alias("v"))
+    checkpoint_index_generation(base, df, superseded=[], generation="g001")
+    checkpoint_index_generation(
+        base, df.filter("id < 15"), superseded=["g001"],
+        generation="g002", retain=3,
+    )
+    checkpoint_index_generation(
+        base, df.filter("id < 10"), superseded=["g002"],
+        generation="g003", retain=3,
+    )
+    checkpoint_index_generation(
+        base, df.filter("id < 5"), superseded=["g003"],
+        generation="g004", retain=3,
+    )
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert man["retained"] == ["g001", "g002", "g003"]
+
+    # a young window expires nothing
+    rep = expire_snapshots(base, older_than_sec=3600, keep_last=1)
+    assert rep["expired"] == []
+    # branch protection: pin g001 (the oldest), expire aggressively
+    set_branch(base, "pin", "g001")
+    rep = expire_snapshots(base, older_than_sec=0, keep_last=1)
+    assert rep["expired"] == ["g002"], rep
+    assert set(rep["kept"]) == {"g001", "g003"}
+    assert os.path.isdir(os.path.join(base, "g001")), "branch-pinned stays"
+    assert os.path.isdir(os.path.join(base, "g003")), "keep_last floor"
+    assert not os.path.isdir(os.path.join(base, "g002"))
+    assert os.path.isdir(os.path.join(base, "g004")), "head never expires"
+    # re-entrant
+    rep2 = expire_snapshots(base, older_than_sec=0, keep_last=1)
+    assert rep2["expired"] == [], rep2
+    assert spark.read.parquet(os.path.join(base, "g004")).count() == 5
