@@ -871,3 +871,37 @@ def test_k24_batching_invariance(spark):
     )
     assert got == ref
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_k25_gc_rides_the_stream(spark):
+    """k25 contract: planted crash debris is swept by the per-window GC
+    while the stream maintains the MV (quarantine kept, chain and head
+    untouched), and the drained MV equals k19's."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.streaming_ops import (
+        k19_stream_agg_ivm,
+        k25_stream_gc,
+    )
+    from dask_pipes_spark.session import scratch_path
+
+    got = sorted(tuple(r) for r in k25_stream_gc(spark, SF_SMOKE).collect())
+    ref = sorted(
+        tuple(r) for r in k19_stream_agg_ivm(spark, SF_SMOKE).collect()
+    )
+    assert got, "drained MV must be non-empty at sf0.001"
+    assert got == ref, "in-loop GC must not change the maintained state"
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k25_gc_stream_{tag}")
+    names = set(os.listdir(base))
+    assert "agg_mv-g001.tmp" not in names, "torn tmp must be swept"
+    assert "agg_mv-g001.staged-crashed" not in names, "staged debris swept"
+    assert "agg_mv-g000.quarantine-bad" in names, "quarantine survives GC"
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    chain = [h["by"] for h in man["history"]]
+    assert chain == [f"agg_mv-g{i:03d}" for i in range(1, len(chain) + 1)]
+    assert man["by"] in names and "bridge" in names and "cdc" in names
+    for gen in chain[:-1]:
+        assert gen not in names, f"superseded generation survived: {gen}"
