@@ -329,6 +329,16 @@ def _append_vacuum_link(
                 if n in sup_events:
                     sup_events.remove(n)
                 sup_events.append(n)
+    # only generations still ON DISK can enter the window (round 10,
+    # found by the protocol fuzzer): a generation vacuumed under an
+    # earlier retain=0 policy must not be resurrected into a later
+    # link's `retained` list — the manifest would claim a readable
+    # snapshot whose bytes are gone. The current link's superseded dirs
+    # still exist at this point (deletion happens below, after the
+    # manifest write), so the fresh window is unaffected.
+    sup_events = [
+        n for n in sup_events if os.path.isdir(os.path.join(index_dir, n))
+    ]
     keep = set(sup_events[-retain:]) if retain > 0 else set()
     # branch refs are vacuum-protected (round 10, Iceberg refs): a
     # generation some branch still names must stay readable even after a

@@ -1,0 +1,234 @@
+"""Stateful fuzz of the generation protocol's metadata plane (round 10).
+
+A hypothesis rule-based state machine drives random interleavings of
+publish / set-branch / merge / delete-branch / GC / expiry / torn-state
+planting / same-args resume against one index directory, and checks the
+durability INVARIANTS the whole lakehouse tier rests on after every
+step:
+
+- the manifest head's directory always exists and keeps its content;
+- every branch-referenced generation's directory exists;
+- every name on the manifest's ``retained`` list exists;
+- GC and expiry never name a head / branch-ref / retained entry in
+  their removal reports, and a second GC right after a first removes
+  nothing (re-entrancy).
+
+Everything here is pure file/metadata work (publish_generation renames
+a staged dir; no DataFrames), so hundreds of protocol interleavings run
+in seconds — the deterministic twin of a soak test. The Spark-side
+halves (checkpoint compaction, serving scans) are covered by the
+pipeline/streaming suites; this file is about COMMIT-PLANE safety.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from hypothesis import settings
+from hypothesis import strategies as st
+from hypothesis.stateful import (
+    RuleBasedStateMachine,
+    initialize,
+    invariant,
+    rule,
+)
+
+from dask_pipes_spark.session import (
+    CommitConflictError,
+    delete_branch,
+    expire_snapshots,
+    gc_index_dir,
+    merge_branch,
+    publish_generation,
+    set_branch,
+)
+
+
+def _read_manifest(d: str) -> tuple[list, list]:
+    p = os.path.join(d, "VACUUM.json")
+    if not os.path.exists(p):
+        return [], []
+    m = json.load(open(p))
+    return m.get("history", []), m.get("retained", [])
+
+
+def _read_branches(d: str) -> dict:
+    p = os.path.join(d, "BRANCHES.json")
+    return json.load(open(p)) if os.path.exists(p) else {}
+
+
+class GenerationProtocol(RuleBasedStateMachine):
+    def __init__(self):
+        super().__init__()
+        self.dir = tempfile.mkdtemp(prefix="dps_fuzz_")
+        self.ngen = 0
+        self.published: list[str] = []  # every generation ever committed
+
+    def teardown(self):
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+    # --- helpers -----------------------------------------------------------
+
+    def _head(self) -> str | None:
+        hist, _ = _read_manifest(self.dir)
+        return hist[-1]["by"] if hist else None
+
+    def _stage(self, name: str) -> str:
+        staged = os.path.join(self.dir, f"{name}.staged")
+        os.makedirs(staged, exist_ok=True)
+        # content marker: proves later that nothing rewrote the data
+        open(os.path.join(staged, "DATA"), "w").write(name)
+        return staged
+
+    # --- rules -------------------------------------------------------------
+
+    @initialize()
+    def init_first_generation(self):
+        self.ngen = 1
+        publish_generation(
+            self.dir, self._stage("g001"), "g001", superseded=[]
+        )
+        self.published.append("g001")
+        set_branch(self.dir, "main", "g001")
+
+    @rule(
+        retain=st.integers(0, 2),
+        supersede_head=st.booleans(),
+        to_branch=st.booleans(),
+        use_cas=st.booleans(),
+    )
+    def publish(self, retain, supersede_head, to_branch, use_cas):
+        self.ngen += 1
+        name = f"g{self.ngen:03d}"
+        head = self._head()
+        superseded = [head] if (supersede_head and head) else []
+        publish_generation(
+            self.dir,
+            self._stage(name),
+            name,
+            superseded=superseded,
+            retain=retain,
+            expected_head=head if use_cas else None,
+            branch="audit" if to_branch else None,
+        )
+        self.published.append(name)
+
+    @rule()
+    def stale_cas_refused(self):
+        """A publish expecting a head that never existed must refuse
+        BEFORE any rename, leaving the staged bytes intact."""
+        name = f"g{self.ngen + 1:03d}.cas-probe"
+        staged = self._stage(name)
+        try:
+            publish_generation(
+                self.dir, staged, name, superseded=[],
+                expected_head="never-existed",
+            )
+            raise AssertionError("stale CAS must refuse")
+        except CommitConflictError:
+            pass
+        assert os.path.isdir(staged), "loser's staged bytes must survive"
+        shutil.rmtree(staged, ignore_errors=True)
+
+    @rule(data=st.data())
+    def point_branch(self, data):
+        existing = [
+            g for g in self.published
+            if os.path.isdir(os.path.join(self.dir, g))
+        ]
+        if not existing:
+            return
+        gen = data.draw(st.sampled_from(existing))
+        branch = data.draw(st.sampled_from(["audit", "pin", "eval"]))
+        set_branch(self.dir, branch, gen)
+
+    @rule(retain=st.integers(0, 2))
+    def merge_audit_to_main(self, retain):
+        branches = _read_branches(self.dir)
+        if "audit" not in branches:
+            return
+        merge_branch(
+            self.dir, "audit", "main",
+            expected_head=branches.get("main"), retain=retain,
+        )
+
+    @rule(branch=st.sampled_from(["audit", "pin", "eval"]))
+    def retire_branch(self, branch):
+        delete_branch(self.dir, branch)
+
+    @rule()
+    def plant_torn_debris_then_gc(self):
+        """Debris from a simulated kill must be removable without
+        touching live state."""
+        os.makedirs(
+            os.path.join(self.dir, f"g{self.ngen:03d}.tmp"), exist_ok=True
+        )
+        os.makedirs(
+            os.path.join(self.dir, "gXXX.staged-crashed"), exist_ok=True
+        )
+        gc_index_dir(self.dir, older_than_sec=0)
+        assert not os.path.isdir(
+            os.path.join(self.dir, "gXXX.staged-crashed")
+        )
+
+    @rule()
+    def gc_is_reentrant(self):
+        gc_index_dir(self.dir, older_than_sec=0)
+        rep2 = gc_index_dir(self.dir, older_than_sec=0)
+        assert rep2["removed"] == [], rep2
+
+    @rule(keep_last=st.integers(0, 2))
+    def expire_old_snapshots(self, keep_last):
+        expire_snapshots(self.dir, older_than_sec=0, keep_last=keep_last)
+
+    @rule()
+    def resume_same_args_is_idempotent(self):
+        """Re-publishing the current head with the same args (the
+        crash-retry shape) must not duplicate history links."""
+        head = self._head()
+        if head is None:
+            return
+        hist_before, _ = _read_manifest(self.dir)
+        publish_generation(
+            self.dir, os.path.join(self.dir, "gone.staged"), head,
+            superseded=[],
+        )
+        hist_after, _ = _read_manifest(self.dir)
+        assert len(hist_after) == len(hist_before), "duplicate link"
+
+    # --- invariants ----------------------------------------------------------
+
+    @invariant()
+    def head_is_durable(self):
+        head = self._head()
+        if head is None:
+            return
+        p = os.path.join(self.dir, head)
+        assert os.path.isdir(p), f"head {head} lost"
+        marker = os.path.join(p, "DATA")
+        if os.path.exists(marker):  # content never rewritten by metadata ops
+            assert open(marker).read() == head.split(".")[0]
+
+    @invariant()
+    def branch_refs_are_durable(self):
+        for branch, gen in _read_branches(self.dir).items():
+            assert os.path.isdir(os.path.join(self.dir, gen)), (
+                f"branch {branch} -> {gen} dangling"
+            )
+
+    @invariant()
+    def retained_window_is_durable(self):
+        _, retained = _read_manifest(self.dir)
+        for gen in retained:
+            assert os.path.isdir(os.path.join(self.dir, gen)), (
+                f"retained {gen} lost"
+            )
+
+
+GenerationProtocol.TestCase.settings = settings(
+    max_examples=60, stateful_step_count=30, deadline=None
+)
+TestGenerationProtocol = GenerationProtocol.TestCase
