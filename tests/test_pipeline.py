@@ -1486,3 +1486,172 @@ def test_expire_snapshots_unit_contract(spark, tmp_path):
     rep2 = expire_snapshots(base, older_than_sec=0, keep_last=1)
     assert rep2["expired"] == [], rep2
     assert spark.read.parquet(os.path.join(base, "g004")).count() == 5
+
+
+def _mk_generation(base, name):
+    """Plant a committed generation: directory with a DATA marker plus the
+    manifest link (pure metadata — no Spark needed)."""
+    import os
+
+    from dask_pipes_spark.session import publish_generation
+
+    staged = os.path.join(base, name + ".staged")
+    os.makedirs(staged, exist_ok=True)
+    with open(os.path.join(staged, "DATA"), "w") as fh:
+        fh.write(name)
+    return publish_generation(base, staged, name, superseded=[])
+
+
+def test_expire_rewrites_manifest_before_deleting(tmp_path, monkeypatch):
+    """Crash-ordering contract (round 11, advice item): expire_snapshots
+    rewrites VACUUM.json's retained list BEFORE unlinking any snapshot
+    directory, so a kill mid-expiry leaves on-disk orphans (sweepable by
+    gc_index_dir) — never a manifest claiming readable snapshots whose
+    bytes are gone. Pinned by fault injection: rmtree raises on first
+    call; the manifest must already exclude the expired name, and the
+    orphaned directory must then be GC-sweepable."""
+    import json
+    import os
+    import shutil
+
+    from dask_pipes_spark.session import (
+        _append_vacuum_link,
+        expire_snapshots,
+        gc_index_dir,
+    )
+
+    base = str(tmp_path / "idx")
+    _mk_generation(base, "g001")
+    # supersede g001 with retain=1 so it lands on the retained list, then
+    # age its link far past any cutoff
+    os.makedirs(os.path.join(base, "g002"))
+    _append_vacuum_link(base, ["g001"], "g002", retain=1)
+    man_path = os.path.join(base, "VACUUM.json")
+    man = json.load(open(man_path))
+    assert man["retained"] == ["g001"]
+    for h in man["history"]:
+        h["ts"] = 1.0  # epoch-old supersession
+    with open(man_path, "w") as fh:
+        json.dump(man, fh)
+
+    real_rmtree = shutil.rmtree
+
+    def boom(path, *a, **kw):
+        raise OSError("injected kill between manifest rewrite and delete")
+
+    monkeypatch.setattr(shutil, "rmtree", boom)
+    try:
+        expire_snapshots(base, older_than_sec=10.0, keep_last=0)
+    except OSError:
+        pass
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    man = json.load(open(man_path))
+    assert man["retained"] == [], (
+        "manifest must be rewritten before any directory deletion"
+    )
+    assert os.path.isdir(os.path.join(base, "g001")), "bytes still present"
+    # the leftover is exactly the orphan shape gc_index_dir sweeps:
+    # superseded + no longer retained
+    rep = gc_index_dir(base, older_than_sec=0)
+    assert "g001" in rep["removed"]
+
+
+def test_expire_keep_last_floor_ignores_tsless_links(tmp_path):
+    """keep_last protects the newest TIMESTAMPED retained generations
+    (round 11, advice item): ts-less pre-r10 links are already
+    unexpirable, so they must not occupy floor slots — otherwise the
+    genuinely newest timestamped snapshot expires despite keep_last."""
+    import json
+    import os
+
+    from dask_pipes_spark.session import _append_vacuum_link, expire_snapshots
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    for g in ("g001", "g002", "g003", "g004"):
+        os.makedirs(os.path.join(base, g))
+    _append_vacuum_link(base, [], "g001", retain=3)
+    _append_vacuum_link(base, ["g001"], "g002", retain=3)
+    _append_vacuum_link(base, ["g002"], "g003", retain=3)
+    _append_vacuum_link(base, ["g003"], "g004", retain=3)
+    man_path = os.path.join(base, "VACUUM.json")
+    man = json.load(open(man_path))
+    assert set(man["retained"]) == {"g001", "g002", "g003"}
+    # g001: legacy ts-less link; g002 old; g003 newest timestamped
+    for h in man["history"]:
+        if "g001" in h["superseded"]:
+            del h["ts"]
+        elif "g002" in h["superseded"]:
+            h["ts"] = 1.0
+        elif "g003" in h["superseded"]:
+            h["ts"] = 2.0
+    with open(man_path, "w") as fh:
+        json.dump(man, fh)
+
+    rep = expire_snapshots(base, older_than_sec=10.0, keep_last=1)
+    assert rep["expired"] == ["g002"], rep
+    assert os.path.isdir(os.path.join(base, "g003")), (
+        "the newest timestamped snapshot holds the keep_last floor"
+    )
+    assert os.path.isdir(os.path.join(base, "g001")), "ts-less stays (age unknown)"
+
+
+def test_gc_guard_precedes_unlink(tmp_path):
+    """The never-sweep-a-live-head invariant is a PREVENTION (round 11,
+    advice item): a live head whose caller-chosen name matches the torn
+    filters (here a generation literally named ``weird.tmp``) makes GC
+    raise BEFORE any deletion — the directory survives intact, where the
+    old post-hoc check deleted first and raised after."""
+    import os
+
+    import pytest
+
+    from dask_pipes_spark.session import gc_index_dir
+
+    base = str(tmp_path / "idx")
+    _mk_generation(base, "weird.tmp")
+    with pytest.raises(RuntimeError, match="nothing was deleted"):
+        gc_index_dir(base, older_than_sec=0)
+    marker = os.path.join(base, "weird.tmp", "DATA")
+    assert os.path.exists(marker), "guard must fire before any rmtree"
+    with open(marker) as fh:
+        assert fh.read() == "weird.tmp"
+
+
+def test_delete_branch_without_main_never_dangles_head(tmp_path):
+    """delete_branch with no 'main' ref (round 11, advice item): the
+    vacuum link anchors at the previous durable history head — never a
+    self-superseding {superseded:[X], by:X} link whose retain=0 sweep
+    deletes the directory the manifest head names. And when the deleted
+    branch pointed at the ONLY generation, the link is skipped entirely:
+    the head stays readable."""
+    import json
+    import os
+
+    from dask_pipes_spark.session import delete_branch, set_branch
+
+    base = str(tmp_path / "idx")
+    _mk_generation(base, "g001")
+    _mk_generation(base, "g002")
+    set_branch(base, "feature", "g002")
+
+    retired = delete_branch(base, "feature", retain=0)
+    assert retired == "g002"
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    head = man["history"][-1]["by"]
+    assert head == "g001", "anchor falls back to the previous history head"
+    assert os.path.isdir(os.path.join(base, head)), "head never dangles"
+    assert not os.path.isdir(os.path.join(base, "g002")), "retired gen swept"
+    for h in man["history"]:
+        assert h["by"] not in h["superseded"], "self-superseding link written"
+
+    # only-generation case: skip the link, keep the head readable
+    base2 = str(tmp_path / "idx2")
+    _mk_generation(base2, "solo")
+    set_branch(base2, "feature", "solo")
+    hist_before = json.load(open(os.path.join(base2, "VACUUM.json")))["history"]
+    delete_branch(base2, "feature", retain=0)
+    man2 = json.load(open(os.path.join(base2, "VACUUM.json")))
+    assert man2["history"] == hist_before, "no self-superseding link appended"
+    assert os.path.isdir(os.path.join(base2, "solo")), "sole head stays readable"

@@ -38,6 +38,8 @@ from hypothesis.stateful import (
 
 from dask_pipes_spark.session import (
     CommitConflictError,
+    checkpoint_index_generations,
+    compact_manifest,
     delete_branch,
     expire_snapshots,
     gc_index_dir,
@@ -116,6 +118,32 @@ class GenerationProtocol(RuleBasedStateMachine):
         )
         self.published.append(name)
 
+    @rule(retain=st.integers(0, 2), supersede_head=st.booleans())
+    def publish_atomic_pair(self, retain, supersede_head):
+        """Round 11: two tables commit under ONE history link via
+        checkpoint_index_generations — durable tmps staged by hand (the
+        _SUCCESS marker is the durability contract), no Spark needed."""
+        head = self._head()
+        superseded = [head] if (supersede_head and head) else []
+        self.ngen += 1
+        names = [f"g{self.ngen:03d}-a", f"g{self.ngen:03d}-b"]
+        moves = []
+        for j, nm in enumerate(names):
+            tmp = os.path.join(self.dir, nm + ".tmp")
+            os.makedirs(tmp, exist_ok=True)
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+            open(os.path.join(tmp, "DATA"), "w").write(nm)
+            moves.append((None, superseded if j == 0 else [], nm))
+        checkpoint_index_generations(self.dir, moves, retain=retain)
+        self.published.extend(names)
+
+    @rule(keep_tail=st.integers(1, 4))
+    def compact(self, keep_tail):
+        """Round 11: folding inert history prefix links must never change
+        heads, retained durability, GC decisions, or resume outcomes —
+        all existing invariants run across it."""
+        compact_manifest(self.dir, keep_tail=keep_tail)
+
     @rule()
     def stale_cas_refused(self):
         """A publish expecting a head that never existed must refuse
@@ -155,8 +183,11 @@ class GenerationProtocol(RuleBasedStateMachine):
             expected_head=branches.get("main"), retain=retain,
         )
 
-    @rule(branch=st.sampled_from(["audit", "pin", "eval"]))
+    @rule(branch=st.sampled_from(["audit", "pin", "eval", "main"]))
     def retire_branch(self, branch):
+        # "main" included (round 11): deleting the serving ref exercises
+        # the no-distinct-anchor path — the link must anchor at a durable
+        # prior head or be skipped, never self-supersede (advice item)
         delete_branch(self.dir, branch)
 
     @rule()
@@ -211,6 +242,29 @@ class GenerationProtocol(RuleBasedStateMachine):
         marker = os.path.join(p, "DATA")
         if os.path.exists(marker):  # content never rewritten by metadata ops
             assert open(marker).read() == head.split(".")[0]
+
+    @invariant()
+    def all_live_heads_durable(self):
+        """Every uncommitted-over generation — including the non-mirror
+        members of multi-table links and compaction-checkpoint heads —
+        keeps its directory and content."""
+        p = os.path.join(self.dir, "VACUUM.json")
+        if not os.path.exists(p):
+            return
+        m = json.load(open(p))
+        hist = m.get("history", [])
+        ever_sup = {n for h in hist for n in h["superseded"]}
+        bys = list((m.get("checkpoint") or {}).get("heads", [])) + [
+            b for h in hist for b in (h.get("bys") or [h["by"]])
+        ]
+        for b in bys:
+            if b in ever_sup:
+                continue
+            d = os.path.join(self.dir, b)
+            assert os.path.isdir(d), f"live head {b} lost"
+            marker = os.path.join(d, "DATA")
+            if os.path.exists(marker):
+                assert open(marker).read() == b.split(".")[0]
 
     @invariant()
     def branch_refs_are_durable(self):
