@@ -1907,10 +1907,11 @@ def _run_residual_ivm_stream(
     against the pinned centroid, map-side PQ code assignment, broadcast
     anti-join deletes on each table) runs against the CURRENT pair of
     heads — resolved per table from the VACUUM history by name prefix —
-    and each table checkpoints its next generation (assignments first,
-    then codes: a crash between the two leaves assignments compacted and
-    codes in merge-form — recoverable, never lossy, exactly l78's
-    ordering argument)."""
+    and the window lands BOTH next generations under ONE manifest link
+    via :func:`checkpoint_index_generations` (round 11 — the atomic
+    multi-table commit replacing the r10 two-sequential-links shape
+    whose crash window needed a documented recovery ordering: now there
+    is no observable state where assignments moved and codes didn't)."""
     import json
     import os
 
@@ -1921,7 +1922,10 @@ def _run_residual_ivm_stream(
         _RIVF_CODES_SCHEMA,
         _residual_delta_merge,
     )
-    from dask_pipes_spark.session import checkpoint_index_generation
+    from dask_pipes_spark.session import (
+        _link_bys,
+        checkpoint_index_generations,
+    )
 
     cent_rows = (
         spark.read.schema(_RIVF_CENT_SCHEMA)
@@ -1936,7 +1940,7 @@ def _run_residual_ivm_stream(
         hist = json.load(open(os.path.join(index_dir, "VACUUM.json")))[
             "history"
         ]
-        bys = [h["by"] for h in hist]
+        bys = [b for h in hist for b in _link_bys(h)]
         cur_a = [b for b in bys if b.startswith("assignments-")][-1]
         cur_c = [b for b in bys if b.startswith("codes-")][-1]
         cent = ss.read.schema(_RIVF_CENT_SCHEMA).parquet(
@@ -1959,14 +1963,14 @@ def _run_residual_ivm_stream(
             assignments, codes, d_ins, d_del, cent, cent_rows, cents
         )
         na = int(cur_a.rsplit("g", 1)[1]) + 1
-        checkpoint_index_generation(
-            index_dir, a_m, superseded=[cur_a],
-            generation=f"assignments-g{na:03d}", target_files=8,
-        )
         nc = int(cur_c.rsplit("g", 1)[1]) + 1
-        checkpoint_index_generation(
-            index_dir, c_m, superseded=[cur_c],
-            generation=f"codes-g{nc:03d}", target_files=8,
+        checkpoint_index_generations(
+            index_dir,
+            [
+                (a_m, [cur_a], f"assignments-g{na:03d}"),
+                (c_m, [cur_c], f"codes-g{nc:03d}"),
+            ],
+            target_files=8,
         )
 
     schema = spark.read.parquet(os.path.join(index_dir, "cdc")).schema
@@ -1992,10 +1996,13 @@ def k24_stream_residual_ivm(spark, sf_dir):
     runtime (round 10 — the last "—" cell of the lifecycle matrix:
     k20's harness over l77's TWO-TABLE delta algebra): an embedding CDC
     stream maintains the coarse inverted file AND the residual code
-    table via ``foreachBatch``, every window landing a generation
-    checkpoint per table against entirely FIXED quantizers (coarse
-    codebook + residual PQ codebooks — the slow-cadence artifacts a
-    l73-style rebuild refreshes, never the stream).
+    table via ``foreachBatch``, every window landing BOTH generations
+    under ONE manifest transaction (round 11 —
+    :func:`checkpoint_index_generations`; a reader resolving heads from
+    VACUUM.json can never observe assignments moved without codes)
+    against entirely FIXED quantizers (coarse codebook + residual PQ
+    codebooks — the slow-cadence artifacts a l73-style rebuild
+    refreshes, never the stream).
 
     Serving (same spec as l71/l73/l77/l78) reads only the two final
     generations + the persisted quantizers. Registered with l77's
@@ -2031,11 +2038,13 @@ def k24_stream_residual_ivm(spark, sf_dir):
     idx = ensure_index(
         base,
         os.path.join(sf_dir, "embeddings.parquet"),
-        version="k24-v1",
+        version="k24-v2",
         build=_stage,
     )
+    from dask_pipes_spark.session import _link_bys
+
     hist = json.load(open(os.path.join(idx, "VACUUM.json")))["history"]
-    bys = [h["by"] for h in hist]
+    bys = [b for h in hist for b in _link_bys(h)]
     head_a = [b for b in bys if b.startswith("assignments-")][-1]
     head_c = [b for b in bys if b.startswith("codes-")][-1]
     cent = spark.read.schema(_RIVF_CENT_SCHEMA).parquet(

@@ -1411,29 +1411,32 @@ def l77_residual_index_delta(spark, sf_dir):
 
 @query("l78_residual_index_checkpoint", oracle=_L77_ORACLE)
 def l78_residual_index_checkpoint(spark, sf_dir):
-    """Residual-IVFADC write-back (round 9 — the l70/l72 generation
-    protocol over BOTH maintained tables, completing the residual row of
-    the lifecycle matrix): l77's merge runs ONCE inside the build, then
-    TWO checkpoint calls land ``assignments-g002`` and ``codes-g002`` —
-    the VACUUM.json history records both supersession links (the
-    manifest is a chain, not a single pointer, exactly so multi-table
-    indexes can share one vacuum protocol), the old tables and both CDC
-    feeds are deleted, and the quantizer artifacts (centroids,
-    codebooks) survive as the next window's fixed basis.
+    """Residual-IVFADC write-back (round 9, re-based round 11 on the
+    atomic multi-table commit — the r10 verdict's item 2): l77's merge
+    runs ONCE inside the build, then ONE
+    :func:`checkpoint_index_generations` transaction lands
+    ``assignments-g002`` AND ``codes-g002`` under a single VACUUM.json
+    history link (``bys``) — there is no observable manifest state where
+    the inverted file moved and the code table didn't (the r10 shape was
+    two sequential links with a documented recovery ordering; the crash
+    window between them is now structurally gone). The old tables and
+    both CDC feeds are vacuumed by the same link; the quantizer
+    artifacts (centroids, codebooks) survive as the next window's fixed
+    basis.
 
     The probe reads ONLY the two compacted generations + the persisted
     quantizers: no anti-join, no union, no Lloyd, zero embeddings scans
-    (all test-pinned with the two-generation vacuum layout). Oracle =
-    l77's from-scratch twin: checkpointed == merged == rebuilt.
+    (all test-pinned with the single-link two-generation vacuum
+    layout). Oracle = l77's from-scratch twin: checkpointed == merged
+    == rebuilt.
 
     100 TB: one maintenance window's O(index) IO retires the per-probe
-    merge tax on BOTH tables at once; ordering stays crash-safe because
-    each checkpoint is individually durable-first (a crash between the
-    two calls leaves assignments compacted and codes still in
-    merge-form — recoverable, never lossy)."""
+    merge tax on BOTH tables at once, and one commit point for the pair
+    is what makes the served ANN snapshot consistent without cross-table
+    read fences."""
     import os
 
-    from dask_pipes_spark.session import checkpoint_index_generation
+    from dask_pipes_spark.session import checkpoint_index_generations
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
 
@@ -1446,23 +1449,18 @@ def l78_residual_index_checkpoint(spark, sf_dir):
         assignments_m, codes_m = _residual_delta_merge(
             assignments, codes, d_ins, d_del, cent, cent_rows, cents
         )
-        checkpoint_index_generation(
+        checkpoint_index_generations(
             d,
-            assignments_m,
-            superseded=["assignments"],
-            generation="assignments-g002",
-        )
-        checkpoint_index_generation(
-            d,
-            codes_m,
-            superseded=["codes", "delta_ins", "delta_del"],
-            generation="codes-g002",
+            [
+                (assignments_m, ["assignments"], "assignments-g002"),
+                (codes_m, ["codes", "delta_ins", "delta_del"], "codes-g002"),
+            ],
         )
 
     idx = ensure_index(
         scratch_path(f"dps_l78_rivfadc_ckpt_{tag}"),
         os.path.join(sf_dir, "embeddings.parquet"),
-        version="rivfadc-ckpt-v1",
+        version="rivfadc-ckpt-v2",
         build=_stage,
     )
     cent = spark.read.schema(_RIVF_CENT_SCHEMA).parquet(

@@ -709,10 +709,11 @@ def test_l78_probe_plan_is_pure_generation_scan(spark):
 
 
 def test_l78_vacuum_layout_two_generations(spark):
-    """The two-table checkpoint leaves both compacted generations, the
-    surviving quantizer artifacts, and a TWO-link VACUUM history (the
-    chain protocol carrying a multi-table index); all superseded tables
-    and feeds are gone."""
+    """The multi-table checkpoint leaves both compacted generations, the
+    surviving quantizer artifacts, and ONE VACUUM history link carrying
+    BOTH moves (round 11 — the atomic transaction: no manifest state
+    where one table's head moved and the other's didn't); all superseded
+    tables and feeds are gone."""
     import json
 
     from dask_pipes_spark.operators.vectors import (
@@ -730,12 +731,13 @@ def test_l78_vacuum_layout_two_generations(spark):
                  "assignments-g002.tmp", "codes-g002.tmp"):
         assert gone not in names, f"superseded state survived vacuum: {gone}"
     manifest = json.load(open(os.path.join(base, "VACUUM.json")))
-    assert [h["by"] for h in manifest["history"]] == [
-        "assignments-g002",
-        "codes-g002",
-    ]
-    assert manifest["by"] == "codes-g002"
-    assert manifest["superseded"] == ["codes", "delta_del", "delta_ins"]
+    assert len(manifest["history"]) == 1, "one transaction, one link"
+    link = manifest["history"][0]
+    assert link["bys"] == ["assignments-g002", "codes-g002"]
+    assert manifest["by"] == "codes-g002", "head mirror = bys[-1]"
+    assert manifest["superseded"] == [
+        "assignments", "codes", "delta_del", "delta_ins",
+    ], "one union supersession set, vacuumed atomically"
 
 
 def test_checkpoint_retention_window_and_rollback(spark, tmp_path):

@@ -1488,6 +1488,99 @@ def test_expire_snapshots_unit_contract(spark, tmp_path):
     assert spark.read.parquet(os.path.join(base, "g004")).count() == 5
 
 
+def test_atomic_pair_commit_kill_points(spark, tmp_path):
+    """checkpoint_index_generations contract (round 11 — the r10
+    verdict's item 2): BOTH tables commit under ONE history link, and at
+    every kill point the manifest never names a state where one table's
+    head moved and the other's didn't.
+
+    - kill after tmp writes: retry reuses BOTH durable tmps (proven with
+      decoy DataFrames that must not be recomputed);
+    - kill between the two renames: the first final exists on disk but
+      the manifest still resolves the OLD pair — readers are unaffected;
+      retry completes the second rename and appends exactly ONE link;
+    - kill between link and vacuum: resurrected superseded dirs are
+      re-swept, history gains no second link."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.session import (
+        _link_bys,
+        checkpoint_index_generations,
+    )
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    a1 = spark.range(30).select("id", (F.col("id") * 2).alias("v"))
+    c1 = spark.range(30).select("id", (F.col("id") * 3).alias("w"))
+    checkpoint_index_generations(
+        base, [(a1, [], "a-g001"), (c1, [], "c-g001")]
+    )
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert _link_bys(man["history"][0]) == ["a-g001", "c-g001"]
+
+    # --- kill point 1: both tmps durable, no rename ran ---
+    a1.filter("id < 10").coalesce(1).write.parquet(
+        os.path.join(base, "a-g002.tmp")
+    )
+    c1.filter("id < 5").coalesce(1).write.parquet(
+        os.path.join(base, "c-g002.tmp")
+    )
+    decoy = spark.range(999)
+    checkpoint_index_generations(
+        base,
+        [(decoy, ["a-g001"], "a-g002"), (decoy, ["c-g001"], "c-g002")],
+    )
+    assert spark.read.parquet(os.path.join(base, "a-g002")).count() == 10
+    assert spark.read.parquet(os.path.join(base, "c-g002")).count() == 5, (
+        "retry must reuse the durable tmps, not rewrite from the args"
+    )
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert len(man["history"]) == 2
+    assert _link_bys(man["history"][-1]) == ["a-g002", "c-g002"]
+
+    # --- kill point 2: first rename done, second tmp durable, no link ---
+    a1.filter("id < 10").coalesce(1).write.parquet(
+        os.path.join(base, "a-g003")
+    )
+    open(os.path.join(base, "a-g003", "MARKER"), "w").close()
+    spark.read.parquet(os.path.join(base, "c-g002")).coalesce(1).write.parquet(
+        os.path.join(base, "c-g003.tmp")
+    )
+    # observable state: the manifest still serves the OLD pair
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    bys = [b for h in man["history"] for b in _link_bys(h)]
+    assert "a-g003" not in bys and "c-g003" not in bys, (
+        "a kill between renames must not be observable through the manifest"
+    )
+    checkpoint_index_generations(
+        base,
+        [(decoy, ["a-g002"], "a-g003"), (decoy, ["c-g002"], "c-g003")],
+    )
+    assert os.path.exists(os.path.join(base, "a-g003", "MARKER")), (
+        "resume must keep the already-renamed final, never rewrite it"
+    )
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert len(man["history"]) == 3, "exactly one link for the pair"
+    assert _link_bys(man["history"][-1]) == ["a-g003", "c-g003"]
+    assert not os.path.exists(os.path.join(base, "a-g002"))
+    assert not os.path.exists(os.path.join(base, "c-g002")), "vacuum ran"
+
+    # --- kill point 3: link done, vacuum not — resurrected dirs ---
+    a1.filter("id < 10").coalesce(1).write.parquet(
+        os.path.join(base, "a-g002")
+    )
+    checkpoint_index_generations(
+        base,
+        [(decoy, ["a-g002"], "a-g003"), (decoy, ["c-g002"], "c-g003")],
+    )
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert len(man["history"]) == 3, "same-args retry appends no second link"
+    assert not os.path.exists(os.path.join(base, "a-g002")), "re-swept"
+
+
 def _mk_generation(base, name):
     """Plant a committed generation: directory with a DATA marker plus the
     manifest link (pure metadata — no Spark needed)."""

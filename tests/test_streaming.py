@@ -775,10 +775,11 @@ def test_k24_stream_equals_l77_batch(spark):
 
 def test_k24_generation_chains_and_serving_plan(spark):
     """TWO interleaved per-table chains in one VACUUM history (the l78
-    multi-table shape, now one pair per window), both monotonic, all
-    superseded generations vacuumed; serving reads the two final
-    generations + the persisted quantizers only — no merge residue, no
-    Lloyd leak, zero embeddings scans."""
+    multi-table shape, now ONE PAIRED LINK per window — round 11's
+    atomic transaction), both monotonic, all superseded generations
+    vacuumed; serving reads the two final generations + the persisted
+    quantizers only — no merge residue, no Lloyd leak, zero embeddings
+    scans."""
     import json
     import os
     import re
@@ -786,14 +787,14 @@ def test_k24_generation_chains_and_serving_plan(spark):
     from dask_pipes_spark.operators.streaming_ops import (
         k24_stream_residual_ivm,
     )
-    from dask_pipes_spark.session import scratch_path
+    from dask_pipes_spark.session import _link_bys, scratch_path
 
     df = k24_stream_residual_ivm(spark, SF_SMOKE)
     assert df.count() > 0
     tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
     base = scratch_path(f"dps_k24_rivf_stream_{tag}")
     man = json.load(open(os.path.join(base, "VACUUM.json")))
-    chain = [h["by"] for h in man["history"]]
+    chain = [b for h in man["history"] for b in _link_bys(h)]
     a_chain = [b for b in chain if b.startswith("assignments-")]
     c_chain = [b for b in chain if b.startswith("codes-")]
     assert a_chain == [
@@ -803,6 +804,17 @@ def test_k24_generation_chains_and_serving_plan(spark):
     assert len(a_chain) == 5 and len(c_chain) == 5, (
         "4 CDC files at mfpt=1 -> 4 windows, one generation pair each"
     )
+    # round 11: each maintenance window commits its pair ATOMICALLY —
+    # one link carrying both moves (the two staged g001s predate the
+    # stream and are single-table links)
+    window_links = [h for h in man["history"] if len(_link_bys(h)) == 2]
+    assert len(window_links) == 4, "one paired link per window"
+    for h in window_links:
+        a, c = _link_bys(h)
+        assert a.startswith("assignments-") and c.startswith("codes-")
+        assert a.rsplit("g", 1)[1] == c.rsplit("g", 1)[1], (
+            "the pair advances in lockstep"
+        )
     names = set(os.listdir(base))
     for kept in (a_chain[-1], c_chain[-1], "centroids", "codebooks"):
         assert kept in names, f"missing surviving artifact: {kept}"
@@ -848,8 +860,12 @@ def test_k24_batching_invariance(spark):
     _stage_k24_state(spark, SF_SMOKE, d)
     _run_residual_ivm_stream(spark, d, max_files_per_trigger=2)
     man = json.load(open(os.path.join(d, "VACUUM.json")))
-    assert len(man["history"]) == 6, "2 initial links + 2 windows x 2 tables"
-    bys = [h["by"] for h in man["history"]]
+    assert len(man["history"]) == 4, (
+        "2 initial links + 2 windows x 1 atomic pair link"
+    )
+    from dask_pipes_spark.session import _link_bys
+
+    bys = [b for h in man["history"] for b in _link_bys(h)]
     cent = spark.read.schema(_RIVF_CENT_SCHEMA).parquet(
         os.path.join(d, "centroids")
     )
