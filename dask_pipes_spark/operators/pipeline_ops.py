@@ -2948,3 +2948,124 @@ def p30_expire_snapshots(spark, sf_dir):
         F.col("rev").cast("double").alias("sum_revenue"),
         F.col("qty").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "p31_manifest_compaction",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS sum_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_orderkey % 100 <> 4
+    GROUP BY n_name
+    """,
+)
+def p31_manifest_compaction(spark, sf_dir):
+    """Manifest log compaction riding the maintenance loop (round 11 —
+    the r10 verdict's TOP item; Delta's every-10-commits log checkpoint /
+    Iceberg's manifest-list rewrite): the one measured growth bound in
+    the metadata plane was the per-commit ``VACUUM.json`` whole-rewrite —
+    O(history) each commit (2.4 ms at 200 links → 26.5 ms at 2,000,
+    SCALING.md janitor table), cumulatively O(n²) for a continuous
+    maintainer. :func:`compact_manifest` folds the inert history prefix
+    into a bounded ``checkpoint`` record, making the rewrite flat.
+
+    The build walks a LONG maintenance life: ``agg_mv-g001`` (day-1
+    partials) → ``agg_mv-g002`` (the CDC applied — p18's state) → ten
+    OPTIMIZE windows (``g003``…``g012``, each recompacting the head —
+    the Iceberg rewrite_data_files cadence that actually piles links
+    up), every window checkpointing with ``retain=2`` and then running
+    ``compact_manifest(keep_tail=4)`` exactly where k25 runs its GC —
+    inside the loop, under the same commit lock discipline. End state
+    (test-pinned): the history TAIL is bounded (≤ keep_tail + the
+    unfoldable suffix whose superseded generations are still retained
+    on disk) while ``checkpoint.folded`` carries the folded count, the
+    retained time-travel window still resolves, and the head serves the
+    identical answer — the oracle recomputes the post-CDC state from
+    the base tables, so a fold that dropped a live link, broke head
+    resolution, or disturbed the retained window diverges the hash.
+    ``COMPACT.json`` records the last report; flat per-commit append
+    cost vs history length is measured in SCALING.md's round-11 janitor
+    table; the protocol fuzzer interleaves compaction with every other
+    commit-plane op.
+
+    100 TB: without compaction the metadata plane is the one component
+    whose cost grows with AGE rather than data size; with it a k19-style
+    continuous maintainer commits in O(1) forever — the same argument
+    every production table format ships."""
+    import json
+
+    from dask_pipes_spark.session import (
+        checkpoint_index_generation,
+        compact_manifest,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p31_compact_{tag}")
+    gen_schema = (
+        "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
+    )
+
+    def _stage(d: str) -> None:
+        _stage_agg_mv_state(spark, sf_dir, d)
+        mv, br, d_ins, d_del = _read_agg_mv_state(spark, d)
+        checkpoint_index_generation(
+            d, mv, superseded=["agg_mv"], generation="agg_mv-g001"
+        )
+        g1 = spark.read.schema(gen_schema).parquet(
+            os.path.join(d, "agg_mv-g001")
+        )
+        merged = (
+            g1.unionAll(_agg_mv_delta_partial(d_ins, br, 1))
+            .unionAll(_agg_mv_delta_partial(d_del, br, -1))
+            .groupBy("n_name")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("rev").alias("rev"),
+                F.sum("qty").alias("qty"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        checkpoint_index_generation(
+            d, merged,
+            superseded=["agg_mv-g001", "delta_ins", "delta_del"],
+            generation="agg_mv-g002", retain=2,
+        )
+        # ten OPTIMIZE windows: recompact the head, retain=2, compact the
+        # log in-loop — the continuous-maintainer cadence
+        report = {}
+        for i in range(3, 13):
+            prev = f"agg_mv-g{i - 1:03d}"
+            head_df = spark.read.schema(gen_schema).parquet(
+                os.path.join(d, prev)
+            )
+            checkpoint_index_generation(
+                d, head_df, superseded=[prev],
+                generation=f"agg_mv-g{i:03d}", retain=2,
+            )
+            report = compact_manifest(d, keep_tail=4)
+        with open(os.path.join(d, "COMPACT.json.tmp"), "w") as fh:
+            json.dump(report, fh)
+        os.replace(
+            os.path.join(d, "COMPACT.json.tmp"),
+            os.path.join(d, "COMPACT.json"),
+        )
+
+    # fingerprint the whole fixture dir: the staged state derives from
+    # lineitem AND the dimension chain (orders/customer/nation)
+    ensure_index(base, sf_dir, version="compact-v1", build=_stage)
+    manifest = json.load(open(os.path.join(base, "VACUUM.json")))
+    head = manifest["history"][-1]["by"]
+    mv = spark.read.schema(gen_schema).parquet(os.path.join(base, head))
+    return mv.select(
+        "n_name",
+        F.col("cnt").alias("n_items"),
+        F.col("rev").cast("double").alias("sum_revenue"),
+        F.col("qty").cast("double").alias("sum_qty"),
+    )

@@ -1650,51 +1650,66 @@ def k22_stream_wap(spark, sf_dir):
     )
 
 
-# --- k23: streaming PQ code maintenance (round 10) ----------------------------
+# --- k23: streaming IVF+PQ maintenance with pruned serving (r10, re-based r11) -
 
-_K23_CDC_SCHEMA = "vec_id bigint, s int, sv array<double>, op string"
+_K23_ASSIGN_SCHEMA = "vec_id bigint, bucket int"
 
 
 def _stage_k23_state(spark, sf_dir: str, d: str) -> None:
-    """Stage the continuous PQ-ingest world (the k20 staging on the
-    product-quantization path): codebooks trained on yesterday's corpus
-    (``%9!=5``) persisted as the FIXED quantizer, that slice's code
-    table as generation ``codes-g001`` (checkpoint-born), and the
-    embedding CDC as a 4-file stream of typed rows — insert rows carry
-    the held-out slice's SUBVECTORS (``%9==5``, op='I', 8 rows per
-    vector — the shape ``_pq_assign`` encodes map-side), tombstones one
-    row per vec_id (``%11==3``, op='D'). Slicing by ``vec_id % 4``
-    keeps a vector's subspace rows in one window; disjoint key sets
-    keep the fold commutative across any batching."""
+    """Stage the continuous IVFADC (by_residual=False) ingest world
+    (round 11 — the k20 staging on the composed l68 path): the coarse
+    codebook AND the PQ codebooks trained on yesterday's corpus
+    (``%9!=5``) persisted as the FIXED quantizers, BOTH index tables
+    checkpoint-born (a SLIM ``assignments-g001`` of (vec_id, bucket) —
+    serving needs membership only, unlike k24's residual path which
+    must keep e for re-encoding — and ``codes-g001``), and the
+    embedding CDC as k20's 4-file stream of raw vector inserts
+    (``%9==5``, op='I') and tombstones (``%11==3``, op='D'). Slicing by
+    ``vec_id % 4`` keeps key sets disjoint so the fold is commutative
+    across any batching."""
     import os
 
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
     from dask_pipes_spark.operators.vectors import (
         _pq_assign,
         _pq_corpus,
         _pq_train,
     )
-    from dask_pipes_spark.session import checkpoint_index_generation
+    from dask_pipes_spark.session import checkpoint_index_generations
 
+    vecs_old, cent = _ivf_corpus_and_centroids(
+        spark, sf_dir, pred=F.col("vec_id") % 9 != 5
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
     v_old, sub_old = _pq_corpus(spark, sf_dir, pred=F.col("vec_id") % 9 != 5)
     cents = _pq_train(v_old, sub_old)
     cents.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
-    checkpoint_index_generation(
+    checkpoint_index_generations(
         d,
-        _pq_assign(sub_old, cents),
-        superseded=[],
-        generation="codes-g001",
+        [
+            (
+                ivf_assign(vecs_old, cent.collect(), nprobe=1).select(
+                    "vec_id", "bucket"
+                ),
+                [],
+                "assignments-g001",
+            ),
+            (_pq_assign(sub_old, cents), [], "codes-g001"),
+        ],
         target_files=8,
     )
-    _, sub_new = _pq_corpus(spark, sf_dir, pred=F.col("vec_id") % 9 == 5)
-    cdc = sub_new.withColumn("op", F.lit("I")).unionAll(
-        v_old.filter(F.col("vec_id") % 11 == 3)
-        .select(
-            "vec_id",
-            F.lit(None).cast("int").alias("s"),
-            F.lit(None).cast("array<double>").alias("sv"),
-        )
-        .withColumn("op", F.lit("D"))
+    cdc = vecs_old.filter(F.col("vec_id") % 11 == 3).select(
+        "vec_id",
+        F.lit(None).cast("array<double>").alias("e"),
+        F.lit(None).cast("double").alias("nrm"),
+    ).withColumn("op", F.lit("D"))
+    vecs_new, _ = _ivf_corpus_and_centroids(
+        spark, sf_dir, pred=F.col("vec_id") % 9 == 5
     )
+    cdc = vecs_new.withColumn("op", F.lit("I")).unionAll(cdc)
     cdc_dir = os.path.join(d, "cdc")
     os.makedirs(cdc_dir, exist_ok=True)
     base_t = 1_700_000_000
@@ -1710,18 +1725,34 @@ def _stage_k23_state(spark, sf_dir: str, d: str) -> None:
 def _run_pq_ivm_stream(
     spark, index_dir: str, max_files_per_trigger: int = 1, timeout: int = 300
 ) -> None:
-    """Drain the subvector CDC through the streaming runtime, maintaining
-    the PQ code table by generations: each micro-batch anti-joins its
-    tombstones against the CURRENT generation and encodes its insert
-    subvectors map-side against the FIXED codebooks (l67's algebra —
-    the codebooks are a broadcast-sized table read per batch from the
-    persisted quantizer, never retrained), then checkpoints the merged
-    code table as the next generation."""
+    """Drain the embedding CDC through the streaming runtime, maintaining
+    BOTH IVFADC tables by generations: each micro-batch anti-joins its
+    tombstones against the CURRENT pair, coarse-assigns its insert
+    vectors map-side (literal-codebook expression) and PQ-encodes their
+    subvectors against the FIXED codebooks (l67's algebra — both
+    quantizers read per batch from the persisted artifacts, never
+    retrained), then lands the merged pair under ONE manifest
+    transaction (:func:`checkpoint_index_generations` — a reader can
+    never observe assignments moved without codes)."""
     import json
     import os
 
-    from dask_pipes_spark.operators.vectors import _pq_assign
-    from dask_pipes_spark.session import checkpoint_index_generation
+    from dask_pipes_spark.operators.llm_ext import ivf_assign
+    from dask_pipes_spark.operators.vectors import (
+        _RIVF_CENT_SCHEMA,
+        _pq_assign,
+        _pq_subspaces,
+    )
+    from dask_pipes_spark.session import (
+        _link_bys,
+        checkpoint_index_generations,
+    )
+
+    cent_rows = (
+        spark.read.schema(_RIVF_CENT_SCHEMA)
+        .parquet(os.path.join(index_dir, "centroids"))
+        .collect()
+    )
 
     def _apply(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1730,22 +1761,40 @@ def _run_pq_ivm_stream(
         hist = json.load(open(os.path.join(index_dir, "VACUUM.json")))[
             "history"
         ]
-        cur = [h["by"] for h in hist if h["by"].startswith("codes-")][-1]
+        bys = [b for h in hist for b in _link_bys(h)]
+        cur_a = [b for b in bys if b.startswith("assignments-")][-1]
+        cur_c = [b for b in bys if b.startswith("codes-")][-1]
         cents = ss.read.schema("s int, cid int, cv array<double>").parquet(
             os.path.join(index_dir, "codebooks")
         )
+        assignments = ss.read.schema(_K23_ASSIGN_SCHEMA).parquet(
+            os.path.join(index_dir, cur_a)
+        )
         codes = ss.read.schema("vec_id bigint, s int, code int").parquet(
-            os.path.join(index_dir, cur)
+            os.path.join(index_dir, cur_c)
         )
         d_del = batch_df.filter(F.col("op") == "D").select("vec_id")
-        d_ins = batch_df.filter(F.col("op") == "I").select("vec_id", "s", "sv")
-        merged = codes.join(
+        d_ins = batch_df.filter(F.col("op") == "I").select(
+            "vec_id", "e", "nrm"
+        )
+        a_m = assignments.join(
             F.broadcast(d_del), "vec_id", "left_anti"
-        ).unionAll(_pq_assign(d_ins, cents))
-        nxt = int(cur.rsplit("g", 1)[1]) + 1
-        checkpoint_index_generation(
-            index_dir, merged, superseded=[cur],
-            generation=f"codes-g{nxt:03d}", target_files=8,
+        ).unionAll(
+            ivf_assign(d_ins, cent_rows, nprobe=1).select("vec_id", "bucket")
+        )
+        sub_ins = _pq_subspaces(d_ins).select("vec_id", "s", "sv")
+        c_m = codes.join(
+            F.broadcast(d_del), "vec_id", "left_anti"
+        ).unionAll(_pq_assign(sub_ins, cents))
+        na = int(cur_a.rsplit("g", 1)[1]) + 1
+        nc = int(cur_c.rsplit("g", 1)[1]) + 1
+        checkpoint_index_generations(
+            index_dir,
+            [
+                (a_m, [cur_a], f"assignments-g{na:03d}"),
+                (c_m, [cur_c], f"codes-g{nc:03d}"),
+            ],
+            target_files=8,
         )
 
     schema = spark.read.parquet(os.path.join(index_dir, "cdc")).schema
@@ -1766,43 +1815,56 @@ def _run_pq_ivm_stream(
 
 
 from dask_pipes_spark.operators.vectors import (  # noqa: E402
-    _L67_ORACLE,
+    _L68D_ORACLE,
     _L77_ORACLE,
 )
 
 
-@query("k23_stream_pq_ivm", oracle=_L67_ORACLE)
+@query("k23_stream_pq_ivm", oracle=_L68D_ORACLE)
 def k23_stream_pq_ivm(spark, sf_dir):
-    """Continuous PQ code-table maintenance through the streaming runtime
-    (round 10 — k20's foreachBatch harness composed over l67's delta
-    algebra, filling the PQ row's streaming cell in the lifecycle
-    matrix): a subvector CDC stream of typed rows maintains the code
-    table via ``foreachBatch`` — broadcast anti-join deletes + map-side
-    ``_pq_assign`` encoding against the FIXED persisted codebooks per
-    micro-batch — with every window landing a full generation checkpoint
-    (compact → atomic swap → manifest link → vacuum), so ADC probes
-    always read a consistent snapshot and crash recovery is the last
-    durable generation + the source's replay offset.
+    """Continuous IVF+PQ maintenance with PRUNED serving (round 10,
+    re-based round 11 — the r10 verdict's item 3: the PQ streaming cell
+    no longer serves full-scan ADC): an embedding CDC stream maintains a
+    slim coarse inverted file AND the PQ code table via ``foreachBatch``
+    — broadcast anti-join deletes, map-side coarse assignment
+    (literal-codebook expression) and map-side ``_pq_assign`` encoding
+    per micro-batch, against entirely FIXED persisted quantizers — with
+    every window landing the PAIR under one atomic manifest transaction
+    (:func:`checkpoint_index_generations`), so probes always read a
+    consistent two-table snapshot and crash recovery is the last durable
+    generation pair + the source's replay offset.
 
-    The returned ADC probe (same spec as l55/l63/l67/l72) reads the
-    final generation + the persisted codebooks. Registered with l67's
-    from-scratch SQL oracle (train on yesterday's slice, encode today's
-    corpus): the drained index must answer exactly as the batch delta
-    merge and the SQL rebuild — pinned by the companion test k23 == l67;
-    batching invariance (2-file triggers) and the per-window generation
-    chain are pinned too.
+    Serving is l68's IVFADC composition from PERSISTED state: the query
+    probes its nprobe=3 coarse buckets, candidates come from the
+    assignments generation (never a corpus scan), and ADC scores only
+    those — candidates fall from N to ~N·nprobe/buckets, which turned
+    the 28.6 s sf1 full-scan probe into IVF-pruned economics matching
+    k24's (SCALING.md round-11 table). Registered with the composed
+    from-scratch SQL oracle (_l68_oracle with the trained-on-yesterday /
+    tracks-today split): the drained pair must answer exactly as the
+    SQL rebuild of BOTH quantizers, both index tables, and the pruned
+    probe — pinned by the companion tests (batching invariance, paired
+    generation chain, scan-free pruned serving plan).
 
-    100 TB: per-window cost is O(|batch|·M) map-side quantizations + one
-    broadcast anti-join + the generation rewrite — the code table never
-    shuffles; the codebooks are the slow-cadence quantizer the l63
-    staleness manifest retrains, never the stream. State is the
-    generation chain itself — nothing lives in the streaming state
-    store."""
+    100 TB: per-window cost is O(|batch|) map work + two broadcast
+    anti-joins + the paired generation rewrite — neither table ever
+    shuffles; serving touches the slim (vec_id, bucket) membership
+    table and 4 B/subspace codes only. The full-scan ADC spec survives
+    as l55/l63/l67/l72 — the correctness baseline, exactly like l3 for
+    brute-force cosine."""
     import json
     import os
 
-    from dask_pipes_spark.operators.vectors import _pq_corpus, _pq_probe_topk
-    from dask_pipes_spark.session import ensure_index
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+    from dask_pipes_spark.operators.vectors import (
+        _RIVF_CENT_SCHEMA,
+        _pq_pruned_probe_topk,
+        _pq_subspaces,
+    )
+    from dask_pipes_spark.session import _link_bys, ensure_index
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     base = scratch_path(f"dps_k23_pq_stream_{tag}")
@@ -1814,23 +1876,40 @@ def k23_stream_pq_ivm(spark, sf_dir):
     idx = ensure_index(
         base,
         os.path.join(sf_dir, "embeddings.parquet"),
-        version="k23-v1",
+        version="k23-v2",
         build=_stage,
     )
     hist = json.load(open(os.path.join(idx, "VACUUM.json")))["history"]
-    head = [h["by"] for h in hist if h["by"].startswith("codes-")][-1]
+    bys = [b for h in hist for b in _link_bys(h)]
+    head_a = [b for b in bys if b.startswith("assignments-")][-1]
+    head_c = [b for b in bys if b.startswith("codes-")][-1]
+    cent_rows = (
+        spark.read.schema(_RIVF_CENT_SCHEMA)
+        .parquet(os.path.join(idx, "centroids"))
+        .collect()
+    )
     cents = spark.read.schema("s int, cid int, cv array<double>").parquet(
         os.path.join(idx, "codebooks")
     )
+    assignments = spark.read.schema(_K23_ASSIGN_SCHEMA).parquet(
+        os.path.join(idx, head_a)
+    )
     codes = spark.read.schema("vec_id bigint, s int, code int").parquet(
-        os.path.join(idx, head)
+        os.path.join(idx, head_c)
     )
-    _, sub = _pq_corpus(spark, sf_dir)
-    qsub = sub.filter(
-        (F.col("vec_id") % 100 == 0)
-        & ((F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3))
+    # queries: every 100th FINAL-corpus vector — embeddings read for the
+    # query slice only (the l63 discipline)
+    qvecs, _ = _ivf_corpus_and_centroids(
+        spark,
+        sf_dir,
+        pred=(F.col("vec_id") % 100 == 0)
+        & ((F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3)),
     )
-    return _pq_probe_topk(qsub, cents, codes)
+    probes = ivf_assign(qvecs, cent_rows, nprobe=3).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    qsub = _pq_subspaces(qvecs).select("vec_id", "s", "sv")
+    return _pq_pruned_probe_topk(qsub, probes, assignments, cents, codes)
 
 
 # --- k24: streaming residual-IVFADC maintenance (round 10) --------------------

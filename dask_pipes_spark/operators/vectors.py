@@ -577,6 +577,60 @@ def _pq_probe_topk(qsub, cents, codes):
     )
 
 
+def _pq_pruned_probe_topk(qsub, probes, assignments, cents, codes):
+    """IVF-pruned ADC probe (round 11 — the r10 verdict's item 3,
+    composing l68's candidate economics into the PERSISTED PQ serving
+    path): instead of joining every query's ADC grid against the whole
+    code table (l55/l67's full scan — O(corpus × queries) lookups, the
+    28.6 s sf1 number SCALING.md documents), candidates are pruned to
+    the query's nprobe coarse buckets via the persisted assignments
+    table, and ADC scores only those. ``probes`` is (query_id, bucket);
+    ``assignments`` is the slim persisted (vec_id, bucket) table. Same
+    ranking arithmetic as :func:`_pq_probe_topk` (decimal-summed ADC,
+    top-5 by (adc_dist, vec_id)), so the composed from-scratch oracle
+    re-derives every stage."""
+    cand = (
+        assignments.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qd = (
+        qsub
+        .select(F.col("vec_id").alias("qid"), "s", F.col("sv").alias("qv"))
+        .join(F.broadcast(cents), "s")
+        .select(
+            "qid",
+            F.col("s").alias("qs"),
+            F.col("cid").alias("qcid"),
+            _l2sq("qv", "cv").alias("qd2"),
+        )
+    )
+    est = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(qd),
+            (F.col("query_id") == F.col("qid"))
+            & (F.col("s") == F.col("qs"))
+            & (F.col("code") == F.col("qcid")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("qd2").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist"
+        )
+        .orderBy("query_id", "adc_dist", "neighbor_id")
+    )
+
+
 def build_pq_index(spark, sf_dir: str, index_dir: str) -> None:
     """Materialize the l55 PQ index to parquet: ``codebooks/`` (s, cid,
     cv — 8×16 trained subspace centroids) and ``codes/`` (vec_id, s,
@@ -637,14 +691,23 @@ def l63_pq_index_persist(spark, sf_dir):
     )
 
 
-def _l68_oracle() -> str:
+def _l68_oracle(
+    train_pred: str | None = None, corpus_pred: str | None = None
+) -> str:
     """DuckDB twin of l68 — the composed IVFADC pipeline: the l12 coarse-
     quantizer CTEs (decimal-mean label centroids, cosine bucket assignment,
     nprobe=3 probe sets) produce the candidate pairs, and the l55 PQ CTEs
     (seeded codebooks, two Lloyd rounds, struct-min codes, per-query ADC
     grids) score exactly those pairs. Every stage reuses the two parent
     oracles' arithmetic verbatim, so the composition inherits their
-    bit-reproducibility."""
+    bit-reproducibility.
+
+    ``train_pred``/``corpus_pred`` (round 11 — the _l55_oracle/_l71_oracle
+    discipline, for k23's composed streaming serving): predicates on
+    vec_id restricting the TRAINING slice (coarse centroids, PQ seeds +
+    Lloyd membership) and the FINAL corpus (assignments, codes, queries).
+    With both None the generated SQL reproduces l68's original semantics
+    exactly."""
     d2 = (
         "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sb.sv, c.cv),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
@@ -652,6 +715,23 @@ def _l68_oracle() -> str:
     mean_list = ", ".join(
         f"CAST(SUM(CAST(sb.sv[{i}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)"
         for i in range(1, 9)
+    )
+    train_where = f" WHERE {train_pred}" if train_pred else ""
+    corpus_where = f" WHERE {corpus_pred}" if corpus_pred else ""
+    corpus_and = f" AND {corpus_pred}" if corpus_pred else ""
+    # training-side PQ CTEs: with a train_pred the seeds/Lloyd stages read
+    # a separate train-slice subspace table (tsub); without one they are
+    # the same table the codes use
+    sub_t = "tsub" if train_pred else "sub"
+    train_ctes = (
+        f"""
+    tsub AS (
+      SELECT vec_id, s, e[s * 8 + 1 : s * 8 + 8] AS sv
+      FROM v, LATERAL (SELECT UNNEST(range(8)) AS s) t
+      WHERE {train_pred}
+    ),"""
+        if train_pred
+        else ""
     )
     return f"""
     WITH v AS (
@@ -666,7 +746,7 @@ def _l68_oracle() -> str:
     ),
     ex AS (
       SELECT label, i, e[i] AS val
-      FROM v, LATERAL (SELECT UNNEST(range(1, len(e) + 1)) AS i) t
+      FROM v, LATERAL (SELECT UNNEST(range(1, len(e) + 1)) AS i) t{train_where}
     ),
     cm AS (
       SELECT label, i,
@@ -689,13 +769,13 @@ def _l68_oracle() -> str:
       SELECT vec_id, bucket FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                    ORDER BY sim DESC, bucket) AS rn
-        FROM bscored) WHERE rn = 1
+        FROM bscored{corpus_where}) WHERE rn = 1
     ),
     probes AS (
       SELECT vec_id AS query_id, bucket FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                    ORDER BY sim DESC, bucket) AS rn
-        FROM bscored WHERE vec_id % 100 = 0) WHERE rn <= 3
+        FROM bscored WHERE vec_id % 100 = 0{corpus_and}) WHERE rn <= 3
     ),
     cand AS (
       SELECT q.query_id, i.vec_id
@@ -707,28 +787,28 @@ def _l68_oracle() -> str:
       FROM (SELECT vec_id, e,
               ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))
                 ::BIGINT AS h
-            FROM v)
+            FROM v{train_where})
       QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16
     ),
     sub AS (
       SELECT vec_id, s, e[s * 8 + 1 : s * 8 + 8] AS sv
-      FROM v, LATERAL (SELECT UNNEST(range(8)) AS s) t
-    ),
+      FROM v, LATERAL (SELECT UNNEST(range(8)) AS s) t{corpus_where}
+    ),{train_ctes}
     cents0 AS (
       SELECT sb.s, sd.cid, sb.sv AS cv
-      FROM seeds sd JOIN sub sb ON sb.vec_id = sd.vec_id
+      FROM seeds sd JOIN {sub_t} sb ON sb.vec_id = sd.vec_id
     ),
     a0 AS (
       SELECT vec_id, s, cid AS code FROM (
         SELECT sb.vec_id, sb.s, c.cid,
                ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
                  ORDER BY {d2}, c.cid) AS rn
-        FROM sub sb JOIN cents0 c USING (s)
+        FROM {sub_t} sb JOIN cents0 c USING (s)
       ) WHERE rn = 1
     ),
     m0 AS (
       SELECT a0.s, a0.code AS cid, [{mean_list}] AS mv
-      FROM a0 JOIN sub sb USING (vec_id, s)
+      FROM a0 JOIN {sub_t} sb USING (vec_id, s)
       GROUP BY a0.s, a0.code
     ),
     cents1 AS (
@@ -740,12 +820,12 @@ def _l68_oracle() -> str:
         SELECT sb.vec_id, sb.s, c.cid,
                ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
                  ORDER BY {d2}, c.cid) AS rn
-        FROM sub sb JOIN cents1 c USING (s)
+        FROM {sub_t} sb JOIN cents1 c USING (s)
       ) WHERE rn = 1
     ),
     m1 AS (
       SELECT a1.s, a1.code AS cid, [{mean_list}] AS mv
-      FROM a1 JOIN sub sb USING (vec_id, s)
+      FROM a1 JOIN {sub_t} sb USING (vec_id, s)
       GROUP BY a1.s, a1.code
     ),
     cents2 AS (
@@ -1265,6 +1345,14 @@ _L67_ORACLE = _l55_oracle(
 )
 
 _L77_ORACLE = _l71_oracle(
+    train_pred="vec_id % 9 <> 5",
+    corpus_pred="(vec_id % 9 = 5 OR vec_id % 11 <> 3)",
+)
+
+# round 11 — k23's composed streaming serving: IVFADC (by_residual=False)
+# with quantizers trained on yesterday's slice, index tables tracking the
+# final corpus
+_L68D_ORACLE = _l68_oracle(
     train_pred="vec_id % 9 <> 5",
     corpus_pred="(vec_id % 9 = 5 OR vec_id % 11 <> 3)",
 )

@@ -1488,6 +1488,47 @@ def test_expire_snapshots_unit_contract(spark, tmp_path):
     assert spark.read.parquet(os.path.join(base, "g004")).count() == 5
 
 
+def test_p31_compaction_bounds_manifest_and_preserves_state(spark):
+    """p31 layout contract (round 11): after twelve maintenance windows
+    with in-loop compaction (keep_tail=4, retain=2), the history TAIL is
+    bounded at keep_tail while checkpoint.folded carries the rest; the
+    retained time-travel window still resolves on disk; the head serves;
+    GC and a fresh compaction are both no-ops (steady state)."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.pipeline_ops import (
+        p31_manifest_compaction,
+    )
+    from dask_pipes_spark.session import (
+        compact_manifest,
+        gc_index_dir,
+        scratch_path,
+    )
+
+    assert p31_manifest_compaction(spark, SF_SMOKE).count() >= 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_p31_compact_{tag}")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert len(man["history"]) == 4, "tail bounded at keep_tail"
+    ck = man["checkpoint"]
+    assert ck["folded"] == 8, "12 links total, 8 folded"
+    assert man["history"][-1]["by"] == "agg_mv-g012"
+    assert set(man["retained"]) == {"agg_mv-g010", "agg_mv-g011"}
+    for name in man["retained"]:
+        assert os.path.isdir(os.path.join(base, name)), (
+            "compaction never touches the retained window"
+        )
+    report = json.load(open(os.path.join(base, "COMPACT.json")))
+    assert report["total_folded"] == 8
+    # steady state: nothing further to fold, nothing for GC to remove
+    rep = compact_manifest(base, keep_tail=4)
+    assert rep["folded"] == 0, "re-entrant"
+    rep = gc_index_dir(base, older_than_sec=0)
+    assert rep["removed"] == [], rep
+    assert "agg_mv-g012" in rep["heads"]
+
+
 def test_atomic_pair_commit_kill_points(spark, tmp_path):
     """checkpoint_index_generations contract (round 11 — the r10
     verdict's item 2): BOTH tables commit under ONE history link, and at

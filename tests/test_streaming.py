@@ -667,68 +667,133 @@ def test_stage_slice_file_zero_row_contract(spark, tmp_path):
 # --- k23/k24: streaming PQ + residual index maintenance (round 10) ------------
 
 
-def test_k23_stream_equals_l67_batch(spark):
-    """The streaming-maintained PQ code table answers the ADC probe
-    exactly as l67's batch delta merge (both equal the from-scratch SQL
-    rebuild via the shared oracle)."""
-    from dask_pipes_spark.operators.streaming_ops import k23_stream_pq_ivm
-    from dask_pipes_spark.operators.vectors import l67_pq_index_delta
+def _k23_batch_twin(spark, cent_rows=None):
+    """From-scratch Spark twin of k23's composed serving: quantizers
+    re-trained on the old slice, assignments/codes re-derived over the
+    final corpus by FILTERS (no CDC machinery, no generations) — an
+    independent second path that catches staging/merge/layout bugs the
+    streaming path could hide."""
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+    from dask_pipes_spark.operators.vectors import (
+        _pq_assign,
+        _pq_corpus,
+        _pq_pruned_probe_topk,
+        _pq_subspaces,
+        _pq_train,
+    )
+    from pyspark.sql import functions as F
 
-    a = sorted(tuple(r) for r in l67_pq_index_delta(spark, SF_SMOKE).collect())
+    old_pred = F.col("vec_id") % 9 != 5
+    fin_pred = (F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3)
+    vecs_old, cent = _ivf_corpus_and_centroids(spark, SF_SMOKE, pred=old_pred)
+    if cent_rows is None:
+        cent_rows = cent.collect()
+    vecs_fin, _ = _ivf_corpus_and_centroids(spark, SF_SMOKE, pred=fin_pred)
+    assignments = ivf_assign(vecs_fin, cent_rows, nprobe=1).select(
+        "vec_id", "bucket"
+    )
+    v_old, sub_old = _pq_corpus(spark, SF_SMOKE, pred=old_pred)
+    cents = _pq_train(v_old, sub_old)
+    _, sub_fin = _pq_corpus(spark, SF_SMOKE, pred=fin_pred)
+    codes = _pq_assign(sub_fin, cents)
+    qvecs, _ = _ivf_corpus_and_centroids(
+        spark, SF_SMOKE, pred=(F.col("vec_id") % 100 == 0) & fin_pred
+    )
+    probes = ivf_assign(qvecs, cent_rows, nprobe=3).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    qsub = _pq_subspaces(qvecs).select("vec_id", "s", "sv")
+    return _pq_pruned_probe_topk(qsub, probes, assignments, cents, codes)
+
+
+def test_k23_stream_equals_batch_rederivation(spark):
+    """The streaming-maintained IVF+PQ pair answers the pruned probe
+    exactly as the from-scratch batch re-derivation (filters instead of
+    CDC, fresh quantizer training instead of persisted artifacts) —
+    the Spark-side twin of the composed SQL oracle."""
+    from dask_pipes_spark.operators.streaming_ops import k23_stream_pq_ivm
+
+    a = sorted(tuple(r) for r in _k23_batch_twin(spark).collect())
     b = sorted(tuple(r) for r in k23_stream_pq_ivm(spark, SF_SMOKE).collect())
     assert a, "probe must be non-empty at sf0.001"
     assert a == b
 
 
 def test_k23_generation_chain_and_serving_plan(spark):
-    """One generation per non-empty micro-batch, monotonic codes chain,
-    superseded generations vacuumed; serving plan reads the final
-    generation + codebooks + the query slice only (no union/anti-join
-    residue, no Lloyd leak)."""
+    """One PAIRED generation link per non-empty micro-batch (round 11 —
+    the atomic transaction), both chains monotonic, superseded
+    generations vacuumed; the pruned serving plan reads the two final
+    generations + codebooks + the query slice only (no union/anti-join
+    residue, no Lloyd leak, no corpus scan)."""
     import json
     import os
     import re
 
     from dask_pipes_spark.operators.streaming_ops import k23_stream_pq_ivm
-    from dask_pipes_spark.session import scratch_path
+    from dask_pipes_spark.session import _link_bys, scratch_path
 
     df = k23_stream_pq_ivm(spark, SF_SMOKE)
     assert df.count() > 0
     tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
     base = scratch_path(f"dps_k23_pq_stream_{tag}")
     man = json.load(open(os.path.join(base, "VACUUM.json")))
-    chain = [h["by"] for h in man["history"]]
-    assert chain == [f"codes-g{i:03d}" for i in range(1, len(chain) + 1)]
-    assert len(chain) == 5, "4 CDC files at mfpt=1 -> 4 maintenance windows"
+    chain = [b for h in man["history"] for b in _link_bys(h)]
+    a_chain = [b for b in chain if b.startswith("assignments-")]
+    c_chain = [b for b in chain if b.startswith("codes-")]
+    assert a_chain == [
+        f"assignments-g{i:03d}" for i in range(1, len(a_chain) + 1)
+    ]
+    assert c_chain == [f"codes-g{i:03d}" for i in range(1, len(c_chain) + 1)]
+    assert len(c_chain) == 5, "4 CDC files at mfpt=1 -> 4 maintenance windows"
+    assert all(len(_link_bys(h)) == 2 for h in man["history"]), (
+        "every window (and the staged init) commits its pair atomically"
+    )
     names = set(os.listdir(base))
-    assert man["by"] in names and "codebooks" in names
-    for gen in chain[:-1]:
+    assert man["by"] in names and "codebooks" in names and "centroids" in names
+    for gen in a_chain[:-1] + c_chain[:-1]:
         assert gen not in names, f"superseded generation survived: {gen}"
     plan = df._jdf.queryExecution().toString()
     assert "Union" not in plan
     assert "LeftAnti" not in plan
     assert "ExistingRDD" not in plan, "Lloyd checkpoint leaked into probe"
-    assert len(re.findall(r"embeddings\.parquet", plan)) == 1, (
-        "embeddings may be read exactly once (the query slice)"
+    # the probe-bucket subtree and the ADC-grid subtree each scan the
+    # QUERY SLICE of embeddings (pushed-down %100 filter, ~0.1% of rows);
+    # the corpus itself is never scanned — candidates come from the
+    # persisted assignments generation
+    assert len(re.findall(r"embeddings\.parquet", plan)) == 2, (
+        "embeddings may be read only for the query slice (2 subtrees)"
     )
-    assert plan.count(man["by"]) >= 1
+    assert plan.count(a_chain[-1]) >= 1, "pruning reads the assignments gen"
+    assert plan.count(c_chain[-1]) >= 1
 
 
 def test_k23_batching_invariance(spark):
-    """Insert and tombstone key sets are disjoint and code rows are
-    keyed (vec_id, s), so the per-batch fold commutes: a 2-files-per-
-    trigger replay lands on the identical code table."""
+    """Insert and tombstone key sets are disjoint and both tables are
+    keyed, so the per-batch fold commutes: a 2-files-per-trigger replay
+    lands on the identical generation pair, pruned probe equal."""
     import json
     import os
     import shutil
 
     from dask_pipes_spark.operators.streaming_ops import (
+        _K23_ASSIGN_SCHEMA,
         _run_pq_ivm_stream,
         _stage_k23_state,
         k23_stream_pq_ivm,
     )
-    from dask_pipes_spark.operators.vectors import _pq_corpus, _pq_probe_topk
-    from dask_pipes_spark.session import scratch_path
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+    from dask_pipes_spark.operators.vectors import (
+        _RIVF_CENT_SCHEMA,
+        _pq_pruned_probe_topk,
+        _pq_subspaces,
+    )
+    from dask_pipes_spark.session import _link_bys, scratch_path
     from pyspark.sql import functions as F
 
     ref = sorted(tuple(r) for r in k23_stream_pq_ivm(spark, SF_SMOKE).collect())
@@ -738,19 +803,38 @@ def test_k23_batching_invariance(spark):
     _stage_k23_state(spark, SF_SMOKE, d)
     _run_pq_ivm_stream(spark, d, max_files_per_trigger=2)
     man = json.load(open(os.path.join(d, "VACUUM.json")))
-    assert len(man["history"]) == 3, "4 files at mfpt=2 -> 2 windows"
+    assert len(man["history"]) == 3, "init pair + 2 windows at mfpt=2"
+    bys = [b for h in man["history"] for b in _link_bys(h)]
+    cent_rows = (
+        spark.read.schema(_RIVF_CENT_SCHEMA)
+        .parquet(os.path.join(d, "centroids"))
+        .collect()
+    )
     cents = spark.read.schema("s int, cid int, cv array<double>").parquet(
         os.path.join(d, "codebooks")
     )
+    assignments = spark.read.schema(_K23_ASSIGN_SCHEMA).parquet(
+        os.path.join(d, [b for b in bys if b.startswith("assignments-")][-1])
+    )
     codes = spark.read.schema("vec_id bigint, s int, code int").parquet(
-        os.path.join(d, man["by"])
+        os.path.join(d, [b for b in bys if b.startswith("codes-")][-1])
     )
-    _, sub = _pq_corpus(spark, SF_SMOKE)
-    qsub = sub.filter(
-        (F.col("vec_id") % 100 == 0)
-        & ((F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3))
+    qvecs, _ = _ivf_corpus_and_centroids(
+        spark,
+        SF_SMOKE,
+        pred=(F.col("vec_id") % 100 == 0)
+        & ((F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3)),
     )
-    got = sorted(tuple(r) for r in _pq_probe_topk(qsub, cents, codes).collect())
+    probes = ivf_assign(qvecs, cent_rows, nprobe=3).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    qsub = _pq_subspaces(qvecs).select("vec_id", "s", "sv")
+    got = sorted(
+        tuple(r)
+        for r in _pq_pruned_probe_topk(
+            qsub, probes, assignments, cents, codes
+        ).collect()
+    )
     assert got == ref
     shutil.rmtree(d, ignore_errors=True)
 
