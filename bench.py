@@ -289,46 +289,47 @@ def _run_dedup_chain_from_sigs(spark, sigs):
 
 
 def q_dedup_chain(spark, t):
-    """North-star dedup workload (round 5): MinHash signatures → capped LSH
-    candidate pairs → connected components → duplicate-cluster size
-    histogram — the l2→l18 operator chain end-to-end on the documents
-    table. This is the one headline query timed through the DataFrame
-    front-end instead of a shared SQL text: the chain is not expressible in
-    engine-portable SQL (shingling needs string_split in DuckDB vs split in
-    Spark), so the DuckDB twin is the l18 oracle CTE chain
-    (``llm_ops._mh_cand_ctes`` — verified row-identical by check_parity at
-    three SFs) and results are cross-checked against it at bench startup.
-    Timing includes signature materialization and the label-propagation
-    rounds (each round is a real job) — nothing is pre-staged."""
+    """North-star dedup workload (round 5, headline flipped round 11 —
+    the r10 verdict's item 5): capped LSH candidate pairs → connected
+    components → duplicate-cluster size histogram, served from the
+    PERSISTED signature generation (l74/l80 — the deployment default: a
+    crawl pipeline keeps the signature table and never re-shingles; the
+    timed region starts from 512 B/doc of parquet). The one-time index
+    build runs untimed at bench startup and its cost is published as
+    ``dedup_sig_build_ms``; the former from-scratch recompute (signature
+    materialization inside the timed region) is retained this round as
+    ``dedup_chain_inmem_ms`` for series continuity with BENCH_r5–r10.
+
+    Timed through the DataFrame front-end: the chain is not expressible
+    in engine-portable SQL, so the DuckDB twin is the l18 oracle CTE
+    chain (from-scratch, including signatures — DuckDB has no persisted
+    index to ride, which the asymmetry disclosure notes) and results are
+    cross-checked against it at bench startup.
+    ``$SPARK_GRAFT_DEDUP_INMEM`` forces the old in-memory path."""
     from dask_pipes_spark.operators.llm_ops import (
-        connected_components,
         lsh_candidate_pairs,
         minhash_signatures,
         persisted_signature_table,
     )
 
-    if os.environ.get("SPARK_GRAFT_DEDUP_INDEX"):
-        # deployment mode (round 10): ride the persisted signature
-        # generation — no re-shingling, no localCheckpoint job; the timed
-        # region starts from 512 B/doc of parquet (the l74 economics). The
-        # in-memory recompute below stays the headline default so BENCH_r*
-        # totals remain comparable round over round.
-        sigs = persisted_signature_table(spark, SF_DIR)
-        cand = lsh_candidate_pairs(sigs, _checkpoint=False)
-    else:
+    if os.environ.get("SPARK_GRAFT_DEDUP_INMEM"):
         docs = t["documents"]
         cand = lsh_candidate_pairs(minhash_signatures(docs))
-    comp = connected_components(cand, "doc_a", "doc_b")
-    sizes = (
-        comp.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .filter(F.col("cluster_size") >= 2)
-    )
-    return (
-        sizes.groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).alias("n_clusters"))
-        .orderBy("cluster_size")
-    )
+        from dask_pipes_spark.operators.llm_ops import connected_components
+
+        comp = connected_components(cand, "doc_a", "doc_b")
+        sizes = (
+            comp.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .filter(F.col("cluster_size") >= 2)
+        )
+        return (
+            sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .orderBy("cluster_size")
+        )
+    sigs = persisted_signature_table(spark, SF_DIR)
+    return _run_dedup_chain_from_sigs(spark, sigs)
 
 
 def dedup_chain_duckdb_sql() -> str:
@@ -777,6 +778,15 @@ def main() -> None:
     # super-linear — the same sweep at sf10 runs for tens of minutes).
     # Correctness at every SF is check_parity's job (l2/l18 oracles, swept
     # at sf0.001/0.01/0.1); this startup check guards the BENCH pairing.
+    # one-time signature index build (round 11 — the flipped headline's
+    # amortized cost): measured fresh here (per-process scratch root), so
+    # every q_dedup_chain execution below is the steady-state serving path
+    from dask_pipes_spark.operators.llm_ops import persisted_signature_table
+
+    t0 = time.perf_counter()
+    persisted_signature_table(spark, SF_DIR)
+    dedup_sig_build_s = time.perf_counter() - t0
+
     if scale <= 10:
         bind_views("q_dedup_chain")
         chain_tables = {**tables, **projections.get("q_dedup_chain", {})}
@@ -934,29 +944,30 @@ def main() -> None:
         len(_got.get(q, set()) & t) for q, t in _truth.items()
     ) / max(1, sum(len(t) for t in _truth.values()))
 
-    # persisted-signature chain disclosure (round 10): the headline
-    # q_dedup_chain recomputes signatures from text (comparable round over
-    # round and to DuckDB's from-scratch twin); the deployment default
-    # rides the persisted signature generation (l74/l80). Publish that
-    # path's same-window time: index build is untimed (ensure_index —
-    # built once per source fingerprint, exactly the deployment
-    # amortization), the timed region is pairs→components→histogram from
-    # 512 B/doc of parquet.
-    from dask_pipes_spark.operators.llm_ops import persisted_signature_table
-
+    # in-memory chain disclosure (round 11, flipped headline — one round
+    # of series continuity with BENCH_r5–r10): the pre-r11 headline path,
+    # signatures recomputed from text INSIDE the timed region with the
+    # localCheckpoint boundary. The headline q_dedup_chain above now rides
+    # the persisted signature generation (the deployment default); this
+    # row is what lets the r5–r10 series stay comparable.
     bind_views("q_dedup_chain")
-    _psig = persisted_signature_table(spark, SF_DIR)  # untimed build
-    pchain_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _run_dedup_chain_from_sigs(spark, _psig).collect()
-        pchain_times.append(time.perf_counter() - t0)
+    inmem_tables = {**tables, **projections.get("q_dedup_chain", {})}
+    os.environ["SPARK_GRAFT_DEDUP_INMEM"] = "1"
+    try:
+        inmem_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q_dedup_chain(spark, inmem_tables).collect()
+            inmem_times.append(time.perf_counter() - t0)
+    finally:
+        os.environ.pop("SPARK_GRAFT_DEDUP_INMEM", None)
 
     calibration = {
         "spark_floor_ms": round(statistics.median(floor_times) * 1000, 1),
-        "dedup_chain_persisted_ms": round(
-            statistics.median(pchain_times) * 1000, 1
+        "dedup_chain_inmem_ms": round(
+            statistics.median(inmem_times) * 1000, 1
         ),
+        "dedup_sig_build_ms": round(dedup_sig_build_s * 1000, 1),
         "duckdb_pricing_ms": round(statistics.median(duck_times) * 1000, 1),
         "join3_raw_3join_ms": round(statistics.median(raw_times) * 1000, 1),
         "text_stats_raw_ms": round(statistics.median(ts_raw_times) * 1000, 1),

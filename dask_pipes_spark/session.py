@@ -568,8 +568,20 @@ def set_branch(index_dir: str, branch: str, generation: str) -> None:
     """Create or move a branch ref to an existing generation (Iceberg's
     ``create_branch``/``replace_branch``) — O(1) metadata, under the
     commit lock. The named generation becomes vacuum-protected for as
-    long as the ref exists."""
+    long as the ref exists.
+
+    Validated under the lock (round 11 — found designing the
+    multi-process fuzz): a caller that listed a generation and then
+    lost a race to retention would otherwise create a DANGLING ref — a
+    ref can only protect state that still exists at ref-creation time
+    (Iceberg validates the snapshot id the same way). Raises
+    :class:`ValueError`; the caller's recovery is re-list and retry."""
     with _commit_lock(index_dir):
+        if not os.path.isdir(os.path.join(index_dir, generation)):
+            raise ValueError(
+                f"cannot point branch {branch!r} at {generation!r}: "
+                "generation does not exist (vacuumed or never committed)"
+            )
         branches = _read_branches(index_dir)
         branches[branch] = generation
         _write_branches(index_dir, branches)

@@ -323,6 +323,191 @@ def _occ_worker(base: str, who: str, n_commits: int, barrier, q) -> None:
     q.put((who, committed))
 
 
+def _proto_worker(base: str, who: str, n_ops: int, barrier, q) -> None:
+    """Spawn-target (round 11 — the r10 verdict's item 4, composing the
+    single-process hypothesis machine with the OCC soak): one worker
+    executing a seeded-random stream of protocol ops against a SHARED
+    index dir — CAS publishes with the real retry loop, branch
+    create/merge/retire, GC (multi-maintainer age guard), age expiry,
+    and manifest compaction — expecting only the protocol's DECLARED
+    refusals (CommitConflictError → re-base; ValueError from a lost
+    pin race → re-list)."""
+    import os
+    import random
+    import shutil
+
+    from dask_pipes_spark.session import (
+        CommitConflictError,
+        compact_manifest,
+        delete_branch,
+        expire_snapshots,
+        gc_index_dir,
+        merge_branch,
+        publish_generation,
+        set_branch,
+    )
+
+    rng = random.Random(f"proto-{who}")
+    barrier.wait()
+    committed: list[str] = []
+
+    def _publish(branch=None, retain=0):
+        for attempt in range(1, 50):
+            hist, _ = _read_manifest(base)
+            head = hist[-1]["by"] if hist else None
+            name = f"g-{who}-{len(committed):03d}-a{attempt}"
+            staged = os.path.join(base, f"{name}.staged")
+            os.makedirs(staged, exist_ok=True)
+            open(os.path.join(staged, "DATA"), "w").write(name)
+            try:
+                publish_generation(
+                    base, staged, name,
+                    superseded=[head] if (head and rng.random() < 0.5) else [],
+                    retain=retain, expected_head=head, branch=branch,
+                )
+                committed.append(name)
+                return
+            except CommitConflictError:
+                shutil.rmtree(staged, ignore_errors=True)
+        raise AssertionError("OCC retry loop starved after 49 attempts")
+
+    for _ in range(n_ops):
+        op = rng.random()
+        if op < 0.35:
+            _publish(
+                branch=f"audit-{who}" if rng.random() < 0.3 else None,
+                retain=rng.randint(0, 2),
+            )
+        elif op < 0.45:
+            # pin a branch to some currently-existing generation; losing
+            # the race to retention is a DECLARED refusal
+            gens = [
+                n for n in os.listdir(base)
+                if os.path.isdir(os.path.join(base, n))
+                and not n.endswith(".staged")
+                and "." not in n
+            ]
+            if gens:
+                try:
+                    set_branch(base, f"pin-{who}", rng.choice(gens))
+                except ValueError:
+                    pass
+        elif op < 0.55:
+            branches = _read_branches(base)
+            src = f"audit-{who}"
+            if src in branches:
+                try:
+                    merge_branch(
+                        base, src, "main",
+                        expected_head=branches.get("main"),
+                    )
+                except (CommitConflictError, ValueError):
+                    pass  # another worker moved main — re-base next loop
+        elif op < 0.65:
+            delete_branch(
+                base, rng.choice([f"pin-{who}", f"audit-{who}"]),
+                retain=rng.randint(0, 1),
+            )
+        elif op < 0.8:
+            # multi-maintainer GC: the age guard is what makes a sweep
+            # safe while other workers hold young staged dirs
+            gc_index_dir(base, older_than_sec=3600)
+        elif op < 0.9:
+            expire_snapshots(base, older_than_sec=0, keep_last=1)
+        else:
+            compact_manifest(base, keep_tail=rng.randint(2, 5))
+    q.put((who, committed))
+
+
+def test_multiprocess_protocol_soak(tmp_path):
+    """Four processes x 50 random protocol ops against ONE index dir
+    (round 11): after the join, every durability invariant the
+    single-process fuzzer checks must hold — parseable manifest, durable
+    manifest head with intact content, every live head (including
+    multi-table bys and compaction-checkpoint heads) on disk, every
+    retained entry on disk, every branch ref resolvable, and a final GC
+    that is re-entrant. Zero invariant violations is the bar."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    from dask_pipes_spark.session import (
+        _append_vacuum_link,
+        gc_index_dir,
+        set_branch,
+    )
+
+    base = str(tmp_path / "idx")
+    os.makedirs(os.path.join(base, "g000"))
+    open(os.path.join(base, "g000", "DATA"), "w").write("g000")
+    _append_vacuum_link(base, [], "g000", 0)
+    set_branch(base, "main", "g000")
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(4)
+    q = ctx.Queue()
+    ps = [
+        ctx.Process(target=_proto_worker, args=(base, w, 50, barrier, q))
+        for w in "ABCD"
+    ]
+    for p in ps:
+        p.start()
+    results = dict(q.get(timeout=300) for _ in ps)
+    for p in ps:
+        p.join(timeout=300)
+        assert p.exitcode == 0, f"worker crashed: {p.exitcode}"
+
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    hist = man.get("history", [])
+    assert hist, "manifest must survive the soak"
+    chain = [h["by"] for h in hist]
+    ever_sup = {n for h in hist for n in h["superseded"]}
+    bys = list((man.get("checkpoint") or {}).get("heads", [])) + [
+        b for h in hist for b in (h.get("bys") or [h["by"]])
+    ]
+    for b in bys:
+        if b in ever_sup:
+            continue
+        p = os.path.join(base, b)
+        assert os.path.isdir(p), f"live head {b} lost"
+        marker = os.path.join(p, "DATA")
+        if os.path.exists(marker):
+            assert open(marker).read() == b.split(".")[0]
+    for gen in man.get("retained", []):
+        assert os.path.isdir(os.path.join(base, gen)), f"retained {gen} lost"
+    for branch, gen in _read_branches(base).items():
+        assert os.path.isdir(os.path.join(base, gen)), (
+            f"branch {branch} -> {gen} dangling"
+        )
+    # every commit the workers report landed exactly once in the history
+    reported = [n for lst in results.values() for n in lst]
+    assert reported, "workers must have committed something"
+    assert len(reported) == len(set(reported)), "worker name collision"
+    # no PHANTOM commits: every worker-named entry in the manifest (tail
+    # links or compaction-checkpoint heads) was a reported commit. The
+    # converse — every reported commit still visible — does NOT hold here
+    # by design: compaction folds away links whose superseded generations
+    # were already vacuumed, so old superseded commits leave the manifest
+    # entirely (exact lost-update accounting is
+    # test_occ_retry_loop_no_lost_updates_across_processes's job, which
+    # runs without compaction). What must survive is checked above: every
+    # LIVE head durable with intact content, retained window durable,
+    # refs resolvable.
+    ck_heads = set((man.get("checkpoint") or {}).get("heads", []))
+    visible = {b for b in chain if b.startswith("g-")} | {
+        b for b in ck_heads if b.startswith("g-")
+    }
+    assert visible <= set(reported), (
+        f"phantom commits in manifest: {visible - set(reported)}"
+    )
+    # the manifest head itself is a real commit (or the seed)
+    assert chain[-1] == "g000" or chain[-1] in set(reported)
+    # final sweep converges: a second GC removes nothing
+    gc_index_dir(base, older_than_sec=0)
+    rep2 = gc_index_dir(base, older_than_sec=0)
+    assert rep2["removed"] == [], rep2
+
+
 def test_occ_retry_loop_no_lost_updates_across_processes(tmp_path):
     """Four processes each drive ten commits through the optimistic
     retry loop against ONE index dir: every commit lands exactly once
