@@ -1567,6 +1567,180 @@ def l78_residual_index_checkpoint(spark, sf_dir):
     return _residual_probe(indexed, cent, cent_rows, cents, codes)
 
 
+_L81_ASSIGN_SCHEMA = "vec_id bigint, bucket int"
+
+
+def _stage_l81_state(spark, sf_dir: str, d: str) -> None:
+    """Stage 'yesterday's' persisted IVF+PQ state + CDC feeds (the batch
+    twin of k23's staging): coarse centroids + PQ codebooks trained on
+    the ``%9!=5`` slice as the FIXED quantizers, the slim inverted file
+    and the code table committed as a generation PAIR (one manifest
+    link), insert feed = the held-out slice's raw vectors, tombstones =
+    ``%11==3``."""
+    import os
+
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+    from dask_pipes_spark.session import checkpoint_index_generations
+
+    vecs_old, cent = _ivf_corpus_and_centroids(
+        spark, sf_dir, pred=F.col("vec_id") % 9 != 5
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+    v_old, sub_old = _pq_corpus(spark, sf_dir, pred=F.col("vec_id") % 9 != 5)
+    cents = _pq_train(v_old, sub_old)
+    cents.write.mode("overwrite").parquet(os.path.join(d, "codebooks"))
+    checkpoint_index_generations(
+        d,
+        [
+            (
+                ivf_assign(vecs_old, cent.collect(), nprobe=1).select(
+                    "vec_id", "bucket"
+                ),
+                [],
+                "assignments-g001",
+            ),
+            (_pq_assign(sub_old, cents), [], "codes-g001"),
+        ],
+        target_files=8,
+    )
+    vecs_new, _ = _ivf_corpus_and_centroids(
+        spark, sf_dir, pred=F.col("vec_id") % 9 == 5
+    )
+    vecs_new.write.mode("overwrite").parquet(os.path.join(d, "delta_ins"))
+    vecs_old.filter(F.col("vec_id") % 11 == 3).select(
+        "vec_id"
+    ).write.mode("overwrite").parquet(os.path.join(d, "delta_del"))
+
+
+@query("l81_ivfpq_pruned_checkpoint", oracle=_L68D_ORACLE)
+def l81_ivfpq_pruned_checkpoint(spark, sf_dir):
+    """Batch IVF-pruned PQ serving over an atomically-maintained pair
+    (round 11 — the batch half of the r10 verdict's item 3, closing what
+    k23 closed for streaming): the slim coarse inverted file AND the PQ
+    code table are delta-maintained together (broadcast anti-join
+    deletes; map-side coarse assignment + ``_pq_assign`` encoding of the
+    insert vectors against FIXED quantizers — l77's algebra minus the
+    residual step) and checkpointed as ONE generation-pair transaction
+    (:func:`checkpoint_index_generations`); serving is l68's IVFADC
+    composition from the persisted pair — the query probes its nprobe=3
+    coarse buckets and ADC scores only those candidates, never the full
+    code table (the l55/l63/l67/l72 full-scan spec remains the
+    correctness baseline).
+
+    Same composed from-scratch oracle as k23 (``_l68_oracle`` with the
+    trained-on-yesterday / tracks-today split): the checkpointed pair
+    must answer exactly as the SQL rebuild of both quantizers, both
+    final-corpus tables, and the pruned probe — so a mis-bucketed
+    insert, a surviving tombstone in EITHER table, or a torn pair
+    commit diverges the hash.
+
+    100 TB: candidates fall from N to ~N·nprobe/buckets; the membership
+    table is 12 B/vector and the codes 4 B/subspace — the serving tier
+    reads only those plus the two broadcast-size quantizers. One commit
+    point for the pair is what lets a reader resolve a CONSISTENT
+    (assignments, codes) snapshot with no cross-table fence."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+    from dask_pipes_spark.session import (
+        _link_bys,
+        checkpoint_index_generations,
+        ensure_index,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+    def _stage(d: str) -> None:
+        _stage_l81_state(spark, sf_dir, d)
+        cent_rows_b = (
+            spark.read.schema(_RIVF_CENT_SCHEMA)
+            .parquet(os.path.join(d, "centroids"))
+            .collect()
+        )
+        cents_b = spark.read.schema(_RIVF_CENTS_SCHEMA).parquet(
+            os.path.join(d, "codebooks")
+        )
+        assignments = spark.read.schema(_L81_ASSIGN_SCHEMA).parquet(
+            os.path.join(d, "assignments-g001")
+        )
+        codes = spark.read.schema(_RIVF_CODES_SCHEMA).parquet(
+            os.path.join(d, "codes-g001")
+        )
+        d_ins = spark.read.schema(
+            "vec_id bigint, e array<double>, nrm double"
+        ).parquet(os.path.join(d, "delta_ins"))
+        d_del = spark.read.schema("vec_id bigint").parquet(
+            os.path.join(d, "delta_del")
+        )
+        a_m = assignments.join(
+            F.broadcast(d_del), "vec_id", "left_anti"
+        ).unionAll(
+            ivf_assign(d_ins, cent_rows_b, nprobe=1).select(
+                "vec_id", "bucket"
+            )
+        )
+        c_m = codes.join(
+            F.broadcast(d_del), "vec_id", "left_anti"
+        ).unionAll(
+            _pq_assign(_pq_subspaces(d_ins).select("vec_id", "s", "sv"), cents_b)
+        )
+        checkpoint_index_generations(
+            d,
+            [
+                (
+                    a_m,
+                    ["assignments-g001", "delta_del"],
+                    "assignments-g002",
+                ),
+                (c_m, ["codes-g001", "delta_ins"], "codes-g002"),
+            ],
+            target_files=8,
+        )
+
+    idx = ensure_index(
+        scratch_path(f"dps_l81_ivfpq_{tag}"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="ivfpq-pruned-v1",
+        build=_stage,
+    )
+    hist = json.load(open(os.path.join(idx, "VACUUM.json")))["history"]
+    bys = [b for h in hist for b in _link_bys(h)]
+    head_a = [b for b in bys if b.startswith("assignments-")][-1]
+    head_c = [b for b in bys if b.startswith("codes-")][-1]
+    cent_rows = (
+        spark.read.schema(_RIVF_CENT_SCHEMA)
+        .parquet(os.path.join(idx, "centroids"))
+        .collect()
+    )
+    cents = spark.read.schema(_RIVF_CENTS_SCHEMA).parquet(
+        os.path.join(idx, "codebooks")
+    )
+    assignments = spark.read.schema(_L81_ASSIGN_SCHEMA).parquet(
+        os.path.join(idx, head_a)
+    )
+    codes = spark.read.schema(_RIVF_CODES_SCHEMA).parquet(
+        os.path.join(idx, head_c)
+    )
+    qvecs, _ = _ivf_corpus_and_centroids(
+        spark,
+        sf_dir,
+        pred=(F.col("vec_id") % 100 == 0)
+        & ((F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3)),
+    )
+    probes = ivf_assign(qvecs, cent_rows, nprobe=3).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    qsub = _pq_subspaces(qvecs).select("vec_id", "s", "sv")
+    return _pq_pruned_probe_topk(qsub, probes, assignments, cents, codes)
+
+
 def _stage_pq_delta_state(spark, sf_dir: str, d: str) -> None:
     """Stage 'yesterday's' persisted PQ state + CDC feeds (shared by l67
     and l72): codebooks trained on the ``%9!=5`` slice, codes for that

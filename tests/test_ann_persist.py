@@ -740,6 +740,59 @@ def test_l78_vacuum_layout_two_generations(spark):
     ], "one union supersession set, vacuumed atomically"
 
 
+def test_l81_pair_layout_and_pruned_plan(spark):
+    """l81 layout + plan contract (round 11): TWO atomic pair links in
+    the history (staged g001 pair, maintained g002 pair), superseded
+    tables and both feeds vacuumed by the g002 link, and the pruned
+    serving plan reads the two generations + quantizers + the query
+    slice only — no merge residue, no Lloyd leak, no corpus scan. The
+    pruned answer equals k23's streaming twin (same composed oracle)."""
+    import json
+    import re
+
+    from dask_pipes_spark.operators.streaming_ops import k23_stream_pq_ivm
+    from dask_pipes_spark.operators.vectors import l81_ivfpq_pruned_checkpoint
+    from dask_pipes_spark.session import _link_bys, scratch_path
+
+    df = l81_ivfpq_pruned_checkpoint(spark, SF_SMOKE)
+    got = sorted(tuple(r) for r in df.collect())
+    assert got, "probe must be non-empty at sf0.001"
+    twin = sorted(
+        tuple(r) for r in k23_stream_pq_ivm(spark, SF_SMOKE).collect()
+    )
+    assert got == twin, "batch pair == streaming pair (same composition)"
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l81_ivfpq_{tag}")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [len(_link_bys(h)) for h in man["history"]] == [2, 2]
+    assert _link_bys(man["history"][-1]) == [
+        "assignments-g002", "codes-g002",
+    ]
+    assert man["superseded"] == [
+        "assignments-g001", "codes-g001", "delta_del", "delta_ins",
+    ]
+    names = set(os.listdir(base))
+    for kept in ("assignments-g002", "codes-g002", "centroids", "codebooks"):
+        assert kept in names, f"missing surviving artifact: {kept}"
+    for gone in ("assignments-g001", "codes-g001", "delta_ins", "delta_del"):
+        assert gone not in names, f"superseded state survived vacuum: {gone}"
+    # plan pins on a FRESH (unexecuted) build: after a collect, AQE's
+    # final plan folds scans into reused query stages, making scan counts
+    # execution-order-dependent
+    plan = l81_ivfpq_pruned_checkpoint(
+        spark, SF_SMOKE
+    )._jdf.queryExecution().toString()
+    assert "Union" not in plan and "LeftAnti" not in plan
+    assert "ExistingRDD" not in plan
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"embeddings\.parquet", phys)) == 2, (
+        "embeddings read only for the query slice (probe + grid subtrees)"
+    )
+    assert phys.count("assignments-g002") >= 1
+    assert phys.count("codes-g002") >= 1
+
+
 def test_checkpoint_retention_window_and_rollback(spark, tmp_path):
     """``retain=2`` keeps the two most recent superseded generations
     readable for time-travel: a reader pinned to g002 still answers while
