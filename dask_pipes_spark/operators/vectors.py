@@ -1741,6 +1741,142 @@ def l81_ivfpq_pruned_checkpoint(spark, sf_dir):
     return _pq_pruned_probe_topk(qsub, probes, assignments, cents, codes)
 
 
+_L82_ASOF_ORACLE = _l68_oracle(
+    train_pred="vec_id % 9 <> 5",
+    corpus_pred="vec_id % 9 <> 5",
+)
+
+
+@query("l82_pair_time_travel", oracle=_L82_ASOF_ORACLE)
+def l82_pair_time_travel(spark, sf_dir):
+    """Consistent two-table time travel (round 11 — the as-of payoff of
+    the atomic multi-table commit, extending l79/p21's VERSION-AS-OF to
+    generation PAIRS): because k23/l81 land (assignments, codes) under
+    ONE history link, an as-of reader resolves BOTH tables from that
+    single link — a consistent snapshot by construction. Per-table
+    resolution (the r10 two-link shape) could legitimately pair
+    yesterday's assignments with today's codes when the as-of timestamp
+    falls between the two commits; with the paired link that torn read
+    is unrepresentable.
+
+    The build is l81's (pair g001 staged, the CDC-merged pair g002
+    committed) with ``retain=2``, which keeps BOTH g001 tables on the
+    retained list. Serving resolves the PREVIOUS paired link from the
+    manifest and runs the pruned IVFADC probe against its two
+    generations — yesterday's index answering yesterday's queries
+    bitwise while the head serves today's (the offline-eval replay
+    l79 motivates, now for multi-table indexes). Oracle: the composed
+    from-scratch twin of the AS-OF state — quantizers and tables all
+    over the old slice, no deletes applied — so a retained generation
+    corrupted by the later commit, a swept pair member, or a mixed
+    (old assignments, new codes) read diverges the hash.
+
+    100 TB: N retained PAIRS cost index-sized bytes, swept by the same
+    retention window; the single-link resolution is what an Iceberg
+    multi-table transaction's snapshot gives you, here for index
+    state."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.llm_ext import (
+        _ivf_corpus_and_centroids,
+        ivf_assign,
+    )
+    from dask_pipes_spark.session import (
+        _link_bys,
+        checkpoint_index_generations,
+        ensure_index,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+    def _stage(d: str) -> None:
+        _stage_l81_state(spark, sf_dir, d)
+        cent_rows_b = (
+            spark.read.schema(_RIVF_CENT_SCHEMA)
+            .parquet(os.path.join(d, "centroids"))
+            .collect()
+        )
+        cents_b = spark.read.schema(_RIVF_CENTS_SCHEMA).parquet(
+            os.path.join(d, "codebooks")
+        )
+        assignments = spark.read.schema(_L81_ASSIGN_SCHEMA).parquet(
+            os.path.join(d, "assignments-g001")
+        )
+        codes = spark.read.schema(_RIVF_CODES_SCHEMA).parquet(
+            os.path.join(d, "codes-g001")
+        )
+        d_ins = spark.read.schema(
+            "vec_id bigint, e array<double>, nrm double"
+        ).parquet(os.path.join(d, "delta_ins"))
+        d_del = spark.read.schema("vec_id bigint").parquet(
+            os.path.join(d, "delta_del")
+        )
+        a_m = assignments.join(
+            F.broadcast(d_del), "vec_id", "left_anti"
+        ).unionAll(
+            ivf_assign(d_ins, cent_rows_b, nprobe=1).select(
+                "vec_id", "bucket"
+            )
+        )
+        c_m = codes.join(
+            F.broadcast(d_del), "vec_id", "left_anti"
+        ).unionAll(
+            _pq_assign(_pq_subspaces(d_ins).select("vec_id", "s", "sv"), cents_b)
+        )
+        # retain=2 keeps BOTH members of the superseded pair readable —
+        # the time-travel target is the whole pair, not one table
+        checkpoint_index_generations(
+            d,
+            [
+                (
+                    a_m,
+                    ["assignments-g001", "delta_del"],
+                    "assignments-g002",
+                ),
+                (c_m, ["codes-g001", "delta_ins"], "codes-g002"),
+            ],
+            retain=2,
+            target_files=8,
+        )
+
+    idx = ensure_index(
+        scratch_path(f"dps_l82_pair_travel_{tag}"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="pair-travel-v1",
+        build=_stage,
+    )
+    man = json.load(open(os.path.join(idx, "VACUUM.json")))
+    pair_links = [h for h in man["history"] if len(_link_bys(h)) == 2]
+    asof = pair_links[-2]  # the previous pair — ONE link names both tables
+    head_a, head_c = _link_bys(asof)
+    cent_rows = (
+        spark.read.schema(_RIVF_CENT_SCHEMA)
+        .parquet(os.path.join(idx, "centroids"))
+        .collect()
+    )
+    cents = spark.read.schema(_RIVF_CENTS_SCHEMA).parquet(
+        os.path.join(idx, "codebooks")
+    )
+    assignments = spark.read.schema(_L81_ASSIGN_SCHEMA).parquet(
+        os.path.join(idx, head_a)
+    )
+    codes = spark.read.schema(_RIVF_CODES_SCHEMA).parquet(
+        os.path.join(idx, head_c)
+    )
+    # yesterday's queries over yesterday's corpus (the as-of replay)
+    qvecs, _ = _ivf_corpus_and_centroids(
+        spark,
+        sf_dir,
+        pred=(F.col("vec_id") % 100 == 0) & (F.col("vec_id") % 9 != 5),
+    )
+    probes = ivf_assign(qvecs, cent_rows, nprobe=3).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    qsub = _pq_subspaces(qvecs).select("vec_id", "s", "sv")
+    return _pq_pruned_probe_topk(qsub, probes, assignments, cents, codes)
+
+
 def _stage_pq_delta_state(spark, sf_dir: str, d: str) -> None:
     """Stage 'yesterday's' persisted PQ state + CDC feeds (shared by l67
     and l72): codebooks trained on the ``%9!=5`` slice, codes for that

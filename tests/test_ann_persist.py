@@ -793,6 +793,33 @@ def test_l81_pair_layout_and_pruned_plan(spark):
     assert phys.count("codes-g002") >= 1
 
 
+def test_l82_pair_asof_layout(spark):
+    """l82 layout contract (round 11): the as-of pair resolves from ONE
+    paired history link; both members of the superseded pair are on the
+    retained list and on disk; the head pair serves simultaneously —
+    two consistent two-table versions from one directory."""
+    import json
+
+    from dask_pipes_spark.operators.vectors import l82_pair_time_travel
+    from dask_pipes_spark.session import _link_bys, scratch_path
+
+    assert l82_pair_time_travel(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l82_pair_travel_{tag}")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert set(man["retained"]) == {"assignments-g001", "codes-g001"}, (
+        "retain=2 keeps the whole superseded pair"
+    )
+    pair_links = [h for h in man["history"] if len(_link_bys(h)) == 2]
+    assert _link_bys(pair_links[-2]) == ["assignments-g001", "codes-g001"]
+    assert _link_bys(pair_links[-1]) == ["assignments-g002", "codes-g002"]
+    names = set(os.listdir(base))
+    for gen in (
+        "assignments-g001", "codes-g001", "assignments-g002", "codes-g002",
+    ):
+        assert gen in names, f"pair member missing: {gen}"
+
+
 def test_checkpoint_retention_window_and_rollback(spark, tmp_path):
     """``retain=2`` keeps the two most recent superseded generations
     readable for time-travel: a reader pinned to g002 still answers while
