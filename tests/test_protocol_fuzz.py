@@ -508,6 +508,128 @@ def test_multiprocess_protocol_soak(tmp_path):
     assert rep2["removed"] == [], rep2
 
 
+def _kill_target(base: str, who: str, barrier) -> None:
+    """Spawn-target for the SIGKILL soak: publish generations through the
+    OCC retry loop FOREVER — the parent kills this process at a random
+    point, so death can land inside staging, inside the commit lock's
+    critical section (rename / manifest temp+rename / vacuum rmtree), or
+    between any two steps. fcntl locks die with the process, temp+rename
+    keeps the manifest atomic, and rename-then-link ordering keeps every
+    observable state recoverable — that is the claim this soak attacks."""
+    import os
+    import shutil
+
+    from dask_pipes_spark.session import (
+        CommitConflictError,
+        publish_generation,
+    )
+
+    barrier.wait()
+    i = 0
+    while True:
+        attempt = 0
+        while True:
+            attempt += 1
+            hist, _ = _read_manifest(base)
+            head = hist[-1]["by"] if hist else None
+            name = f"g-{who}-{i:04d}-a{attempt}"
+            staged = os.path.join(base, f"{name}.staged")
+            os.makedirs(staged, exist_ok=True)
+            with open(os.path.join(staged, "DATA"), "w") as fh:
+                fh.write(name)
+            try:
+                publish_generation(
+                    base, staged, name, superseded=[head] if head else [],
+                    retain=1, expected_head=head,
+                )
+                break
+            except CommitConflictError:
+                shutil.rmtree(staged, ignore_errors=True)
+        i += 1
+
+
+def test_sigkill_mid_protocol_recovers(tmp_path):
+    """Crash-recovery under REAL process kills (round 11): three rounds
+    of (start two publishers, SIGKILL both at a random moment, verify).
+    After every massacre: the manifest parses, the head's directory and
+    content are intact, every live head and retained entry is durable,
+    orphan GC sweeps the kill debris and is re-entrant, and a fresh
+    publisher commits successfully on top of the carnage — the
+    structural claims (atomic temp+rename manifest, rename-then-link
+    ordering, OS-released fcntl locks) demonstrated against actual
+    SIGKILL rather than simulated torn layouts."""
+    import json
+    import multiprocessing as mp
+    import os
+    import random
+    import time
+
+    from dask_pipes_spark.session import (
+        _append_vacuum_link,
+        gc_index_dir,
+        publish_generation,
+    )
+
+    base = str(tmp_path / "idx")
+    os.makedirs(os.path.join(base, "g000"))
+    with open(os.path.join(base, "g000", "DATA"), "w") as fh:
+        fh.write("g000")
+    _append_vacuum_link(base, [], "g000", 0)
+
+    rng = random.Random("sigkill-soak")
+    ctx = mp.get_context("spawn")
+    for rnd in range(3):
+        barrier = ctx.Barrier(3)
+        ps = [
+            ctx.Process(target=_kill_target, args=(base, f"r{rnd}{w}", barrier))
+            for w in "AB"
+        ]
+        for p in ps:
+            p.start()
+        barrier.wait()  # workers are live and publishing
+        time.sleep(rng.uniform(0.05, 0.4))
+        for p in ps:
+            p.kill()  # SIGKILL — no cleanup, no lock release by python
+        for p in ps:
+            p.join(timeout=60)
+
+        # --- recovery invariants ---
+        man = json.load(open(os.path.join(base, "VACUUM.json")))
+        hist = man["history"]
+        head = hist[-1]["by"]
+        marker = os.path.join(base, head, "DATA")
+        assert os.path.exists(marker), f"head {head} lost after kill"
+        with open(marker) as fh:
+            assert fh.read() == head, "head content torn"
+        ever_sup = {n for h in hist for n in h["superseded"]}
+        for h in hist:
+            for b in h.get("bys") or [h["by"]]:
+                if b not in ever_sup:
+                    assert os.path.isdir(os.path.join(base, b)), (
+                        f"live head {b} lost after kill"
+                    )
+        for gen in man.get("retained", []):
+            assert os.path.isdir(os.path.join(base, gen)), (
+                f"retained {gen} lost after kill"
+            )
+        # the janitor clears the kill debris; single-maintainer age guard
+        gc_index_dir(base, older_than_sec=0)
+        rep2 = gc_index_dir(base, older_than_sec=0)
+        assert rep2["removed"] == [], "GC not re-entrant after kill"
+        # the protocol is live again: a clean publish lands on top
+        staged = os.path.join(base, f"post-kill-{rnd}.staged")
+        os.makedirs(staged)
+        with open(os.path.join(staged, "DATA"), "w") as fh:
+            fh.write(f"post-kill-{rnd}")
+        hist, _ = _read_manifest(base)
+        publish_generation(
+            base, staged, f"post-kill-{rnd}",
+            superseded=[hist[-1]["by"]], expected_head=hist[-1]["by"],
+        )
+        man = json.load(open(os.path.join(base, "VACUUM.json")))
+        assert man["by"] == f"post-kill-{rnd}"
+
+
 def test_occ_retry_loop_no_lost_updates_across_processes(tmp_path):
     """Four processes each drive ten commits through the optimistic
     retry loop against ONE index dir: every commit lands exactly once
