@@ -1741,6 +1741,299 @@ def l81_ivfpq_pruned_checkpoint(spark, sf_dir):
     return _pq_pruned_probe_topk(qsub, probes, assignments, cents, codes)
 
 
+_CQ_K = 64  # corpus-sized coarse cells (the K ~ sqrt(N) sizing rule)
+_CQ_NPROBE = 8
+
+
+def _coarse_kmeans_train(v):
+    """Seeded-Lloyd k-means COARSE quantizer over FULL vectors (round 11
+    — the K ∝ √N sizing rule the l81/k23 sf10 analysis names as the
+    100 TB knob, built with the exact discipline ``_pq_train`` proved:
+    digest-seeded init ('cq:' domain — disjoint from the PQ 'pq:'
+    stream), two decimal-exact Lloyd rounds, ROUNDED-distance struct-min
+    membership so the argmin is bit-reproducible in DuckDB despite
+    64-element double sums). Unlike the label-based ``l12`` quantizer
+    (K fixed at the fixture's 10 labels), K here is a corpus-sizing
+    parameter — the thing that keeps per-query candidates ~N·nprobe/K
+    sub-linear when K grows with the corpus. Returns (cid, cv)."""
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cq:"), F.col("vec_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    seeds = (
+        v.withColumn("h", digest)
+        .orderBy("h", "vec_id")
+        .limit(_CQ_K)
+        .withColumn(
+            "cid", F.row_number().over(Window.orderBy("h", "vec_id")) - 1
+        )
+    )
+    cents = seeds.select("cid", F.col("e").alias("cv"))
+    for _ in range(2):
+        assign = _coarse_kmeans_assign(v, cents)
+        members = assign.join(v, "vec_id")
+        means = members.groupBy(F.col("bucket").alias("cid")).agg(
+            F.array(
+                *[
+                    (
+                        F.sum(
+                            F.element_at("e", i + 1).cast("decimal(28,12)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    for i in range(64)
+                ]
+            ).alias("mv")
+        )
+        cents = (
+            cents.join(F.broadcast(means), "cid", "left")
+            .select("cid", F.coalesce("mv", "cv").alias("cv"))
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
+def _coarse_kmeans_assign(v, cents, nprobe: int = 1):
+    """Nearest coarse cell(s) per vector — bounded broadcast crossJoin
+    (≤64 centroid rows) + struct-min / windowed top-nprobe on the
+    ROUNDED squared L2 (6 dp, ties by cid): the quantization both
+    engines reproduce bit-for-bit. Returns (vec_id, bucket) rows —
+    nprobe of them per vector."""
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("cid"),
+        F.round(_l2sq("e", "cv"), 6).alias("d2"),
+    )
+    if nprobe == 1:
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("best"))
+            .select("vec_id", F.col("best.cid").alias("bucket"))
+        )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", F.col("cid").alias("bucket"))
+    )
+
+
+def _l83_oracle() -> str:
+    """DuckDB twin of l83 — the l68 composition with the label-based
+    coarse quantizer replaced by the seeded-Lloyd k-means one: 'cq:'
+    digest seeds, two CTE-unrolled Lloyd rounds with 64-element
+    decimal-exact centroid means, rounded-L2 struct-min membership;
+    the PQ CTEs are _l68_oracle's verbatim (full corpus, no preds)."""
+    d2c = (
+        "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(vv.e, c.cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    d2 = (
+        "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sb.sv, c.cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    mean64 = ", ".join(
+        f"CAST(SUM(CAST(vv.e[{i}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)"
+        for i in range(1, 65)
+    )
+    mean_list = ", ".join(
+        f"CAST(SUM(CAST(sb.sv[{i}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)"
+        for i in range(1, 9)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cseeds AS (
+      SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid
+      FROM (SELECT vec_id, e,
+              ('0x' || substr(md5('cq:' || CAST(vec_id AS VARCHAR)), 1, 15))
+                ::BIGINT AS h
+            FROM v)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= {_CQ_K}
+    ),
+    ccents0 AS (SELECT cid, e AS cv FROM cseeds),
+    ca0 AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT vv.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+                 ORDER BY ROUND({d2c}, 6), c.cid) AS rn
+        FROM v vv CROSS JOIN ccents0 c
+      ) WHERE rn = 1
+    ),
+    cm0 AS (
+      SELECT ca0.bucket AS cid, [{mean64}] AS mv
+      FROM ca0 JOIN v vv USING (vec_id)
+      GROUP BY ca0.bucket
+    ),
+    ccents1 AS (
+      SELECT c.cid, COALESCE(m.mv, c.cv) AS cv
+      FROM ccents0 c LEFT JOIN cm0 m ON m.cid = c.cid
+    ),
+    ca1 AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT vv.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+                 ORDER BY ROUND({d2c}, 6), c.cid) AS rn
+        FROM v vv CROSS JOIN ccents1 c
+      ) WHERE rn = 1
+    ),
+    cm1 AS (
+      SELECT ca1.bucket AS cid, [{mean64}] AS mv
+      FROM ca1 JOIN v vv USING (vec_id)
+      GROUP BY ca1.bucket
+    ),
+    ccents2 AS (
+      SELECT c.cid, COALESCE(m.mv, c.cv) AS cv
+      FROM ccents1 c LEFT JOIN cm1 m ON m.cid = c.cid
+    ),
+    indexed AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT vv.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+                 ORDER BY ROUND({d2c}, 6), c.cid) AS rn
+        FROM v vv CROSS JOIN ccents2 c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS bucket FROM (
+        SELECT vv.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+                 ORDER BY ROUND({d2c}, 6), c.cid) AS rn
+        FROM v vv CROSS JOIN ccents2 c
+        WHERE vv.vec_id % 100 = 0
+      ) WHERE rn <= {_CQ_NPROBE}
+    ),
+    cand AS (
+      SELECT q.query_id, i.vec_id
+      FROM probes q JOIN indexed i USING (bucket)
+      WHERE i.vec_id <> q.query_id
+    ),
+    seeds AS (
+      SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid
+      FROM (SELECT vec_id, e,
+              ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))
+                ::BIGINT AS h
+            FROM v)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16
+    ),
+    sub AS (
+      SELECT vec_id, s, e[s * 8 + 1 : s * 8 + 8] AS sv
+      FROM v, LATERAL (SELECT UNNEST(range(8)) AS s) t
+    ),
+    cents0 AS (
+      SELECT sb.s, sd.cid, sb.sv AS cv
+      FROM seeds sd JOIN sub sb ON sb.vec_id = sd.vec_id
+    ),
+    a0 AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sb.vec_id, sb.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
+                 ORDER BY {d2}, c.cid) AS rn
+        FROM sub sb JOIN cents0 c USING (s)
+      ) WHERE rn = 1
+    ),
+    m0 AS (
+      SELECT a0.s, a0.code AS cid, [{mean_list}] AS mv
+      FROM a0 JOIN sub sb USING (vec_id, s)
+      GROUP BY a0.s, a0.code
+    ),
+    cents1 AS (
+      SELECT c.s, c.cid, COALESCE(m.mv, c.cv) AS cv
+      FROM cents0 c LEFT JOIN m0 m ON m.s = c.s AND m.cid = c.cid
+    ),
+    a1 AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sb.vec_id, sb.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
+                 ORDER BY {d2}, c.cid) AS rn
+        FROM sub sb JOIN cents1 c USING (s)
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT a1.s, a1.code AS cid, [{mean_list}] AS mv
+      FROM a1 JOIN sub sb USING (vec_id, s)
+      GROUP BY a1.s, a1.code
+    ),
+    cents2 AS (
+      SELECT c.s, c.cid, COALESCE(m.mv, c.cv) AS cv
+      FROM cents1 c LEFT JOIN m1 m ON m.s = c.s AND m.cid = c.cid
+    ),
+    codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sb.vec_id, sb.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
+                 ORDER BY {d2}, c.cid) AS rn
+        FROM sub sb JOIN cents2 c USING (s)
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT sb.vec_id AS query_id, sb.s AS qs, c.cid AS qcid, {d2} AS qd2
+      FROM sub sb JOIN cents2 c USING (s)
+      WHERE sb.vec_id % 100 = 0
+    ),
+    est AS (
+      SELECT cd.query_id, cd.vec_id,
+             ROUND(CAST(SUM(CAST(q.qd2 AS DECIMAL(28,12))) AS DOUBLE), 6)
+               AS adc_dist
+      FROM cand cd
+      JOIN codes ON codes.vec_id = cd.vec_id
+      JOIN qd q ON q.query_id = cd.query_id
+             AND q.qs = codes.s AND q.qcid = codes.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, vec_id) AS rn
+      FROM est) WHERE rn <= 5
+    """
+
+
+@query("l83_kmeans_coarse_ivfpq", oracle=_l83_oracle())
+def l83_kmeans_coarse_ivfpq(spark, sf_dir):
+    """IVFADC with a CORPUS-SIZED k-means coarse quantizer (round 11 —
+    building the K ∝ √N sizing rule the l81/k23 sf10 analysis records
+    as the 100 TB knob, instead of leaving it prose): the label-based
+    coarse quantizer every prior IVF key uses is pinned at the
+    fixture's 10 cells, so pruning buys a fixed nprobe/K = 30% constant
+    and per-query cost stays linear in the corpus. Here the coarse
+    codebook is a seeded-Lloyd k-means with K=64 cells trained on the
+    corpus itself (:func:`_coarse_kmeans_train` — the `_pq_train`
+    discipline lifted to full 64-d vectors: 'cq:' digest seeding, two
+    decimal-exact Lloyd rounds, ROUNDED-L2 struct-min membership so the
+    64-element double sums rank identically in DuckDB), composed with
+    the l55 PQ stage and the pruned ADC probe (nprobe=8).
+
+    With K sized to the corpus, candidates per query are ~N·nprobe/K —
+    the sub-linear serving the inverted file exists for; the operator
+    is the REBUILD path (quantizer trained in-plan, like l55/l68/l71);
+    persistence/maintenance of the k-means codebook rides the exact
+    generation machinery l62→l70 already carries, unchanged, because
+    only the codebook CONTENT differs.
+
+    Full SQL oracle: every stage re-derived — coarse seeds, both Lloyd
+    rounds with 64-element decimal means, final memberships, probe
+    sets, the PQ training tower, codes, per-query ADC grids, pruned
+    candidates, top-5. A drifted centroid mean, a ULP-unstable
+    membership, or a candidate outside the probe set diverges the
+    hash."""
+    v, sub = _pq_corpus(spark, sf_dir)
+    ccents = _coarse_kmeans_train(v)
+    indexed = _coarse_kmeans_assign(v, ccents)
+    probes = _coarse_kmeans_assign(
+        v.filter(F.col("vec_id") % 100 == 0), ccents, nprobe=_CQ_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), "bucket")
+    cents = _pq_train(v, sub)
+    codes = _pq_assign(sub, cents)
+    qsub = sub.filter(F.col("vec_id") % 100 == 0)
+    return _pq_pruned_probe_topk(qsub, probes, indexed, cents, codes)
+
+
 _L82_ASOF_ORACLE = _l68_oracle(
     train_pred="vec_id % 9 <> 5",
     corpus_pred="vec_id % 9 <> 5",

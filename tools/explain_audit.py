@@ -113,6 +113,9 @@ CARTESIAN_OK = {
     # IVF coarse assignment: every vector × the (tiny, broadcast, constant-K)
     # centroid table — bounded O(N·K) BNLJ, the correct distributed shape.
     "l12_ivf_topk",
+    # k-means coarse assignment (round 11): every vector × the K=64
+    # broadcast codebook — the same bounded O(N·K) BNLJ shape as l12.
+    "l83_kmeans_coarse_ivfpq",
     # theta self-join over a top-30 token block — 30×30 bounded by the limit.
     "h16_levenshtein_pairs",
     "h34_jaro_winkler",  # same 30x30 bounded token block as h16
