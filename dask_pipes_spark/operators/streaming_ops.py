@@ -1744,7 +1744,7 @@ def _run_pq_ivm_stream(
         _pq_subspaces,
     )
     from dask_pipes_spark.session import (
-        _link_bys,
+        head_bys,
         checkpoint_index_generations,
     )
 
@@ -1758,10 +1758,7 @@ def _run_pq_ivm_stream(
         if batch_df.isEmpty():
             return
         ss = batch_df.sparkSession
-        hist = json.load(open(os.path.join(index_dir, "VACUUM.json")))[
-            "history"
-        ]
-        bys = [b for h in hist for b in _link_bys(h)]
+        bys = head_bys(index_dir)
         cur_a = [b for b in bys if b.startswith("assignments-")][-1]
         cur_c = [b for b in bys if b.startswith("codes-")][-1]
         cents = ss.read.schema("s int, cid int, cv array<double>").parquet(
@@ -1864,7 +1861,7 @@ def k23_stream_pq_ivm(spark, sf_dir):
         _pq_pruned_probe_topk,
         _pq_subspaces,
     )
-    from dask_pipes_spark.session import _link_bys, ensure_index
+    from dask_pipes_spark.session import ensure_index, head_bys
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     base = scratch_path(f"dps_k23_pq_stream_{tag}")
@@ -1879,8 +1876,7 @@ def k23_stream_pq_ivm(spark, sf_dir):
         version="k23-v2",
         build=_stage,
     )
-    hist = json.load(open(os.path.join(idx, "VACUUM.json")))["history"]
-    bys = [b for h in hist for b in _link_bys(h)]
+    bys = head_bys(idx)
     head_a = [b for b in bys if b.startswith("assignments-")][-1]
     head_c = [b for b in bys if b.startswith("codes-")][-1]
     cent_rows = (
@@ -2002,7 +1998,7 @@ def _run_residual_ivm_stream(
         _residual_delta_merge,
     )
     from dask_pipes_spark.session import (
-        _link_bys,
+        head_bys,
         checkpoint_index_generations,
     )
 
@@ -2016,10 +2012,7 @@ def _run_residual_ivm_stream(
         if batch_df.isEmpty():
             return
         ss = batch_df.sparkSession
-        hist = json.load(open(os.path.join(index_dir, "VACUUM.json")))[
-            "history"
-        ]
-        bys = [b for h in hist for b in _link_bys(h)]
+        bys = head_bys(index_dir)
         cur_a = [b for b in bys if b.startswith("assignments-")][-1]
         cur_c = [b for b in bys if b.startswith("codes-")][-1]
         cent = ss.read.schema(_RIVF_CENT_SCHEMA).parquet(
@@ -2120,10 +2113,9 @@ def k24_stream_residual_ivm(spark, sf_dir):
         version="k24-v2",
         build=_stage,
     )
-    from dask_pipes_spark.session import _link_bys
+    from dask_pipes_spark.session import head_bys
 
-    hist = json.load(open(os.path.join(idx, "VACUUM.json")))["history"]
-    bys = [b for h in hist for b in _link_bys(h)]
+    bys = head_bys(idx)
     head_a = [b for b in bys if b.startswith("assignments-")][-1]
     head_c = [b for b in bys if b.startswith("codes-")][-1]
     cent = spark.read.schema(_RIVF_CENT_SCHEMA).parquet(

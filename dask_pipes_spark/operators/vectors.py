@@ -1650,7 +1650,7 @@ def l81_ivfpq_pruned_checkpoint(spark, sf_dir):
         ivf_assign,
     )
     from dask_pipes_spark.session import (
-        _link_bys,
+        head_bys,
         checkpoint_index_generations,
         ensure_index,
     )
@@ -1710,8 +1710,7 @@ def l81_ivfpq_pruned_checkpoint(spark, sf_dir):
         version="ivfpq-pruned-v1",
         build=_stage,
     )
-    hist = json.load(open(os.path.join(idx, "VACUUM.json")))["history"]
-    bys = [b for h in hist for b in _link_bys(h)]
+    bys = head_bys(idx)
     head_a = [b for b in bys if b.startswith("assignments-")][-1]
     head_c = [b for b in bys if b.startswith("codes-")][-1]
     cent_rows = (
@@ -1745,7 +1744,7 @@ _CQ_K = 64  # corpus-sized coarse cells (the K ~ sqrt(N) sizing rule)
 _CQ_NPROBE = 8
 
 
-def _coarse_kmeans_train(v):
+def _coarse_kmeans_train(v, k: int = _CQ_K):
     """Seeded-Lloyd k-means COARSE quantizer over FULL vectors (round 11
     — the K ∝ √N sizing rule the l81/k23 sf10 analysis names as the
     100 TB knob, built with the exact discipline ``_pq_train`` proved:
@@ -1753,9 +1752,10 @@ def _coarse_kmeans_train(v):
     stream), two decimal-exact Lloyd rounds, ROUNDED-distance struct-min
     membership so the argmin is bit-reproducible in DuckDB despite
     64-element double sums). Unlike the label-based ``l12`` quantizer
-    (K fixed at the fixture's 10 labels), K here is a corpus-sizing
+    (K fixed at the fixture's 10 labels), ``k`` is a corpus-sizing
     parameter — the thing that keeps per-query candidates ~N·nprobe/K
-    sub-linear when K grows with the corpus. Returns (cid, cv)."""
+    sub-linear when K grows with the corpus; l84/l85 pass the
+    data-derived K=⌈√N⌉ (round 12). Returns (cid, cv)."""
     digest = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("cq:"), F.col("vec_id").cast("string"))), 1, 15
@@ -1766,7 +1766,7 @@ def _coarse_kmeans_train(v):
     seeds = (
         v.withColumn("h", digest)
         .orderBy("h", "vec_id")
-        .limit(_CQ_K)
+        .limit(k)
         .withColumn(
             "cid", F.row_number().over(Window.orderBy("h", "vec_id")) - 1
         )
@@ -1821,12 +1821,25 @@ def _coarse_kmeans_assign(v, cents, nprobe: int = 1):
     )
 
 
-def _l83_oracle() -> str:
-    """DuckDB twin of l83 — the l68 composition with the label-based
-    coarse quantizer replaced by the seeded-Lloyd k-means one: 'cq:'
-    digest seeds, two CTE-unrolled Lloyd rounds with 64-element
-    decimal-exact centroid means, rounded-L2 struct-min membership;
-    the PQ CTEs are _l68_oracle's verbatim (full corpus, no preds)."""
+def _l83_oracle(
+    train_pred: str | None = None,
+    corpus_pred: str | None = None,
+    k_sql: str | None = None,
+) -> str:
+    """DuckDB twin of l83/l84/l85 — the l68 composition with the
+    label-based coarse quantizer replaced by the seeded-Lloyd k-means
+    one: 'cq:' digest seeds, two CTE-unrolled Lloyd rounds with
+    64-element decimal-exact centroid means, rounded-L2 struct-min
+    membership; the PQ CTEs are _l68_oracle's verbatim.
+
+    Parameterized like :func:`_l68_oracle` (round 12 — the lifecycle
+    composition): ``train_pred`` restricts the slice BOTH quantizers are
+    trained on (coarse seeds + Lloyd memberships, PQ seeds + Lloyd),
+    ``corpus_pred`` the FINAL corpus the index tables and queries track,
+    and ``k_sql`` is the coarse-codebook size as a SQL expression — the
+    default reproduces l83's fixed K; l84/l85 pass the data-derived
+    ``GREATEST(1, CEIL(SQRT(COUNT(train))))`` so the oracle re-derives
+    the K ∝ √N sizing rule from the data, exactly as the engine does."""
     d2c = (
         "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(vv.e, c.cv),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
@@ -1843,19 +1856,40 @@ def _l83_oracle() -> str:
         f"CAST(SUM(CAST(sb.sv[{i}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)"
         for i in range(1, 9)
     )
+    if k_sql is None:
+        k_sql = str(_CQ_K)
+    tv = "vt" if train_pred else "v"
+    vc = "vc" if corpus_pred else "v"
+    sub_t = "tsub" if train_pred else "sub"
+    split_ctes = ""
+    if train_pred:
+        split_ctes += f"""
+    vt AS (SELECT vec_id, e FROM v WHERE {train_pred}),"""
+    if corpus_pred:
+        split_ctes += f"""
+    vc AS (SELECT vec_id, e FROM v WHERE {corpus_pred}),"""
+    tsub_cte = (
+        f"""
+    tsub AS (
+      SELECT vec_id, s, e[s * 8 + 1 : s * 8 + 8] AS sv
+      FROM vt, LATERAL (SELECT UNNEST(range(8)) AS s) t
+    ),"""
+        if train_pred
+        else ""
+    )
     return f"""
     WITH v AS (
       SELECT vec_id,
              LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
-    ),
+    ),{split_ctes}
     cseeds AS (
       SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid
       FROM (SELECT vec_id, e,
               ('0x' || substr(md5('cq:' || CAST(vec_id AS VARCHAR)), 1, 15))
                 ::BIGINT AS h
-            FROM v)
-      QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= {_CQ_K}
+            FROM {tv})
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= {k_sql}
     ),
     ccents0 AS (SELECT cid, e AS cv FROM cseeds),
     ca0 AS (
@@ -1863,12 +1897,12 @@ def _l83_oracle() -> str:
         SELECT vv.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY vv.vec_id
                  ORDER BY ROUND({d2c}, 6), c.cid) AS rn
-        FROM v vv CROSS JOIN ccents0 c
+        FROM {tv} vv CROSS JOIN ccents0 c
       ) WHERE rn = 1
     ),
     cm0 AS (
       SELECT ca0.bucket AS cid, [{mean64}] AS mv
-      FROM ca0 JOIN v vv USING (vec_id)
+      FROM ca0 JOIN {tv} vv USING (vec_id)
       GROUP BY ca0.bucket
     ),
     ccents1 AS (
@@ -1880,12 +1914,12 @@ def _l83_oracle() -> str:
         SELECT vv.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY vv.vec_id
                  ORDER BY ROUND({d2c}, 6), c.cid) AS rn
-        FROM v vv CROSS JOIN ccents1 c
+        FROM {tv} vv CROSS JOIN ccents1 c
       ) WHERE rn = 1
     ),
     cm1 AS (
       SELECT ca1.bucket AS cid, [{mean64}] AS mv
-      FROM ca1 JOIN v vv USING (vec_id)
+      FROM ca1 JOIN {tv} vv USING (vec_id)
       GROUP BY ca1.bucket
     ),
     ccents2 AS (
@@ -1897,7 +1931,7 @@ def _l83_oracle() -> str:
         SELECT vv.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY vv.vec_id
                  ORDER BY ROUND({d2c}, 6), c.cid) AS rn
-        FROM v vv CROSS JOIN ccents2 c
+        FROM {vc} vv CROSS JOIN ccents2 c
       ) WHERE rn = 1
     ),
     probes AS (
@@ -1905,7 +1939,7 @@ def _l83_oracle() -> str:
         SELECT vv.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY vv.vec_id
                  ORDER BY ROUND({d2c}, 6), c.cid) AS rn
-        FROM v vv CROSS JOIN ccents2 c
+        FROM {vc} vv CROSS JOIN ccents2 c
         WHERE vv.vec_id % 100 = 0
       ) WHERE rn <= {_CQ_NPROBE}
     ),
@@ -1919,28 +1953,28 @@ def _l83_oracle() -> str:
       FROM (SELECT vec_id, e,
               ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))
                 ::BIGINT AS h
-            FROM v)
+            FROM {tv})
       QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= 16
     ),
     sub AS (
       SELECT vec_id, s, e[s * 8 + 1 : s * 8 + 8] AS sv
-      FROM v, LATERAL (SELECT UNNEST(range(8)) AS s) t
-    ),
+      FROM {vc}, LATERAL (SELECT UNNEST(range(8)) AS s) t
+    ),{tsub_cte}
     cents0 AS (
       SELECT sb.s, sd.cid, sb.sv AS cv
-      FROM seeds sd JOIN sub sb ON sb.vec_id = sd.vec_id
+      FROM seeds sd JOIN {sub_t} sb ON sb.vec_id = sd.vec_id
     ),
     a0 AS (
       SELECT vec_id, s, cid AS code FROM (
         SELECT sb.vec_id, sb.s, c.cid,
                ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
                  ORDER BY {d2}, c.cid) AS rn
-        FROM sub sb JOIN cents0 c USING (s)
+        FROM {sub_t} sb JOIN cents0 c USING (s)
       ) WHERE rn = 1
     ),
     m0 AS (
       SELECT a0.s, a0.code AS cid, [{mean_list}] AS mv
-      FROM a0 JOIN sub sb USING (vec_id, s)
+      FROM a0 JOIN {sub_t} sb USING (vec_id, s)
       GROUP BY a0.s, a0.code
     ),
     cents1 AS (
@@ -1952,12 +1986,12 @@ def _l83_oracle() -> str:
         SELECT sb.vec_id, sb.s, c.cid,
                ROW_NUMBER() OVER (PARTITION BY sb.vec_id, sb.s
                  ORDER BY {d2}, c.cid) AS rn
-        FROM sub sb JOIN cents1 c USING (s)
+        FROM {sub_t} sb JOIN cents1 c USING (s)
       ) WHERE rn = 1
     ),
     m1 AS (
       SELECT a1.s, a1.code AS cid, [{mean_list}] AS mv
-      FROM a1 JOIN sub sb USING (vec_id, s)
+      FROM a1 JOIN {sub_t} sb USING (vec_id, s)
       GROUP BY a1.s, a1.code
     ),
     cents2 AS (

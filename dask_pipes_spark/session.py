@@ -356,6 +356,24 @@ def checkpoint_index_generations(
                 "overwrite"
             ).parquet(tmp)
     with _commit_lock(index_dir):
+        # re-check under THIS lock (round 12, advice item): the committed
+        # check above released the lock before the data-plane writes, so a
+        # concurrent same-args retry may have committed in between — both
+        # would otherwise pass the first check and append the link twice
+        # (the `if not exists(final)` rename guard silences the crash the
+        # equivalent single-table race raises, so the duplicate would land
+        # silently). Any gen committed implies the whole transaction is.
+        manifest = _load_manifest(index_dir)
+        committed = set(_ckpt_heads(manifest)) | {
+            b for h in manifest.get("history", []) for b in _link_bys(h)
+        }
+        if committed & set(gens):
+            _sweep_unreferenced(
+                index_dir,
+                manifest.get("history", []),
+                manifest.get("retained", []),
+            )
+            return finals
         for final in finals:
             if not os.path.exists(final):
                 os.replace(final + ".tmp", final)
@@ -399,6 +417,24 @@ def _ckpt_heads(manifest: dict) -> list[str]:
     keeps seeing them."""
     ck = manifest.get("checkpoint") or {}
     return list(ck.get("heads", []))
+
+
+def head_bys(index_dir: str) -> list[str]:
+    """Every generation the manifest has ever committed that is still
+    derivable, in commit order — ``checkpoint.heads`` (live heads whose
+    links :func:`compact_manifest` folded) followed by the tail links'
+    ``bys``. This is THE list serving readers must resolve heads from
+    (round 12, advice item): reading ``manifest['history']`` alone makes
+    ``[b for b in bys if b.startswith(p)][-1]`` raise IndexError — or
+    resolve a stale head — the moment compaction folds the newest link of
+    a table that commits less often than its siblings (tables do not move
+    in lockstep). Order is preserved across compaction (folded heads keep
+    their relative order, the tail follows), so newest-by-prefix stays
+    ``[-1]``."""
+    manifest = _load_manifest(index_dir)
+    return _ckpt_heads(manifest) + [
+        b for h in manifest.get("history", []) for b in _link_bys(h)
+    ]
 
 
 def _append_vacuum_link(
@@ -667,7 +703,14 @@ def delete_branch(index_dir: str, branch: str, retain: int = 0) -> str | None:
 
             anchor = branches.get("main")
             if not _live_anchor(anchor):
+                # candidates include checkpoint.heads (round 12, advice
+                # item): after compact_manifest folds the prefix, a durable
+                # live head may exist ONLY there — scanning tail links alone
+                # would skip the supersession link and leak the retired
+                # branch head as a forever-live unsweepable head
                 live = [
+                    b for b in _ckpt_heads(manifest) if _live_anchor(b)
+                ] + [
                     b
                     for h in history
                     for b in _link_bys(h)

@@ -1789,3 +1789,142 @@ def test_delete_branch_without_main_never_dangles_head(tmp_path):
     man2 = json.load(open(os.path.join(base2, "VACUUM.json")))
     assert man2["history"] == hist_before, "no self-superseding link appended"
     assert os.path.isdir(os.path.join(base2, "solo")), "sole head stays readable"
+
+
+def test_pair_commit_rechecks_under_second_lock(spark, tmp_path):
+    """Double-commit race (round 12, advice item): a same-args retry that
+    passed the first committed-check, then lost the data-plane race to a
+    concurrent twin that committed the whole transaction, must NOT append
+    a second history link — the rename guard (`if not exists(final)`)
+    silences the crash the single-table path raises, so without the
+    re-check under the second lock the duplicate link lands silently.
+    The interleave is forced deterministically: the first move's
+    `coalesce` hook runs the competing commit to completion."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.session import (
+        _link_bys,
+        checkpoint_index_generations,
+    )
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    a1 = spark.range(20).select("id", (F.col("id") * 2).alias("v"))
+    c1 = spark.range(20).select("id", (F.col("id") * 3).alias("w"))
+
+    class Racer:
+        """Delegates to a real DataFrame, but the competing transaction
+        commits inside `coalesce` — i.e. between the caller's first
+        committed-check (passed: nothing committed yet) and its second
+        lock section."""
+
+        def __init__(self, df):
+            self._df = df
+
+        def coalesce(self, n):
+            checkpoint_index_generations(
+                base, [(a1, [], "a-g001"), (c1, [], "c-g001")]
+            )
+            return self._df.coalesce(n)
+
+    checkpoint_index_generations(
+        base, [(Racer(a1), [], "a-g001"), (c1, [], "c-g001")]
+    )
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    links = [h for h in man["history"] if "a-g001" in _link_bys(h)]
+    assert len(links) == 1, (
+        f"the losing retry must observe the winner under the second lock "
+        f"and append no duplicate link: {man['history']}"
+    )
+    # the winner's data serves; the loser's stale tmp is GC debris at most
+    assert spark.read.parquet(os.path.join(base, "a-g001")).count() == 20
+
+
+def test_delete_branch_anchors_at_checkpoint_head(tmp_path):
+    """delete_branch after manifest compaction (round 12, advice item):
+    when every tail link's `by` is the deleted head itself, the anchor
+    search must consult checkpoint.heads — durable live heads whose links
+    compact_manifest folded — instead of skipping the supersession link
+    and leaking the retired branch head as a forever-live, unsweepable
+    head."""
+    import json
+    import os
+
+    from dask_pipes_spark.session import (
+        _link_bys,
+        compact_manifest,
+        delete_branch,
+        gc_index_dir,
+        set_branch,
+    )
+
+    base = str(tmp_path / "idx")
+    for g in ("g001", "g002", "g003", "g004"):
+        _mk_generation(base, g)
+    rep = compact_manifest(base, keep_tail=1)
+    assert rep["folded"] == 3 and "g002" in rep["heads"]
+    # scenario: the one tail link's by IS the branch head being deleted
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [b for h in man["history"] for b in _link_bys(h)] == ["g004"]
+    set_branch(base, "feature", "g004")
+
+    retired = delete_branch(base, "feature", retain=0)
+    assert retired == "g004"
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    last = man["history"][-1]
+    assert last["superseded"] == ["g004"], (
+        "the supersession link must land (anchored at a checkpoint head), "
+        f"not be skipped: {man['history']}"
+    )
+    assert last["by"] in set(rep["heads"]), "anchor is a folded live head"
+    assert not os.path.isdir(os.path.join(base, "g004")), "retired gen swept"
+    # and GC now provably cannot resurrect it as a live head
+    gc = gc_index_dir(base, older_than_sec=0)
+    assert "g004" not in gc["heads"]
+
+
+def test_head_bys_survives_compaction(tmp_path):
+    """head_bys contract (round 12, advice item): serving readers resolve
+    per-table heads by prefix over ALL committed generations — after
+    compact_manifest folds the pair link of a table that commits less
+    often than its sibling, the head exists only in checkpoint.heads, and
+    the old history-only scan would IndexError (or resolve a stale head).
+    Order is preserved: newest per prefix stays [-1]."""
+    import json
+    import os
+
+    from dask_pipes_spark.session import (
+        _append_vacuum_link,
+        _link_bys,
+        compact_manifest,
+        head_bys,
+    )
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    # one pair commit (assignments + codes), then codes-only churn
+    for g in ("a-g001", "c-g001"):
+        os.makedirs(os.path.join(base, g))
+    _append_vacuum_link(base, [], ["a-g001", "c-g001"], 0)
+    prev = "c-g001"
+    for i in range(2, 7):
+        nxt = f"c-g{i:03d}"
+        os.makedirs(os.path.join(base, nxt))
+        _append_vacuum_link(base, [prev], nxt, 0)
+        prev = nxt
+    rep = compact_manifest(base, keep_tail=2)
+    assert rep["folded"] >= 1 and "a-g001" in rep["heads"]
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    tail_bys = [b for h in man["history"] for b in _link_bys(h)]
+    assert not [b for b in tail_bys if b.startswith("a-")], (
+        "scenario must be real: the assignments head survives ONLY in "
+        "checkpoint.heads"
+    )
+    bys = head_bys(base)
+    assert [b for b in bys if b.startswith("a-")][-1] == "a-g001"
+    assert [b for b in bys if b.startswith("c-")][-1] == "c-g006", (
+        "compaction must not reorder: newest per prefix stays [-1]"
+    )
