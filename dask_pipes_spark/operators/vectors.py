@@ -37,7 +37,13 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import ensure_index, fanout, load, scratch_path
+from dask_pipes_spark.session import (
+    collect_local,
+    ensure_index,
+    fanout,
+    load,
+    scratch_path,
+)
 
 _EPS = 0.1  # ε for the spatial join, in coordinate units
 
@@ -510,7 +516,11 @@ def _pq_train(v, sub):
     # element-wise mean of its members — decimal sums keep the means
     # order-insensitive, so the refined codebook (and every downstream
     # argmin) is bit-deterministic across partitionings. Empty clusters
-    # keep their previous centroid (coalesce).
+    # keep their previous centroid (coalesce). Each round lands as a
+    # collect_local literal (round 12): the ≤128-row codebook is a
+    # LocalTableScan, not an opaque localCheckpoint RDD — per-round
+    # lineage stays truncated AND every downstream plan remains fully
+    # visible to the EXPLAIN gate.
     for _ in range(2):
         members = _pq_assign(sub, cents).join(sub, ["vec_id", "s"])
         means = members.groupBy("s", F.col("code").alias("cid")).agg(
@@ -526,10 +536,10 @@ def _pq_train(v, sub):
                 ]
             ).alias("mv")
         )
-        cents = (
-            cents.join(F.broadcast(means), ["s", "cid"], "left")
-            .select("s", "cid", F.coalesce("mv", "cv").alias("cv"))
-            .localCheckpoint(eager=False)
+        cents = collect_local(
+            cents.join(F.broadcast(means), ["s", "cid"], "left").select(
+                "s", "cid", F.coalesce("mv", "cv").alias("cv")
+            )
         )
     return cents
 
@@ -1788,10 +1798,10 @@ def _coarse_kmeans_train(v, k: int = _CQ_K):
                 ]
             ).alias("mv")
         )
-        cents = (
-            cents.join(F.broadcast(means), "cid", "left")
-            .select("cid", F.coalesce("mv", "cv").alias("cv"))
-            .localCheckpoint(eager=False)
+        cents = collect_local(
+            cents.join(F.broadcast(means), "cid", "left").select(
+                "cid", F.coalesce("mv", "cv").alias("cv")
+            )
         )
     return cents
 
@@ -2066,6 +2076,285 @@ def l83_kmeans_coarse_ivfpq(spark, sf_dir):
     codes = _pq_assign(sub, cents)
     qsub = sub.filter(F.col("vec_id") % 100 == 0)
     return _pq_pruned_probe_topk(qsub, probes, indexed, cents, codes)
+
+
+_CK_CENTS_SCHEMA = "cid int, cv array<double>"
+_L84_TRAIN_PRED = "vec_id % 9 <> 5"
+_L84_CORPUS_PRED = "(vec_id % 9 = 5 OR vec_id % 11 <> 3)"
+#: data-derived coarse-codebook size — the K ∝ √N sizing rule as SQL, over
+#: whatever slice the oracle's vt CTE binds (train for l84, final for l85)
+_K_SQRT_SQL = "(SELECT GREATEST(1, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM vt)"
+
+_L84_ORACLE = _l83_oracle(
+    train_pred=_L84_TRAIN_PRED,
+    corpus_pred=_L84_CORPUS_PRED,
+    k_sql=_K_SQRT_SQL,
+)
+
+# retrained world: BOTH quantizers re-derived from the final corpus
+_L85_ORACLE = _l83_oracle(
+    train_pred=_L84_CORPUS_PRED,
+    corpus_pred=_L84_CORPUS_PRED,
+    k_sql=_K_SQRT_SQL,
+)
+
+
+def _sqrt_k(n: int) -> int:
+    """The K ∝ √N coarse-codebook sizing rule (SCALING.md sf10 analysis;
+    the FAISS nlist heuristic): per-query candidates ~N·nprobe/K stay
+    ∝ √N when K = ⌈√N⌉. Mirrors ``_K_SQRT_SQL`` bit-for-bit (both sides
+    take IEEE-double sqrt of an exact integer)."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n)))
+
+
+def _stage_l84_state(spark, sf_dir: str, d: str) -> None:
+    """Stage 'yesterday's' persisted k-means-IVFPQ world + CDC feeds
+    (round 12 — l81's staging with the fixture's K=10 label quantizer
+    replaced by the corpus-sized seeded-Lloyd one): BOTH quantizers are
+    trained on the ``%9!=5`` slice with the data-derived K=⌈√N_train⌉,
+    and ALL FOUR index tables — coarse codebook, PQ codebooks, inverted
+    file, code table — land under ONE history link (the N=4
+    :func:`checkpoint_index_generations` transaction), so a reader can
+    never observe a quantizer without the tables encoded against it.
+    Insert feed = the held-out slice's raw vectors; tombstones =
+    ``%11==3``."""
+    import os
+
+    from dask_pipes_spark.session import checkpoint_index_generations
+
+    v, sub = _pq_corpus(spark, sf_dir)
+    train = v.filter(F.col("vec_id") % 9 != 5)
+    tsub = sub.filter(F.col("vec_id") % 9 != 5)
+    k = _sqrt_k(train.count())
+    ccents = _coarse_kmeans_train(train, k=k)
+    cents = _pq_train(train, tsub)
+    checkpoint_index_generations(
+        d,
+        [
+            (ccents, [], "centroids-g001"),
+            (cents, [], "codebooks-g001"),
+            (_coarse_kmeans_assign(train, ccents), [], "assignments-g001"),
+            (_pq_assign(tsub, cents), [], "codes-g001"),
+        ],
+        target_files=8,
+    )
+    v.filter(F.col("vec_id") % 9 == 5).write.mode("overwrite").parquet(
+        os.path.join(d, "delta_ins")
+    )
+    train.filter(F.col("vec_id") % 11 == 3).select("vec_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "delta_del"))
+
+
+def _stage_l84_lifecycle(spark, sf_dir: str, d: str) -> None:
+    """The l84 maintenance day: apply the CDC delta against the FIXED
+    persisted quantizers (l81's algebra — broadcast anti-join deletes,
+    map-side coarse assignment + PQ encode of the inserts) and commit
+    the (assignments, codes) pair atomically. The quantizer generations
+    stay heads — retraining them is l85's transaction, on the slow
+    cadence the staleness manifest drives."""
+    import os
+
+    from dask_pipes_spark.session import checkpoint_index_generations
+
+    _stage_l84_state(spark, sf_dir, d)
+    ccents = spark.read.schema(_CK_CENTS_SCHEMA).parquet(
+        os.path.join(d, "centroids-g001")
+    )
+    cents = spark.read.schema(_RIVF_CENTS_SCHEMA).parquet(
+        os.path.join(d, "codebooks-g001")
+    )
+    assignments = spark.read.schema(_L81_ASSIGN_SCHEMA).parquet(
+        os.path.join(d, "assignments-g001")
+    )
+    codes = spark.read.schema(_RIVF_CODES_SCHEMA).parquet(
+        os.path.join(d, "codes-g001")
+    )
+    d_ins = spark.read.schema("vec_id bigint, e array<double>").parquet(
+        os.path.join(d, "delta_ins")
+    )
+    d_del = spark.read.schema("vec_id bigint").parquet(
+        os.path.join(d, "delta_del")
+    )
+    a_m = assignments.join(
+        F.broadcast(d_del), "vec_id", "left_anti"
+    ).unionAll(_coarse_kmeans_assign(d_ins, ccents))
+    c_m = codes.join(F.broadcast(d_del), "vec_id", "left_anti").unionAll(
+        _pq_assign(_pq_subspaces(d_ins).select("vec_id", "s", "sv"), cents)
+    )
+    checkpoint_index_generations(
+        d,
+        [
+            (a_m, ["assignments-g001", "delta_del"], "assignments-g002"),
+            (c_m, ["codes-g001", "delta_ins"], "codes-g002"),
+        ],
+        target_files=8,
+    )
+
+
+def _serve_kivfpq(spark, sf_dir: str, idx: str):
+    """Shared l84/l85 serving path: resolve all FOUR table heads by
+    prefix from :func:`head_bys` (checkpoint.heads + tail links — the
+    round-12 contract, since quantizers commit orders of magnitude less
+    often than the pair and their links are the first to fold), then run
+    the pruned IVFADC probe entirely from persisted state: query vectors
+    are the only corpus read; candidates are the query's nprobe coarse
+    buckets via the persisted inverted file; ADC scores only those."""
+    import os
+
+    from dask_pipes_spark.session import head_bys
+
+    bys = head_bys(idx)
+    head = {
+        p: [b for b in bys if b.startswith(p)][-1]
+        for p in ("centroids-", "codebooks-", "assignments-", "codes-")
+    }
+    ccents = spark.read.schema(_CK_CENTS_SCHEMA).parquet(
+        os.path.join(idx, head["centroids-"])
+    )
+    cents = spark.read.schema(_RIVF_CENTS_SCHEMA).parquet(
+        os.path.join(idx, head["codebooks-"])
+    )
+    assignments = spark.read.schema(_L81_ASSIGN_SCHEMA).parquet(
+        os.path.join(idx, head["assignments-"])
+    )
+    codes = spark.read.schema(_RIVF_CODES_SCHEMA).parquet(
+        os.path.join(idx, head["codes-"])
+    )
+    qvecs, qsub = _pq_corpus(
+        spark,
+        sf_dir,
+        pred=(F.col("vec_id") % 100 == 0)
+        & ((F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3)),
+    )
+    probes = _coarse_kmeans_assign(qvecs, ccents, nprobe=_CQ_NPROBE).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    return _pq_pruned_probe_topk(qsub, probes, assignments, cents, codes)
+
+
+@query("l84_kmeans_ivfpq_serving", oracle=_L84_ORACLE)
+def l84_kmeans_ivfpq_serving(spark, sf_dir):
+    """The corpus-sized k-means coarse quantizer COMPOSED into the
+    persisted ANN serving lifecycle (round 12 — the r11 verdict's top
+    item): l81/k23 prune through the fixture's fixed K=10 label
+    quantizer, so their pruned probe costs a constant nprobe/K ≈ 30% of
+    a full scan at every SF (787 s for the sf10 probe batch —
+    SCALING.md). Here the serving world is built end-to-end on the
+    K=⌈√N⌉ seeded-Lloyd quantizer l83 introduced:
+
+    - **build**: both quantizers trained on yesterday's slice with the
+      data-derived K; all four tables (coarse codebook, PQ codebooks,
+      inverted file, codes) committed as ONE N=4-table transaction —
+      the first key to exercise ``checkpoint_index_generations`` beyond
+      pairs;
+    - **maintain**: the CDC delta updates assignments+codes against the
+      FIXED quantizers (map-side assignment/encode, broadcast anti-join
+      deletes) and the pair commits atomically — l77/l81's algebra,
+      unchanged, because only the codebook CONTENT differs;
+    - **serve**: heads resolved via :func:`head_bys` (compaction-proof);
+      the probe touches the query vectors, two broadcast-size
+      quantizers, and ~N·nprobe/K candidate rows — per-query work ∝ √N
+      when K tracks the corpus, the sub-linear serving economics the
+      inverted file exists for.
+
+    Composed from-scratch oracle (``_l83_oracle`` parameterized — the
+    ``_l68_oracle`` discipline): coarse seeds + two 64-d decimal-exact
+    Lloyd rounds over the TRAIN slice at the SQL-derived K=⌈√N_train⌉,
+    PQ tower over the same slice, memberships/codes/queries over the
+    FINAL corpus. A drifted centroid, a mis-sized K, a surviving
+    tombstone in either table, or a torn 4-table commit diverges the
+    hash.
+
+    100 TB: K ∝ √N keeps the coarse codebook broadcast-size (√(10¹¹
+    vectors) ≈ 316k rows ≈ 160 MB at 64-d float64 — the FAISS nlist
+    regime) while per-query candidates stay ∝ √N; the quantizer pair
+    retrains on the slow cadence (l85's transaction), the index pair
+    tracks CDC daily."""
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx = ensure_index(
+        scratch_path(f"dps_l84_kivfpq_{tag}"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="kivfpq-v1",
+        build=lambda d: _stage_l84_lifecycle(spark, sf_dir, d),
+    )
+    return _serve_kivfpq(spark, sf_dir, idx)
+
+
+def _stage_l85_state(spark, sf_dir: str, d: str) -> None:
+    """l84's lifecycle, then the RETRAIN transaction: both quantizers
+    re-derived from the FINAL corpus (K re-sized to ⌈√N_final⌉ — the
+    sizing rule tracks growth), the corpus re-assigned and re-encoded
+    against them, and all four tables committed under ONE history link
+    superseding all four old heads. No observable manifest state mixes
+    old and new quantizers (kill-point tested)."""
+    from dask_pipes_spark.session import checkpoint_index_generations
+
+    _stage_l84_lifecycle(spark, sf_dir, d)
+    v, sub = _pq_corpus(
+        spark,
+        sf_dir,
+        pred=(F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3),
+    )
+    k = _sqrt_k(v.count())
+    ccents = _coarse_kmeans_train(v, k=k)
+    cents = _pq_train(v, sub)
+    checkpoint_index_generations(
+        d,
+        [
+            (ccents, ["centroids-g001"], "centroids-g002"),
+            (cents, ["codebooks-g001"], "codebooks-g002"),
+            (
+                _coarse_kmeans_assign(v, ccents),
+                ["assignments-g002"],
+                "assignments-g003",
+            ),
+            (_pq_assign(sub, cents), ["codes-g002"], "codes-g003"),
+        ],
+        target_files=8,
+    )
+
+
+@query("l85_quantizer_retrain_txn", oracle=_L85_ORACLE)
+def l85_quantizer_retrain_txn(spark, sf_dir):
+    """Quantizer retrain as ONE 4-table transaction (round 12 — the r11
+    verdict's item 2, exercising ``checkpoint_index_generations`` at
+    N=4 across a RETRAIN boundary): after l84's CDC day drifts the
+    corpus away from the slice the quantizers were trained on, the
+    staleness cadence fires and the whole world re-derives — new coarse
+    codebook (K re-sized to ⌈√N_final⌉), new PQ codebooks, corpus
+    re-assigned and re-encoded — and all four tables commit under ONE
+    history link. The transaction is the correctness boundary: an
+    inverted file bucketed by the OLD coarse quantizer is meaningless
+    under the NEW codebook, so any observable state mixing generations
+    serves garbage; with one commit point, readers resolve either the
+    complete pre-retrain world or the complete post-retrain one
+    (kill-point pinned in tests).
+
+    Oracle: the SAME parameterized composition as l84 with
+    train = corpus = the final slice — i.e. the from-scratch rebuild of
+    the retrained world. Serving any pre-retrain table (stale K, stale
+    codebook, stale codes) diverges the hash.
+
+    100 TB: retrains are the expensive, rare path (full corpus re-encode
+    — embarrassingly parallel map-side work against broadcast
+    codebooks); what makes them deployable is atomicity + time travel:
+    the old world stays readable (retention) while the new one builds,
+    and the swap is one manifest append."""
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    idx = ensure_index(
+        scratch_path(f"dps_l85_retrain_{tag}"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="kivfpq-retrain-v1",
+        build=lambda d: _stage_l85_state(spark, sf_dir, d),
+    )
+    return _serve_kivfpq(spark, sf_dir, idx)
 
 
 _L82_ASOF_ORACLE = _l68_oracle(

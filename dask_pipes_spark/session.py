@@ -1205,6 +1205,35 @@ _RUNTIME_CONFS = {
 }
 
 
+def collect_local(df):
+    """Materialize a BOUNDED broadcast-size frame as a driver-local
+    literal relation (round 12 — retiring the "post-checkpoint plan
+    only" EXPLAIN-audit caveats): a ``localCheckpoint`` boundary shows
+    up in every downstream plan as an opaque ``Scan ExistingRDD``,
+    hiding the upstream exchanges from the plan-budget gate. Collecting
+    the frame and re-entering through an Arrow-backed local relation
+    (``LocalTableScan``) keeps the downstream plan FULLY visible: the
+    upstream computation runs once as its own bounded job, and the
+    literal broadcasts everywhere without recomputation.
+
+    Use ONLY for frames with a structural row bound — trained codebooks
+    (≤K rows), sketch counter grids (W×D), corpus-level stats joined to
+    every row — never corpus-scale data (those belong to the persisted
+    generation pattern, l80). On an empty input the Arrow path is
+    unavailable; the RDD-backed empty relation is returned (zero-row
+    plans are not audited)."""
+    import pandas as pd
+
+    rows = df.collect()
+    spark = df.sparkSession
+    if not rows:
+        return spark.createDataFrame([], df.schema)
+    pdf = pd.DataFrame(
+        [r.asDict(recursive=False) for r in rows], columns=df.columns
+    )
+    return spark.createDataFrame(pdf, schema=df.schema)
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply the mandatory runtime confs to an existing session (idempotent)."""
     for key, value in _RUNTIME_CONFS.items():

@@ -1000,3 +1000,224 @@ def test_l79_probe_plan_reads_only_retained_generation(spark):
     assert not re.search(r"embeddings\.parquet", plan)
     assert "assignments-g002" in plan
     assert "assignments-g003" not in plan
+
+
+def test_l84_lifecycle_layout_and_pruned_plan(spark):
+    """l84 contract (round 12 — the corpus-sized quantizer composed into
+    the serving lifecycle): the history carries the N=4 initial
+    transaction then the maintained pair; the coarse codebook is the
+    data-derived K=⌈√N_train⌉ (not the fixture's label count); the
+    served answer equals the in-memory composed rebuild; and the pruned
+    serving plan reads the four persisted heads + the query slice only
+    — no Lloyd leak, no merge residue, no corpus scan."""
+    from dask_pipes_spark.operators.vectors import (
+        _coarse_kmeans_assign,
+        _coarse_kmeans_train,
+        _pq_assign,
+        _pq_corpus,
+        _pq_pruned_probe_topk,
+        _pq_train,
+        _sqrt_k,
+        _CQ_NPROBE,
+        l84_kmeans_ivfpq_serving,
+    )
+    from dask_pipes_spark.session import _link_bys, scratch_path
+
+    from pyspark.sql import functions as F
+
+    got = _rowset(l84_kmeans_ivfpq_serving(spark, SF_SMOKE))
+    assert got, "probe must be non-empty at sf0.001"
+
+    # in-memory composed rebuild twin (quantizers on yesterday, tables on
+    # the final corpus) — the oracle's semantics re-derived engine-side
+    v, sub = _pq_corpus(spark, SF_SMOKE)
+    train = v.filter(F.col("vec_id") % 9 != 5)
+    tsub = sub.filter(F.col("vec_id") % 9 != 5)
+    k = _sqrt_k(train.count())
+    ccents = _coarse_kmeans_train(train, k=k)
+    cents = _pq_train(train, tsub)
+    final_pred = (F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3)
+    vf = v.filter(final_pred)
+    subf = sub.filter(final_pred)
+    qpred = F.col("vec_id") % 100 == 0
+    probes = _coarse_kmeans_assign(
+        vf.filter(qpred), ccents, nprobe=_CQ_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), "bucket")
+    twin = _rowset(
+        _pq_pruned_probe_topk(
+            subf.filter(qpred),
+            probes,
+            _coarse_kmeans_assign(vf, ccents),
+            cents,
+            _pq_assign(subf, cents),
+        )
+    )
+    assert got == twin, "persisted lifecycle == composed in-memory rebuild"
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l84_kivfpq_{tag}")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [len(_link_bys(h)) for h in man["history"]] == [4, 2], (
+        "one N=4 transaction, then the maintained pair"
+    )
+    assert _link_bys(man["history"][0]) == [
+        "centroids-g001", "codebooks-g001",
+        "assignments-g001", "codes-g001",
+    ]
+    assert _link_bys(man["history"][-1]) == [
+        "assignments-g002", "codes-g002",
+    ]
+    names = set(os.listdir(base))
+    for kept in (
+        "centroids-g001", "codebooks-g001",
+        "assignments-g002", "codes-g002",
+    ):
+        assert kept in names, f"missing surviving head: {kept}"
+    for gone in ("assignments-g001", "codes-g001", "delta_ins", "delta_del"):
+        assert gone not in names, f"superseded state survived vacuum: {gone}"
+    # the codebook is data-sized: K = ceil(sqrt(N_train)), not 10 labels
+    n_cells = spark.read.parquet(
+        os.path.join(base, "centroids-g001")
+    ).count()
+    assert n_cells == k and k > 10
+
+    # plan pins on a FRESH (unexecuted) build
+    plan = _plan(l84_kmeans_ivfpq_serving(spark, SF_SMOKE))
+    assert "ExistingRDD" not in plan, "no Lloyd/localCheckpoint leak"
+    assert "Union" not in plan and "LeftAnti" not in plan
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"embeddings\.parquet", phys)) == 2, (
+        "embeddings read only for the query slice (probe + grid subtrees)"
+    )
+    for head in (
+        "centroids-g001", "codebooks-g001",
+        "assignments-g002", "codes-g002",
+    ):
+        assert phys.count(head) >= 1, f"plan must read persisted {head}"
+
+
+def test_l85_retrain_layout_and_k_resizing(spark):
+    """l85 contract (round 12): the retrain lands as ONE 4-table link
+    superseding all four old heads; K is RE-derived from the final
+    corpus; the old quantizer world is fully vacuumed; serving resolves
+    the post-retrain world."""
+    from dask_pipes_spark.operators.vectors import (
+        _pq_corpus,
+        _sqrt_k,
+        l85_quantizer_retrain_txn,
+    )
+    from dask_pipes_spark.session import _link_bys, head_bys, scratch_path
+
+    from pyspark.sql import functions as F
+
+    assert l85_quantizer_retrain_txn(spark, SF_SMOKE).count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_l85_retrain_{tag}")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert [len(_link_bys(h)) for h in man["history"]] == [4, 2, 4]
+    last = man["history"][-1]
+    assert _link_bys(last) == [
+        "centroids-g002", "codebooks-g002",
+        "assignments-g003", "codes-g003",
+    ]
+    assert sorted(last["superseded"]) == [
+        "assignments-g002", "centroids-g001",
+        "codebooks-g001", "codes-g002",
+    ], "the retrain supersedes ALL FOUR old heads in its one link"
+    names = set(os.listdir(base))
+    for gone in (
+        "centroids-g001", "codebooks-g001",
+        "assignments-g002", "codes-g002",
+    ):
+        assert gone not in names, f"old world survived vacuum: {gone}"
+    # head resolution yields the complete post-retrain world
+    bys = head_bys(base)
+    assert [b for b in bys if b.startswith("centroids-")][-1] == "centroids-g002"
+    assert [b for b in bys if b.startswith("codes-")][-1] == "codes-g003"
+    # K re-sized to the FINAL corpus
+    v, _ = _pq_corpus(
+        spark, SF_SMOKE,
+        pred=(F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3),
+    )
+    k2 = _sqrt_k(v.count())
+    assert (
+        spark.read.parquet(os.path.join(base, "centroids-g002")).count() == k2
+    )
+
+
+def test_retrain_txn_never_mixes_quantizer_worlds(spark, tmp_path):
+    """The l85 kill-point contract at N=4: at EVERY kill point of the
+    retrain transaction, per-prefix head resolution returns either the
+    complete OLD world or the complete NEW world — never a mix (an
+    inverted file bucketed by one quantizer serving under another).
+    Kill points: all tmps durable / some finals renamed / link written
+    but vacuum pending."""
+    from pyspark.sql import functions as F
+
+    from dask_pipes_spark.session import (
+        checkpoint_index_generations,
+        head_bys,
+    )
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    tables = ("centroids", "codebooks", "assignments", "codes")
+    dfs = {
+        t: spark.range(10 * (i + 1)).select(
+            "id", (F.col("id") + i).alias("v")
+        )
+        for i, t in enumerate(tables)
+    }
+
+    def world(gen):
+        return {t: f"{t}-{gen}" for t in tables}
+
+    def resolve():
+        bys = head_bys(base)
+        return {
+            t: [b for b in bys if b.startswith(f"{t}-")][-1] for t in tables
+        }
+
+    checkpoint_index_generations(
+        base, [(dfs[t], [], f"{t}-g001") for t in tables]
+    )
+    assert resolve() == world("g001")
+
+    # kill point A: all four retrain tmps durable, nothing renamed
+    for t in tables:
+        dfs[t].coalesce(1).write.parquet(os.path.join(base, f"{t}-g002.tmp"))
+    assert resolve() == world("g001"), "tmps are invisible to readers"
+
+    # kill point B: HALF the finals renamed, link not written
+    for t in tables[:2]:
+        os.replace(
+            os.path.join(base, f"{t}-g002.tmp"),
+            os.path.join(base, f"{t}-g002"),
+        )
+    assert resolve() == world("g001"), (
+        "a kill between renames must keep readers on the complete OLD world"
+    )
+
+    # same-args retry completes the transaction
+    decoy = spark.range(999)
+    checkpoint_index_generations(
+        base, [(decoy, [f"{t}-g001"], f"{t}-g002") for t in tables]
+    )
+    assert resolve() == world("g002"), "retry lands the complete NEW world"
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    from dask_pipes_spark.session import _link_bys
+
+    assert len(man["history"]) == 2, "exactly one link for the 4-table move"
+    assert len(_link_bys(man["history"][-1])) == 4
+    for t in tables:
+        assert not os.path.exists(os.path.join(base, f"{t}-g001")), "vacuumed"
+
+    # kill point C: link written, vacuum pending (resurrect one old dir)
+    dfs["codes"].coalesce(1).write.parquet(os.path.join(base, "codes-g001"))
+    checkpoint_index_generations(
+        base, [(decoy, [f"{t}-g001"], f"{t}-g002") for t in tables]
+    )
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    assert len(man["history"]) == 2, "idempotent: no duplicate link"
+    assert not os.path.exists(os.path.join(base, "codes-g001")), "re-swept"
+    assert resolve() == world("g002")

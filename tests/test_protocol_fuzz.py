@@ -118,15 +118,22 @@ class GenerationProtocol(RuleBasedStateMachine):
         )
         self.published.append(name)
 
-    @rule(retain=st.integers(0, 2), supersede_head=st.booleans())
-    def publish_atomic_pair(self, retain, supersede_head):
-        """Round 11: two tables commit under ONE history link via
+    @rule(
+        retain=st.integers(0, 2),
+        supersede_head=st.booleans(),
+        n=st.integers(2, 5),
+    )
+    def publish_atomic_ntable(self, retain, supersede_head, n):
+        """Round 11 (pairs) / round 12 (N up to 5 — the l85 retrain
+        shape): N tables commit under ONE history link via
         checkpoint_index_generations — durable tmps staged by hand (the
         _SUCCESS marker is the durability contract), no Spark needed."""
         head = self._head()
         superseded = [head] if (supersede_head and head) else []
         self.ngen += 1
-        names = [f"g{self.ngen:03d}-a", f"g{self.ngen:03d}-b"]
+        names = [
+            f"g{self.ngen:03d}-{chr(ord('a') + j)}" for j in range(n)
+        ]
         moves = []
         for j, nm in enumerate(names):
             tmp = os.path.join(self.dir, nm + ".tmp")
@@ -214,6 +221,19 @@ class GenerationProtocol(RuleBasedStateMachine):
     @rule(keep_last=st.integers(0, 2))
     def expire_old_snapshots(self, keep_last):
         expire_snapshots(self.dir, older_than_sec=0, keep_last=keep_last)
+
+    @rule(keep_last=st.integers(0, 2), keep_tail=st.integers(1, 3))
+    def compact_then_expire(self, keep_last, keep_tail):
+        """Round 12 (r11 verdict item 6): expiry AFTER compaction folded
+        the prefix — the ts lookups expiry needs live on the links that
+        superseded each retained generation, and compact_manifest's fold
+        rule stops at any link whose superseded names are retained or on
+        disk, so those links must still be consultable. A mis-fold would
+        surface here as a retained entry aging to 'unknown' (kept
+        forever) or as a durability-invariant violation right after."""
+        compact_manifest(self.dir, keep_tail=keep_tail)
+        expire_snapshots(self.dir, older_than_sec=0, keep_last=keep_last)
+        compact_manifest(self.dir, keep_tail=keep_tail)
 
     @rule()
     def resume_same_args_is_idempotent(self):
