@@ -1651,15 +1651,17 @@ def d46_mutual_information(spark, sf_dir):
             F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
         )
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        # eager: downstream windows/joins branch off this tiny table within
-        # one job (lazy would risk concurrent recompute of the corpus-scale
-        # aggregate); not fault-tolerant — llm_ops lsh_candidates has the
-        # full 100 TB tradeoff note. explain_audit flags this key
-        # "post-checkpoint plan only": the one real upstream shuffle is
-        # hidden from the exchange budget by design.
-        .localCheckpoint(eager=True)
-        .coalesce(1)
     )
+    # the contingency table is categorical-levels-bounded (|X|·|Y| rows) —
+    # it re-enters as a driver-local literal (round 12: LocalTableScan, so
+    # the corpus aggregate runs once as its own bounded job AND nothing is
+    # hidden from the exchange budget; was an eager localCheckpoint that
+    # carried the "post-checkpoint plan only" caveat), coalesced to one
+    # partition so margins/totals/level counts come from zero-exchange
+    # windows (SinglePartition satisfies any clustering)
+    from dask_pipes_spark.session import collect_local
+
+    joint = collect_local(joint).coalesce(1)
     wx, wy, wg = Window.partitionBy("x"), Window.partitionBy("y"), Window.partitionBy()
     enriched = joint.select(
         "c_xy",

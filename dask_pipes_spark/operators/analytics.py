@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import davg, dsum, query, sql_dsum
-from dask_pipes_spark.session import load_tables
+from dask_pipes_spark.session import load_tables, pin_scratch
 
 _REV = "l_extendedprice * (1 - l_discount)"
 
@@ -1146,10 +1146,11 @@ def x21_dominant_suppliers(spark, sf_dir):
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("qty"))
-        # shipped feeds the part totals AND the dominant join — pin it so
-        # the fact filter+aggregate runs once (l18/l55 discipline)
-        .localCheckpoint(eager=False)
     )
+    # shipped feeds the part totals AND the dominant join — the scratch-
+    # parquet pin runs the fact filter+aggregate once and keeps both
+    # consumers' plans audit-visible (round 12; was a localCheckpoint)
+    shipped = pin_scratch(shipped, "dps_x21_shipped")
     part_total = shipped.groupBy("l_partkey").agg(
         F.sum("qty").alias("total_qty")
     )
@@ -1316,22 +1317,22 @@ def x24_event_funnel(spark, sf_dir):
     SQL-oracle-checkable.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    # each stage frame feeds the next stage AND the final count join — pin
-    # them (user-grain, small) so the event filters run once per stage, not
-    # once per consumer (l18/l55 lineage-truncation discipline)
-    s1 = (
+    # each stage frame feeds the next stage AND the final count join —
+    # scratch-parquet pins (round 12: audit-visible) run each stage's
+    # event filter once, not once per consumer
+    s1 = pin_scratch(
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-        .localCheckpoint(eager=False)
+        .agg(F.min("ts").alias("t1")),
+        "dps_x24_s1",
     )
-    s2 = (
+    s2 = pin_scratch(
         e.filter(F.col("event_type") == "click")
         .join(s1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-        .localCheckpoint(eager=False)
+        .agg(F.min("ts").alias("t2")),
+        "dps_x24_s2",
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")
@@ -1533,10 +1534,11 @@ def x27_market_basket(spark, sf_dir):
         li.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        # three consumers (order count, supports, pair expansion) — pin the
-        # basket build so its shuffle runs once, not per branch
-        .localCheckpoint()
     )
+    # three consumers (order count, supports, pair expansion) — the
+    # scratch-parquet pin runs the basket shuffle once and keeps every
+    # consumer's plan audit-visible (round 12; was a localCheckpoint)
+    baskets = pin_scratch(baskets, "dps_x27_baskets")
     n_orders = baskets.agg(F.count(F.lit(1)).cast("double").alias("n"))
     part_supp = (
         baskets.select(F.explode("parts").alias("l_partkey"))

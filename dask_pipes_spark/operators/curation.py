@@ -27,7 +27,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import fanout, load
+from dask_pipes_spark.session import fanout, load, pin_scratch
 
 #: fixed accent-fold table applied by l19 (both engines have ``translate``)
 _ACCENTS_FROM = "áéíóúüñàèìòùâêîôûç"
@@ -652,14 +652,14 @@ def l32_dup_ngram_coverage(spark, sf_dir):
                 ).cast("bigint"),
             )
         ).alias("h"),
-    # referenced by BOTH the dup-set count and the probe side below; eager
-    # localCheckpoint materializes the (doc_id, h) frame once (16 B/row)
+    # referenced by BOTH the dup-set count and the probe side below; the
+    # scratch-parquet pin materializes the (doc_id, h) frame once (16 B/row)
     # instead of re-running the explode+md5 per branch (measured 2x at sf1).
-    # Eager on purpose — the two consumers are concurrent stages of one job
-    # (lazy would let both recompute before the persisted block lands); not
-    # fault-tolerant — at 100 TB use reliable checkpoint() (see llm_ops
-    # lsh_candidates for the full tradeoff note).
-    ).localCheckpoint(eager=True)
+    # Round 12: parquet instead of eager localCheckpoint — same single
+    # materialization, but fault-tolerant (lost executors re-READ) and the
+    # serving plan stays a visible parquet scan for the EXPLAIN gate.
+    )
+    shingles = pin_scratch(shingles, "dps_l32_shingles")
     dup = (
         shingles.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1070,9 +1070,10 @@ def l60_zipf_slope(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    # reused by the top-K cut AND the size count — concurrent stages of one
-    # job, so eager (see lsh_candidates note; not fault-tolerant)
-    vocab = vocab.localCheckpoint(eager=True)
+    # reused by the top-K cut AND the size count — the scratch-parquet pin
+    # runs the |V|-bounded hash aggregate once and keeps both consumers'
+    # plans audit-visible (round 12; was an eager localCheckpoint)
+    vocab = pin_scratch(vocab, "dps_l60_vocab")
     top = vocab.orderBy(F.col("c").desc(), "tok").limit(_L60_TOPK)
     w = Window.orderBy(F.col("c").desc(), "tok")
     q6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731

@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import query
-from dask_pipes_spark.session import ensure_index, fanout, load, scratch_path
+from dask_pipes_spark.session import (
+    ensure_index,
+    fanout,
+    load,
+    pin_scratch,
+    scratch_path,
+)
 
 # --- SimHash -----------------------------------------------------------------
 
@@ -1958,10 +1964,11 @@ def l37_containment(spark, sf_dir):
             ).alias("shingle"),
         )
         .distinct()
-        # sh feeds sizes AND both self-join sides — pin it so the
-        # explode+distinct runs once, not three times (l18/l55 discipline)
-        .localCheckpoint(eager=False)
     )
+    # sh feeds sizes AND both self-join sides — pin it so the
+    # explode+distinct runs once, not three times; scratch-parquet pin
+    # (round 12: audit-visible, spill-proof) instead of localCheckpoint
+    sh = pin_scratch(sh, "dps_l37_sh")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -2049,23 +2056,23 @@ def l40_bm25(spark, sf_dir):
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     # dl feeds the corpus stats AND the per-doc join; tf feeds df AND the
-    # scoring join — pin both so each explode+aggregate runs once (l18/l55
-    # lineage-truncation discipline; was 7 exchanges, recomputing the
-    # token explode for every consumer)
-    dl = (
-        toks.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dlen"))
-        .localCheckpoint(eager=False)
+    # scoring join — pin both so each explode+aggregate runs once (was 7
+    # exchanges, recomputing the token explode for every consumer);
+    # scratch-parquet pins (round 12: audit-visible, spill-proof) replace
+    # the former localCheckpoint truncations
+    dl = pin_scratch(
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen")),
+        "dps_l40_dl",
     )
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    tf = (
+    tf = pin_scratch(
         toks.filter(F.col("tok").isin(*_BM25_QUERY))
         .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-        .localCheckpoint(eager=False)
+        .agg(F.count(F.lit(1)).cast("double").alias("tf")),
+        "dps_l40_tf",
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
     k1, b = _BM25_K1, _BM25_B
@@ -2171,11 +2178,12 @@ def l42_bigram_xent(spark, sf_dir):
                 ),
             )
         ).alias("bg"),
-    ).select("doc_id", "lang", "bg.prev", "bg.cur").localCheckpoint(
-        eager=False
-    )  # the bigram stream feeds uni, bi, vocab AND the scored join — pin
-    # it so the tokenize+explode runs once, not four times (the
-    # "materialize the tokenized view" call every corpus pipeline makes)
+    ).select("doc_id", "lang", "bg.prev", "bg.cur")
+    # the bigram stream feeds uni, bi, vocab AND the scored join — pin it
+    # so the tokenize+explode runs once, not four times (the "materialize
+    # the tokenized view" call every corpus pipeline makes); scratch-
+    # parquet pin (round 12: audit-visible) instead of localCheckpoint
+    bigrams = pin_scratch(bigrams, "dps_l42_bigrams")
     uni = bigrams.groupBy("prev").agg(
         F.count(F.lit(1)).cast("double").alias("c_prev")
     )
@@ -2300,12 +2308,13 @@ def l47_source_overlap(spark, sf_dir):
     hot token touches S rows, not |corpus|.
     """
     docs = fanout(load(spark, sf_dir, "documents"))
-    # vocab feeds sizes AND both self-join sides — pin it (l18/l55
-    # discipline) so the explode+distinct runs once
-    vocab = (
+    # vocab feeds sizes AND both self-join sides — pin it so the
+    # explode+distinct runs once; scratch-parquet pin (round 12:
+    # audit-visible, spill-proof) instead of localCheckpoint
+    vocab = pin_scratch(
         docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        "dps_l47_vocab",
     )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vs"))
     a = vocab.select(F.col("source").alias("src_a"), "tok")
@@ -2548,14 +2557,14 @@ def l52_kl_drift(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
     # per_src is the (|sources|·|V|)-bounded spine every downstream branch
-    # reads (its own join input, src_tot, corpus, tot); localCheckpoint
-    # materializes the corpus-scale explode+count ONCE instead of once per
-    # branch (the l29/l12 lineage-truncation idiom — dropped the executed
-    # plan from 9 exchanges to 5)
-    per_src = (
-        toks.groupBy("source", "tok")
-        .agg(F.count(F.lit(1)).alias("c_s"))
-        .localCheckpoint()
+    # reads (its own join input, src_tot, corpus, tot); the scratch-parquet
+    # pin materializes the corpus-scale explode+count ONCE instead of once
+    # per branch (round 12: dropped the executed plan from 9 exchanges to
+    # 5 like the former localCheckpoint, but every consumer now plans a
+    # visible, column-prunable parquet scan)
+    per_src = pin_scratch(
+        toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_s")),
+        "dps_l52_per_src",
     )
     src_tot = per_src.groupBy("source").agg(
         F.sum("c_s").cast("long").alias("t_s")
@@ -2639,15 +2648,16 @@ def l53_perplexity_buckets(spark, sf_dir):
         .alias("lp"),
     )
     # the per-doc score table is read twice (percentile cutoffs + bucket
-    # labeling); localCheckpoint materializes the corpus-scale score pass
-    # once (same lineage-truncation idiom as l52 — 10 exchanges → 2)
-    xent = (
+    # labeling); the scratch-parquet pin materializes the corpus-scale
+    # score pass once (same reuse win as the former localCheckpoint — 10
+    # exchanges → 2 — with the plan left fully audit-visible, round 12)
+    xent = pin_scratch(
         toks.join(F.broadcast(probs), "tok")
         .groupBy("doc_id")
         .agg(
             F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 4).alias("ce")
-        )
-        .localCheckpoint()
+        ),
+        "dps_l53_xent",
     )
     cuts = xent.agg(
         F.expr("percentile_disc(1.0/3) WITHIN GROUP (ORDER BY ce)").alias("q33"),

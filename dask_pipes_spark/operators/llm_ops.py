@@ -32,7 +32,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import davg, dsum, query, sql_davg, sql_dsum
-from dask_pipes_spark.session import ensure_index, fanout, load, scratch_path
+from dask_pipes_spark.session import (
+    ensure_index,
+    fanout,
+    load,
+    pin_scratch,
+    scratch_path,
+)
 
 NUM_PERM = 32  # minhash permutations
 BANDS = 8  # LSH bands → rows-per-band r = 4; s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59
@@ -190,25 +196,21 @@ def lsh_candidate_pairs(
     case) behave exactly as uncapped LSH.
     """
     # sig is referenced by the ranked window's two branches (and, in the
-    # scored wrapper, by the two score join-backs); eager localCheckpoint
-    # materializes it once (cheap: num_perm bigints per doc) instead of
-    # recomputing the md5 aggregation per branch. The scored wrapper
-    # checkpoints BEFORE calling here and passes _checkpoint=False so the
-    # same materialization feeds both the banding and the join-backs.
-    # Eager (not lazy) on purpose: the three consumers are independent
-    # shuffle-map stages of ONE downstream job and can be scheduled
-    # concurrently — a lazy checkpoint would let each compute the signature
-    # aggregation before the persisted partitions land (the measured
-    # double-execution this guard exists for). Known costs, accepted:
-    # (a) building this DataFrame runs a Spark job at construction time,
-    # so plan-only tooling pays it too (explain_audit marks such keys
-    # "post-checkpoint plan only"); (b) localCheckpoint blocks are NOT
-    # fault-tolerant — on executor loss the job fails and is re-run from
-    # source; at 100 TB use reliable checkpoint() to cluster storage, or
-    # persist the signature table explicitly (it is the natural
-    # materialization boundary of the dedup pipeline anyway).
+    # scored wrapper, by the two score join-backs); the pin materializes
+    # it once (cheap: num_perm bigints per doc) instead of recomputing the
+    # md5 aggregation per branch. The scored wrapper pins BEFORE calling
+    # here and passes _checkpoint=False so the same materialization feeds
+    # both the banding and the join-backs. Round 12: the pin is a
+    # scratch-parquet round trip (pin_scratch) — the signature table IS
+    # the natural durable materialization boundary of the dedup pipeline
+    # (l66 persists exactly this frame), so writing it to parquet gives
+    # single execution, fault tolerance (lost executors re-read, where a
+    # localCheckpoint block forces a from-source re-run), AND a serving
+    # plan that is a plain parquet scan the EXPLAIN gate audits whole.
+    # Known cost, accepted: building this DataFrame runs a write job at
+    # construction time, so plan-only tooling pays it too.
     if _checkpoint:
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = pin_scratch(sigs, "dps_lsh_sigs")
     banded = lsh_bandrows(sigs, num_perm, bands)
     w = Window.partitionBy("band_id", "bkey").orderBy("doc_id")
     ranked = banded.withColumn("rnk", F.row_number().over(w))
@@ -257,7 +259,7 @@ def lsh_candidates(
     columnar bytes instead of re-running the md5 aggregation — no
     checkpoint needed, and the full plan stays visible to tooling."""
     if _checkpoint:
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = pin_scratch(sigs, "dps_lsh_sigs")
     pairs = lsh_candidate_pairs(sigs, num_perm, bands, cap, _checkpoint=False)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))

@@ -358,8 +358,14 @@ def p6_observe_metrics(spark, sf_dir):
     m = obs.get
     # SUM over zero rows observes NULL — report 0.0, the metric a monitor
     # expects from an empty batch (empty-input sweep contract)
+    import pandas as pd
+
+    # pandas/Arrow entry → LocalTableScan (audit-visible, round 12)
     return spark.createDataFrame(
-        [(m["n_rows"], m["n_big"], float(m["s"]) if m["s"] is not None else 0.0)],
+        pd.DataFrame(
+            [(m["n_rows"], m["n_big"], float(m["s"]) if m["s"] is not None else 0.0)],
+            columns=["n_rows", "n_big", "sum_value"],
+        ),
         "n_rows bigint, n_big bigint, sum_value double",
     )
 
@@ -967,8 +973,17 @@ def p16_plan_governance(spark, sf_dir):
                 budget is not None,
             )
         )
+    import pandas as pd
+
+    # pandas/Arrow entry → LocalTableScan (audit-visible, round 12)
     return spark.createDataFrame(
-        rows,
+        pd.DataFrame(
+            rows,
+            columns=[
+                "key", "within_budget", "python_boundary_ok",
+                "has_recorded_budget",
+            ],
+        ),
         "key string, within_budget boolean, python_boundary_ok boolean, "
         "has_recorded_budget boolean",
     )

@@ -98,7 +98,12 @@ def a3_sink_parquet_roundtrip(spark, sf_dir):
 )
 def a4_from_local(spark, sf_dir):
     """In-memory rows → DataFrame (Dask ``from_pandas``) joined to a fixture
-    table — the driver-side-literal join pattern (broadcast by construction)."""
+    table — the driver-side-literal join pattern (broadcast by construction).
+    The literal enters through pandas/Arrow so it plans as a
+    ``LocalTableScan``, not an opaque RDD — the whole join stays visible to
+    the EXPLAIN gate (round 12)."""
+    import pandas as pd
+
     schema = T.StructType(
         [
             T.StructField("segment", T.StringType()),
@@ -106,7 +111,11 @@ def a4_from_local(spark, sf_dir):
         ]
     )
     local = spark.createDataFrame(
-        [("AUTOMOBILE", 1000.0), ("BUILDING", 2000.0), ("MACHINERY", 3000.0)], schema
+        pd.DataFrame(
+            [("AUTOMOBILE", 1000.0), ("BUILDING", 2000.0), ("MACHINERY", 3000.0)],
+            columns=["segment", "target"],
+        ),
+        schema,
     )
     cust = load(spark, sf_dir, "customer")
     return (
@@ -467,7 +476,18 @@ def a13_rowgroup_stats(spark, sf_dir):
         "row_group_id int, n_rows bigint, min_key bigint, "
         "max_key bigint, null_count bigint"
     )
-    return spark.createDataFrame(rows, schema)
+    import pandas as pd
+
+    # pandas/Arrow entry → LocalTableScan, keeping the plan audit-visible
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "row_group_id", "n_rows", "min_key", "max_key", "null_count",
+            ],
+        ),
+        schema,
+    )
 
 
 @query(
@@ -641,8 +661,14 @@ def a15_sorted_write_zonemap(spark, sf_dir):
     ns, fs = zonemap_overlap_factor(out_sorted)
     na, fa = zonemap_overlap_factor(out_arrival)
     n_roundtrip = spark.read.parquet(out_sorted).count()
+    import pandas as pd
+
+    # pandas/Arrow entry → LocalTableScan (audit-visible, round 12)
     return spark.createDataFrame(
-        [(n_roundtrip, fs <= 1.25, fs <= fa)],
+        pd.DataFrame(
+            [(n_roundtrip, fs <= 1.25, fs <= fa)],
+            columns=["n_rows_roundtrip", "sorted_disjoint", "sorted_not_worse"],
+        ),
         "n_rows_roundtrip bigint, sorted_disjoint boolean, sorted_not_worse boolean",
     )
 

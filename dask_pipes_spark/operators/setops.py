@@ -13,11 +13,17 @@ pipeline needs for reproducibility (same pattern as l1_exact_dedup).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_pipes_spark.registry import query
 from dask_pipes_spark.session import load, load_tables
+
+#: per-process sequence uniquifying _global_index scratch pins (g11 builds
+#: two indexes in one query — same path would clobber the first)
+_GIDX_SEQ = itertools.count()
 
 
 @query(
@@ -290,15 +296,24 @@ def _global_index(df, order_cols, npartitions=8):
     No single-task global window: the sort parallelizes across partitions
     and only partition COUNTS travel through the driver.
     """
+    from dask_pipes_spark.session import scratch_path
+
     rp = df.repartitionByRange(npartitions, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     # repartitionByRange picks its boundaries by SAMPLING, re-drawn per job:
     # without pinning, the counts job and the numbering job can see different
     # partitionings and the offsets go stale (measured: duplicate indices).
-    # localCheckpoint materializes the partitioning once (l18's pattern) so
-    # both downstream jobs read identical partitions.
-    rp = rp.localCheckpoint()
+    # The pin is a scratch-parquet round trip (the l80 persisted-generation
+    # pattern, round 12 — a localCheckpoint here would hide the range
+    # exchange from every downstream plan as an opaque ExistingRDD): both
+    # the counts job and the numbering job read the SAME materialized
+    # partitioning, and the serving plan stays a plain parquet scan the
+    # EXPLAIN gate can audit. Cost class is identical (localCheckpoint also
+    # materializes the full frame, to executor storage).
+    pin = scratch_path(f"dps_gidx_{next(_GIDX_SEQ)}")
+    rp.write.mode("overwrite").parquet(pin)
+    rp = df.sparkSession.read.parquet(pin)
     counts = dict(
         (r["_pid"], r["cnt"])
         for r in rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -525,37 +540,40 @@ def g13_checksum_drilldown(spark, sf_dir):
         )
 
     da, db = digest(o), digest(b)
-    ca = da.groupBy("bucket").agg(F.expr("bit_xor(d)").alias("xa"))
+    # The checksum aggregate also carries the per-bucket row count, so the
+    # drill size needs NO extra fact pass. The ≤64-row comparison collects
+    # to driver literals (round 12 — the l53 broadcast-cutoff pattern,
+    # replacing two opaque localCheckpoint pins): the hot-bucket set
+    # becomes an isin() predicate evaluated map-side at the digest scan,
+    # and n_drilled a plain literal — the serving plan is two visible
+    # digest scans and one equi-join, nothing hidden from the EXPLAIN gate.
+    ca = da.groupBy("bucket").agg(
+        F.expr("bit_xor(d)").alias("xa"), F.count(F.lit(1)).alias("cnt")
+    )
     cb = db.groupBy("bucket").agg(F.expr("bit_xor(d)").alias("xb"))
-    # hot feeds BOTH drilldown sides and ra feeds both the count and the
-    # compare join — pin them (tiny: hot ≤64 rows, ra = hot-bucket rows
-    # only) so the bucket-checksum aggregates run once, not once per
-    # consumer; the full digest frames da/db stay recomputable on purpose
-    # (at scale the drilldown re-READS only hot partitions, it does not
-    # materialize the whole digest table)
-    hot = (
+    hot_rows = (
         ca.join(cb, "bucket")
         .filter(F.col("xa") != F.col("xb"))
-        .select("bucket")
-        .localCheckpoint(eager=False)
+        .select("bucket", "cnt")
+        .collect()
     )
-    ra = da.join(F.broadcast(hot), "bucket").select(
+    hot_buckets = sorted(r["bucket"] for r in hot_rows)
+    n_drilled = int(sum(r["cnt"] for r in hot_rows))
+    ra = da.filter(F.col("bucket").isin(hot_buckets)).select(
         "bucket", "o_orderkey", F.col("d").alias("digest_a")
-    ).localCheckpoint(eager=False)
-    rb = db.join(F.broadcast(hot), "bucket").select(
+    )
+    rb = db.filter(F.col("bucket").isin(hot_buckets)).select(
         "o_orderkey", F.col("d").alias("digest_b")
     )
-    n_drilled = ra.agg(F.count(F.lit(1)).alias("n")).select("n")
     return (
         ra.join(rb, "o_orderkey")
         .filter(F.col("digest_a") != F.col("digest_b"))
-        .crossJoin(F.broadcast(n_drilled))
         .select(
             "bucket",
             F.col("o_orderkey").alias("diff_key"),
             "digest_a",
             "digest_b",
-            F.col("n").cast("long").alias("n_drilled"),
+            F.lit(n_drilled).cast("long").alias("n_drilled"),
         )
     )
 

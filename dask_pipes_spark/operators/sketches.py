@@ -101,14 +101,12 @@ def d42_cms_topk(spark, sf_dir):
     partial sketches merge associatively (the d22 merge pattern applies
     unchanged)."""
     li = load(spark, sf_dir, "lineitem")
-    # the per-key count feeds BOTH the cell build and the probe set; pin it
-    # so the fact-table aggregate runs once, not once per consumer (lineage
-    # truncation — the l18/l55 discipline)
-    exact = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
+    # the per-key count feeds BOTH the cell build and the probe set; the
+    # two consumers share one physical aggregate via exchange reuse (the
+    # subtrees are canonically identical, so Spark plans a ReusedExchange —
+    # the fact-table shuffle runs ONCE; round 12: this replaces a
+    # localCheckpoint pin that hid the aggregate from the EXPLAIN gate)
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     ds = F.explode(F.array(*[F.lit(i) for i in range(_D)])).alias("d")
     keyed = exact.select("l_partkey", "cnt", ds)
     cells = (
@@ -323,9 +321,12 @@ def d44_portable_bloom(spark, sf_dir):
     broadcast bits — the exact shape of a join pre-filter; OR-merging
     per-partition bit sets is the same associative-merge story as d42/d43."""
     li = load(spark, sf_dir, "lineitem")
-    # the distinct-key set feeds members, bits AND the probe — pin it so the
-    # fact-table distinct runs once (l18/l55 lineage-truncation discipline)
-    keys = li.select("l_partkey").distinct().localCheckpoint(eager=False)
+    # the distinct-key set feeds members, bits AND the probe — the
+    # consumers' identical distinct subtrees share one physical exchange
+    # (ReusedExchange), so the fact-table distinct still runs once while
+    # the whole plan stays visible to the EXPLAIN gate (round 12; was a
+    # localCheckpoint pin)
+    keys = li.select("l_partkey").distinct()
     members = keys.filter(F.col("l_partkey") % 3 == 0)
     bits = (
         members.select(
@@ -443,17 +444,24 @@ def d45_histogram_quantile(spark, sf_dir):
     interpolation run over ≤256 rows. A streaming variant needs only the
     same mergeable bin counts (k12's rollup shape)."""
     li = load(spark, sf_dir, "lineitem")
-    # (lo, hi, n) feeds binning, the hit search and the interpolation; the
-    # cumulative table feeds both the hit search and the interpolation —
-    # pin both so each fact pass runs once (l18/l55 discipline)
-    stats = li.agg(
+    # (lo, hi, n) is a 1-row scalar frame and the cumulative table ≤256
+    # rows — both re-enter as driver-local literals (round 12: the l53
+    # broadcast-cutoff pattern replacing two localCheckpoint pins): each
+    # fact pass still runs exactly once, as its own bounded job, and the
+    # serving plan — local bin table joined to 3 query rows plus the exact
+    # percentile pass — is fully visible to the EXPLAIN gate
+    from dask_pipes_spark.session import collect_local
+
+    lo_, hi_, n_ = li.agg(
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
         F.count(F.lit(1)).alias("n"),
-    ).localCheckpoint(eager=False)
+    ).first()
+    lo = F.lit(lo_).cast("double")
+    hi = F.lit(hi_).cast("double")
+    n = F.lit(n_).cast("bigint")
     binned = (
-        li.crossJoin(F.broadcast(stats))
-        .select(
+        li.select(
             F.least(
                 F.floor(
                     # try_divide: a 1-row (or constant-column) input has
@@ -463,8 +471,8 @@ def d45_histogram_quantile(spark, sf_dir):
                     # both ignore NULL operands) — no ANSI crash, and the
                     # degenerate input lands in the top bin, not a NULL bin
                     F.try_divide(
-                        F.col("l_extendedprice") - F.col("lo"),
-                        (F.col("hi") - F.col("lo")) / 256,
+                        F.col("l_extendedprice") - lo,
+                        (hi - lo) / 256,
                     )
                 ).cast("bigint"),
                 F.lit(255).cast("bigint"),
@@ -476,20 +484,19 @@ def d45_histogram_quantile(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.orderBy("bin")
-    cum = binned.select(
-        "bin",
-        "c",
-        F.sum("c").over(w).alias("cum"),
-        (F.sum("c").over(w) - F.col("c")).alias("cum_prev"),
-    ).localCheckpoint(eager=False)
+    cum = collect_local(
+        binned.select(
+            "bin",
+            "c",
+            F.sum("c").over(w).alias("cum"),
+            (F.sum("c").over(w) - F.col("c")).alias("cum_prev"),
+        )
+    )
     qs = spark.range(1).select(
         F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
     )
     hit = (
-        qs.join(
-            F.broadcast(cum.crossJoin(F.broadcast(stats.select("n")))),
-            F.col("cum") >= F.col("q") * F.col("n"),
-        )
+        qs.join(F.broadcast(cum), F.col("cum") >= F.col("q") * n)
         .groupBy("q")
         .agg(F.min("bin").alias("qbin"))
     )
@@ -498,17 +505,16 @@ def d45_histogram_quantile(spark, sf_dir):
             F.broadcast(cum.select("bin", "c", "cum_prev")),
             F.col("qbin") == F.col("bin"),
         )
-        .crossJoin(F.broadcast(stats))
         .select(
             "q",
             (
-                F.col("lo")
+                lo
                 + (
                     F.col("qbin")
-                    + (F.col("q") * F.col("n") - F.col("cum_prev"))
+                    + (F.col("q") * n - F.col("cum_prev"))
                     / F.col("c")
                 )
-                * ((F.col("hi") - F.col("lo")) / 256)
+                * ((hi - lo) / 256)
             ).alias("hist_q"),
         )
     )

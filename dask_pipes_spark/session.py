@@ -19,6 +19,7 @@ it to ``__spark_entry__.entry``); verified runtime-settable on PySpark 4.1.2.
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1020,7 +1021,19 @@ def compact_manifest(index_dir: str, keep_tail: int = 8) -> dict:
             ):
                 break  # still-consultable link: stop — tail stays contiguous
             fold.append(h)
-        if not fold:
+        # A checkpoint head superseded by a link that is still in the TAIL
+        # is dead NOW (its death certificate is consultable there) — purge
+        # it from heads immediately rather than one fold later (round 12:
+        # found by the k26 in-loop maintainer, whose every window used to
+        # leave the just-superseded previous generation listed as a head).
+        # A later tail link can legitimately re-commit the same name
+        # (resume idempotence); its liveness is then carried by that
+        # link's own `by`, which every heads derivation reads after the
+        # checkpoint record, so the purge can never hide a live head.
+        tail = history[len(fold):]
+        tail_sup = {n for h in tail for n in h["superseded"]}
+        stale = [n for n in ck.get("heads", []) if n in tail_sup]
+        if not fold and not stale:
             return report
         fold_sup = {n for h in fold for n in h["superseded"]}
         merged = list(
@@ -1029,7 +1042,9 @@ def compact_manifest(index_dir: str, keep_tail: int = 8) -> dict:
                 + [b for h in fold for b in _link_bys(h)]
             )
         )
-        heads_new = [n for n in merged if n not in fold_sup]
+        heads_new = [
+            n for n in merged if n not in fold_sup and n not in tail_sup
+        ]
         import time as _time
 
         manifest["checkpoint"] = {
@@ -1232,6 +1247,29 @@ def collect_local(df):
         [r.asDict(recursive=False) for r in rows], columns=df.columns
     )
     return spark.createDataFrame(pdf, schema=df.schema)
+
+
+_PIN_SEQ = itertools.count()
+
+
+def pin_scratch(df, name: str):
+    """Materialize a CORPUS-SCALE multi-consumer frame to scratch parquet
+    and read it back (round 12 — the l80 persisted-generation pattern as
+    a one-liner, retiring "post-checkpoint plan only" audit caveats for
+    frames too big for :func:`collect_local`): the upstream computation
+    runs exactly once (the write job), every consumer plans a plain
+    column-prunable parquet scan, and nothing upstream is hidden from
+    the EXPLAIN gate — where a ``localCheckpoint`` pin would show each
+    consumer an opaque ``Scan ExistingRDD``.
+
+    Cost class matches localCheckpoint (one full materialization), but
+    to disk instead of executor storage: spill-proof at 100 TB, fault-
+    tolerant (a lost executor re-reads, not recomputes), and droppable
+    by the ordinary scratch GC. The per-process sequence uniquifies
+    repeated pins inside one query build."""
+    path = scratch_path(f"{name}_{next(_PIN_SEQ)}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
 def configure_session(spark: SparkSession) -> SparkSession:

@@ -1010,3 +1010,46 @@ def test_k25_gc_rides_the_stream(spark):
     assert man["by"] in names and "bridge" in names and "cdc" in names
     for gen in chain[:-1]:
         assert gen not in names, f"superseded generation survived: {gen}"
+
+
+def test_k26_compaction_rides_the_stream(spark):
+    """k26 contract (round 12): with gc + compact_manifest(keep_tail=1)
+    running in every foreachBatch window, the drained MV still equals
+    k19's, the manifest tail stays BOUNDED (not one link per window),
+    the folded prefix is accounted in checkpoint.folded, and serving
+    reads exactly the head generation."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.streaming_ops import (
+        k19_stream_agg_ivm,
+        k26_stream_compaction,
+    )
+    from dask_pipes_spark.session import scratch_path
+
+    got = sorted(tuple(r) for r in k26_stream_compaction(spark, SF_SMOKE).collect())
+    ref = sorted(
+        tuple(r) for r in k19_stream_agg_ivm(spark, SF_SMOKE).collect()
+    )
+    assert got, "drained MV must be non-empty at sf0.001"
+    assert got == ref, "in-loop compaction must not change the state"
+
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k26_compact_stream_{tag}")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    # bounded metadata: the stream committed g001..g005 (4 CDC windows),
+    # but the rewritten history holds at most keep_tail+1 links — the
+    # rest folded into the checkpoint record
+    assert len(man["history"]) <= 2, man["history"]
+    ck = man.get("checkpoint") or {}
+    assert ck.get("folded", 0) >= 3, ck
+    # the head is the newest generation, on disk, and every superseded
+    # generation is vacuumed
+    names = set(os.listdir(base))
+    assert man["by"] in names
+    for h in man["history"]:
+        for sup in h["superseded"]:
+            assert sup not in names, f"superseded survived: {sup}"
+    # folded heads never resurface as live dirs
+    for head in ck.get("heads", []):
+        assert head == man["by"] or head in ("bridge", "cdc") or head in names

@@ -116,6 +116,10 @@ CARTESIAN_OK = {
     # k-means coarse assignment (round 11): every vector × the K=64
     # broadcast codebook — the same bounded O(N·K) BNLJ shape as l12.
     "l83_kmeans_coarse_ivfpq",
+    # round 12: the same bounded coarse-assignment BNLJ, now over the
+    # K=⌈√N⌉ broadcast codebook (query slice × persisted centroids).
+    "l84_kmeans_ivfpq_serving",
+    "l85_quantizer_retrain_txn",
     # theta self-join over a top-30 token block — 30×30 bounded by the limit.
     "h16_levenshtein_pairs",
     "h34_jaro_winkler",  # same 30x30 bounded token block as h16
@@ -305,7 +309,11 @@ def audit(keys: list[str]) -> int:
     lines.append(f"**{sum(1 for r in rows if r[1] == 'ok')} ok, "
                  f"{violations} violations, {sum(1 for r in rows if r[1] == 'skip')} skipped** "
                  f"of {len(rows)} audited.")
-    print("\n".join(lines[-3:]))
+    if len(keys) == len(QUERIES):
+        print("\n".join(lines[-3:]))
+    else:  # subset run: show every audited row (the tail alone hides notes)
+        print("\n".join(f"| `{k}` | {v} | {i} |" for k, v, i in rows))
+        print(lines[-1])
     if len(keys) == len(QUERIES):  # subset runs must not clobber the full report
         out = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN_AUDIT.md"
