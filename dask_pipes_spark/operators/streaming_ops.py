@@ -193,7 +193,7 @@ def k6_stream_stateful(spark, sf_dir):
     (``pyspark/sql/streaming/stateful_processor_api_client.py``) imports
     ``google.protobuf``, which the container does not ship. Vendoring was
     re-probed 2026-08-14 round 4, round 5, 2026-08-15 rounds 6, 7, 8 AND
-    2026-08-16 rounds 9, 10 and 11 (``import google.protobuf`` and
+    2026-08-16 rounds 9, 10, 11 and 12 (``import google.protobuf`` and
     ``importlib.util.find_spec('google.protobuf')`` both →
     ``ModuleNotFoundError: No module named 'google'``; site-packages has
     no protobuf dist) and is impossible offline: ``pip download

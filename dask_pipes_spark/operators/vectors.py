@@ -2194,7 +2194,7 @@ def _stage_l84_lifecycle(spark, sf_dir: str, d: str) -> None:
     )
 
 
-def _serve_kivfpq(spark, sf_dir: str, idx: str):
+def _serve_kivfpq(spark, sf_dir: str, idx: str, qpred=None):
     """Shared l84/l85 serving path: resolve all FOUR table heads by
     prefix from :func:`head_bys` (checkpoint.heads + tail links — the
     round-12 contract, since quantizers commit orders of magnitude less
@@ -2223,10 +2223,12 @@ def _serve_kivfpq(spark, sf_dir: str, idx: str):
     codes = spark.read.schema(_RIVF_CODES_SCHEMA).parquet(
         os.path.join(idx, head["codes-"])
     )
+    if qpred is None:
+        qpred = F.col("vec_id") % 100 == 0
     qvecs, qsub = _pq_corpus(
         spark,
         sf_dir,
-        pred=(F.col("vec_id") % 100 == 0)
+        pred=qpred
         & ((F.col("vec_id") % 9 == 5) | (F.col("vec_id") % 11 != 3)),
     )
     probes = _coarse_kmeans_assign(qvecs, ccents, nprobe=_CQ_NPROBE).select(
