@@ -2260,3 +2260,196 @@ def k26_stream_compaction(spark, sf_dir):
         F.col("rev").cast("double").alias("sum_revenue"),
         F.col("qty").cast("double").alias("sum_qty"),
     )
+
+
+def _stage_k27_state(spark, sf_dir: str, d: str) -> None:
+    """Stage the continuous k-means-IVFPQ ingest world (round 12 — k23's
+    staging with the fixture's fixed-K label quantizer replaced by the
+    corpus-sized K=⌈√N_train⌉ seeded-Lloyd one, i.e. l84's build fed to
+    the ACTUAL streaming runtime): both quantizers trained on
+    yesterday's slice (``%9!=5``) at the data-derived K, all four
+    tables — coarse codebook, PQ codebooks, inverted file, codes —
+    landed under ONE N=4 :func:`checkpoint_index_generations`
+    transaction, and the embedding CDC staged as k20's 4-file op-stream
+    (inserts ``%9==5`` with raw vectors, tombstones ``%11==3``).
+    Slicing by ``vec_id % 4`` keeps key sets disjoint so the fold is
+    commutative across any batching."""
+    import os
+
+    from dask_pipes_spark.operators.vectors import (
+        _coarse_kmeans_assign,
+        _coarse_kmeans_train,
+        _pq_assign,
+        _pq_corpus,
+        _pq_train,
+        _sqrt_k,
+    )
+    from dask_pipes_spark.session import checkpoint_index_generations
+
+    v, sub = _pq_corpus(spark, sf_dir)
+    train = v.filter(F.col("vec_id") % 9 != 5)
+    tsub = sub.filter(F.col("vec_id") % 9 != 5)
+    k = _sqrt_k(train.count())
+    ccents = _coarse_kmeans_train(train, k=k)
+    cents = _pq_train(train, tsub)
+    checkpoint_index_generations(
+        d,
+        [
+            (ccents, [], "centroids-g001"),
+            (cents, [], "codebooks-g001"),
+            (_coarse_kmeans_assign(train, ccents), [], "assignments-g001"),
+            (_pq_assign(tsub, cents), [], "codes-g001"),
+        ],
+        target_files=8,
+    )
+    cdc = train.filter(F.col("vec_id") % 11 == 3).select(
+        "vec_id", F.lit(None).cast("array<double>").alias("e")
+    ).withColumn("op", F.lit("D"))
+    cdc = (
+        v.filter(F.col("vec_id") % 9 == 5)
+        .withColumn("op", F.lit("I"))
+        .unionAll(cdc)
+    )
+    cdc_dir = os.path.join(d, "cdc")
+    os.makedirs(cdc_dir, exist_ok=True)
+    base_t = 1_700_000_000
+    for i in range(4):
+        stage_slice_file(
+            cdc.filter(F.col("vec_id") % 4 == i),
+            os.path.join(d, f"cdc_stage_{i}"),
+            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
+            base_t + i,
+        )
+
+
+def _run_kivfpq_ivm_stream(
+    spark, index_dir: str, max_files_per_trigger: int = 1, timeout: int = 300
+) -> None:
+    """Drain the embedding CDC through the streaming runtime against the
+    CORPUS-SIZED k-means quantizers: each micro-batch resolves all four
+    table heads via :func:`head_bys` (compaction-proof), anti-joins its
+    tombstones, coarse-assigns its insert vectors against the persisted
+    K=⌈√N⌉ codebook (broadcast crossJoin — map-side at any K that fits
+    a broadcast, which √N keeps true to 10¹¹ vectors) and PQ-encodes
+    their subvectors against the FIXED PQ codebooks, then lands the
+    merged (assignments, codes) pair under ONE manifest transaction.
+    The quantizer generations stay heads — retraining is l85's 4-table
+    transaction on the slow cadence, never the stream's job."""
+    import json
+    import os
+
+    from dask_pipes_spark.operators.vectors import (
+        _CK_CENTS_SCHEMA,
+        _coarse_kmeans_assign,
+        _pq_assign,
+        _pq_subspaces,
+    )
+    from dask_pipes_spark.session import (
+        checkpoint_index_generations,
+        head_bys,
+    )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ss = batch_df.sparkSession
+        bys = head_bys(index_dir)
+        head = {
+            p: [b for b in bys if b.startswith(p)][-1]
+            for p in ("centroids-", "codebooks-", "assignments-", "codes-")
+        }
+        ccents = ss.read.schema(_CK_CENTS_SCHEMA).parquet(
+            os.path.join(index_dir, head["centroids-"])
+        )
+        cents = ss.read.schema("s int, cid int, cv array<double>").parquet(
+            os.path.join(index_dir, head["codebooks-"])
+        )
+        assignments = ss.read.schema(_K23_ASSIGN_SCHEMA).parquet(
+            os.path.join(index_dir, head["assignments-"])
+        )
+        codes = ss.read.schema("vec_id bigint, s int, code int").parquet(
+            os.path.join(index_dir, head["codes-"])
+        )
+        d_del = batch_df.filter(F.col("op") == "D").select("vec_id")
+        d_ins = batch_df.filter(F.col("op") == "I").select("vec_id", "e")
+        a_m = assignments.join(
+            F.broadcast(d_del), "vec_id", "left_anti"
+        ).unionAll(_coarse_kmeans_assign(d_ins, ccents))
+        sub_ins = _pq_subspaces(d_ins).select("vec_id", "s", "sv")
+        c_m = codes.join(
+            F.broadcast(d_del), "vec_id", "left_anti"
+        ).unionAll(_pq_assign(sub_ins, cents))
+        na = int(head["assignments-"].rsplit("g", 1)[1]) + 1
+        nc = int(head["codes-"].rsplit("g", 1)[1]) + 1
+        checkpoint_index_generations(
+            index_dir,
+            [
+                (a_m, [head["assignments-"]], f"assignments-g{na:03d}"),
+                (c_m, [head["codes-"]], f"codes-g{nc:03d}"),
+            ],
+            target_files=8,
+        )
+
+    schema = spark.read.parquet(os.path.join(index_dir, "cdc")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(os.path.join(index_dir, "cdc"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option(
+            "checkpointLocation", os.path.join(index_dir, "_stream_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q, timeout)
+
+
+from dask_pipes_spark.operators.vectors import _L84_ORACLE  # noqa: E402
+
+
+@query("k27_stream_kivfpq_ivm", oracle=_L84_ORACLE)
+def k27_stream_kivfpq_ivm(spark, sf_dir):
+    """Continuous maintenance on the CORPUS-SIZED quantizer (round 12 —
+    completing the r11 verdict's top item for the STREAMING lifecycle:
+    l84 closed the batch path, k23 still prunes through the fixed K=10
+    label quantizer; this key is k23's foreachBatch IVM re-based on the
+    K=⌈√N⌉ seeded-Lloyd world). The embedding CDC stream maintains the
+    slim inverted file and the PQ code table against entirely FIXED
+    persisted quantizers — broadcast anti-join deletes, map-side coarse
+    assignment against the √N-cell codebook, map-side PQ encode — with
+    every window landing the pair under one atomic manifest
+    transaction, heads resolved compaction-proof via ``head_bys``.
+
+    Serving is l84's pruned composition from persisted state; the
+    oracle is l84's composed from-scratch twin VERBATIM — the streamed
+    windows must land the exact state the one-shot batch lifecycle
+    lands (k4's drained-equals-batch discipline at the index level), so
+    a window applied twice, a tombstone lost at a batch boundary, or a
+    mis-bucketed insert diverges the hash.
+
+    100 TB: per-window cost is O(|batch|) map work + two broadcast
+    anti-joins + the paired generation rewrite; serving cost is the
+    measured flat-per-query √N economics (SCALING.md round-12 table:
+    11 ms/query at sf10 vs 399 ms for the fixed-K path)."""
+    import os
+
+    from dask_pipes_spark.operators.vectors import _serve_kivfpq
+    from dask_pipes_spark.session import ensure_index
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k27_kivfpq_stream_{tag}")
+
+    def _stage(d: str) -> None:
+        _stage_k27_state(spark, sf_dir, d)
+        _run_kivfpq_ivm_stream(spark, d, max_files_per_trigger=1)
+
+    idx = ensure_index(
+        base,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="k27-v1",
+        build=_stage,
+    )
+    return _serve_kivfpq(spark, sf_dir, idx)

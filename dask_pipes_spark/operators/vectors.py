@@ -2237,6 +2237,21 @@ def _serve_kivfpq(spark, sf_dir: str, idx: str, qpred=None):
     return _pq_pruned_probe_topk(qsub, probes, assignments, cents, codes)
 
 
+def _l84_index(spark, sf_dir: str) -> str:
+    """Resolve (building if absent) l84's persisted k-means-IVFPQ world —
+    shared by the serving key and the staleness trigger (l86), which
+    must read the SAME generations a prober would."""
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return ensure_index(
+        scratch_path(f"dps_l84_kivfpq_{tag}"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        version="kivfpq-v1",
+        build=lambda d: _stage_l84_lifecycle(spark, sf_dir, d),
+    )
+
+
 @query("l84_kmeans_ivfpq_serving", oracle=_L84_ORACLE)
 def l84_kmeans_ivfpq_serving(spark, sf_dir):
     """The corpus-sized k-means coarse quantizer COMPOSED into the
@@ -2275,16 +2290,7 @@ def l84_kmeans_ivfpq_serving(spark, sf_dir):
     regime) while per-query candidates stay ∝ √N; the quantizer pair
     retrains on the slow cadence (l85's transaction), the index pair
     tracks CDC daily."""
-    import os
-
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    idx = ensure_index(
-        scratch_path(f"dps_l84_kivfpq_{tag}"),
-        os.path.join(sf_dir, "embeddings.parquet"),
-        version="kivfpq-v1",
-        build=lambda d: _stage_l84_lifecycle(spark, sf_dir, d),
-    )
-    return _serve_kivfpq(spark, sf_dir, idx)
+    return _serve_kivfpq(spark, sf_dir, _l84_index(spark, sf_dir))
 
 
 def _stage_l85_state(spark, sf_dir: str, d: str) -> None:
@@ -2357,6 +2363,210 @@ def l85_quantizer_retrain_txn(spark, sf_dir):
         build=lambda d: _stage_l85_state(spark, sf_dir, d),
     )
     return _serve_kivfpq(spark, sf_dir, idx)
+
+
+def _l86_oracle() -> str:
+    """DuckDB twin of the l86 staleness trigger: re-derives the coarse
+    quantizer (the _l83_oracle Lloyd CTEs at the SQL-derived
+    K=⌈√N_train⌉ over l84's train slice), assigns the FINAL corpus, and
+    computes the trigger's every term from scratch — live/new counts,
+    the K-sizing gap, per-cohort mean quantization distortion (decimal
+    sums over the ROUND(6) memberships' distances, FLOOR-quantized), and
+    the retrain verdict itself. A drifted centroid, a mis-sized K, or a
+    mis-counted cohort flips a published number or the boolean."""
+    d2c = (
+        "LIST_SUM(LIST_TRANSFORM(LIST_ZIP(vv.e, c.cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    mean64 = ", ".join(
+        f"CAST(SUM(CAST(vv.e[{i}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)"
+        for i in range(1, 65)
+    )
+    q6 = lambda x: f"FLOOR(({x}) * 1000000 + 0.5) / 1000000"  # noqa: E731
+    dmean = (
+        "CAST(SUM(CAST(d2 AS DECIMAL(28,12))) FILTER (WHERE is_new = {n})"
+        " AS DOUBLE) / COUNT(*) FILTER (WHERE is_new = {n})"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vt AS (SELECT vec_id, e FROM v WHERE {_L84_TRAIN_PRED}),
+    vc AS (SELECT vec_id, e FROM v WHERE {_L84_CORPUS_PRED}),
+    cseeds AS (
+      SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid
+      FROM (SELECT vec_id, e,
+              ('0x' || substr(md5('cq:' || CAST(vec_id AS VARCHAR)), 1, 15))
+                ::BIGINT AS h
+            FROM vt)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= {_K_SQRT_SQL}
+    ),
+    ccents0 AS (SELECT cid, e AS cv FROM cseeds),
+    ca0 AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT vv.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+                 ORDER BY ROUND({d2c}, 6), c.cid) AS rn
+        FROM vt vv CROSS JOIN ccents0 c
+      ) WHERE rn = 1
+    ),
+    cm0 AS (
+      SELECT ca0.bucket AS cid, [{mean64}] AS mv
+      FROM ca0 JOIN vt vv USING (vec_id)
+      GROUP BY ca0.bucket
+    ),
+    ccents1 AS (
+      SELECT c.cid, COALESCE(m.mv, c.cv) AS cv
+      FROM ccents0 c LEFT JOIN cm0 m ON m.cid = c.cid
+    ),
+    ca1 AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT vv.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+                 ORDER BY ROUND({d2c}, 6), c.cid) AS rn
+        FROM vt vv CROSS JOIN ccents1 c
+      ) WHERE rn = 1
+    ),
+    cm1 AS (
+      SELECT ca1.bucket AS cid, [{mean64}] AS mv
+      FROM ca1 JOIN vt vv USING (vec_id)
+      GROUP BY ca1.bucket
+    ),
+    ccents2 AS (
+      SELECT c.cid, COALESCE(m.mv, c.cv) AS cv
+      FROM ccents1 c LEFT JOIN cm1 m ON m.cid = c.cid
+    ),
+    scored AS (
+      SELECT vec_id, CASE WHEN vec_id % 9 = 5 THEN 1 ELSE 0 END AS is_new,
+             d2
+      FROM (
+        SELECT vv.vec_id, ROUND({d2c}, 6) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+                 ORDER BY ROUND({d2c}, 6), c.cid) AS rn
+        FROM vc vv CROSS JOIN ccents2 c
+      ) WHERE rn = 1
+    ),
+    terms AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+             CAST(COUNT(*) FILTER (WHERE is_new = 1) AS BIGINT) AS n_new,
+             (SELECT GREATEST(1, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+              FROM vt) AS k_trained,
+             GREATEST(1, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k_target,
+             {q6(dmean.format(n=0))} AS mean_d2_train,
+             {q6(dmean.format(n=1))} AS mean_d2_new
+      FROM scored
+    )
+    SELECT n_live, n_new,
+           {q6("CAST(n_new AS DOUBLE) / n_live")} AS drift_frac,
+           k_trained, k_target,
+           mean_d2_train, mean_d2_new,
+           {q6("mean_d2_new / mean_d2_train")} AS distortion_ratio,
+           (2 * k_target >= 3 * k_trained
+            OR {q6("CAST(n_new AS DOUBLE) / n_live")} > 0.05
+            OR COALESCE({q6("mean_d2_new / mean_d2_train")} > 1.25, FALSE))
+             AS retrain_due
+    FROM terms
+    """
+
+
+@query("l86_retrain_staleness", oracle=_l86_oracle())
+def l86_retrain_staleness(spark, sf_dir):
+    """The staleness manifest that drives l85's retrain cadence (round
+    12 — completing the r11 verdict's item-1 story: build → maintain →
+    serve → DECIDE WHEN TO RETRAIN). Reads l84's persisted world — the
+    SAME generations a prober reads, heads resolved compaction-proof —
+    and publishes the operational trigger a deployment schedules the
+    4-table retrain transaction on:
+
+    - **drift_frac**: share of live vectors inserted since the
+      quantizers trained (the inverted file joined to the corpus — the
+      CDC cohort the fixed codebooks never saw);
+    - **K gap**: ``k_trained`` (the persisted codebook's ACTUAL row
+      count — state, not formula) vs ``k_target`` = ⌈√N_live⌉ (the
+      sizing rule at today's corpus);
+    - **distortion**: mean quantization error (rounded L2 to the
+      assigned centroid, decimal-summed) for the trained cohort vs the
+      inserted cohort — the FAISS-style signal that the codebook no
+      longer fits the data distribution;
+    - **retrain_due**: 2·k_target ≥ 3·k_trained (integer form of the
+      1.5× sizing gap) OR drift_frac > 5 % OR distortion ratio > 1.25
+      (NULL-safe: an empty new cohort never triggers).
+
+    Full SQL oracle re-derives every term from scratch — including the
+    persisted codebook's row count, which must equal the SQL-derived
+    K=⌈√N_train⌉ (a codebook that lost or duplicated a centroid row
+    flips ``k_trained``).
+
+    100 TB: one broadcast join (≤√N-row codebook) over the inverted
+    file ⋈ corpus — a single map-side pass plus one global aggregate;
+    cheap enough to ride every maintenance window, which is the point:
+    the trigger is computed FROM the serving state, so the decision
+    needs no side-channel bookkeeping."""
+    import os
+
+    from dask_pipes_spark.session import head_bys
+
+    idx = _l84_index(spark, sf_dir)
+    bys = head_bys(idx)
+    head = {
+        p: [b for b in bys if b.startswith(p)][-1]
+        for p in ("centroids-", "assignments-")
+    }
+    ccents = spark.read.schema(_CK_CENTS_SCHEMA).parquet(
+        os.path.join(idx, head["centroids-"])
+    )
+    assignments = spark.read.schema(_L81_ASSIGN_SCHEMA).parquet(
+        os.path.join(idx, head["assignments-"])
+    )
+    # the persisted codebook's ACTUAL size — bounded (≤√N rows), the
+    # fit-param exemption (SURVEY §7.7)
+    k_trained = ccents.count()
+    v, _ = _pq_corpus(spark, sf_dir)
+    scored = (
+        assignments.join(v, "vec_id")
+        .join(F.broadcast(ccents), F.col("bucket") == F.col("cid"))
+        .select(
+            (F.col("vec_id") % 9 == 5).cast("int").alias("is_new"),
+            F.round(_l2sq("e", "cv"), 6).alias("d2"),
+        )
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    dsum = lambda cond: F.sum(  # noqa: E731
+        F.when(cond, F.col("d2")).cast("decimal(28,12)")
+    ).cast("double")
+    cnt = lambda cond: F.count(F.when(cond, F.lit(1)))  # noqa: E731
+    new = F.col("is_new") == 1
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_live"),
+        cnt(new).cast("bigint").alias("n_new"),
+        # try_divide: zero-row input (and an empty cohort) divides by
+        # zero -> NULL on both engines (DuckDB x/0 parity, sweep-safe)
+        q6(F.try_divide(dsum(~new), cnt(~new))).alias("mean_d2_train"),
+        q6(F.try_divide(dsum(new), cnt(new))).alias("mean_d2_new"),
+    )
+    drift = q6(F.try_divide(F.col("n_new").cast("double"), F.col("n_live")))
+    ratio = q6(F.try_divide(F.col("mean_d2_new"), F.col("mean_d2_train")))
+    k_target = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(F.sqrt(F.col("n_live"))).cast("bigint"),
+    )
+    return agg.select(
+        "n_live",
+        "n_new",
+        drift.alias("drift_frac"),
+        F.lit(k_trained).cast("bigint").alias("k_trained"),
+        k_target.alias("k_target"),
+        "mean_d2_train",
+        "mean_d2_new",
+        ratio.alias("distortion_ratio"),
+        (
+            (2 * k_target >= 3 * F.lit(k_trained))
+            | (drift > 0.05)
+            | F.coalesce(ratio > 1.25, F.lit(False))
+        ).alias("retrain_due"),
+    )
 
 
 _L82_ASOF_ORACLE = _l68_oracle(

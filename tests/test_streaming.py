@@ -1053,3 +1053,104 @@ def test_k26_compaction_rides_the_stream(spark):
     # folded heads never resurface as live dirs
     for head in ck.get("heads", []):
         assert head == man["by"] or head in ("bridge", "cdc") or head in names
+
+
+def test_k27_stream_equals_l84_batch_lifecycle(spark):
+    """k27 contract (round 12): the STREAMED windows land exactly the
+    state l84's one-shot batch lifecycle lands — same quantizers (data-
+    derived K), same final pair — so the served probes are identical;
+    and batching invariance: 2-files-per-trigger == 1-file-per-trigger."""
+    from dask_pipes_spark.operators.streaming_ops import (
+        _run_kivfpq_ivm_stream,
+        _stage_k27_state,
+        k27_stream_kivfpq_ivm,
+    )
+    from dask_pipes_spark.operators.vectors import (
+        _serve_kivfpq,
+        l84_kmeans_ivfpq_serving,
+    )
+    from dask_pipes_spark.session import ensure_index, scratch_path
+    import os
+
+    a = sorted(
+        tuple(r) for r in l84_kmeans_ivfpq_serving(spark, SF_SMOKE).collect()
+    )
+    b = sorted(
+        tuple(r) for r in k27_stream_kivfpq_ivm(spark, SF_SMOKE).collect()
+    )
+    assert a, "probe must be non-empty at sf0.001"
+    assert a == b, "streamed IVM == batch lifecycle"
+
+    # batching invariance at mfpt=2
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base2 = scratch_path(f"dps_k27_kivfpq_stream2_{tag}")
+
+    def _stage2(d: str) -> None:
+        _stage_k27_state(spark, SF_SMOKE, d)
+        _run_kivfpq_ivm_stream(spark, d, max_files_per_trigger=2)
+
+    idx2 = ensure_index(
+        base2,
+        os.path.join(SF_SMOKE, "embeddings.parquet"),
+        version="k27-mfpt2-v1",
+        build=_stage2,
+    )
+    c = sorted(
+        tuple(r) for r in _serve_kivfpq(spark, SF_SMOKE, idx2).collect()
+    )
+    assert b == c, "window batching must not change the final state"
+
+
+def test_k27_generation_chain_and_serving_plan(spark):
+    """k27's manifest: ONE N=4 init transaction then one paired link per
+    non-empty window; superseded generations vacuumed; the serving plan
+    reads the four persisted heads + the query slice only (no Lloyd
+    leak, no merge residue, no corpus scan)."""
+    import json
+    import os
+    import re
+
+    from dask_pipes_spark.operators.streaming_ops import (
+        k27_stream_kivfpq_ivm,
+    )
+    from dask_pipes_spark.session import _link_bys, scratch_path
+
+    df = k27_stream_kivfpq_ivm(spark, SF_SMOKE)
+    assert df.count() > 0
+    tag = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    base = scratch_path(f"dps_k27_kivfpq_stream_{tag}")
+    man = json.load(open(os.path.join(base, "VACUUM.json")))
+    shapes = [len(_link_bys(h)) for h in man["history"]]
+    assert shapes[0] == 4, "init commits all four tables atomically"
+    assert all(s == 2 for s in shapes[1:]), "each window commits its pair"
+    chain = [b for h in man["history"] for b in _link_bys(h)]
+    a_chain = [b for b in chain if b.startswith("assignments-")]
+    c_chain = [b for b in chain if b.startswith("codes-")]
+    assert a_chain == [
+        f"assignments-g{i:03d}" for i in range(1, len(a_chain) + 1)
+    ]
+    assert c_chain == [f"codes-g{i:03d}" for i in range(1, len(c_chain) + 1)]
+    assert len(c_chain) == 5, "4 CDC files at mfpt=1 -> 4 windows"
+    names = set(os.listdir(base))
+    for head in ("centroids-g001", "codebooks-g001"):
+        assert head in names, f"quantizer head missing: {head}"
+    for gen in a_chain[:-1] + c_chain[:-1]:
+        assert gen not in names, f"superseded generation survived: {gen}"
+    plan = k27_stream_kivfpq_ivm(spark, SF_SMOKE)._jdf.queryExecution().toString()
+    assert "Union" not in plan
+    assert "LeftAnti" not in plan
+    assert "ExistingRDD" not in plan, "Lloyd checkpoint leaked into probe"
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"embeddings\.parquet", phys)) == 2, (
+        "embeddings read only for the query slice (probe + grid subtrees)"
+    )
+    # deep trees truncate FileScan Location strings, so pin the persisted
+    # heads through inputFiles() (the actual file sources) instead
+    files = "\n".join(
+        k27_stream_kivfpq_ivm(spark, SF_SMOKE).inputFiles()
+    )
+    for head in (
+        "centroids-g001", "codebooks-g001",
+        a_chain[-1], c_chain[-1],
+    ):
+        assert head in files, f"serving must read persisted head {head}"
