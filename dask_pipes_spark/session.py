@@ -468,6 +468,26 @@ def _append_vacuum_link(
             "ts": _time.time()}
     if len(gens) > 1:
         link["bys"] = gens
+    # Resurrection cleanses the record (round 12 — found by the 4-process
+    # soak): merge_branch legitimately re-commits an EVER-SUPERSEDED name
+    # as a new link's `by` (a branch generation retired from main, then
+    # promoted back). Every sweep in this file decides death SET-wise
+    # ("name ∈ some superseded list"), so without cleansing, the live
+    # resurrected head reads as dead the moment its branch ref disappears
+    # and the next vacuum deletes the serving head's directory (the same
+    # class as the r11 anchor-rule finding, one level deeper). Dropping
+    # the revived names from every older link's superseded list restores
+    # the protocol invariant the sweeps assume: a name appears in a
+    # superseded list IFF it is dead. Retention follows automatically —
+    # the window is recomputed from the cleansed supersession events, so
+    # a revived name also leaves `retained` (it is a head again, not a
+    # snapshot).
+    revived = set(gens)
+    for h in history:
+        if any(n in revived for n in h["superseded"]):
+            h["superseded"] = [
+                n for n in h["superseded"] if n not in revived
+            ]
     history.append(link)
     # retention window: prior generations (names that were a `by`) in
     # creation order; the newest `retain` stay readable. Only generations

@@ -65,6 +65,7 @@ def _read_branches(d: str) -> dict:
 class GenerationProtocol(RuleBasedStateMachine):
     def __init__(self):
         super().__init__()
+        self._just_compacted = False
         self.dir = tempfile.mkdtemp(prefix="dps_fuzz_")
         self.ngen = 0
         self.published: list[str] = []  # every generation ever committed
@@ -103,6 +104,7 @@ class GenerationProtocol(RuleBasedStateMachine):
         use_cas=st.booleans(),
     )
     def publish(self, retain, supersede_head, to_branch, use_cas):
+        self._just_compacted = False
         self.ngen += 1
         name = f"g{self.ngen:03d}"
         head = self._head()
@@ -128,6 +130,7 @@ class GenerationProtocol(RuleBasedStateMachine):
         shape): N tables commit under ONE history link via
         checkpoint_index_generations — durable tmps staged by hand (the
         _SUCCESS marker is the durability contract), no Spark needed."""
+        self._just_compacted = False
         head = self._head()
         superseded = [head] if (supersede_head and head) else []
         self.ngen += 1
@@ -150,6 +153,8 @@ class GenerationProtocol(RuleBasedStateMachine):
         heads, retained durability, GC decisions, or resume outcomes —
         all existing invariants run across it."""
         compact_manifest(self.dir, keep_tail=keep_tail)
+
+        self._just_compacted = True
 
     @rule()
     def stale_cas_refused(self):
@@ -182,6 +187,7 @@ class GenerationProtocol(RuleBasedStateMachine):
 
     @rule(retain=st.integers(0, 2))
     def merge_audit_to_main(self, retain):
+        self._just_compacted = False
         branches = _read_branches(self.dir)
         if "audit" not in branches:
             return
@@ -192,6 +198,7 @@ class GenerationProtocol(RuleBasedStateMachine):
 
     @rule(branch=st.sampled_from(["audit", "pin", "eval", "main"]))
     def retire_branch(self, branch):
+        self._just_compacted = False
         # "main" included (round 11): deleting the serving ref exercises
         # the no-distinct-anchor path — the link must anchor at a durable
         # prior head or be skipped, never self-supersede (advice item)
@@ -220,6 +227,7 @@ class GenerationProtocol(RuleBasedStateMachine):
 
     @rule(keep_last=st.integers(0, 2))
     def expire_old_snapshots(self, keep_last):
+        self._just_compacted = False
         expire_snapshots(self.dir, older_than_sec=0, keep_last=keep_last)
 
     @rule(keep_last=st.integers(0, 2), keep_tail=st.integers(1, 3))
@@ -234,9 +242,11 @@ class GenerationProtocol(RuleBasedStateMachine):
         compact_manifest(self.dir, keep_tail=keep_tail)
         expire_snapshots(self.dir, older_than_sec=0, keep_last=keep_last)
         compact_manifest(self.dir, keep_tail=keep_tail)
+        self._just_compacted = True
 
     @rule()
     def resume_same_args_is_idempotent(self):
+        self._just_compacted = False
         """Re-publishing the current head with the same args (the
         crash-retry shape) must not duplicate history links."""
         head = self._head()
@@ -285,6 +295,32 @@ class GenerationProtocol(RuleBasedStateMachine):
             marker = os.path.join(d, "DATA")
             if os.path.exists(marker):
                 assert open(marker).read() == b.split(".")[0]
+
+    @invariant()
+    def ckpt_heads_not_tail_superseded(self):
+        """Round 12 (the k26 nit): compact_manifest purges from
+        checkpoint.heads any name a REMAINING tail link superseded —
+        a dead head must never be listed past the compaction that could
+        see its death certificate. (A later tail link may legitimately
+        re-commit the same name; its liveness is then carried by that
+        link's own by, so the checkpoint record still must not list it.)
+        Enforced only immediately after a compaction ran (commits between
+        compactions may legitimately supersede a checkpoint head)."""
+        if not getattr(self, "_just_compacted", False):
+            return
+        p = os.path.join(self.dir, "VACUUM.json")
+        if not os.path.exists(p):
+            return
+        m = json.load(open(p))
+        tail_sup = {
+            n for h in m.get("history", []) for n in h["superseded"]
+        }
+        stale = [
+            n
+            for n in (m.get("checkpoint") or {}).get("heads", [])
+            if n in tail_sup
+        ]
+        assert not stale, f"checkpoint.heads lists tail-superseded {stale}"
 
     @invariant()
     def branch_refs_are_durable(self):
