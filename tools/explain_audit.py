@@ -120,6 +120,9 @@ CARTESIAN_OK = {
     # K=⌈√N⌉ broadcast codebook (query slice × persisted centroids).
     "l84_kmeans_ivfpq_serving",
     "l85_quantizer_retrain_txn",
+    # k27 serves the streamed state through l84's pruned composition — the
+    # identical bounded query-slice × broadcast-⌈√N⌉-codebook BNLJ.
+    "k27_stream_kivfpq_ivm",
     # theta self-join over a top-30 token block — 30×30 bounded by the limit.
     "h16_levenshtein_pairs",
     "h34_jaro_winkler",  # same 30x30 bounded token block as h16
