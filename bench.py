@@ -266,15 +266,19 @@ def q_curation(spark, t):
 
 
 def _run_dedup_chain_from_sigs(spark, sigs):
-    """The dedup chain's tail from a signature frame: capped LSH pairs →
-    connected components → duplicate-cluster size histogram (shared by
-    the headline q_dedup_chain and the persisted-path calibration row)."""
+    """The dedup chain's tail from a signature frame: per-bucket LSH star
+    edges (identical components to the capped pair set — see
+    ``lsh_star_edges``; round 12) → connected components →
+    duplicate-cluster size histogram (shared by the headline
+    q_dedup_chain and the persisted-path calibration row). The in-memory
+    continuity row (``dedup_chain_inmem_ms``) keeps the r5–r10 capped
+    pair-set tail so its series stays comparable."""
     from dask_pipes_spark.operators.llm_ops import (
         connected_components,
-        lsh_candidate_pairs,
+        lsh_star_edges,
     )
 
-    cand = lsh_candidate_pairs(sigs, _checkpoint=False)
+    cand = lsh_star_edges(sigs, _checkpoint=False)
     comp = connected_components(cand, "doc_a", "doc_b")
     sizes = (
         comp.groupBy("label")

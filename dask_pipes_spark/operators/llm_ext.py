@@ -1578,13 +1578,31 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     discipline as :func:`~dask_pipes_spark.operators.llm_ops.connected_components`.
     Dangling handling: nodes exist in the symmetric edge set, so every node
     has degree ≥ 1; isolated nodes never enter. Returns (node, rank) with
-    ranks summing to the node count (uniform-teleport formulation)."""
+    ranks summing to the node count (uniform-teleport formulation).
+
+    Round 12 (guide §5 — cache what is reused): ``sym`` and ``deg`` are
+    checkpointed ONCE before the loop. Each localCheckpoint previously
+    re-ran their full upstream lineage per iteration — for l29 that
+    lineage is the all-pairs cosine join, so 8 iterations paid the
+    quadratic pair generation ~16× (sym + deg per round). Measured on
+    l29 at sf0.01: 20.3 s → see OPTIMIZATION_r12.md. Arithmetic is
+    untouched (same edges, same decimal-summed gather) so ranks are
+    bit-identical. ``deg`` clusters on the prior s-repartition, and the
+    edge dedup rides the same single exchange (dropDuplicates on the
+    s-layout — hash on s satisfies the (s, d) aggregation's clustering)."""
+    nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
+        .repartition(nparts, "s")
+        .dropDuplicates()
+        .localCheckpoint()
     )
-    deg = sym.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        sym.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
     ranks = deg.select("node", F.lit(1.0).alias("rank")).localCheckpoint()
     for _ in range(iters):
         contribs = (

@@ -239,6 +239,48 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_star_edges(
+    sigs: DataFrame,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    _checkpoint: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b) edges with the SAME connected components as
+    :func:`lsh_candidate_pairs` at a fraction of its cost — the
+    connectivity-consumer fast path (round 12, guide §2.3/§2.4: shuffle
+    fewer bytes, remove the self-join exchange outright).
+
+    Per (band, bucket), emit one edge from the bucket representative
+    (min doc_id) to every other member. Equivalence proof: (⊆) every star
+    edge (rep, x) is itself a capped pair — the representative has bucket
+    rank 1, and rank-1 members pair with EVERY other member (the
+    ``rnk_a == 1`` branch of the cap rule) — so star components refine
+    pair components; (⊇) every capped pair (a, b) joins two members of
+    one bucket, and both endpoints carry a star edge to that bucket's
+    representative, so a and b are already connected via the rep in the
+    star graph. Hence the transitive closures are identical, and every
+    min-label consumer (l18/l80 components, the bench dedup histogram)
+    computes identical output. The pair SET itself (l2/l66/l74's declared
+    output) still comes from :func:`lsh_candidate_pairs` — this frame is
+    only for consumers that never look at individual pairs.
+
+    Cost vs the pair generator, measured at sf0.1 (noop sink, guide
+    §1.4): 344 ms vs 895 ms. Plan: one exchange (the band/bucket window)
+    instead of three (window + self-join + dropDuplicates), and the edge
+    count is ≤ bands per doc instead of O(cap²+m) per bucket — at 100 TB
+    the round-over-round CC shuffles carry ~bands×N edges instead of the
+    capped-quadratic pair set, and a viral million-copy duplicate emits
+    exactly its ~1M star edges with no self-join compute behind them."""
+    if _checkpoint:
+        sigs = pin_scratch(sigs, "dps_lsh_sigs")
+    banded = lsh_bandrows(sigs, num_perm, bands)
+    w = Window.partitionBy("band_id", "bkey")
+    rep = banded.withColumn("rep", F.min("doc_id").over(w))
+    return rep.filter(F.col("rep") < F.col("doc_id")).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+
+
 def lsh_candidates(
     sigs: DataFrame,
     num_perm: int = NUM_PERM,
@@ -788,13 +830,31 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     pre-partitioned on the join key ONCE and the label frame keeps the same
     node-keyed layout round over round — the per-round join and the
     label-update join are both zero-exchange, leaving exactly ONE shuffle
-    per round (the neighbor-min groupBy, whose key necessarily differs from
+    per hop (the neighbor-min groupBy, whose key necessarily differs from
     the input layout). The convergence test rides the update join as a
     ``changed`` flag column inside the SAME checkpointed frame, so testing
     it is a filter-count over in-memory blocks — no extra join job per
-    round. At 100 TB the per-round cost is one shuffle of (node, label)
+    round. At 100 TB the per-hop cost is one shuffle of (node, label)
     pairs; swap localCheckpoint for reliable checkpoint() there (executor
     loss, see lsh_candidates notes).
+
+    Round-12 loop structure (guide §2.4 — remove shuffles/barriers the
+    algorithm does not need; measured 2685→~1100 ms on the sf0.1 star-edge
+    chain, this window):
+    - the symmetrized edge build pays ONE exchange, not two: repartition
+      on the join key FIRST, then ``dropDuplicates`` — hash layout on
+      ``s`` already satisfies the (s, d) aggregation's clustering, so the
+      dedup adds no exchange (it exists only to shrink the per-hop join
+      input; min-label propagation is idempotent under duplicate edges);
+    - label init FOLDS the first propagation hop into the node-derivation
+      aggregate (``min(d)`` rides the same groupBy that dedups the node
+      set), so the loop starts one hop ahead with zero extra jobs;
+    - each iteration executes TWO propagation hops before the checkpoint
+      + convergence count: same shuffle count per hop, HALF the barrier
+      jobs and driver round-trips — the dominant per-round cost at any
+      scale where the tail of a stage leaves cores idle. Convergence:
+      min-label propagation is monotone non-increasing, so "no change
+      across a double hop" implies the single-hop fixpoint.
 
     Returns (node, component) with component = min node id reachable.
     """
@@ -802,33 +862,42 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
         .repartition(nparts, "s")  # partitioning survives the checkpoint
+        .dropDuplicates()  # clusters on the s-layout: no extra exchange
         .localCheckpoint()
     )
+    # node set + first propagation hop in ONE aggregate: label0 =
+    # min(node, min neighbor) — exactly what hop 1 over self-labels yields
     labels = (
-        sym.select(F.col("s").alias("node"))
-        .distinct()  # clusters on the prior repartition: no extra exchange
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("s").alias("node"))
+        .agg(F.min("d").alias("nmin"))
+        .select("node", F.least(F.col("node"), F.col("nmin")).alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+
+    def _hop(lbl: DataFrame) -> DataFrame:
+        # name-based joins: sym appears twice per double-hop plan, so no
+        # cross-frame Column references (DeduplicateRelations-safe)
         neighbor_min = (
-            sym.join(labels, sym.s == labels.node)  # both sides key-laid-out
+            sym.withColumnRenamed("s", "node")  # rename keeps the s-layout
+            .join(lbl.select("node", "label"), "node")  # zero-exchange
             .groupBy(F.col("d").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")  # node-keyed both sides
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
-                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("changed"),
-            )
-            .localCheckpoint()  # truncate lineage — plan stays O(1) per round
+        passthru = [c for c in lbl.columns if c != "label"]
+        return lbl.join(neighbor_min, "node", "left").select(
+            *passthru,
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                "label"
+            ),
         )
+
+    for _ in range(max_iter):
+        base = labels.select("node", F.col("label").alias("label0"), "label")
+        stepped = _hop(_hop(base))
+        new_labels = stepped.select(
+            "node", "label", (F.col("label") < F.col("label0")).alias("changed")
+        ).localCheckpoint()  # truncate lineage — plan stays O(1) per round
         changed = new_labels.filter("changed").count()  # in-memory blocks only
         labels = new_labels.drop("changed")
         if changed == 0:
@@ -873,11 +942,14 @@ def l18_dup_components(spark, sf_dir):
     since round 2 a full SQL oracle re-derives the clustering in DuckDB
     with a recursive-CTE transitive closure over the same (portable-hash)
     candidate pairs."""
-    # pairs-only frame: components need connectivity, not est_jaccard —
-    # skips the two signature join-backs (round-5 plan trim); boundary =
-    # persisted generation when $SPARK_GRAFT_DEDUP_INDEX, else checkpoint
+    # star-edge frame (round 12): components need connectivity only, and
+    # the per-bucket rep→member star set has the SAME transitive closure
+    # as the capped pair set (see lsh_star_edges) — skips the self-join,
+    # the dropDuplicates exchange AND the two signature join-backs;
+    # boundary = persisted generation when $SPARK_GRAFT_DEDUP_INDEX, else
+    # checkpoint
     sigs, ck = _chain_signatures(spark, sf_dir)
-    pairs = lsh_candidate_pairs(sigs, _checkpoint=ck).select(
+    pairs = lsh_star_edges(sigs, _checkpoint=ck).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(pairs)
@@ -957,7 +1029,8 @@ def l80_dedup_chain_persisted(spark, sf_dir):
     Same oracle as l18: the persisted-boundary chain must equal the
     from-scratch recompute pair-for-pair and cluster-for-cluster."""
     sigs = persisted_signature_table(spark, sf_dir)
-    pairs = lsh_candidate_pairs(sigs, _checkpoint=False).select(
+    # star edges (round 12): identical components, no self-join — see l18
+    pairs = lsh_star_edges(sigs, _checkpoint=False).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(pairs)
