@@ -1186,6 +1186,11 @@ def l71_ivfadc_residual(spark, sf_dir):
     )
 
     vecs, cent = _ivf_corpus_and_centroids(spark, sf_dir)
+    # collect_local (round 12): the coarse codebook is broadcast-joined in
+    # BOTH the residual train (per Lloyd collect) and the probe — as a
+    # lazy frame its posexplode double-shuffle re-ran inside every one of
+    # those jobs (~5× per query). One bounded collect, literal everywhere.
+    cent = collect_local(cent)
     cent_rows = cent.collect()
     # indexed keeps e: the residual needs the vector AND its bucket
     indexed = ivf_assign(vecs, cent_rows, nprobe=1)
@@ -1292,6 +1297,9 @@ def build_residual_index(spark, sf_dir: str, index_dir: str) -> None:
     )
 
     vecs, cent = _ivf_corpus_and_centroids(spark, sf_dir)
+    # one bounded collect; the centroid write and every train-side
+    # broadcast reuse the literal instead of re-running the aggregation
+    cent = collect_local(cent)
     cent.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     indexed = ivf_assign(vecs, cent.collect(), nprobe=1)
     indexed.write.mode("overwrite").parquet(
