@@ -1591,9 +1591,19 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     edge dedup rides the same single exchange (dropDuplicates on the
     s-layout — hash on s satisfies the (s, d) aggregation's clustering)."""
     nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # one-pass symmetrization (explode, not union-of-selects): the edge
+    # lineage — l29's all-pairs cosine join — executes once, not twice
     sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("s"), F.col("b").alias("d")),
+                    F.struct(F.col("b").alias("s"), F.col("a").alias("d")),
+                )
+            ).alias("p")
+        )
+        .select("p.s", "p.d")
         .repartition(nparts, "s")
         .dropDuplicates()
         .localCheckpoint()

@@ -859,9 +859,21 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     Returns (node, component) with component = min node id reachable.
     """
     nparts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # symmetrize by exploding both directions from ONE pass over the edge
+    # frame — a union of two selects executes the (possibly expensive)
+    # upstream lineage twice per materialization (for p4 that was the
+    # all-pairs cosine join, run twice inside this checkpoint job)
     sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("s"), F.col("b").alias("d")),
+                    F.struct(F.col("b").alias("s"), F.col("a").alias("d")),
+                )
+            ).alias("p")
+        )
+        .select("p.s", "p.d")
         .repartition(nparts, "s")  # partitioning survives the checkpoint
         .dropDuplicates()  # clusters on the s-layout: no extra exchange
         .localCheckpoint()
