@@ -375,3 +375,37 @@ def test_vacuum_swaps_atomically_and_preserves_rows(spark):
     assert manifest["by"] == files
     # superseded generations are really gone
     assert not any(f in files for f in manifest["superseded"])
+
+
+def test_compaction_both_collapse_regimes_preserve_rows(spark):
+    """Round-12 pivot in compact_avro: target_files below the cluster
+    parallelism collapses via repartition (block-parallel decode), at or
+    above it via coalesce (zero-shuffle rewrite). Both regimes must
+    preserve the exact rowset and stay spec-readable."""
+    import os
+
+    from dask_pipes_spark.operators.avro_io import (
+        compact_avro,
+        read_avro_split,
+        write_avro,
+    )
+    from dask_pipes_spark.session import load, scratch_path
+
+    src = load(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    want = sorted(tuple(r) for r in src.collect())
+    land = scratch_path("t_compact_regimes")
+    os.makedirs(land, exist_ok=True)
+    for g in range(3):
+        write_avro(
+            src.filter(F.col("c_custkey") % 3 == g).coalesce(1),
+            land, prefix=f"g{g}", clean=False,
+        )
+    par = spark.sparkContext.defaultParallelism
+    for target in (1, par):  # repartition regime, coalesce regime
+        dst = scratch_path(f"t_compact_out_{target}")
+        compact_avro(spark, land, dst, block_rows=40, target_files=target)
+        back = read_avro_split(spark, dst)
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == want, f"rowset diverged at target_files={target}"

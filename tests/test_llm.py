@@ -129,3 +129,99 @@ def test_l60_zipf_slope_is_zipfian_on_fixture(spark, registry):
     assert r.n_ranks <= r.vocab_size
     assert r.zipf_slope < 0
     assert 0 <= r.r2 <= 1
+
+
+def _components_of(labels_df) -> dict[int, frozenset]:
+    """node -> frozenset of its component's members, from a (node, label)
+    frame — partition-equality comparisons ignore WHICH label names the
+    component (though min-label propagation pins it to the min member)."""
+    groups: dict[int, set] = {}
+    for r in labels_df.collect():
+        groups.setdefault(r.label, set()).add(r.node)
+    return {n: frozenset(m) for m in groups.values() for n in m}
+
+
+def test_star_edges_components_match_capped_pairs(spark):
+    """Round-12 equivalence claim behind the l18/l80/bench fast path: the
+    per-bucket rep->member star set must induce EXACTLY the capped pair
+    set's connected components — on the fixture corpus AND on a planted
+    adversarial graph with a viral bucket (> LSH_BUCKET_CAP members, so
+    the cap's star-edge branch is live) bridged to a second cluster by a
+    doc whose signature straddles both bucket families."""
+    from pyspark.sql import types as T
+
+    from dask_pipes_spark.operators.llm_ops import (
+        NUM_PERM,
+        connected_components,
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_signatures,
+    )
+    from dask_pipes_spark.session import load
+
+    # fixture corpus: real signatures
+    sigs = minhash_signatures(load(spark, SF_SMOKE, "documents"))
+    pairs = lsh_candidate_pairs(sigs, _checkpoint=False)
+    stars = lsh_star_edges(sigs, _checkpoint=False)
+    comp_pairs = _components_of(
+        connected_components(pairs, "doc_a", "doc_b")
+    )
+    comp_stars = _components_of(
+        connected_components(stars, "doc_a", "doc_b")
+    )
+    assert comp_pairs == comp_stars and comp_pairs
+
+    # planted adversarial graph: 30 identical sigs (viral bucket, far
+    # beyond the cap of 8), 6 identical sigs elsewhere, one bridge doc
+    # whose first 4 bands come from the viral family and last 4 from the
+    # small family -> ONE merged component must contain all 37 docs.
+    s1 = [10_000 + i for i in range(NUM_PERM)]
+    s2 = [20_000 + i for i in range(NUM_PERM)]
+    bridge = s1[: NUM_PERM // 2] + s2[NUM_PERM // 2 :]
+    rows = (
+        [(i, s1) for i in range(30)]
+        + [(100 + i, s2) for i in range(6)]
+        + [(50, bridge)]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    planted = spark.createDataFrame(rows, schema)
+    p_pairs = lsh_candidate_pairs(planted, _checkpoint=False)
+    p_stars = lsh_star_edges(planted, _checkpoint=False)
+    cp = _components_of(connected_components(p_pairs, "doc_a", "doc_b"))
+    cs = _components_of(connected_components(p_stars, "doc_a", "doc_b"))
+    assert cp == cs
+    everyone = frozenset(list(range(30)) + [50] + [100 + i for i in range(6)])
+    assert cp[0] == everyone
+    # the DISTINCT star set is a strict subset of the capped pair set on
+    # the viral bucket (every star edge is a rank-1 capped pair; the cap's
+    # all-pairs branch emits edges the star set never carries)
+    distinct_stars = {(r.doc_a, r.doc_b) for r in p_stars.distinct().collect()}
+    pair_set = {(r.doc_a, r.doc_b) for r in p_pairs.collect()}
+    assert distinct_stars < pair_set
+
+
+def test_connected_components_long_path_converges(spark):
+    """Worst case for the round-12 double-hop loop: a 17-node path graph
+    (diameter 16) presented as shuffled edges. Convergence must reach the
+    single-hop fixpoint — every node labeled with the path's minimum —
+    exercising multiple double-hop iterations plus the final no-change
+    detection round."""
+    import random
+
+    from dask_pipes_spark.operators.llm_ops import connected_components
+
+    nodes = list(range(100, 117))
+    edges = [(nodes[i], nodes[i + 1]) for i in range(len(nodes) - 1)]
+    rnd = random.Random(7)
+    rnd.shuffle(edges)
+    df = spark.createDataFrame(
+        [(a, b) if i % 2 else (b, a) for i, (a, b) in enumerate(edges)],
+        "src long, dst long",
+    )
+    got = {r.node: r.label for r in connected_components(df).collect()}
+    assert got == {n: 100 for n in nodes}
