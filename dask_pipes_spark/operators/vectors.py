@@ -521,9 +521,29 @@ def _pq_train(v, sub):
     # LocalTableScan, not an opaque localCheckpoint RDD — per-round
     # lineage stays truncated AND every downstream plan remains fully
     # visible to the EXPLAIN gate.
+    #
+    # One-pass member means (round 13): the argmin aggregate carries sv
+    # alongside the struct-min — every row of a (vec_id, s) group holds
+    # the SAME sv (the broadcast fan-out only varies cid), so first(sv)
+    # is deterministic and the former `_pq_assign(sub, cents).join(sub)`
+    # round-trip (a second execution of the exploded-corpus lineage plus
+    # a corpus-wide join exchange, per round) collapses into the one
+    # exchange the groupBy already pays. Same rows into the means
+    # aggregate ⇒ bit-identical codebook (asserted in the A/B and by
+    # l55/l68's oracles, whose SQL still derives means via the join).
     for _ in range(2):
-        members = _pq_assign(sub, cents).join(sub, ["vec_id", "s"])
-        means = members.groupBy("s", F.col("code").alias("cid")).agg(
+        members = (
+            sub.join(F.broadcast(cents), "s")
+            .groupBy("vec_id", "s")
+            .agg(
+                F.min(
+                    F.struct(_l2sq("sv", "cv").alias("d2"), "cid")
+                ).alias("best"),
+                F.first("sv").alias("sv"),
+            )
+            .select("s", F.col("best.cid").alias("cid"), "sv")
+        )
+        means = members.groupBy("s", "cid").agg(
             F.array(
                 *[
                     (
