@@ -829,6 +829,37 @@ def k16_stream_avro_sink(spark, sf_dir):
     )
 
 
+def _stage_cdc_slices(cdc, index_dir: str, slice_key, n: int = 4) -> None:
+    """Stage ``cdc`` as ``n`` mtime-ordered slice files under
+    ``<index_dir>/cdc`` — the shared CDC-fixture step of every
+    streaming-IVM key. The ``n`` slice writes are independent
+    single-task jobs over disjoint filters of the same frame, so they
+    are submitted from a thread pool (guide §2.6 — the round-12
+    ``_stage_generations`` overlap applied to CDC staging): each write
+    lands in its OWN tmp dir and renames into place, so slice contents
+    are per-slice deterministic regardless of completion order, and
+    replay order is pinned by the explicit mtimes, never by write
+    order. ``slice_key`` is the integer column the fixture slices on
+    (disjointness of the slices is the caller's contract, as before)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    cdc_dir = os.path.join(index_dir, "cdc")
+    os.makedirs(cdc_dir, exist_ok=True)
+    base_t = 1_700_000_000
+
+    def _one(i: int) -> None:
+        stage_slice_file(
+            cdc.filter(slice_key % n == i),
+            os.path.join(index_dir, f"cdc_stage_{i}"),
+            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
+            base_t + i,
+        )
+
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        list(pool.map(_one, range(n)))
+
+
 # --- k19: streaming aggregate IVM (round 9) ----------------------------------
 
 _K19_MV_SCHEMA = "n_name string, cnt bigint, rev decimal(38,6), qty decimal(38,6)"
@@ -901,16 +932,7 @@ def _stage_k19_state(spark, sf_dir: str, d: str) -> None:
             .withColumn("sign", F.lit(-1))
         )
     )
-    cdc_dir = os.path.join(d, "cdc")
-    os.makedirs(cdc_dir, exist_ok=True)
-    base_t = 1_700_000_000
-    for i in range(4):
-        stage_slice_file(
-            cdc.filter(F.expr("l_orderkey div 10") % 4 == i),
-            os.path.join(d, f"cdc_stage_{i}"),
-            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
-            base_t + i,
-        )
+    _stage_cdc_slices(cdc, d, F.expr("l_orderkey div 10"))
 
 
 def _run_agg_mv_stream(
@@ -1114,11 +1136,17 @@ def _stage_k20_state(spark, sf_dir: str, d: str) -> None:
         _ivf_corpus_and_centroids,
         ivf_assign,
     )
-    from dask_pipes_spark.session import checkpoint_index_generation
+    from dask_pipes_spark.session import (
+        checkpoint_index_generation,
+        collect_local,
+    )
 
     vecs_old, cent = _ivf_corpus_and_centroids(
         spark, sf_dir, pred=F.col("vec_id") % 9 != 5
     )
+    # one execution of the codebook lineage (round 13): the write and the
+    # driver-rows collect previously each re-ran the centroid aggregation
+    cent = collect_local(cent)
     cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
     checkpoint_index_generation(
         d,
@@ -1137,16 +1165,7 @@ def _stage_k20_state(spark, sf_dir: str, d: str) -> None:
             F.lit(None).cast("double").alias("nrm"),
         ).withColumn("op", F.lit("D"))
     )
-    cdc_dir = os.path.join(d, "cdc")
-    os.makedirs(cdc_dir, exist_ok=True)
-    base_t = 1_700_000_000
-    for i in range(4):
-        stage_slice_file(
-            cdc.filter(F.col("vec_id") % 4 == i),
-            os.path.join(d, f"cdc_stage_{i}"),
-            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
-            base_t + i,
-        )
+    _stage_cdc_slices(cdc, d, F.col("vec_id"))
 
 
 def _run_ann_ivm_stream(
@@ -1320,16 +1339,7 @@ def _stage_k21_state(spark, sf_dir: str, d: str) -> None:
         )
         .withColumn("op", F.lit("D"))
     )
-    cdc_dir = os.path.join(d, "cdc")
-    os.makedirs(cdc_dir, exist_ok=True)
-    base_t = 1_700_000_000
-    for i in range(4):
-        stage_slice_file(
-            cdc.filter(F.col("vec_id") % 4 == i),
-            os.path.join(d, f"cdc_stage_{i}"),
-            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
-            base_t + i,
-        )
+    _stage_cdc_slices(cdc, d, F.col("vec_id"))
 
 
 def _run_lsh_ivm_stream(
@@ -1691,11 +1701,17 @@ def _stage_k23_state(spark, sf_dir: str, d: str) -> None:
         _pq_corpus,
         _pq_train,
     )
-    from dask_pipes_spark.session import checkpoint_index_generations
+    from dask_pipes_spark.session import (
+        checkpoint_index_generations,
+        collect_local,
+    )
 
     vecs_old, cent = _ivf_corpus_and_centroids(
         spark, sf_dir, pred=F.col("vec_id") % 9 != 5
     )
+    # one execution of the codebook lineage (round 13): the write and the
+    # driver-rows collect previously each re-ran the centroid aggregation
+    cent = collect_local(cent)
     cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
     v_old, sub_old = _pq_corpus(spark, sf_dir, pred=F.col("vec_id") % 9 != 5)
     cents = _pq_train(v_old, sub_old)
@@ -1723,16 +1739,7 @@ def _stage_k23_state(spark, sf_dir: str, d: str) -> None:
         spark, sf_dir, pred=F.col("vec_id") % 9 == 5
     )
     cdc = vecs_new.withColumn("op", F.lit("I")).unionAll(cdc)
-    cdc_dir = os.path.join(d, "cdc")
-    os.makedirs(cdc_dir, exist_ok=True)
-    base_t = 1_700_000_000
-    for i in range(4):
-        stage_slice_file(
-            cdc.filter(F.col("vec_id") % 4 == i),
-            os.path.join(d, f"cdc_stage_{i}"),
-            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
-            base_t + i,
-        )
+    _stage_cdc_slices(cdc, d, F.col("vec_id"))
 
 
 def _run_pq_ivm_stream(
@@ -1941,11 +1948,17 @@ def _stage_k24_state(spark, sf_dir: str, d: str) -> None:
         _RIVF_ASSIGN_SCHEMA,
         _residual_train,
     )
-    from dask_pipes_spark.session import checkpoint_index_generation
+    from dask_pipes_spark.session import (
+        checkpoint_index_generation,
+        collect_local,
+    )
 
     vecs_old, cent = _ivf_corpus_and_centroids(
         spark, sf_dir, pred=F.col("vec_id") % 9 != 5
     )
+    # one execution of the codebook lineage (round 13): the write and the
+    # driver-rows collect previously each re-ran the centroid aggregation
+    cent = collect_local(cent)
     cent.write.mode("overwrite").parquet(os.path.join(d, "centroids"))
     checkpoint_index_generation(
         d,
@@ -1974,16 +1987,7 @@ def _stage_k24_state(spark, sf_dir: str, d: str) -> None:
         )
         .withColumn("op", F.lit("D"))
     )
-    cdc_dir = os.path.join(d, "cdc")
-    os.makedirs(cdc_dir, exist_ok=True)
-    base_t = 1_700_000_000
-    for i in range(4):
-        stage_slice_file(
-            cdc.filter(F.col("vec_id") % 4 == i),
-            os.path.join(d, f"cdc_stage_{i}"),
-            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
-            base_t + i,
-        )
+    _stage_cdc_slices(cdc, d, F.col("vec_id"))
 
 
 def _run_residual_ivm_stream(
@@ -2310,16 +2314,7 @@ def _stage_k27_state(spark, sf_dir: str, d: str) -> None:
         .withColumn("op", F.lit("I"))
         .unionAll(cdc)
     )
-    cdc_dir = os.path.join(d, "cdc")
-    os.makedirs(cdc_dir, exist_ok=True)
-    base_t = 1_700_000_000
-    for i in range(4):
-        stage_slice_file(
-            cdc.filter(F.col("vec_id") % 4 == i),
-            os.path.join(d, f"cdc_stage_{i}"),
-            os.path.join(cdc_dir, f"slice-{i:05d}.parquet"),
-            base_t + i,
-        )
+    _stage_cdc_slices(cdc, d, F.col("vec_id"))
 
 
 def _run_kivfpq_ivm_stream(

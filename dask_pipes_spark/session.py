@@ -346,16 +346,34 @@ def checkpoint_index_generations(
                 manifest.get("retained", []),
             )
             return finals
-    # data plane outside the lock: make every move's compaction durable
-    for (maintained, _, gen), final in zip(moves, finals):
+    # data plane outside the lock: make every move's compaction durable.
+    # The moves are independent single-writer jobs on distinct tmp dirs, so
+    # they are submitted from a small thread pool (guide §2.6 — the
+    # _stage_generations overlap applied to the commit's data plane): one
+    # table's write tail back-fills the other's instead of serializing two
+    # submit-execute-commit round-trips per transaction. Durability checks
+    # stay per move, so a kill leaving any subset of torn tmps is retried
+    # exactly as before; the commit point (one lock, one link) is unmoved.
+    def _make_durable(move_final):
+        (maintained, _, gen), final = move_final
         if os.path.exists(final):
-            continue  # renamed by a killed prior run (link pending)
+            return  # renamed by a killed prior run (link pending)
         tmp = final + ".tmp"
         if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
             shutil.rmtree(tmp, ignore_errors=True)  # torn partial write
             maintained.coalesce(target_files).write.mode(
                 "overwrite"
             ).parquet(tmp)
+
+    pending = list(zip(moves, finals))
+    if len(pending) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(pending))) as pool:
+            list(pool.map(_make_durable, pending))
+    else:
+        for mf in pending:
+            _make_durable(mf)
     with _commit_lock(index_dir):
         # re-check under THIS lock (round 12, advice item): the committed
         # check above released the lock before the data-plane writes, so a
