@@ -849,12 +849,28 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     - label init FOLDS the first propagation hop into the node-derivation
       aggregate (``min(d)`` rides the same groupBy that dedups the node
       set), so the loop starts one hop ahead with zero extra jobs;
-    - each iteration executes TWO propagation hops before the checkpoint
-      + convergence count: same shuffle count per hop, HALF the barrier
-      jobs and driver round-trips — the dominant per-round cost at any
-      scale where the tail of a stage leaves cores idle. Convergence:
-      min-label propagation is monotone non-increasing, so "no change
-      across a double hop" implies the single-hop fixpoint.
+    - each iteration executes TWO propagation hops before its checkpoint
+      barrier: same shuffle count per hop, HALF the barrier jobs and
+      driver round-trips — the dominant per-round cost at any scale
+      where the tail of a stage leaves cores idle.
+
+    Round-13 barrier cuts (the r12 verdict's item 3):
+    - the convergence count rides the checkpoint job itself via
+      ``observe`` (verified to fire on ``localCheckpoint`` on this Spark
+      build), so each iteration is ONE job instead of checkpoint + a
+      separate count;
+    - convergence is detected on the LAST hop of the pair (``label``
+      after hop 2k+1 vs after hop 2k), not across the whole pair: one
+      full hop with no change already implies the fixpoint (monotone
+      min-propagation), so a graph whose labels settle on an even hop
+      skips the former pure-confirmation iteration entirely. The
+      returned labels are the unique fixpoint either way — stopping
+      rules only decide how much post-fixpoint work runs.
+
+    ``max_iter`` counts DOUBLE-HOP rounds (up to ``2 * max_iter`` hops;
+    the r12 advice note). Exhausting it without convergence returns the
+    current labels and logs a warning — callers on adversarial graphs
+    (diameter > 2·max_iter) should raise it.
 
     Returns (node, component) with component = min node id reachable.
     """
@@ -904,16 +920,37 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             ),
         )
 
+    from pyspark.sql import Observation
+
+    converged = False
     for _ in range(max_iter):
-        base = labels.select("node", F.col("label").alias("label0"), "label")
-        stepped = _hop(_hop(base))
-        new_labels = stepped.select(
-            "node", "label", (F.col("label") < F.col("label0")).alias("changed")
-        ).localCheckpoint()  # truncate lineage — plan stays O(1) per round
-        changed = new_labels.filter("changed").count()  # in-memory blocks only
-        labels = new_labels.drop("changed")
-        if changed == 0:
+        mid = _hop(labels.select("node", "label"))
+        stepped = _hop(
+            mid.select("node", F.col("label").alias("label_mid"), "label")
+        )
+        obs = Observation()
+        labels = (
+            stepped.select(
+                "node",
+                "label",
+                (F.col("label") < F.col("label_mid")).alias("changed"),
+            )
+            .observe(obs, F.sum(F.col("changed").cast("long")).alias("n"))
+            .localCheckpoint()  # truncate lineage — plan stays O(1)/round
+            .drop("changed")
+        )
+        if not (obs.get["n"] or 0):  # last hop changed nothing → fixpoint
+            converged = True
             break
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: no fixpoint after %d double-hop rounds "
+            "(%d hops); returning current labels — raise max_iter for "
+            "graphs of diameter > %d",
+            max_iter, 2 * max_iter, 2 * max_iter,
+        )
     return labels
 
 
