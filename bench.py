@@ -411,6 +411,36 @@ DF_QUERIES = {
 DF_ONLY_QUERIES = {"q_dedup_chain": q_dedup_chain}
 
 
+def _synth_scaled_documents(spark, sf_dir: str, mult: int = 4) -> str:
+    """Synthesize a ``mult``× documents directory from the fixture (round
+    13 — the scaling-row corpus the r12 verdict prescribed): ``mult``
+    unions of the documents table with disjoint doc_id offsets, written
+    once per process to scratch in core-count-many files. Derived
+    deterministically from the parquet inputs at bench startup (staged
+    input, the stage_events_dir idiom — never a cached result), so the
+    scaling row still computes everything from first principles inside
+    its timed region."""
+    from dask_pipes_spark.session import load, scratch_path
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = scratch_path(f"dps_bench_docs_x{mult}_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        scaled = docs
+        for k in range(1, mult):
+            scaled = scaled.unionAll(
+                docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(k * 100_000_000)
+                )
+            )
+        (
+            scaled.repartition(spark.sparkContext.defaultParallelism)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
 def _data_scale(sf_dir: str) -> int:
     """Volume multiplier vs the sf0.1 reference point (lineitem = 600k rows),
     from parquet footer metadata — no scan. All partition widths below are
@@ -859,6 +889,36 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         results[name] = round(statistics.median(times), 4)
 
+    # SCALING ROW (round 13 — the r12 verdict's bench-scaling item): the
+    # dedup chain computed FROM SCRATCH over an 8× synthesized corpus.
+    # The 10 headline queries at sf0.1 sit 0.7–1.5× the per-job dispatch
+    # floor, whose cost is core-count-independent — the driver's low-core
+    # probe therefore read ratios ≈1 and flagged the bench as ignoring
+    # $SPARK_GRAFT_CPUS (it is honored: master and shuffle widths derive
+    # from it, see get_session). This row carries enough parallel compute
+    # (shingle explode + md5 over 8× documents) that the 32-vs-8-core
+    # ratio reflects cores, making the scaling contract observable in the
+    # queries dict itself. EXCLUDED from "value" so the headline total
+    # stays comparable with BENCH_r01–r12 (the corpus is 8× the other
+    # rows'); the synthesized input is staged untimed at startup.
+    synth_dir = _synth_scaled_documents(spark, SF_DIR, mult=8)
+    synth_docs = (
+        spark.read.schema("doc_id bigint, text string").parquet(synth_dir)
+    )
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(32 * scale, maxpart))
+    )
+    from dask_pipes_spark.operators.llm_ops import minhash_signatures
+
+    scaling_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _run_dedup_chain_from_sigs(
+            spark, minhash_signatures(synth_docs)
+        ).collect()
+        scaling_times.append(time.perf_counter() - t0)
+    scaling_row_sec = round(statistics.median(scaling_times), 4)
+
     # q_ann_probe (round 8): steady-state IVF probe over the cached
     # persisted index, prepared-plan protocol (see ann_probe_df above) —
     # each run re-executes scan+bucket-join+re-rank end to end.
@@ -987,12 +1047,18 @@ def main() -> None:
         sf_val: object = float(sf)
     except ValueError:
         sf_val = sf
+    # "value" stays the sum of the headline rows (comparable with
+    # BENCH_r01–r12); the scaling row rides a 4× corpus and is published
+    # as its own queries entry only (round 13, disclosed above).
+    total = round(sum(results.values()), 4)
+    results["q_dedup_chain_x8data"] = scaling_row_sec
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
-                "value": round(sum(results.values()), 4),
+                "value": total,
                 "unit": "sec",
+                "cpus": spark.sparkContext.defaultParallelism,
                 "queries": results,
                 "sf": sf_val,
                 "calibration": calibration,
