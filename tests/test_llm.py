@@ -203,6 +203,14 @@ def test_star_edges_components_match_capped_pairs(spark):
     distinct_stars = {(r.doc_a, r.doc_b) for r in p_stars.distinct().collect()}
     pair_set = {(r.doc_a, r.doc_b) for r in p_pairs.collect()}
     assert distinct_stars < pair_set
+    # round-13 skew decision pin: the star frame dedups its cross-band
+    # duplicates BEFORE the CC symmetrize exchange (a 30-copy viral
+    # bucket emits its rep->member edges in all 8 bands; the emitted
+    # frame must already be duplicate-free so only distinct edges ride
+    # into every downstream shuffle — the measured-winning shape under
+    # planted skew, see lsh_star_edges' docstring)
+    star_rows = [(r.doc_a, r.doc_b) for r in p_stars.collect()]
+    assert len(star_rows) == len(set(star_rows))
 
 
 def test_connected_components_long_path_converges(spark):
