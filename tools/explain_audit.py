@@ -172,8 +172,14 @@ CARTESIAN_OK = {
     "d46_mutual_information",
 }
 
-# Streaming live variants build a streaming plan; skip the batch-plan audit.
-SKIP = {
+# Streaming live variants have no batch plan; their EXECUTED micro-batch
+# physical plan is captured instead (round 13 — the r12 verdict's item 6):
+# the key's builder drains its stream(s) through `drain()`, which records
+# each terminated query's last-execution plan when
+# $SPARK_GRAFT_CAPTURE_STREAM_PLANS is set, and the audit applies the same
+# invariants (no BatchEvalPython, declared Arrow only, no undeclared
+# cartesian, exchange budget) to the captured plan(s).
+STREAM_PLAN_KEYS = {
     "k4_stream_tumbling",
     "k5_stream_dedup",
     "k6_stream_stateful",
@@ -218,19 +224,40 @@ def audit(keys: list[str]) -> int:
     rows: list[tuple[str, str, str]] = []  # key, verdict, notes
     violations = 0
 
-    for key in keys:
-        if key in SKIP:
-            rows.append((key, "skip", "streaming live variant (no batch plan)"))
-            continue
-        try:
-            df = QUERIES[key](spark, SF_DIR)
-            plan = plan_of(df)
-        except Exception as exc:  # noqa: BLE001
-            rows.append((key, "ERROR", str(exc).splitlines()[0][:120]))
-            violations += 1
-            continue
+    from dask_pipes_spark import streaming as _streaming
 
+    for key in keys:
         notes: list[str] = []
+        if key in STREAM_PLAN_KEYS:
+            _streaming.CAPTURED_STREAM_PLANS.clear()
+            os.environ["SPARK_GRAFT_CAPTURE_STREAM_PLANS"] = "1"
+            try:
+                QUERIES[key](spark, SF_DIR)
+            except Exception as exc:  # noqa: BLE001
+                rows.append((key, "ERROR", str(exc).splitlines()[0][:120]))
+                violations += 1
+                continue
+            finally:
+                os.environ.pop("SPARK_GRAFT_CAPTURE_STREAM_PLANS", None)
+            captured = list(_streaming.CAPTURED_STREAM_PLANS)
+            if not captured:
+                rows.append((key, "ERROR", "no micro-batch plan captured"))
+                violations += 1
+                continue
+            plan = "\n".join(p for _, p in captured)
+            notes.append(
+                f"micro-batch plan ({len(captured)} drained "
+                f"quer{'y' if len(captured) == 1 else 'ies'})"
+            )
+        else:
+            try:
+                df = QUERIES[key](spark, SF_DIR)
+                plan = plan_of(df)
+            except Exception as exc:  # noqa: BLE001
+                rows.append((key, "ERROR", str(exc).splitlines()[0][:120]))
+                violations += 1
+                continue
+
         bad = False
 
         if "BatchEvalPython" in plan:
