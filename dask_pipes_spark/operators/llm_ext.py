@@ -21,6 +21,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -234,6 +235,64 @@ def cosine_pairs(vectors: "DataFrame", threshold: float) -> "DataFrame":
     )
 
 
+@lru_cache(maxsize=32)
+def _ivf_ranked_expr(cent_key: tuple):
+    """The (sim desc, bucket asc)-sorted literal-codebook scoring
+    expression behind :func:`ivf_assign`, memoized per codebook (round
+    13): building this tree — one ArrayType literal per centroid plus
+    the HOF lambdas — is ~0.4 s of pure driver-side py4j/analysis work
+    (the cost the bench discloses as ``ann_fresh_plan_ms``), and the
+    streaming-IVM loops re-built it EVERY micro-batch for a codebook
+    that never changes mid-stream. Columns are immutable expression
+    trees over literals and by-name references (``e``/``nrm``), so one
+    tree serves every plan — the prepared-statement discipline the bench
+    probe already applies, moved into the operator. ``cent_key`` is the
+    hashable rendering of the codebook rows; the cache is expression-
+    only (never data, never results) and bounded.
+
+    Each centroid vector is ONE ArrayType Literal node (round 8):
+    F.lit(list) creates a single typed literal, vs the previous
+    per-element F.lit(...) which built a 64-node CreateArray per
+    centroid — one py4j round-trip AND one analysis-tree node per
+    element (~640 of each for 10×64, measured ~700 ms of pure
+    driver-side plan build + analysis per probe). The value is
+    bit-identical; only the expression-tree shape shrinks."""
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(bucket).alias("bucket"),
+                F.lit(list(ce)).alias("ce"),
+                F.lit(cnrm).alias("cnrm"),
+            )
+            for bucket, ce, cnrm in cent_key
+        ]
+    )
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("e"), c["ce"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (F.col("nrm") * c["cnrm"]),
+                6,
+            ).alias("sim"),
+            c["bucket"].alias("bucket"),
+        ),
+    )
+    # sort by (sim desc, bucket asc) — same ordering the window used
+    return F.array_sort(
+        scored,
+        lambda x, y: F.when(x["sim"] > y["sim"], -1)
+        .when(x["sim"] < y["sim"], 1)
+        .when(x["bucket"] < y["bucket"], -1)
+        .when(x["bucket"] > y["bucket"], 1)
+        .otherwise(0),
+    )
+
+
 def ivf_assign(
     vectors: DataFrame, cent_rows: list, nprobe: int = 1,
     with_rank: bool = False,
@@ -257,46 +316,11 @@ def ivf_assign(
         # nothing to nothing is the empty frame (empty-input sweep contract)
         empty = vectors.withColumn("bucket", F.lit(None).cast("int")).limit(0)
         return empty.withColumn("rank", F.lit(None).cast("int")) if with_rank else empty
-    # Each centroid vector is ONE ArrayType Literal node (round 8):
-    # F.lit(list) creates a single typed literal, vs the previous
-    # per-element F.lit(...) which built a 64-node CreateArray per
-    # centroid — one py4j round-trip AND one analysis-tree node per
-    # element (~640 of each for 10×64, measured ~700 ms of pure
-    # driver-side plan build + analysis per probe). The value is
-    # bit-identical; only the expression-tree shape shrinks.
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["bucket"])).alias("bucket"),
-                F.lit([float(v) for v in r["ce"]]).alias("ce"),
-                F.lit(float(r["cnrm"])).alias("cnrm"),
-            )
+    ranked = _ivf_ranked_expr(
+        tuple(
+            (int(r["bucket"]), tuple(float(v) for v in r["ce"]), float(r["cnrm"]))
             for r in cent_rows
-        ]
-    )
-    scored = F.transform(
-        cent_lit,
-        lambda c: F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(F.col("e"), c["ce"], lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                / (F.col("nrm") * c["cnrm"]),
-                6,
-            ).alias("sim"),
-            c["bucket"].alias("bucket"),
-        ),
-    )
-    # sort by (sim desc, bucket asc) — same ordering the window used
-    ranked = F.array_sort(
-        scored,
-        lambda x, y: F.when(x["sim"] > y["sim"], -1)
-        .when(x["sim"] < y["sim"], 1)
-        .when(x["bucket"] < y["bucket"], -1)
-        .when(x["bucket"] > y["bucket"], 1)
-        .otherwise(0),
+        )
     )
     if with_rank:
         return (
@@ -937,7 +961,26 @@ def _hyperplanes(nbits: int, dim: int) -> list[list[float]]:
 
 def lsh_bucket(vec_col, planes) -> "F.Column":
     """Sign-bit bucket id: bit j = [v · plane_j ≥ 0]; one codegen expression
-    per plane, O(nbits · dim) per row, zero shuffle."""
+    per plane, O(nbits · dim) per row, zero shuffle.
+
+    Memoized per (column name, basis) when ``vec_col`` is a name (round
+    13): the tree is nbits × dim per-element literals plus HOF lambdas —
+    hundreds of py4j round-trips of pure driver work, re-paid by every
+    streaming micro-batch and probe for a basis that is seeded code.
+    Columns are immutable trees over a by-name reference, so one tree
+    serves every plan (expression cache only — never data)."""
+    key = getattr(vec_col, "_jc", None) is None and isinstance(vec_col, str)
+    if key:
+        return _lsh_bucket_expr(vec_col, tuple(tuple(p) for p in planes))
+    return _lsh_bucket_build(vec_col, planes)
+
+
+@lru_cache(maxsize=16)
+def _lsh_bucket_expr(vec_col: str, planes_key: tuple) -> "F.Column":
+    return _lsh_bucket_build(vec_col, planes_key)
+
+
+def _lsh_bucket_build(vec_col, planes) -> "F.Column":
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         dot = F.aggregate(
@@ -1029,7 +1072,7 @@ def _lsh_corpus_index(spark, sf_dir, nbits: int = 6, pred=None):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     ).withColumn("nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)))
     planes = _hyperplanes(nbits, 64)
-    return dbl.withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    return dbl.withColumn("bucket", lsh_bucket("e", planes))
 
 
 def _lsh_probe_topk(indexed, nbits: int = 6):
@@ -1170,7 +1213,7 @@ def _lsh_delta_merge(buckets, d_ins, d_del, nbits: int = 6):
     against the FIXED hyperplane basis — a pure codegen expression, zero
     exchange, no training of any kind (the basis is code, not data)."""
     planes = _hyperplanes(nbits, 64)
-    ins = d_ins.withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    ins = d_ins.withColumn("bucket", lsh_bucket("e", planes))
     return buckets.join(F.broadcast(d_del), "vec_id", "left_anti").unionAll(
         ins
     )

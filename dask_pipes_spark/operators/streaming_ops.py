@@ -1371,7 +1371,7 @@ def _run_lsh_ivm_stream(
         d_del = batch_df.filter(F.col("op") == "D").select("vec_id")
         d_ins = batch_df.filter(F.col("op") == "I").select(
             "vec_id", "e", "nrm"
-        ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
+        ).withColumn("bucket", lsh_bucket("e", planes))
         merged = buckets.join(
             F.broadcast(d_del), "vec_id", "left_anti"
         ).unionAll(d_ins)

@@ -33,6 +33,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -298,26 +300,40 @@ _PQ_DIM = 8  # dims per subspace (64 total)
 _PQ_K = 16  # centroids per subspace
 
 
+@lru_cache(maxsize=8)
+def _pq_sub_expr(vec_col: str):
+    """The 8-way subspace fan-out expression, memoized per source column
+    (round 13): building the 8 struct/slice nodes costs ~70 ms of
+    driver-side py4j work per call, re-paid in every Lloyd round,
+    streaming micro-batch and probe. Columns are immutable trees over a
+    by-name reference, so one tree serves every plan (expression cache
+    only — never data)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice(vec_col, s * _PQ_DIM + 1, _PQ_DIM).alias("sv"),
+                )
+                for s in range(_PQ_M)
+            ]
+        )
+    )
+
+
 def _pq_subspaces(df, vec_col="e"):
     """Explode a 64-d vector row into (s, sv) subvector rows, s ∈ [0, 8)."""
-    return df.withColumn(
-        "sub",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(vec_col, s * _PQ_DIM + 1, _PQ_DIM).alias("sv"),
-                    )
-                    for s in range(_PQ_M)
-                ]
-            )
-        ),
-    ).select("*", "sub.s", "sub.sv").drop("sub")
+    return df.withColumn("sub", _pq_sub_expr(vec_col)).select(
+        "*", "sub.s", "sub.sv"
+    ).drop("sub")
 
 
-def _l2sq(a, b):
-    """Squared L2 between two equal-length array columns (codegen HOFs)."""
+@lru_cache(maxsize=32)
+def _l2sq(a: str, b: str):
+    """Squared L2 between two equal-length array columns (codegen HOFs).
+    Memoized per column-name pair (round 13) — the HOF lambda tree costs
+    tens of ms of py4j/driver work per build and every call site passes
+    plain column names."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -1810,10 +1826,30 @@ def _coarse_kmeans_train(v, k: int = _CQ_K):
         )
     )
     cents = seeds.select("cid", F.col("e").alias("cv"))
+    # one-pass member means (round 13 — the _pq_train fix applied to the
+    # coarse quantizer): the struct-min argmin carries e alongside it
+    # (every row of a vec_id group holds the same e — the broadcast
+    # crossJoin only varies cid), so the former assign-then-join-back
+    # round trip (a second execution of the corpus lineage plus a
+    # corpus-wide join exchange, per Lloyd round) collapses into the one
+    # exchange the groupBy already pays. Same rows into the means
+    # aggregate ⇒ bit-identical codebook (the oracle still derives means
+    # via the join).
     for _ in range(2):
-        assign = _coarse_kmeans_assign(v, cents)
-        members = assign.join(v, "vec_id")
-        means = members.groupBy(F.col("bucket").alias("cid")).agg(
+        members = (
+            v.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.round(_l2sq("e", "cv"), 6).alias("d2"), "cid"
+                    )
+                ).alias("best"),
+                F.first("e").alias("e"),
+            )
+            .select(F.col("best.cid").alias("cid"), "e")
+        )
+        means = members.groupBy("cid").agg(
             F.array(
                 *[
                     (

@@ -538,8 +538,14 @@ def test_l74_probe_plan_is_pure_generation_scan(spark):
     assert not re.search(r"documents\.parquet", plan), (
         "probe must never re-shingle text"
     )
-    assert "Union" not in plan, "union residue in checkpointed probe"
-    assert plan.count("signatures-g002") >= 1
+    # the residue this pins against is a generation ∪ delta-feed read: the
+    # only signature source in the plan may be the compacted generation.
+    # (A plain "no Union" check would also reject the round-13 join-free
+    # pair emission, whose head-pairs ∪ tail-stars union is two branches
+    # over the SAME generation scan — operator structure, not residue.)
+    assert "delta" not in plan, "delta-feed residue in checkpointed probe"
+    srcs = set(re.findall(r"signatures-g\d+", plan))
+    assert srcs == {"signatures-g002"}, srcs
 
 
 def test_l74_vacuum_layout_and_chain(spark):
